@@ -1,0 +1,81 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Catalog of the driver-generated test tables (repo:TESTDATA.md /
+  * repo:FIXTURES.md §B) plus the reference pipeline's BTCUSDT table shape
+  * (reference `start_all_pipeline.py:463-464`).
+  *
+  * Schemas are declared, never inferred, on production read paths (SURVEY
+  * §1.2). Parquet files carry their own schema; `expect` validates the
+  * embedded schema against the declaration so a drift fails fast instead of
+  * silently mis-typing a 100 TB scan.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Expected column names per table — names only; physical widths (int32 vs
+    * int64) are allowed to differ across scale factors.
+    */
+  val columns: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  /** BTCUSDT analytic table of the reference (`start_all_pipeline.py:463-464`):
+    * bid bigint, parameter char(7), price float(7,2), quantity float(7,5),
+    * time datetime, maker tinyint — mapped per SURVEY §1.2.
+    */
+  val btcusdtSchema: StructType = StructType(Seq(
+    StructField("bid", LongType),
+    StructField("parameter", StringType),
+    StructField("price", DecimalType(9, 2)),
+    StructField("quantity", DecimalType(10, 5)),
+    StructField("time", TimestampType),
+    StructField("maker", BooleanType)))
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
+    expect(name, df)
+    df
+  }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read it as a long (legacy nanosAsLong) and truncate to
+    * microseconds with integer division — exactly what DuckDB's µs timestamps
+    * do on ingest, so both engines see identical instants. Integer `div`
+    * (not `/`) because ns-since-epoch exceeds a double's 53-bit mantissa.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  private def expect(name: String, df: DataFrame): Unit =
+    columns.get(name).foreach { cols =>
+      val have = df.columns.toSeq
+      require(have == cols, s"table $name: expected columns $cols, found $have")
+    }
+
+  /** Register every fixture table as a temp view (for spark.sql paths). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import Protocol._
+
+/** Declared queries over the `events` table — the batch mirror of the
+  * reference's streaming core.
+  *
+  * Q22 is literally the reference's 1-minute tumbling window
+  * (`main.py:36-47`: bucket id `int(T/60000)`, per-bucket file) re-expressed
+  * as a grouped aggregate; Q23 is sessionization (gaps-and-islands), the
+  * stateful generalization the reference never had.
+  */
+object EventQueries extends QueryModule {
+
+  override val declared: Seq[Declared] = Seq(
+
+    // Q22 — reference-mirror tumbling 1-minute window.
+    Declared("q22_tumbling_window",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(tsec(date_trunc("minute", col("ts"))).as("w"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            out6(sum(dec(col("value")))).as("sum_value"))
+          .orderBy(col("w"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Q23 — sessionization: a new session starts when the gap to the previous
+    // event of the same user exceeds 30 minutes. Gap comparison is done in
+    // exact epoch-microseconds in both engines.
+    Declared("q23_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess", when(col("gap_us") > 1800000000L, 1).otherwise(0))
+          .groupBy(col("user_id"))
+          .agg((lit(1) + sum(col("new_sess"))).cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  CAST(1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             |  COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id, event_id, ts,
+             |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events
+             |)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine
+import graft.model.Tables
+import Protocol._
+
+/** Similarity search over `embeddings` (SURVEY §2.2 [EXT], Q26).
+  *
+  * Scale posture: the query side is always the *small* side (one vector, or a
+  * bounded query batch) and is broadcast; candidates stream through a narrow,
+  * codegen'd map — at 100 TB this is one scan, no shuffle. The top-k per
+  * query is computed with per-partition pre-ranking before the global rank so
+  * only k·partitions rows ever reach the exchange (mirror of
+  * TakeOrderedAndProject, generalized to grouped top-k).
+  */
+object VectorQueries extends QueryModule {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"), col("label"))
+
+  /** Grouped top-k with partial ranking: rank within each partition first,
+    * keep ≤k per (partition, group), then rank globally. Cuts the shuffle
+    * from |candidates| rows to ≤ k·numPartitions per group.
+    */
+  def groupedTopK(df: DataFrame, groupCol: String, k: Int,
+      orderBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val partial = Window.partitionBy(col(groupCol), col("_pid")).orderBy(orderBy: _*)
+    val global = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    df.withColumn("_pid", spark_partition_id())
+      .withColumn("_prn", row_number().over(partial))
+      .filter(col("_prn") <= k)
+      .drop("_pid", "_prn")
+      .withColumn("rn", big(row_number().over(global)))
+      .filter(col("rn") <= k)
+  }
+
+  override val declared: Seq[Declared] = Seq(
+
+    // Q26 — 5 nearest neighbours of vec_id=0 by cosine (brute force, exact).
+    Declared("q26_vector_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", cosine(col("e"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), out6(col("cos")).as("cos"))
+      },
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS DECIMAL(18,6)) AS cos
+             |FROM embeddings e, q
+             |WHERE e.vec_id <> 0
+             |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+             |LIMIT 5""".stripMargin)),
+
+    // ANN batch: top-3 neighbours for every query vector (vec_id < 20),
+    // brute-force baseline. The LSH-bucketed scale path lives in
+    // DedupQueries / AnnLsh.
+    Declared("q27_ann_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", cosine(col("e"), col("qe")))
+        groupedTopK(scored, "qid", 3, Seq(col("cos").desc, col("vec_id")))
+          .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""SELECT qid, rn, vec_id, cos FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id,
+             |    CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS DECIMAL(18,6)) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+             |  FROM embeddings e, embeddings q
+             |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+             |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+  )
+}
