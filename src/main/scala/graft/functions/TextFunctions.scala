@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (SURVEY §2.2 [EXT]):
+  * tokenization, shingling, portable hashing, MinHash signatures, SimHash
+  * fingerprints, rolling-hash document fingerprints.
+  *
+  * Everything here is built from Spark's codegen'd built-ins (split / md5 /
+  * higher-order array functions) — no UDFs — so the hot path stays inside
+  * whole-stage codegen and the exact same computation is expressible in the
+  * DuckDB oracle (md5 is bit-identical across engines, which is what makes
+  * MinHash/fingerprints verifiable there).
+  *
+  * Hash construction: md5 hex is sliced and parsed base-16. 7 hex chars
+  * (28 bits) for rolling-hash terms, 8 hex chars (32 bits) for SimHash lanes
+  * — both far below 2^63 so no ANSI overflow is possible in the folds.
+  */
+object TextFunctions {
+
+  /** Contract tokenizer: fixture text is single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word-piece count via a BPE-ish regex (letters / digits / single other
+    * rune), the usual pre-tokenizer shape.
+    */
+  def wordpieceCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Token 3-gram shingles; documents shorter than 3 tokens degrade to a
+    * single whole-text shingle.
+    */
+  def shingles3(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array(text))
+  }
+
+  /** 28-bit token hash from an md5 prefix (portable across engines). */
+  def tokenHash28(t: Column): Column =
+    conv(substring(md5(t), 1, 7), 16, 10).cast("long")
+
+  /** MinHash signature of k components over a shingle array: component j is
+    * the lexicographic min of md5(j ':' shingle). A string-min minhash is
+    * just as uniform as an integer one and needs no hex parsing.
+    */
+  def minhashSig(shingles: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)),
+      j => array_min(transform(shingles, x => md5(concat(j.cast("string"), lit(":"), x)))))
+
+  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature. */
+  def bandKeys(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Estimated Jaccard from two equal-length signatures: matching fraction. */
+  def sigMatchCount(a: Column, b: Column, k: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(k)),
+        i => when(element_at(a, i) === element_at(b, i), 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
+  /** 32-bit SimHash over the distinct-token set. Built with expr() because
+    * the SQL shiftright/shiftleft accept a column shift amount where the
+    * Scala wrappers take only a literal Int.
+    */
+  def simhash32(textCol: String): Column = expr(
+    s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + IF(
+       |  aggregate(
+       |    transform(array_distinct(split($textCol, ' ')),
+       |              t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),
+       |    cast(0 as bigint),
+       |    (a, h) -> a + (shiftright(h, b) % 2) * 2 - 1) >= 0,
+       |  shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+
+  /** Order-sensitive polynomial rolling hash of the token stream,
+    * h := (h*31 + hash28(tok)) mod 1e9+7 — a document fingerprint that, unlike
+    * md5(text), survives re-serialization of the token stream.
+    */
+  def rollingFingerprint(textCol: String): Column = expr(
+    s"""aggregate(split($textCol, ' '), cast(0 as bigint),
+       |  (h, t) -> (h * 31 + cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint)) % 1000000007)""".stripMargin)
+
+  /** Hamming distance between two simhash fingerprints (≤64 bits). */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

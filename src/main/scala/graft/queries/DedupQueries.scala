@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosine
+import graft.model.Tables
+import Protocol._
+
+/** Near-duplicate detection suite (SURVEY §2.2 [EXT]): MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine — the dedup family a training-data
+  * pipeline runs before anything else.
+  *
+  * Scale design: every variant is blocked (LSH bands / metadata buckets /
+  * labels) so candidate generation is an equi-join, never an O(n²) cross
+  * join. The only all-pairs work is *within* a block, and block sizes are
+  * bounded by construction. All hashes are md5-derived so the DuckDB oracle
+  * reproduces them bit-for-bit.
+  */
+object DedupQueries extends QueryModule {
+
+  private val K = 16      // minhash signature length
+  private val BANDS = 4   // LSH bands
+  private val ROWS = 4    // rows per band (K = BANDS * ROWS)
+
+  /** Shared DuckDB CTEs: shingles and minhash signatures. */
+  private val duckSig =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(tk) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+      |    ELSE [text] END AS sh FROM d),
+      |sig AS (SELECT doc_id,
+      |  list_transform(range(1, 17),
+      |    j -> list_aggregate(list_transform(sh, x -> md5(j::VARCHAR || ':' || x)), 'min')) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, sig, b,
+      |  md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t)""".stripMargin
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q32 — MinHash + LSH near-dup candidate pairs with estimated Jaccard.
+    // Banding turns candidate generation into an equi-join on (band index,
+    // band hash): only documents agreeing on a full band ever meet.
+    Declared("q32_minhash_pairs",
+      (s, dir) => {
+        val sigs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            minhashSig(array_distinct(shingles3(col("text"))), K).as("sig"))
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
+        val a = banded.select(col("band_idx"), col("band"),
+          col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        val b = banded.select(col("band_idx"), col("band"),
+          col("doc_id").as("id_b"), col("sig").as("sig_b"))
+        a.join(b, Seq("band_idx", "band"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+          .dropDuplicates("id_a", "id_b")
+          .withColumn("est_jaccard", out6(dec(sigMatchCount(col("sig_a"), col("sig_b"), K)) / K))
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("est_jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(duckSig +
+        """,
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, est_jaccard FROM (
+          |  SELECT c.id_a, c.id_b,
+          |    CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
+          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) AS est_jaccard
+          |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
+          |WHERE est_jaccard >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // q33 — 32-bit SimHash fingerprint per document (distinct-token lanes).
+    Declared("q33_simhash",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), simhash32("text").as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(list_sum(list_transform(range(0, 32),
+             |    b -> CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) >= 0
+             |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+             |FROM (SELECT doc_id,
+             |  list_transform(list_distinct(string_split(text, ' ')),
+             |    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // q34 — exact n-gram Jaccard inside (lang, source) blocks: the
+    // blocked-verification step that confirms LSH candidates.
+    Declared("q34_ngram_jaccard",
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(shingles3(col("text"))).as("sh"))
+        val a = sh.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("lang", "source"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("jaccard",
+            out6(dec(size(array_intersect(col("sh_a"), col("sh_b")))) / size(array_union(col("sh_a"), col("sh_b")))))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, lang, source,
+             |  CASE WHEN len(tk) >= 3
+             |    THEN list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             |    ELSE [text] END AS sh FROM d)
+             |SELECT id_a, id_b, jaccard FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
+             |      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DECIMAL(18,6)) AS jaccard
+             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+             |WHERE jaccard >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // q35 — embedding-cosine near-dup pairs, blocked by label.
+    Declared("q35_embedding_neardup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"), col("label"))
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("e").as("e_a"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("e").as("e_b"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", cosine(col("e_a"), col("e_b")))
+          .filter(col("cos") > 0.45)
+          .select(col("label"), col("id_a"), col("id_b"), out6(col("cos")).as("cos"))
+          .orderBy(col("label"), col("id_a"), col("id_b"))
+      },
+      Some("""SELECT label, id_a, id_b, CAST(ROUND(cos, 6) AS DECIMAL(18,6)) AS cos FROM (
+             |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+             |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |WHERE cos > 0.45
+             |ORDER BY label, id_a, id_b""".stripMargin))
+  )
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+import Protocol._
+
+/** Time-series join operators over `events` (SURVEY §2.2 [EXT]): as-of join
+  * and bounded range join — the tick-data lookups natural to the reference's
+  * domain that neither MySQL 5.7 nor stock Spark provide as primitives.
+  * Implementations live in graft.operators; these entries pin their
+  * semantics against DuckDB's native ASOF JOIN / interval join.
+  */
+object JoinOpQueries extends QueryModule {
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q36 — backward as-of join: for every click, the latest view of the
+    // same user at or before the click. One shuffle, no row amplification
+    // (operators.AsOfJoin union+window formulation).
+    Declared("q36_asof_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        // right side must be unique per (user, ts): keep the max-event_id view
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        AsOfJoin.backward(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "view_")
+          .select(col("event_id"), col("user_id"),
+            tmicro(col("ts")).as("ts"),
+            tmicro(col("view_ts")).as("view_ts"),
+            out6(dec(col("view_v_value"))).as("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, max_by(value, event_id) AS v_value
+             |          FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+             |  CAST(ROUND(CAST(v.v_value AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // q37 — bounded range join: events of the same user in the 5 minutes up
+    // to each error (self excluded), zero-preserving. Bucketed equi-join
+    // (operators.RangeJoin), 2× left amplification instead of per-key O(n·m).
+    Declared("q37_range_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val slim = ev.select(col("user_id"), col("ts"), col("event_id"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val joined = RangeJoin.backwardWindow(errors, slim, Seq("user_id"), "ts", 300000000L)
+          .filter(col("r.event_id") =!= col("l.event_id"))
+          .groupBy(col("l.event_id").as("event_id"))
+          .agg(count(lit(1)).as("n_in_window"))
+        errors.select(col("event_id"))
+          .join(joined, Seq("event_id"), "left")
+          .select(col("event_id"), coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, CAST(COUNT(x.event_id) AS BIGINT) AS n_in_window
+             |FROM events e LEFT JOIN events x
+             |  ON e.user_id = x.user_id
+             | AND x.ts >= e.ts - INTERVAL 5 MINUTE AND x.ts <= e.ts
+             | AND x.event_id <> e.event_id
+             |WHERE e.event_type = 'error'
+             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
+  )
+}

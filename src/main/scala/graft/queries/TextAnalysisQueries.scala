@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.model.Tables
+import Protocol._
+
+/** Text-analysis operators over `documents` (SURVEY §2.2 [EXT]): language
+  * identification, quality scoring, token counting, document fingerprinting.
+  * All narrow, codegen'd per-row work — at 100 TB these run as a single scan
+  * with no shuffle except the final (tiny) aggregation.
+  */
+object TextAnalysisQueries extends QueryModule {
+
+  /** Marker-token lists for the n-gram/stopword language heuristic. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "de", "que", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q28 — language-ID heuristic vs labeled lang: confusion-matrix counts.
+    // Score per language = |distinct tokens ∩ markers|; argmax with a fixed
+    // priority order, 'und' when every score is zero.
+    Declared("q28_lang_id",
+      (s, dir) => {
+        val toks = array_distinct(split(col("text"), " "))
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("lang") +: markers.map { case (l, ms) =>
+            size(array_intersect(toks, array(ms.map(lit): _*))).as(s"s_$l")
+          }: _*)
+        val pred = markers.foldRight(lit("und")) { case ((l, _), els) =>
+          val sc = col(s"s_$l")
+          val beats = markers.map(m => sc >= col(s"s_${m._1}")).reduce(_ && _)
+          when(sc > 0 && beats, lit(l)).otherwise(els)
+        }
+        scored.select(col("lang"), pred.as("pred"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some {
+        val scores = markers.map { case (l, ms) =>
+          s"len(list_intersect(list_distinct(string_split(text, ' ')), ${sqlList(ms)})) AS s_$l"
+        }.mkString(",\n    ")
+        val pred = markers.map { case (l, _) =>
+          val beats = markers.map(m => s"s_$l >= s_${m._1}").mkString(" AND ")
+          s"WHEN s_$l > 0 AND $beats THEN '$l'"
+        }.mkString("\n      ", "\n      ", "\n      ELSE 'und' END")
+        s"""SELECT lang, pred, COUNT(*) AS n FROM (
+           |  SELECT lang, CASE $pred AS pred FROM (
+           |    SELECT lang,
+           |    $scores
+           |    FROM documents))
+           |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+      }),
+
+    // q29 — per-document quality scoring: type-token ratio, stopword ratio,
+    // average token length, combined score.
+    Declared("q29_text_quality",
+      (s, dir) => {
+        val stop = markers.flatMap(_._2)
+        val toks = split(col("text"), " ")
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_types"),
+            size(filter(toks, t => array_contains(array(stop.map(lit): _*), t))).cast("long").as("n_stop"),
+            length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            out6(dec(col("n_types")) / col("n_tokens")).as("ttr"),
+            out6(dec(col("n_stop")) / col("n_tokens")).as("stop_ratio"),
+            out6(dec(col("n_letters")) / col("n_tokens")).as("avg_tok_len"))
+        base.select(col("doc_id"), col("n_tokens"), col("n_types"), col("ttr"),
+          col("stop_ratio"), col("avg_tok_len"),
+          out6(dec(lit(0.5)) * col("ttr") + dec(lit(0.3)) * col("stop_ratio")
+            + dec(lit(0.2)) * least(lit(1).cast(D), out6(col("avg_tok_len") * dec(lit(0.1))))).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = sqlList(markers.flatMap(_._2))
+        s"""SELECT doc_id, n_tokens, n_types, ttr, stop_ratio, avg_tok_len,
+           |  CAST(ROUND(CAST(CAST(0.5 AS DECIMAL(18,6)) * ttr AS DECIMAL(30,12)) + CAST(CAST(0.3 AS DECIMAL(18,6)) * stop_ratio AS DECIMAL(30,12))
+           |    + CAST(CAST(0.2 AS DECIMAL(18,6)) * LEAST(CAST(1 AS DECIMAL(18,6)), CAST(ROUND(avg_tok_len * CAST(0.1 AS DECIMAL(18,6)), 6) AS DECIMAL(18,6))) AS DECIMAL(30,12)), 6) AS DECIMAL(18,6)) AS quality
+           |FROM (
+           |  SELECT doc_id, n_tokens, n_types,
+           |    CAST(ROUND(CAST(n_types AS DECIMAL(18,6)) / n_tokens, 6) AS DECIMAL(18,6)) AS ttr,
+           |    CAST(ROUND(CAST(n_stop AS DECIMAL(18,6)) / n_tokens, 6) AS DECIMAL(18,6)) AS stop_ratio,
+           |    CAST(ROUND(CAST(n_letters AS DECIMAL(18,6)) / n_tokens, 6) AS DECIMAL(18,6)) AS avg_tok_len
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+           |      CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stop, t))) AS BIGINT) AS n_stop,
+           |      CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters
+           |    FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // q30 — token counting per source: whitespace tokens, BPE-ish word
+    // pieces, corpus vocabulary size (requires an explode + distinct — the
+    // only shuffle in this module).
+    Declared("q30_token_count",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("source"), split(col("text"), " ").as("toks"), col("text"))
+        val tot = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("total_tokens"),
+          sum(wordpieceCount(col("text"))).cast("long").as("total_wordpieces"))
+        val voc = base.select(col("source"), explode(col("toks")).as("t"))
+          .groupBy(col("source")).agg(countDistinct(col("t")).as("n_vocab"))
+        tot.join(voc, "source").orderBy(col("source"))
+      },
+      Some("""WITH base AS (SELECT source, string_split(text, ' ') AS toks, text FROM documents)
+             |SELECT b.source, b.n_docs, b.total_tokens, b.total_wordpieces, v.n_vocab FROM
+             |  (SELECT source, COUNT(*) AS n_docs,
+             |     CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+             |     CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_wordpieces
+             |   FROM base GROUP BY source) b
+             |JOIN (SELECT source, COUNT(DISTINCT t) AS n_vocab
+             |      FROM (SELECT source, unnest(toks) AS t FROM base) GROUP BY source) v
+             |USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    // q31 — order-sensitive rolling-hash document fingerprint; groups with
+    // the same fingerprint are re-serialization duplicates.
+    Declared("q31_fingerprint",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), rollingFingerprint("text").as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_concat([CAST(0 AS BIGINT)],
+             |      list_transform(string_split(text, ' '),
+             |        t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
+             |    (h, t) -> (h * 31 + t) % 1000000007) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
