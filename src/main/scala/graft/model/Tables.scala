@@ -46,6 +46,16 @@ object Tables {
     StructField("time", TimestampType),
     StructField("maker", BooleanType)))
 
+  /** The TSV interchange shape (FIXTURES §A2): identical except `maker`
+    * travels as 0/1 (`main.py:57-59` / MySQL tinyint) — CSV cannot parse
+    * "0"/"1" as booleans, so the edge reads ByteType and the loader converts.
+    */
+  val btcusdtTsvSchema: StructType = StructType(
+    btcusdtSchema.fields.map {
+      case f if f.name == "maker" => f.copy(dataType = ByteType)
+      case f => f
+    })
+
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

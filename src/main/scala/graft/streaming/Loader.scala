@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Tables
+
+/** The reference's load path (R10-R12) on Structured Streaming:
+  *
+  *  - R10 event-driven trigger → checkpointed streaming file source over the
+  *    staging prefix with a `*.tsv` glob (`start_all_pipeline.py:445-451`);
+  *  - R11 bulk load → `foreachBatch` append into a Parquet table
+  *    (`lambda_function.py:26`'s LOAD DATA, set-oriented);
+  *  - R12 archive-after-load → `cleanSource=archive`, which moves consumed
+  *    files to `sourceArchiveDir` — the copy+delete pair of
+  *    `lambda_function.py:38-48` done by the framework after commit. Note
+  *    Spark's cleaner runs at the START of the next micro-batch, so a file
+  *    is archived one batch after it is loaded (observed empirically); the
+  *    guarantee is the same post-commit one the reference has, with a lag.
+  *
+  * Exactly-once upgrade (the reference double-loads on S3 event redelivery):
+  * each batch writes to a `_batch=<id>` subdirectory of the table and drops a
+  * commit marker; a replayed batchId sees its marker and skips. Readers see
+  * the table as plain partitioned Parquet.
+  */
+object Loader {
+
+  def start(spark: SparkSession, stagingDir: String, tableDir: String,
+      archiveDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+
+    val src = spark.readStream
+      .schema(Tables.btcusdtTsvSchema)
+      .option("sep", "\t")
+      .option("header", "false")
+      .option("pathGlobFilter", "*.tsv")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .csv(stagingDir)
+      .withColumn("maker", col("maker") === 1) // TSV 0/1 -> table boolean
+
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatchIdempotent(df, tableDir, batchId)
+      }
+      .start()
+  }
+
+  /** Idempotent-by-batchId append: retrying a failed/replayed micro-batch
+    * overwrites its own partition only, so rows are never duplicated. This
+    * is the `foreachBatch` pattern from SURVEY §2.1 (exactly-once fix).
+    */
+  def writeBatchIdempotent(
+      df: org.apache.spark.sql.DataFrame, tableDir: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(tableDir, s"_committed_$batchId")
+    if (!fs.exists(marker)) {
+      df.withColumn("_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(tableDir)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Read the loaded table back (hides the `_batch` bookkeeping column). */
+  def readTable(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(tableDir).drop("_batch")
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Tables, TradeTick}
+import graft.streaming.{Ingest, Loader}
+
+/** Reference ingest semantics (SURVEY §5.3): the quirks of `main.py` the
+  * engine must reproduce — truncate-not-round quantity, second-truncated
+  * timestamps, half-even price rounding, 0/1 maker encoding, empty minutes
+  * emitting nothing — plus the exactly-once upgrade of the load path.
+  */
+class IngestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tick(id: Long, p: String, q: String, tMs: Long, m: Boolean) =
+    TradeTick(id, "BTCUSDT", p, q, tMs, m)
+
+  test("quantity truncates (not rounds) to 5 dp — main.py:64 str[:-3]") {
+    import spark.implicits._
+    val out = Ingest.toBtcusdt(
+      Seq(tick(1, "100.00000000", "0.12345678", 1700000000123L, true)).toDF())
+      .select("quantity").as[java.math.BigDecimal].head()
+    // 0.12345678 -> "0.12345" (chop), NOT 0.12346 (round)
+    assert(out == new java.math.BigDecimal("0.12345"))
+  }
+
+  test("price rounds half-even to 2 dp — Python round() parity, main.py:63") {
+    import spark.implicits._
+    val rows = Ingest.toBtcusdt(Seq(
+      tick(1, "10.125", "0.00100000", 0L, true),   // half-even: .12 (2 even)
+      tick(2, "10.135", "0.00100000", 0L, true),   // half-even: .14 (4 even)
+      tick(3, "10.126", "0.00100000", 0L, true)    // plain: .13
+    ).toDF()).select("bid", "price").collect().map {
+      case Row(b: Long, p: java.math.BigDecimal) => b -> p.toPlainString
+    }.toMap
+    assert(rows(1L) == "10.12")
+    assert(rows(2L) == "10.14")
+    assert(rows(3L) == "10.13")
+  }
+
+  test("time truncates to whole seconds, UTC — main.py:56") {
+    import spark.implicits._
+    val t = Ingest.toBtcusdt(
+      Seq(tick(1, "1", "0.00100000", 1700000000999L, false)).toDF())
+      .select(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("time"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head()
+    assert(t == "2023-11-14 22:13:20") // 1700000000 s exactly; .999 dropped
+  }
+
+  test("windowed TSV sink: one dir per minute, tab rows, empty minute absent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[TradeTick]
+    val out = tmpDir("tsv-out")
+    val cp = tmpDir("tsv-cp")
+    // minute 0 and minute 2 of some base; minute 1 empty
+    val base = 1700000040000L // aligned to a minute start
+    ms.addData(
+      tick(1, "100.10", "0.10000000", base + 1000, true),
+      tick(2, "100.20", "0.20000000", base + 2000, false),
+      tick(3, "100.30", "0.30000000", base + 121000, true))
+    val q = Ingest.windowedTsvSink(Ingest.withEventTime(ms.toDF()), out, cp)
+    q.processAllAvailable(); q.stop()
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("window_start=")).sorted
+    assert(dirs.toSeq == Seq(s"window_start=${base / 1000}", s"window_start=${base / 1000 + 120}"))
+
+    // round-trip: read back with the TSV edge schema (FIXTURES A2, maker 0/1)
+    val back = spark.read
+      .schema(Tables.btcusdtTsvSchema)
+      .option("sep", "\t").option("header", "false")
+      .csv(s"$out/window_start=${base / 1000}")
+    assert(back.count() == 2)
+    val r = back.orderBy("bid").collect()
+    assert(r(0).getAs[java.math.BigDecimal]("price") == new java.math.BigDecimal("100.10"))
+    assert(r(0).getAs[Byte]("maker") == 1)
+    assert(r(1).getAs[Byte]("maker") == 0)
+  }
+
+  test("loader: file-level exactly-once across restarts and batch replay") {
+    import spark.implicits._
+    val staging = tmpDir("staging")
+    val table = tmpDir("table")
+    val archive = tmpDir("archive")
+    val cp = tmpDir("loader-cp")
+
+    def writeTsv(name: String, rows: Seq[String]): Unit = {
+      val f = new java.io.File(staging, name)
+      val w = new java.io.PrintWriter(f)
+      rows.foreach(w.println); w.close()
+    }
+    writeTsv("1700000040.tsv", Seq(
+      "1\tBTCUSDT\t100.10\t0.10000\t2023-11-14 22:14:01\t1",
+      "2\tBTCUSDT\t100.20\t0.20000\t2023-11-14 22:14:02\t0"))
+
+    Loader.start(spark, staging, table, archive, cp).awaitTermination()
+    assert(Loader.readTable(spark, table).count() == 2)
+
+    // restart with the same checkpoint: nothing new => no duplicates
+    Loader.start(spark, staging, table, archive, cp).awaitTermination()
+    assert(Loader.readTable(spark, table).count() == 2)
+
+    // batchId replay: re-writing the same batch is a no-op (idempotent)
+    val df = Loader.readTable(spark, table)
+    Loader.writeBatchIdempotent(df, table, 0L)
+    assert(Loader.readTable(spark, table).count() == 2)
+
+    // a new file IS loaded (and only once), old rows intact
+    writeTsv("1700000100.tsv", Seq(
+      "3\tBTCUSDT\t100.30\t0.30000\t2023-11-14 22:15:00\t1"))
+    Loader.start(spark, staging, table, archive, cp).awaitTermination()
+    val t = Loader.readTable(spark, table)
+    assert(t.count() == 3)
+    assert(t.select("bid").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+}

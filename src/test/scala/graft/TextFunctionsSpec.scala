@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).collect().head.get(0).asInstanceOf[T]
+  }
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).collect().head
+      .getSeq[String](0).toSeq
+  }
+
+  test("shingles: 3-gram windows; short docs degrade to whole text") {
+    assert(oneSeq(shingles3(col("text")), "a b c d") == Seq("a b c", "b c d"))
+    assert(oneSeq(shingles3(col("text")), "a b") == Seq("a b"))
+  }
+
+  test("minhash: identical docs share full signature; permuted docs mostly overlap") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3, "zz yy xx ww vv uu tt ss")).toDF("id", "text")
+      .select(col("id"), minhashSig(array_distinct(shingles3(col("text"))), 16).as("sig"))
+    val sigs = df.collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1) == sigs(2))
+    assert(sigs(1) != sigs(3))
+    // deterministic across evaluations
+    val again = Seq((1, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("id", "text")
+      .select(minhashSig(array_distinct(shingles3(col("text"))), 16)).collect().head.getSeq[String](0)
+    assert(again == sigs(1))
+  }
+
+  test("simhash: equal token sets equal fingerprints; order-insensitive; 32-bit") {
+    val a = one[Long](simhash32("text"), "alpha beta gamma delta")
+    val b = one[Long](simhash32("text"), "delta gamma beta alpha")
+    val c = one[Long](simhash32("text"), "completely different words here")
+    assert(a == b)      // distinct-token construction is order-free
+    assert(a != c)
+    assert(a >= 0 && a < (1L << 32))
+  }
+
+  test("rolling fingerprint: order-SENSITIVE, bounded by modulus") {
+    val a = one[Long](rollingFingerprint("text"), "alpha beta gamma")
+    val b = one[Long](rollingFingerprint("text"), "gamma beta alpha")
+    assert(a != b)
+    assert(a >= 0 && a < 1000000007L)
+  }
+
+  test("hamming64") {
+    import spark.implicits._
+    val d = Seq((0L, 0L), (0L, 7L), (Long.MaxValue, 0L))
+      .toDF("a", "b").select(hamming64(col("a"), col("b"))).as[Long].collect()
+    assert(d.toSeq == Seq(0L, 3L, 63L))
+  }
+
+  test("property: window bucket id = floor(T/60000) for any epoch-ms") {
+    import graft.streaming.Ingest
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val samples = (Seq(0L, 59999L, 60000L, 4102444800000L) ++
+      Seq.fill(200)(math.abs(rnd.nextLong()) % 4102444800000L))
+    val got = samples.toDF("tradeTimeMs")
+      .select(col("tradeTimeMs"), Ingest.windowStartSec(col("tradeTimeMs")).as("w"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(0) / 60000 * 60))
+  }
+
+  test("property: TSV round-trip is identity on the tick schema") {
+    import graft.model.{Tables, TradeTick}
+    import graft.streaming.Ingest
+    import spark.implicits._
+    val ticks = (1 to 50).map { i =>
+      TradeTick(i.toLong, "BTCUSDT", f"${i * 1.37}%.8f", f"${i * 0.00013}%.8f",
+        1700000000000L + i * 777L, i % 2 == 0)
+    }
+    val rows = Ingest.toBtcusdt(ticks.toDF())
+      .withColumn("time", date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("maker", when(col("maker"), 1).otherwise(0))
+    val dir = tmpDir("tsv-rt")
+    rows.write.option("sep", "\t").option("header", "false").mode("overwrite").csv(dir)
+    val back = spark.read.schema(Tables.btcusdtTsvSchema)
+      .option("sep", "\t").option("header", "false").csv(dir)
+    val orig = Ingest.toBtcusdt(ticks.toDF())
+      .withColumn("maker", when(col("maker"), 1).otherwise(0).cast("byte"))
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+  }
+}
