@@ -45,9 +45,21 @@ object DedupQueries extends QueryModule {
     // band hash): only documents agreeing on a full band ever meet.
     Declared("q32_minhash_pairs",
       (s, dir) => {
-        val sigs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
-            minhashSig(array_distinct(shingles3(col("text"))), K).as("sig"))
+        // Signature computation shaped for scale: explode shingles, then ONE
+        // hash-aggregate computing all 16 components as codegen'd
+        // min(md5(j ':' shingle)) columns with map-side partial min — versus
+        // the nested-HOF one-liner (TextFunctions.minhashSig, kept for
+        // row-local use), which evaluates interpreted and which Catalyst
+        // re-inlines into every consumer (measured ~8× recompute). The tiny
+        // signature table is then persisted and banded.
+        val exploded = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(shingles3(col("text")))).as("sh"))
+        val comps = (1 to K).map(j =>
+          min(md5(concat(lit(j.toString), lit(":"), col("sh")))).as(s"m$j"))
+        val sigs = exploded.groupBy(col("doc_id"))
+          .agg(comps.head, comps.tail: _*)
+          .select(col("doc_id"), array((1 to K).map(j => col(s"m$j")): _*).as("sig"))
+          .persist()
         val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
         val a = banded.select(col("band_idx"), col("band"),
@@ -76,10 +88,25 @@ object DedupQueries extends QueryModule {
           |ORDER BY id_a, id_b""".stripMargin)),
 
     // q33 — 32-bit SimHash fingerprint per document (distinct-token lanes).
+    // Shaped as explode → hash-aggregate with 32 codegen'd bit-count sums
+    // (majority lane b set iff 2·ones ≥ n) rather than the nested-HOF
+    // one-liner (TextFunctions.simhash32, kept for row-local use): HOF
+    // lambdas evaluate interpreted, measured ~10× slower; the explode/agg
+    // shape is also the one that scales — partial aggregation pushes the
+    // 32 counters map-side, shuffling 33 longs per document.
     Declared("q33_simhash",
       (s, dir) => {
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), simhash32("text").as("simhash"))
+        val lanes = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+          .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+        val counts = (0 until 32).map(b =>
+          sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b"))
+        val fp = (0 until 32).map(b =>
+          when(col(s"c$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        lanes.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"), counts: _*)
+          .select(col("doc_id"), fp.as("simhash"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, CAST(list_sum(list_transform(range(0, 32),
@@ -95,15 +122,26 @@ object DedupQueries extends QueryModule {
     // blocked-verification step that confirms LSH candidates.
     Declared("q34_ngram_jaccard",
       (s, dir) => {
-        val sh = Tables.load(s, dir, "documents")
+        // Scalable shape: join on the shingle itself (inverted-index style)
+        // and count matches per pair, instead of materializing doc-pair rows
+        // carrying whole shingle arrays and intersecting per pair. Only
+        // pairs that SHARE a shingle ever exist; |A∪B| = |A|+|B|−common.
+        val flat = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"),
-            array_distinct(shingles3(col("text"))).as("sh"))
-        val a = sh.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = sh.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        a.join(b, Seq("lang", "source"))
+            explode(array_distinct(shingles3(col("text")))).as("sh"))
+          .persist()
+        val sizes = flat.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = flat.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id_a"))
+        val b = flat.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id_b"))
+        val common = a.join(b, Seq("lang", "source", "sh"))
           .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+          .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
           .withColumn("jaccard",
-            out6(dec(size(array_intersect(col("sh_a"), col("sh_b")))) / size(array_union(col("sh_a"), col("sh_b")))))
+            out6(dec(col("common")) / (col("sz_a") + col("sz_b") - col("common"))))
           .filter(col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"), col("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
