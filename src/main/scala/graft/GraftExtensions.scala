@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** Session extensions: install with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * to get the custom SQL functions on every session of a cluster — the
+  * deployment path for the engine's Catalyst additions (SURVEY §7.3).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      GraftExtensions.binary("cosine_similarity", CosineSimilarity)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      GraftExtensions.binary("dot_product", DotProduct)))
+  }
+}
+
+object GraftExtensions {
+  /** Arity-checked builder: a clean error instead of an index exception. */
+  def binary(name: String, f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case other => throw new IllegalArgumentException(
+      s"$name requires exactly 2 arguments, got ${other.size}")
+  }
+}

@@ -26,6 +26,13 @@ object VectorFunctions {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Codegen'd dot product (custom Catalyst expression). */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** HOF fallback: elementwise product folded into a double sum. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
@@ -34,8 +41,13 @@ object VectorFunctions {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  /** Register `cosine_similarity` for SQL use on this session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register `cosine_similarity` / `dot_product` for SQL use on this
+    * session (GraftExtensions does the same via spark.sql.extensions).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "cosine_similarity", graft.GraftExtensions.binary("cosine_similarity", CosineSimilarity), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", graft.GraftExtensions.binary("dot_product", DotProduct), "scala_udf")
+  }
 }

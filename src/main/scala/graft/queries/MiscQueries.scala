@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.AnnLsh
+import Protocol._
+
+/** Remaining SURVEY §2.2 matrix rows: JSON parsing (events.props),
+  * approximate distinct (HLL), and the LSH-bucketed ANN scale path.
+  */
+object MiscQueries extends QueryModule {
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q38 — schema'd JSON parse of events.props ({"k": int}): per event_type
+    // stats over the extracted value.
+    Declared("q38_json_props",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .withColumn("k", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            big(sum(when(col("k") > 50, 1).otherwise(0))).as("n_high"),
+            out6(sum(dec(col("k"))) / count(lit(1))).as("avg_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |  CAST(ROUND(SUM(CAST(k AS DECIMAL(18,6))) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_k
+             |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q39 — HLL approximate distinct next to the exact counts. No oracle:
+    // the sketch is implementation-specific (driver records rows-only).
+    Declared("q39_approx_distinct",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+            countDistinct(col("l_suppkey")).as("exact_supps"))
+      },
+      None),
+
+    // q40 — LSH-bucketed ANN (operators.AnnLsh): approximate by design, so
+    // no value oracle; recall against brute force is pinned in AnnSpec.
+    Declared("q40_ann_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        AnnLsh.topK(e, q, k = 3)
+          .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None)
+  )
+}

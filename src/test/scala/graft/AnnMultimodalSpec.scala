@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.{AnnLsh, Multimodal}
+import graft.queries.VectorQueries
+
+class AnnMultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("AnnLsh recall on clustered vectors vs brute force") {
+    import spark.implicits._
+    // 10 well-separated cluster centers, 30 points each with small noise:
+    // nearest neighbours are same-cluster, LSH must recover most of them.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10, dim)(rnd.nextGaussian() * 5)
+    val points = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    }
+    val emb = points.toDF("vec_id", "e")
+    val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("e").as("qe"))
+
+    val approx = AnnLsh.topK(emb, q, k = 5, nPlanes = 16, nBands = 4, dim = dim)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = VectorQueries.groupedTopK(
+      emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe"))),
+      "qid", 5, Seq(col("cos").desc, col("vec_id")))
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low (approx=${approx.size}, exact=${exact.size})")
+  }
+
+  test("dot/cosine expressions agree with plain scala") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0); val b = Seq(-1.0, 0.5, 2.0)
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b")).as("d"),
+        VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().head
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    val c = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(math.abs(row.getDouble(0) - d) < 1e-12)
+    assert(math.abs(row.getDouble(1) - c) < 1e-12)
+  }
+
+  test("multimodal: deterministic stub features, one decoder per partition") {
+    import spark.implicits._
+    val media = (0 until 40).map { i =>
+      Multimodal.MediaRow(i.toLong, if (i % 2 == 0) "image" else "audio",
+        Array.tabulate[Byte](64 + i)(j => ((i * 31 + j) % 127).toByte),
+        640, 480, 16000, "raw")
+    }
+    val ds = media.toDS().repartition(4)
+    val acc = spark.sparkContext.longAccumulator("decoders")
+    val feats = Multimodal.extractFeatures(ds, featureDim = 8, decoderCounter = Some(acc))
+    val rows = feats.collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(f => f.feature.forall(v => v >= -1f && v <= 1f)))
+    assert(acc.value == 4L, s"expected 4 decoders (one per partition), got ${acc.value}")
+    // determinism: same bytes -> same features on a fresh run
+    val again = Multimodal.extractFeatures(ds, featureDim = 8).collect()
+    val m1 = rows.map(f => f.media_id -> f.feature.toSeq).toMap
+    again.foreach(f => assert(m1(f.media_id) == f.feature.toSeq))
+  }
+
+  test("multimodal: resize metadata and frame-sample plan") {
+    import spark.implicits._
+    val df = Seq((1L, 1920, 1080), (2L, 320, 240)).toDF("media_id", "width", "height")
+    val rs = Multimodal.resizeMeta(df, 640).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))).toMap
+    assert(rs(1L) == (640, 360))
+    assert(rs(2L) == (320, 240)) // never upscale
+    val plan = Multimodal.frameSamplePlan(df.withColumn("n_frames", lit(100)),
+      col("n_frames"), everyNth = 10, maxFrames = 5)
+    assert(plan.filter(col("media_id") === 1).select("frame_idx")
+      .collect().map(_.getInt(0)).toSeq == Seq(0, 10, 20, 30, 40))
+  }
+}
