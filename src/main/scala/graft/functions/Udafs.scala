@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** UDF/UDAF surface (SURVEY §2.2 "UDF surface"): typed `Aggregator`s — the
+  * engine-API way to add aggregation semantics Spark lacks. Registered via
+  * `functions.udaf(...)`; partial aggregation (merge) works across
+  * partitions, so these scale like built-ins.
+  */
+object Udafs {
+
+  /** Weighted mean: Σ(w·x)/Σ(w). The OHLC "VWAP" of the reference's domain
+    * (price weighted by quantity).
+    */
+  object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    override def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    override def finish(r: (Double, Double)): Double =
+      if (r._2 == 0.0) Double.NaN else r._1 / r._2
+    override def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** A running OHLC bar as a typed aggregate: (open@minTs, high, low,
+    * close@maxTs, volume, count) — the batch twin of Stateful.runningOhlc.
+    * Input: (tsMicros, price, qty).
+    */
+  final case class OhlcBuf(
+      minTs: Long, maxTs: Long, open: Double, high: Double,
+      low: Double, close: Double, volume: Double, count: Long)
+
+  object Ohlc extends Aggregator[(Long, Double, Double), OhlcBuf, OhlcBuf] {
+    override def zero: OhlcBuf =
+      OhlcBuf(Long.MaxValue, Long.MinValue, 0, Double.MinValue, Double.MaxValue, 0, 0, 0)
+    override def reduce(b: OhlcBuf, a: (Long, Double, Double)): OhlcBuf = {
+      val (ts, p, q) = a
+      OhlcBuf(
+        minTs = math.min(b.minTs, ts), maxTs = math.max(b.maxTs, ts),
+        open = if (ts < b.minTs) p else b.open,
+        high = math.max(b.high, p), low = math.min(b.low, p),
+        close = if (ts > b.maxTs) p else b.close,
+        volume = b.volume + q, count = b.count + 1)
+    }
+    override def merge(x: OhlcBuf, y: OhlcBuf): OhlcBuf = {
+      if (y.count == 0) x
+      else if (x.count == 0) y
+      else OhlcBuf(
+        minTs = math.min(x.minTs, y.minTs), maxTs = math.max(x.maxTs, y.maxTs),
+        open = if (x.minTs <= y.minTs) x.open else y.open,
+        high = math.max(x.high, y.high), low = math.min(x.low, y.low),
+        close = if (x.maxTs >= y.maxTs) x.close else y.close,
+        volume = x.volume + y.volume, count = x.count + y.count)
+    }
+    override def finish(r: OhlcBuf): OhlcBuf = r
+    override def bufferEncoder: Encoder[OhlcBuf] = Encoders.product[OhlcBuf]
+    override def outputEncoder: Encoder[OhlcBuf] = Encoders.product[OhlcBuf]
+  }
+
+  /** Register the UDAFs (and a sample scalar UDF) on a session for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("weighted_mean", org.apache.spark.sql.functions.udaf(WeightedMean))
+    // scalar UDF example — the API exists; hot paths should use codegen'd
+    // expressions (CosineSimilarity) instead, per SURVEY §2.2.
+    spark.udf.register("clip01", (x: Double) => math.max(0.0, math.min(1.0, x)))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting (SURVEY §7.4 "skewed keys → salting or AQE
+  * skew-join").
+  *
+  * AQE's skew-join split handles sort-merge skew automatically; salting is
+  * the manual lever for the cases AQE can't touch (skewed AGGREGATION keys,
+  * broadcast-ineligible skewed joins, streaming state). Shape:
+  *
+  *  - fact side: add `_salt = pmod(hash(entire row id cols), n)` — spreads
+  *    one hot key over n reducers;
+  *  - dim side: explode to all n salt values (n× dim amplification — cheap,
+  *    dims are small);
+  *  - join on (key, _salt).
+  */
+object SaltedJoin {
+
+  /** Salted equi-join of a skewed fact to a small-ish dim on `key`. */
+  def join(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase skew-proof aggregation: count per key via a salted partial.
+    * groupBy((key, salt)) combines map-side; the second groupBy(key) merges
+    * n small partials — no reducer ever sees one giant key group.
+    */
+  def skewProofCount(df: DataFrame, key: String, salts: Int): DataFrame = {
+    df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("n"))
+  }
+}

@@ -58,6 +58,30 @@ object MiscQueries extends QueryModule {
           .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
           .orderBy(col("qid"), col("rn"))
       },
-      None)
+      None),
+
+    // q41 — first/last-in-group via min_by/max_by (the OHLC open/close
+    // idiom, SURVEY §2.2 "first/last in group"): daily bars per event_type.
+    // events.ts is globally unique in the fixtures, so the ordering key is
+    // unambiguous in both engines.
+    Declared("q41_minmax_by",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(tdate(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+          .agg(
+            out6(dec(min_by(col("value"), col("ts")))).as("open"),
+            out6(dec(max(col("value")))).as("high"),
+            out6(dec(min(col("value")))).as("low"),
+            out6(dec(max_by(col("value"), col("ts")))).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             |  CAST(ROUND(CAST(arg_min(value, ts) AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS open,
+             |  CAST(ROUND(CAST(max(value) AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS high,
+             |  CAST(ROUND(CAST(min(value) AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS low,
+             |  CAST(ROUND(CAST(arg_max(value, ts) AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS close,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -86,4 +86,23 @@ object Ingest {
   /** Attach an event-time column for watermarking before `windowedTsvSink`. */
   def withEventTime(ticks: DataFrame): DataFrame =
     ticks.withColumn("eventTime", timestamp_millis(col("tradeTimeMs")))
+
+  /** R1 live-mode stand-in: a synthetic tick stream from the rate source —
+    * deterministic per (value), paced at `ticksPerSecond`. Replays the
+    * reference's WebSocket shape without the network; swap for a DataSource
+    * V2 MicroBatchStream for a real feed.
+    */
+  def syntheticTicks(spark: SparkSession, ticksPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", ticksPerSecond)
+      .load()
+      .select(
+        col("value").as("tradeId"),
+        lit("BTCUSDT").as("symbol"),
+        format_string("%.8f", lit(26000.0) + pmod(col("value") * 37, lit(2000)) / 100.0)
+          .as("price"),
+        format_string("%.8f", pmod(col("value") * 13, lit(100000)) / 100000000.0)
+          .as("qty"),
+        unix_millis(col("timestamp")).as("tradeTimeMs"),
+        (pmod(col("value"), lit(2)) === 0).as("isBuyerMaker"))
 }

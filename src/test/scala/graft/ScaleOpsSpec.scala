@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Udafs
+import graft.operators.SaltedJoin
+import graft.sources.BucketedTables
+
+/** Scale-posture operators: bucketed co-located joins (no shuffle), salted
+  * skew handling (identical results), typed UDAFs (partials merge right).
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed twin tables join with ZERO shuffle exchanges") {
+    BucketedTables.bucketFacts(spark, sf0001, buckets = 4)
+    // disable broadcast so the plan must rely on bucketing for co-location
+    // (at fixture scale the dim side would otherwise be broadcast, which
+    // hides what we are proving)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val q = try BucketedTables.colocatedRevenue(spark) finally ()
+    val plan = q.queryExecution.executedPlan.toString
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // the join itself must not introduce a shuffle: the only Exchange allowed
+    // is the one for the final groupBy aggregation
+    val joinSection = plan.split("HashAggregate").last // below the aggs sits the join
+    assert(joinSection.contains("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join re-shuffled a bucketed side:\n$plan")
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join re-shuffled a bucketed side:\n$plan")
+    // and it is still correct vs the plain parquet join
+    val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val expect = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("rev"),
+        count(lit(1)).as("n"))
+    assert(q.exceptAll(expect).count() == 0 && expect.exceptAll(q).count() == 0)
+  }
+
+  test("salted join returns exactly the unsalted result") {
+    import spark.implicits._
+    val fact = (1 to 5000).map(i => (if (i % 10 == 0) 1 else i % 50, i))
+      .toDF("k", "v") // key 1 is hot
+    val dim = (0 until 50).map(i => (i, s"d$i")).toDF("k", "name")
+    val salted = SaltedJoin.join(fact, dim, "k", salts = 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "v", "name").exceptAll(plain.select("k", "v", "name")).count() == 0)
+    val counts = SaltedJoin.skewProofCount(fact, "k", salts = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(1) == 500 + 100 - 0) // i%50==1 (100) plus i%10==0 (500) hot rows
+  }
+
+  test("WeightedMean UDAF: vwap across partitions") {
+    import spark.implicits._
+    Udafs.register(spark)
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("p", "q").repartition(2)
+    df.createOrReplaceTempView("trades")
+    val vwap = spark.sql("SELECT weighted_mean(p, q) FROM trades").collect().head.getDouble(0)
+    assert(math.abs(vwap - (10 * 1 + 20 * 3) / 4.0) < 1e-12)
+    val clipped = spark.sql("SELECT clip01(1.5), clip01(-0.5), clip01(0.25)").collect().head
+    assert(clipped.getDouble(0) == 1.0 && clipped.getDouble(1) == 0.0 && clipped.getDouble(2) == 0.25)
+  }
+
+  test("Ohlc UDAF matches sort-based open/close on shuffled input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val ticks = rnd.shuffle((0 until 1000).toList).map { i =>
+      (i.toLong * 1000, 100.0 + (i * 17 % 31), (i % 5 + 1).toDouble)
+    }
+    val ds = ticks.toDS().repartition(7)
+    val bar = ds.select(Udafs.Ohlc.toColumn).collect().head
+    assert(bar.open == 100.0 + 0)              // price at ts 0
+    assert(bar.close == 100.0 + (999 * 17 % 31)) // price at max ts
+    assert(bar.count == 1000)
+    assert(bar.volume == ticks.map(_._3).sum)
+  }
+
+  test("synthetic rate-source ticks feed the ingest transform") {
+    val ticks = graft.streaming.Ingest.syntheticTicks(spark, ticksPerSecond = 1000)
+    assert(ticks.isStreaming)
+    val q = graft.streaming.Ingest.toBtcusdt(ticks)
+      .writeStream.format("memory").queryName("synth").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM synth").collect()
+      assert(rows.nonEmpty)
+      val r = rows.head
+      assert(r.getAs[java.math.BigDecimal]("price").doubleValue >= 26000.0)
+      assert(r.getAs[String]("parameter") == "BTCUSDT")
+    } finally q.stop()
+  }
+}
