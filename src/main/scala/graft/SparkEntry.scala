@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     CoreQueries, EventQueries, TextQueries, VectorQueries,
-    TextAnalysisQueries, DedupQueries, JoinOpQueries, MiscQueries)
+    TextAnalysisQueries, DedupQueries, JoinOpQueries, MiscQueries,
+    CoverageQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference-mirror tumbling window (Q22) — the reference's core

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import Protocol._
+
+/** Gap-closure queries from the SURVEY §2.2 matrix rows not yet exercised by
+  * Q01–q41: right/full outer joins, theta (non-equi) joins, regex functions,
+  * date arithmetic, sliding windows.
+  */
+object CoverageQueries extends QueryModule {
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q42 — right + full outer joins (MySQL 5.7 has RIGHT but emulates FULL
+    // via UNION; the engine does both natively). supplier⟗nation keyed so
+    // both unmatched sides exist: nations with no supplier (right-only) and
+    // none-lost suppliers.
+    Declared("q42_outer_joins",
+      (s, dir) => {
+        val sup = Tables.load(s, dir, "supplier")
+          .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        val nat = Tables.load(s, dir, "nation")
+        sup.join(nat, sup("s_nationkey") === nat("n_nationkey"), "full")
+          .select(
+            col("n_nationkey"), col("n_name"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            when(col("s_nationkey").isNull, lit("nation_only"))
+              .when(col("n_nationkey").isNull, lit("supplier_only"))
+              .otherwise(lit("both")).as("side"))
+          .orderBy(col("n_nationkey").asc_nulls_first, col("n_supp"))
+      },
+      Some("""SELECT n_nationkey, n_name, COALESCE(n_supp, 0) AS n_supp,
+             |  CASE WHEN s_nationkey IS NULL THEN 'nation_only'
+             |       WHEN n_nationkey IS NULL THEN 'supplier_only'
+             |       ELSE 'both' END AS side
+             |FROM (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) sup
+             |FULL JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY n_nationkey NULLS FIRST, n_supp""".stripMargin)),
+
+    // q43 — theta join: equi component (nationkey) + non-equi residual
+    // (supplier out-earns customer). Catalyst plans hash join on the equi
+    // part with the residual as filter — the shape that survives scale.
+    Declared("q43_theta_join",
+      (s, dir) => {
+        val sup = Tables.load(s, dir, "supplier")
+        val cus = Tables.load(s, dir, "customer")
+        sup.join(cus, sup("s_nationkey") === cus("c_nationkey")
+            && sup("s_acctbal") > cus("c_acctbal"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_poorer_customers"),
+            out6(max(dec(col("c_acctbal")))).as("max_poorer_bal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, COUNT(*) AS n_poorer_customers,
+             |  CAST(ROUND(MAX(CAST(c_acctbal AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS max_poorer_bal
+             |FROM supplier JOIN customer
+             |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+
+    // q44 — regex + date arithmetic over parts/orders.
+    Declared("q44_regex_datearith",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority").rlike("^[12]-"))
+          .select(
+            col("o_orderkey"),
+            regexp_extract(col("o_orderpriority"), "^(\\d)-(\\w+)", 2).as("prio_word"),
+            tdate(date_add(col("o_orderdate"), 30)).as("due"),
+            big(datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))).as("age_days"),
+            // whole-month difference — portable, unlike months_between whose
+            // end-of-month fraction rules differ between engines
+            big(lit(1998 * 12 + 12) - (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+              .as("age_months"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  regexp_extract(o_orderpriority, '^(\d)-(\w+)', 2) AS prio_word,
+             |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+             |  CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS BIGINT) AS age_days,
+             |  CAST(23988 - (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS age_months
+             |FROM orders WHERE regexp_matches(o_orderpriority, '^[12]-')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // q45 — sliding windows (10-minute window, 1-minute slide) in batch:
+    // every event lands in 10 windows. Spark assigns via window(); the
+    // oracle reproduces the assignment by exploding the 10 offsets.
+    Declared("q45_sliding_window",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "10 minutes", "1 minute").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(tsec(col("w.start")).as("w_start"), col("event_type"), col("n"))
+          .orderBy(col("w_start"), col("event_type"))
+      },
+      Some("""SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
+             |FROM (
+             |  SELECT date_trunc('minute', ts) - to_minutes(k) AS w_start, event_type
+             |  FROM events CROSS JOIN (SELECT unnest(range(0, 10)) AS k) offs
+             |)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}
