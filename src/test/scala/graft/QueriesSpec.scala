@@ -53,4 +53,17 @@ class QueriesSpec extends AnyFunSuite {
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("outer join covers both sides at sf0.001 (q42)") {
+    // 10 suppliers over 25 nations: full outer must emit all 25 nations
+    assert(results("q42_outer_joins") == 25L)
+  }
+
+  test("sliding windows give 10x multiplicity (q45)") {
+    import org.apache.spark.sql.functions._
+    val total = SparkEntry.queries("q45_sliding_window")(spark, sf0001)
+      .agg(sum("n")).collect().head.getLong(0)
+    val events = graft.model.Tables.load(spark, sf0001, "events").count()
+    assert(total == events * 10)
+  }
 }

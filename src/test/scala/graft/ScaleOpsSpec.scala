@@ -81,6 +81,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bar.volume == ticks.map(_._3).sum)
   }
 
+  test("partitioned table write prunes partitions on read") {
+    val ev = graft.model.Tables.load(spark, sf0001, "events")
+      .withColumn("day", to_date(col("ts")))
+    val dir = tmpDir("events-part")
+    ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    val scan = q.queryExecution.executedPlan.toString
+    // partition filter must reach the scan, and only one partition is read
+    assert(scan.contains("PartitionFilters: [isnotnull(day"), scan)
+    val parts = q.select("day").distinct().count()
+    assert(parts == 1)
+    assert(q.count() > 0)
+  }
+
   test("synthetic rate-source ticks feed the ingest transform") {
     val ticks = graft.streaming.Ingest.syntheticTicks(spark, ticksPerSecond = 1000)
     assert(ticks.isStreaming)
