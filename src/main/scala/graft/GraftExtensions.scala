@@ -26,11 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Arity-checked builder: a clean error instead of an index exception. */
+  /** Arity-checked builder with array<double> coercion: the expressions
+    * assume double-backed arrays, but SQL callers naturally pass e.g. the
+    * fixtures' native array<float> embedding column — reading a float-backed
+    * ArrayData as doubles would corrupt values, so coerce here.
+    */
   def binary(name: String, f: (Expression, Expression) => Expression)
       : Seq[Expression] => Expression = {
-    case Seq(a, b) => f(a, b)
+    case Seq(a, b) => f(toDoubleArray(a), toDoubleArray(b))
     case other => throw new IllegalArgumentException(
       s"$name requires exactly 2 arguments, got ${other.size}")
   }
+
+  private def toDoubleArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }

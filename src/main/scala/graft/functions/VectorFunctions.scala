@@ -19,19 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Codegen'd cosine similarity (custom Catalyst expression). */
+  /** Codegen'd cosine similarity (custom Catalyst expression). Inputs are
+    * coerced to array<double>, so float-typed embedding columns work as-is.
+    */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
-      CosineSimilarity(
+      graft.GraftExtensions.binary("cosine_similarity", CosineSimilarity)(Seq(
         org.apache.spark.sql.GraftSqlBridge.expression(a),
-        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+        org.apache.spark.sql.GraftSqlBridge.expression(b))))
 
-  /** Codegen'd dot product (custom Catalyst expression). */
+  /** Codegen'd dot product (custom Catalyst expression), same coercion. */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
-      DotProduct(
+      graft.GraftExtensions.binary("dot_product", DotProduct)(Seq(
         org.apache.spark.sql.GraftSqlBridge.expression(a),
-        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+        org.apache.spark.sql.GraftSqlBridge.expression(b))))
 
   /** HOF fallback: elementwise product folded into a double sum. */
   def dotHof(a: Column, b: Column): Column =

@@ -97,7 +97,11 @@ object Multimodal {
       everyNth: Int, maxFrames: Int): DataFrame =
     media
       .withColumn("frame_idx",
-        explode(slice(sequence(lit(0), frameCount - 1, lit(everyNth)), 1, maxFrames)))
+        // frameCount == 0 (empty/corrupt asset) must yield zero frame rows,
+        // not an illegal-sequence-boundaries error killing the job
+        explode(when(frameCount > 0,
+          slice(sequence(lit(0), frameCount - 1, lit(everyNth)), 1, maxFrames))
+          .otherwise(array().cast("array<int>"))))
 
   /** Join features back to metadata for downstream similarity search. */
   def withFeatures(media: DataFrame, features: DataFrame): DataFrame =

@@ -43,15 +43,37 @@ class TickGenProvider extends TableProvider {
     new TickGenTable(new CaseInsensitiveStringMap(properties))
 }
 
-private[sources] object TickGen {
-  /** Deterministic tick #i (pure function — replay-safe). */
+/** The single source of truth for the deterministic tick formula — used by
+  * the DSv2 source (row form), the rate-source stand-in
+  * (`Ingest.syntheticTicks`, Column form) and `tools.IngestBench`, so the
+  * three generators can never diverge.
+  */
+object TickGen {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Deterministic tick #i (pure function — replay-safe). Locale.ROOT: the
+    * ingest chain casts these strings back to numbers, and a comma-decimal
+    * locale would silently null every price.
+    */
   def at(i: Long, startMs: Long, msPerTick: Long): (Long, String, String, String, Long, Boolean) = (
     i,
     "BTCUSDT",
-    f"${26000.0 + (i * 37 % 2000) / 100.0}%.8f",
-    f"${(i * 13 % 100000) / 100000000.0}%.8f",
+    String.format(java.util.Locale.ROOT, "%.8f",
+      Double.box(26000.0 + (i * 37 % 2000) / 100.0)),
+    String.format(java.util.Locale.ROOT, "%.8f",
+      Double.box((i * 13 % 100000) / 100000000.0)),
     startMs + i * msPerTick,
     i % 2 == 0)
+
+  /** Column forms of the same formula (format_string is Locale.US — dot
+    * decimal — matching Locale.ROOT above).
+    */
+  def priceCol(i: Column): Column =
+    format_string("%.8f", lit(26000.0) + pmod(i * 37, lit(2000)) / 100.0)
+  def qtyCol(i: Column): Column =
+    format_string("%.8f", pmod(i * 13, lit(100000)) / 100000000.0)
+  def makerCol(i: Column): Column = pmod(i, lit(2)) === 0
 }
 
 private[sources] class TickGenTable(options: CaseInsensitiveStringMap)

@@ -66,6 +66,14 @@ object Ingest {
     * dir-per-partition layout standing in for file-per-window.
     *
     * An empty minute emits no directory, matching `main.py:36-38`.
+    *
+    * Lateness: an append file sink writes EVERY row — a late tick lands as
+    * an extra part file in its (old) window directory. The `watermark`
+    * parameter only bounds state when a stateful operator (windowed agg,
+    * dedup) is composed upstream; it does not drop rows here. The reference
+    * behaves strictly worse (late ticks re-open and re-upload old files,
+    * double-loading them); true late-row dropping lives in
+    * Stateful.runningOhlc (drops) and watermarked aggregations.
     */
   def windowedTsvSink(ticks: DataFrame, outDir: String, checkpointDir: String,
       watermark: String = "0 seconds"): StreamingQuery = {
@@ -99,10 +107,8 @@ object Ingest {
       .select(
         col("value").as("tradeId"),
         lit("BTCUSDT").as("symbol"),
-        format_string("%.8f", lit(26000.0) + pmod(col("value") * 37, lit(2000)) / 100.0)
-          .as("price"),
-        format_string("%.8f", pmod(col("value") * 13, lit(100000)) / 100000000.0)
-          .as("qty"),
+        graft.sources.TickGen.priceCol(col("value")).as("price"),
+        graft.sources.TickGen.qtyCol(col("value")).as("qty"),
         unix_millis(col("timestamp")).as("tradeTimeMs"),
-        (pmod(col("value"), lit(2)) === 0).as("isBuyerMaker"))
+        graft.sources.TickGen.makerCol(col("value")).as("isBuyerMaker"))
 }

@@ -45,7 +45,7 @@ object Loader {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        writeBatchIdempotent(df, tableDir, batchId)
+        writeBatchIdempotent(df, tableDir, batchId, s"$checkpointDir/graft_commits")
       }
       .start()
   }
@@ -53,12 +53,24 @@ object Loader {
   /** Idempotent-by-batchId append: retrying a failed/replayed micro-batch
     * overwrites its own partition only, so rows are never duplicated. This
     * is the `foreachBatch` pattern from SURVEY §2.1 (exactly-once fix).
+    *
+    * Commit markers live under `markersDir`, which `start` ties to the
+    * CHECKPOINT — not the table — so resetting the checkpoint (a routine
+    * reprocess) also resets the markers: replayed batchIds then re-run and
+    * dynamically overwrite their own `_batch=` partitions instead of being
+    * silently skipped against a stale marker.
+    *
+    * `df` MUST derive from the SOURCE (as it does inside foreachBatch) —
+    * never from the target table: the dynamic overwrite deletes the very
+    * files a target-derived scan would be reading.
     */
   def writeBatchIdempotent(
-      df: org.apache.spark.sql.DataFrame, tableDir: String, batchId: Long): Unit = {
+      df: org.apache.spark.sql.DataFrame, tableDir: String, batchId: Long,
+      markersDir: String = null): Unit = {
     val spark = df.sparkSession
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(tableDir, s"_committed_$batchId")
+    val mdir = if (markersDir == null) tableDir else markersDir
+    val marker = new Path(mdir, s"_committed_$batchId")
     if (!fs.exists(marker)) {
       df.withColumn("_batch", lit(batchId))
         .write.mode("overwrite")

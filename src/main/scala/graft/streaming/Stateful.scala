@@ -50,11 +50,15 @@ object Stateful {
             } else if (w == st.windowStartSec) {
               st = st.copy(high = math.max(st.high, p), low = math.min(st.low, p),
                 close = p, volume = st.volume + q, count = st.count + 1)
-            } else {
+            } else if (w > st.windowStartSec) {
               out += OhlcBar(symbol, st.windowStartSec, st.open, st.high, st.low,
                 st.close, st.volume, st.count)
               st = OhlcStateV1(1, w, p, p, p, p, q, 1)
             }
+            // w < current window: a cross-batch late tick. Rotating backwards
+            // would emit a premature bar now and a duplicate (symbol, window)
+            // bar later — drop it instead (watermark-0 semantics, same rows
+            // the reference loses to its rotation-on-next-bucket design).
           }
           if (st != null) state.update(st)
           out.iterator

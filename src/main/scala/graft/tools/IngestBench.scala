@@ -23,10 +23,10 @@ object IngestBench {
     val base = 1710000000000L
     val ticks = sp.range(n).select(
       col("id").as("tradeId"), lit("BTCUSDT").as("symbol"),
-      format_string("%.8f", lit(26000.0) + pmod(col("id") * 37, lit(2000)) / 100.0).as("price"),
-      format_string("%.8f", pmod(col("id") * 13, lit(100000)) / 100000000.0).as("qty"),
-      (lit(base) + col("id") * 10).as("tradeTimeMs"), // ~100 ticks/ms -> many windows
-      (pmod(col("id"), lit(2)) === 0).as("isBuyerMaker"))
+      graft.sources.TickGen.priceCol(col("id")).as("price"),
+      graft.sources.TickGen.qtyCol(col("id")).as("qty"),
+      (lit(base) + col("id") * 10).as("tradeTimeMs"), // 100 ticks/ms -> many windows
+      graft.sources.TickGen.makerCol(col("id")).as("isBuyerMaker"))
 
     val out = java.nio.file.Files.createTempDirectory("ingest-bench").toString
     // warmup

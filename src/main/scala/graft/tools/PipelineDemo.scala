@@ -50,10 +50,14 @@ object PipelineDemo {
     println("TABLE_ROWS=" + table.count())
     println("TABLE_SAMPLE=" + table.orderBy("bid").limit(2).collect().mkString(" | "))
 
-    // probes: restart with same checkpoint; replay a committed batchId
+    // probes: restart with same checkpoint; replay a committed batchId from
+    // the SOURCE files (the foreachBatch contract — never from the target)
     Loader.start(sp, s"$root/data_1_min/*", s"$root/table", s"$root/archive", s"$root/cp_load").awaitTermination()
     println("AFTER_RERUN=" + Loader.readTable(sp, s"$root/table").count())
-    Loader.writeBatchIdempotent(Loader.readTable(sp, s"$root/table"), s"$root/table", 0L)
+    val replayDf = sp.read.schema(graft.model.Tables.btcusdtTsvSchema)
+      .option("sep", "\t").csv(s"$root/data_1_min/*/*.tsv")
+      .withColumn("maker", col("maker") === 1)
+    Loader.writeBatchIdempotent(replayDf, s"$root/table", 0L, s"$root/cp_load/graft_commits")
     println("AFTER_REPLAY=" + Loader.readTable(sp, s"$root/table").count())
 
     // stage 3: per-minute aggregate over the loaded table (the product query)

@@ -17,13 +17,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     BucketedTables.bucketFacts(spark, sf0001, buckets = 4)
     // disable broadcast so the plan must rely on bucketing for co-location
     // (at fixture scale the dim side would otherwise be broadcast, which
-    // hides what we are proving)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    val q = try BucketedTables.colocatedRevenue(spark) finally ()
-    val plan = q.queryExecution.executedPlan.toString
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // hides what we are proving); exception-safe restore — a leaked -1
+    // threshold would poison every later suite on the shared session
+    val (q, plan) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = BucketedTables.colocatedRevenue(spark)
+      (df, df.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
     // the join itself must not introduce a shuffle: the only Exchange allowed
     // is the one for the final groupBy aggregation
     val joinSection = plan.split("HashAggregate").last // below the aggs sits the join

@@ -35,6 +35,33 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningOhlc drops cross-batch late ticks instead of duplicating bars") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[TradeTick]
+    val base = 1700000040000L // minute-aligned
+    def tick(id: Long, p: String, tMs: Long) = TradeTick(id, "BTCUSDT", p, "1.00000000", tMs, true)
+    val q = Stateful.runningOhlc(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("latebars").start()
+    try {
+      // batch 1: minute 0 (two ticks) then minute 1 -> bar for minute 0 emits
+      ms.addData(tick(1, "10", base), tick(2, "11", base + 1000), tick(3, "20", base + 60000))
+      q.processAllAvailable()
+      // batch 2: LATE tick for minute 0 -> must be dropped, not rotate back
+      ms.addData(tick(4, "99", base + 2000))
+      q.processAllAvailable()
+      // batch 3: minute 2 -> bar for minute 1 emits
+      ms.addData(tick(5, "30", base + 120000))
+      q.processAllAvailable()
+      val bars = spark.sql("SELECT windowStartSec, open, close, count FROM latebars ORDER BY windowStartSec")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toList
+      // exactly one bar per closed window; minute-0 bar excludes the late 99
+      assert(bars == List(
+        (base / 1000, 10.0, 11.0, 2L),
+        (base / 1000 + 60, 20.0, 20.0, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrich joins the symbol dimension") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
