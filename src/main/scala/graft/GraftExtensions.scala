@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, ShingleExplode}
 
 /** Session extensions: install with
   * `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       GraftExtensions.binary("dot_product", DotProduct)))
+    // optimizer: HOF dot-product idiom -> codegen'd DotProduct
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    ext.injectFunction((
+      FunctionIdentifier("explode_shingles"),
+      new ExpressionInfo(classOf[ShingleExplode].getName, "explode_shingles"),
+      {
+        case Seq(t, n) => ShingleExplode(t, n)
+        case other => throw new IllegalArgumentException(
+          s"explode_shingles requires exactly 2 arguments, got ${other.size}")
+      }))
   }
 }
 

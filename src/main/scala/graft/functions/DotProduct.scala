@@ -9,22 +9,32 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * building block for LSH hyperplane signatures (AnnLsh) and any linear
   * scoring. Same contract as CosineSimilarity: sequential left fold,
   * callers cast inputs to array<double>.
+  *
+  * Length-mismatched inputs yield NULL — exactly what the HOF formulation
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (s,x)->s+x)` produces (zip_with
+  * null-pads, the sum then null-propagates), which is what makes the
+  * RewriteHofDotProduct optimizer rule semantics-preserving.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true // null on ragged inputs
+
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
-    dot
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+      dot
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -33,10 +43,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
-         |${ev.value} = $dot;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
+         |  ${ev.value} = $dot;
+         |}
        """.stripMargin
     })
 

@@ -56,6 +56,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a >= 0 && a < 1000000007L)
   }
 
+  test("explode_shingles UDTF: Generate rows via SQL and lateral view") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "explode_shingles",
+      exprs => graft.functions.ShingleExplode(exprs(0), exprs(1)), "scala_udf")
+    Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text").createOrReplaceTempView("docs")
+    val rows = spark.sql(
+      "SELECT id, s.pos, s.shingle FROM docs LATERAL VIEW explode_shingles(text, 3) s ORDER BY id, pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toList
+    assert(rows == List((1L, 0, "a b c"), (1L, 1, "b c d"), (2L, 0, "x y")))
+  }
+
   test("hamming64") {
     import spark.implicits._
     val d = Seq((0L, 0L), (0L, 7L), (Long.MaxValue, 0L))
