@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.VectorFunctions
+import graft.queries.VectorQueries.groupedTopK
+
+/** IVF (inverted-file) approximate nearest neighbour — the second scale path
+  * from SURVEY §2.2 ("an IVF or LSH-bucketed variant") next to AnnLsh.
+  *
+  * Train: mini k-means over DataFrame ops only — assignment is an
+  * explode(centroids)×candidates scored with the codegen'd dot product
+  * (unit-normalized corpora ⇒ max-dot = nearest), the update step computes
+  * per-dimension means in EXACT decimal so centroids are bit-deterministic
+  * regardless of partitioning (a double sum would make training
+  * order-dependent). Centroids are a k×dim model — driver-side by design,
+  * like any trained model object; the data never leaves executors.
+  *
+  * Search: candidates live in exactly one centroid bucket (inverted list);
+  * each query probes its `nprobe` nearest centroids; the join is equi on the
+  * centroid id and exact cosine re-ranks inside the probed lists. At 100 TB:
+  * one narrow scan to assign, shuffle keyed by (tiny) centroid id, no
+  * all-pairs anywhere.
+  */
+object AnnIvf {
+
+  /** Train k centroids for `iters` Lloyd iterations. Deterministic: init =
+    * the k lowest-vec_id vectors, exact-decimal mean updates.
+    */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(emb, centroids)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v").cast(DecimalType(28, 14))).as("m")) // exact, order-free
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue()
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id for each row's `e` column (max dot). */
+  private def assign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    emb.withColumn("cluster", nearest(col("e"), centroids, 1).getItem(0))
+
+  /** Ids of the `n` nearest centroids to `e`, best first. */
+  private def nearest(e: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.dot(e, typedlit(c.toSeq)).as("dot"), lit(i).as("id"))
+    }: _*)
+    // sort by dot desc (reverse of natural struct ordering), take n ids
+    transform(slice(reverse(array_sort(scored)), 1, n), s => s.getField("id"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest inverted lists per query, exact
+    * cosine top-k within them.
+    *
+    * @param emb     (vec_id, e: array<double>)
+    * @param queries (qid, qe: array<double>)
+    */
+  def topK(emb: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
+    val cands = assign(emb, centroids)
+    val qs = queries
+      .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
+    val scored = cands.join(qs, "cluster")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe")))
+    groupedTopK(scored, "qid", k, Seq(col("cos").desc, col("vec_id")))
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
+}

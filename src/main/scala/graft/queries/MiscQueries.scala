@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.AnnLsh
+import graft.operators.{AnnIvf, AnnLsh}
 import Protocol._
 
 /** Remaining SURVEY §2.2 matrix rows: JSON parsing (events.props),
@@ -55,6 +55,21 @@ object MiscQueries extends QueryModule {
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("e").as("qe"))
         AnnLsh.topK(e, q, k = 3)
+          .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // q46 — IVF ANN (operators.AnnIvf): deterministic k-means buckets,
+    // nprobe search. Approximate; recall pinned in AnnMultimodalSpec.
+    Declared("q46_ann_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val centroids = AnnIvf.trainCentroids(e, k = 8, iters = 2, dim = 64)
+        AnnIvf.topK(e, q, k = 3, centroids, nprobe = 3)
           .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
           .orderBy(col("qid"), col("rn"))
       },

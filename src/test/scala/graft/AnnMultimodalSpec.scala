@@ -37,6 +37,34 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low (approx=${approx.size}, exact=${exact.size})")
   }
 
+  test("AnnIvf recall on clustered vectors vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8, dim)(rnd.nextGaussian() * 5)
+    val points = (0 until 240).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    }
+    val emb = points.toDF("vec_id", "e")
+    val q = emb.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("e").as("qe"))
+
+    val centroids = graft.operators.AnnIvf.trainCentroids(emb, k = 8, iters = 2, dim = dim)
+    val approx = graft.operators.AnnIvf.topK(emb, q, k = 5, centroids, nprobe = 2)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = VectorQueries.groupedTopK(
+      emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe"))),
+      "qid", 5, Seq(col("cos").desc, col("vec_id")))
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+
+    // determinism: training twice yields identical centroids (decimal means)
+    val again = graft.operators.AnnIvf.trainCentroids(emb, k = 8, iters = 2, dim = dim)
+    assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("dot/cosine expressions agree with plain scala") {
     import spark.implicits._
     val a = Seq(1.0, 2.0, 3.0); val b = Seq(-1.0, 0.5, 2.0)
