@@ -45,18 +45,22 @@ object DedupQueries extends QueryModule {
     // band hash): only documents agreeing on a full band ever meet.
     Declared("q32_minhash_pairs",
       (s, dir) => {
-        // Signature computation shaped for scale: explode shingles, then ONE
-        // hash-aggregate computing all 16 components as codegen'd
-        // min(md5(j ':' shingle)) columns with map-side partial min — versus
-        // the nested-HOF one-liner (TextFunctions.minhashSig, kept for
-        // row-local use), which evaluates interpreted and which Catalyst
-        // re-inlines into every consumer (measured ~8× recompute). The tiny
-        // signature table is then persisted and banded.
+        // Signature computation shaped for scale: explode shingles, hash the
+        // DISTINCT shingle vocabulary once (corpora repeat shingles ~10×;
+        // 16 md5s per distinct shingle instead of per occurrence), join the
+        // hashes back (AQE broadcasts the small vocabulary side), then ONE
+        // hash-aggregate with 16 codegen'd min columns and map-side partial
+        // min. The nested-HOF one-liner (TextFunctions.minhashSig) is kept
+        // for row-local use — it evaluates interpreted and Catalyst
+        // re-inlines it into every consumer (measured ~8× recompute).
         val exploded = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(array_distinct(shingles3(col("text")))).as("sh"))
-        val comps = (1 to K).map(j =>
-          min(md5(concat(lit(j.toString), lit(":"), col("sh")))).as(s"m$j"))
-        val sigs = exploded.groupBy(col("doc_id"))
+        val vocab = exploded.select(col("sh")).distinct()
+          .select(col("sh") +: (1 to K).map(j =>
+            md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
+        val comps = (1 to K).map(j => min(col(s"h$j")).as(s"m$j"))
+        val sigs = exploded.join(vocab, "sh")
+          .groupBy(col("doc_id"))
           .agg(comps.head, comps.tail: _*)
           .select(col("doc_id"), array((1 to K).map(j => col(s"m$j")): _*).as("sig"))
           .persist()
