@@ -13,13 +13,19 @@ object MiscQueries extends QueryModule {
 
   override val declared: Seq[Declared] = Seq(
 
-    // q38 — schema'd JSON parse of events.props ({"k": int}): per event_type
-    // stats over the extracted value.
+    // q38 — JSON parse of events.props ({"k": int}) into a MapType (the
+    // §2.2 "map ops" row: from_json → map, element_at lookup): per
+    // event_type stats over the extracted value. A struct-schema parse
+    // (StructType.fromDDL("k BIGINT") + getField) is the fixed-schema
+    // alternative; the map path also covers schemaless keys.
     Declared("q38_json_props",
       (s, dir) => {
         Tables.load(s, dir, "events")
-          .withColumn("k", from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+          .withColumn("k", try_element_at(
+            from_json(col("props"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)),
+            lit("k")))
           .groupBy(col("event_type"))
           .agg(
             count(lit(1)).as("n"),
