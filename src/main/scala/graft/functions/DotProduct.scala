@@ -32,7 +32,12 @@ case class DotProduct(left: Expression, right: Expression)
     else {
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        // null element anywhere -> NULL, like the HOF chain (zip_with product
+        // is null, Add null-propagates)
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        dot += x.getDouble(i) * y.getDouble(i); i += 1
+      }
       dot
     }
   }
@@ -48,8 +53,11 @@ case class DotProduct(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
-         |  ${ev.value} = $dot;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

@@ -33,10 +33,11 @@ case class ShingleExplode(text: Expression, n: Expression)
       val s = t.toString
       val k = n.eval(input) match {
         case null => 3
-        case i: Int => i
-        case l: Long => l.toInt
+        case num: Number => num.intValue() // any integral literal width
       }
-      val toks = s.split(" ")
+      // limit -1: keep trailing empty tokens, matching Spark's split(text,' ')
+      // so this generator and TextFunctions.shingles3 tokenize identically
+      val toks = s.split(" ", -1)
       if (toks.length < k || k <= 0) {
         Seq(InternalRow(0, UTF8String.fromString(s)))
       } else {

@@ -30,10 +30,11 @@ object AnnIvf {
     * the k lowest-vec_id vectors, exact-decimal mean updates.
     */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): Array[Array[Double]] = {
-    val spark = emb.sparkSession
     var centroids: Array[Array[Double]] = emb
       .orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty && centroids.forall(_.length == dim),
+      s"expected $k vectors of dim $dim, got ${centroids.map(_.length).distinct.mkString(",")}")
 
     for (_ <- 1 to iters) {
       val assigned = assign(emb, centroids)

@@ -68,9 +68,11 @@ object Loader {
       df: org.apache.spark.sql.DataFrame, tableDir: String, batchId: Long,
       markersDir: String = null): Unit = {
     val spark = df.sparkSession
-    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mdir = if (markersDir == null) tableDir else markersDir
     val marker = new Path(mdir, s"_committed_$batchId")
+    // markers may live on a different filesystem than the table (checkpoint
+    // on HDFS, table on S3) — resolve the FS from the marker path itself
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       df.withColumn("_batch", lit(batchId))
         .write.mode("overwrite")

@@ -58,9 +58,8 @@ class TextFunctionsSpec extends AnyFunSuite {
 
   test("explode_shingles UDTF: Generate rows via SQL and lateral view") {
     import spark.implicits._
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "explode_shingles",
-      exprs => graft.functions.ShingleExplode(exprs(0), exprs(1)), "scala_udf")
+    // no manual registration: the extension-injected function (GraftExtensions
+    // on the shared test session) must serve the SQL path
     Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text").createOrReplaceTempView("docs")
     val rows = spark.sql(
       "SELECT id, s.pos, s.shingle FROM docs LATERAL VIEW explode_shingles(text, 3) s ORDER BY id, pos")
