@@ -42,7 +42,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // after timing: unpersist cost isn't the query's
+      // after timing: unpersist cost isn't the query's; the GC lets the
+      // ContextCleaner reap dead broadcasts/shuffles between queries (their
+      // cleanup is reference-triggered and otherwise lands inside a later
+      // query's measurement)
+      spark.catalog.clearCache()
+      System.gc()
       name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

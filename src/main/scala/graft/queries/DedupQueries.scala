@@ -59,11 +59,17 @@ object DedupQueries extends QueryModule {
           .select(col("sh") +: (1 to K).map(j =>
             md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
         val comps = (1 to K).map(j => min(col(s"h$j")).as(s"m$j"))
-        val sigs = exploded.join(vocab, "sh")
+        val sigs = exploded.join(broadcast(vocab), "sh")
           .groupBy(col("doc_id"))
           .agg(comps.head, comps.tail: _*)
           .select(col("doc_id"), array((1 to K).map(j => col(s"m$j")): _*).as("sig"))
           .persist()
+        // Materialize the signature table eagerly: the band self-join below
+        // reads `sigs` on both sides of one action, and an unpopulated cache
+        // lets the two branches race to compute the full pipeline twice
+        // (measured 3× run-to-run swings). One count() = the "write the
+        // signature table first" step of the production two-pass shape.
+        sigs.count()
         val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
         val a = banded.select(col("band_idx"), col("band"),
