@@ -82,6 +82,28 @@ class IngestSpec extends AnyFunSuite {
     assert(r(1).getAs[Byte]("maker") == 0)
   }
 
+  test("BTCUSDT managed table: DDL via Catalog, append, SQL query (R13)") {
+    import org.apache.spark.sql.functions._
+    // the reference's CREATE TABLE (start_all_pipeline.py:463-464) as a
+    // managed parquet table through SparkSQL DDL
+    spark.sql("DROP TABLE IF EXISTS btcusdt")
+    spark.sql("""CREATE TABLE btcusdt (
+      bid BIGINT, parameter STRING, price DECIMAL(9,2),
+      quantity DECIMAL(10,5), time TIMESTAMP, maker BOOLEAN) USING parquet""")
+    assert(spark.catalog.tableExists("btcusdt"))
+    // R11 as saveAsTable-append
+    import spark.implicits._
+    Ingest.toBtcusdt(Seq(
+      tick(1, "100.10000000", "0.10000000", 1700000040000L, true),
+      tick(2, "100.20000000", "0.20000000", 1700000041000L, false)).toDF())
+      .write.mode("append").saveAsTable("btcusdt")
+    val r = spark.sql(
+      "SELECT count(*) n, sum(quantity) q FROM btcusdt WHERE maker").collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getDecimal(1) == new java.math.BigDecimal("0.10000"))
+    spark.sql("DROP TABLE btcusdt")
+  }
+
   test("loader: file-level exactly-once across restarts and batch replay") {
     import spark.implicits._
     val staging = tmpDir("staging")
