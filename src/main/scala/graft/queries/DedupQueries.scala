@@ -169,6 +169,56 @@ object DedupQueries extends QueryModule {
              |WHERE jaccard >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // q47 — the dedup pipeline's actual OUTPUT: the kept corpus after
+    // dropping exact duplicates (md5) and MinHash-LSH near-duplicates
+    // (est jaccard ≥ 0.5), keep-first-occurrence (min doc_id survives its
+    // duplicate pair). Composes q25 + q32; counts per drop reason.
+    Declared("q47_dedup_corpus",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // exact: any doc whose md5 appeared on a lower doc_id
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val exactDropped = docs
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"))
+        // near: the higher id of every LSH candidate pair at est >= 0.5
+        val nearDropped = queries("q32_minhash_pairs")(s, dir)
+          .select(col("id_b").as("doc_id")).distinct()
+        val dropped = exactDropped.withColumn("reason", lit("exact"))
+          .unionByName(
+            nearDropped.join(exactDropped, Seq("doc_id"), "left_anti")
+              .withColumn("reason", lit("near")))
+        val kept = docs.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+        kept.agg(count(lit(1)).as("n")).select(lit("kept").as("bucket"), col("n"))
+          .unionByName(dropped.groupBy(col("reason").as("bucket")).agg(count(lit(1)).as("n")))
+          .orderBy(col("bucket"))
+      },
+      Some(duckSig +
+        """,
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+          |near_pairs AS (
+          |  SELECT c.id_a, c.id_b FROM cand c
+          |  JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+          |  WHERE CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
+          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) >= 0.5),
+          |exact_dropped AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |    FROM documents) WHERE rn > 1),
+          |near_dropped AS (
+          |  SELECT DISTINCT id_b AS doc_id FROM near_pairs
+          |  WHERE id_b NOT IN (SELECT doc_id FROM exact_dropped)),
+          |dropped AS (
+          |  SELECT doc_id, 'exact' AS reason FROM exact_dropped
+          |  UNION ALL SELECT doc_id, 'near' AS reason FROM near_dropped)
+          |SELECT 'kept' AS bucket, COUNT(*) AS n FROM documents
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+          |UNION ALL SELECT reason AS bucket, COUNT(*) AS n FROM dropped GROUP BY reason
+          |ORDER BY bucket""".stripMargin)),
+
     // q35 — embedding-cosine near-dup pairs, blocked by label.
     Declared("q35_embedding_neardup",
       (s, dir) => {
