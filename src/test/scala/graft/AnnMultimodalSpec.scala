@@ -99,6 +99,29 @@ class AnnMultimodalSpec extends AnyFunSuite {
     again.foreach(f => assert(m1(f.media_id) == f.feature.toSeq))
   }
 
+  test("integration: decode -> feature -> ANN search over media assets") {
+    import spark.implicits._
+    // near-duplicate media: asset i and i+100 share bytes (same "image"),
+    // so their stub features are identical and ANN must pair them up
+    val media = ((0 until 100) ++ (0 until 100)).zipWithIndex.map { case (seed, idx) =>
+      Multimodal.MediaRow(idx.toLong, "image",
+        Array.tabulate[Byte](64)(j => ((seed * 131 + j * 7) % 127).toByte),
+        640, 480, 0, "raw")
+    }
+    val feats = Multimodal.extractFeatures(media.toDS().repartition(4), featureDim = 16)
+      .select(col("media_id").as("vec_id"),
+        col("feature").cast("array<double>").as("e"))
+    val q = feats.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("e").as("qe"))
+    val nn = graft.operators.AnnLsh.topK(feats, q, k = 1, nPlanes = 16, nBands = 4, dim = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // each query's nearest neighbour is its byte-identical twin at +100
+    (0L until 10L).foreach { id =>
+      val (twin, cos) = nn(id)
+      assert(twin == id + 100, s"query $id matched $twin")
+      assert(math.abs(cos - 1.0) < 1e-9)
+    }
+  }
+
   test("multimodal: resize metadata and frame-sample plan") {
     import spark.implicits._
     val df = Seq((1L, 1920, 1080), (2L, 320, 240)).toDF("media_id", "width", "height")
