@@ -33,7 +33,12 @@ case class ShingleExplode(text: Expression, n: Expression)
       val s = t.toString
       val k = n.eval(input) match {
         case null => 3
-        case num: Number => num.intValue() // any integral literal width
+        case b: Byte => b.toInt
+        case s: Short => s.toInt
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"explode_shingles: n must be an integer, got $other") // no silent 2.9 -> 2
       }
       // limit -1: keep trailing empty tokens, matching Spark's split(text,' ')
       // so this generator and TextFunctions.shingles3 tokenize identically

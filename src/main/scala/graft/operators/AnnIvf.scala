@@ -33,8 +33,10 @@ object AnnIvf {
     var centroids: Array[Array[Double]] = emb
       .orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(centroids.nonEmpty && centroids.forall(_.length == dim),
-      s"expected $k vectors of dim $dim, got ${centroids.map(_.length).distinct.mkString(",")}")
+    require(centroids.length == k,
+      s"need $k init vectors, table has only ${centroids.length}")
+    require(centroids.forall(_.length == dim),
+      s"expected dim $dim, got dims ${centroids.map(_.length).distinct.mkString(",")}")
 
     for (_ <- 1 to iters) {
       val assigned = assign(emb, centroids)

@@ -23,7 +23,10 @@ object DedupQueries extends QueryModule {
   private val BANDS = 4   // LSH bands
   private val ROWS = 4    // rows per band (K = BANDS * ROWS)
 
-  /** Shared DuckDB CTEs: shingles and minhash signatures. */
+  /** Shared DuckDB CTEs: shingles, minhash signatures, LSH band keys and
+    * candidate pairs — defined ONCE so q32 and q47 can never drift apart on
+    * what "LSH candidate" means.
+    */
   private val duckSig =
     """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id,
@@ -36,7 +39,9 @@ object DedupQueries extends QueryModule {
       |  FROM sh),
       |bands AS (SELECT doc_id, sig, b,
       |  md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band
-      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t)""".stripMargin
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
   override val declared: Seq[Declared] = Seq(
 
@@ -59,17 +64,14 @@ object DedupQueries extends QueryModule {
           .select(col("sh") +: (1 to K).map(j =>
             md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
         val comps = (1 to K).map(j => min(col(s"h$j")).as(s"m$j"))
-        val sigs = exploded.join(broadcast(vocab), "sh")
+        // No broadcast hint on the vocabulary join: it grows linearly with
+        // corpus size, so the broadcast decision must stay with AQE (small
+        // at fixture scale, shuffle join beyond the threshold at 100 TB).
+        val sigs = exploded.join(vocab, "sh")
           .groupBy(col("doc_id"))
           .agg(comps.head, comps.tail: _*)
           .select(col("doc_id"), array((1 to K).map(j => col(s"m$j")): _*).as("sig"))
           .persist()
-        // Materialize the signature table eagerly: the band self-join below
-        // reads `sigs` on both sides of one action, and an unpopulated cache
-        // lets the two branches race to compute the full pipeline twice
-        // (measured 3× run-to-run swings). One count() = the "write the
-        // signature table first" step of the production two-pass shape.
-        sigs.count()
         val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
         val a = banded.select(col("band_idx"), col("band"),
@@ -86,9 +88,7 @@ object DedupQueries extends QueryModule {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(duckSig +
-        """,
-          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+        """
           |SELECT id_a, id_b, est_jaccard FROM (
           |  SELECT c.id_a, c.id_b,
           |    CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
@@ -197,8 +197,6 @@ object DedupQueries extends QueryModule {
       },
       Some(duckSig +
         """,
-          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
           |near_pairs AS (
           |  SELECT c.id_a, c.id_b FROM cand c
           |  JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b

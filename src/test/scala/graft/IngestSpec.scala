@@ -85,8 +85,16 @@ class IngestSpec extends AnyFunSuite {
   test("BTCUSDT managed table: DDL via Catalog, append, SQL query (R13)") {
     import org.apache.spark.sql.functions._
     // the reference's CREATE TABLE (start_all_pipeline.py:463-464) as a
-    // managed parquet table through SparkSQL DDL
+    // managed parquet table through SparkSQL DDL. Clean both the catalog
+    // entry AND the on-disk location: a crashed previous JVM leaves the
+    // warehouse dir behind while the fresh in-memory catalog knows nothing
+    // about it, so DROP alone can't unblock CREATE.
     spark.sql("DROP TABLE IF EXISTS btcusdt")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("btcusdt")))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     spark.sql("""CREATE TABLE btcusdt (
       bid BIGINT, parameter STRING, price DECIMAL(9,2),
       quantity DECIMAL(10,5), time TIMESTAMP, maker BOOLEAN) USING parquet""")
