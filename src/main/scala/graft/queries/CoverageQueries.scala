@@ -83,6 +83,32 @@ object CoverageQueries extends QueryModule {
              |FROM orders WHERE regexp_matches(o_orderpriority, '^[12]-')
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // q48 — the remaining ranking/analytic window functions from §2.2:
+    // NTILE, PERCENT_RANK, CUME_DIST, FIRST_VALUE over the supplier table
+    // (unique s_acctbal ordering tiebroken by s_suppkey for determinism).
+    Declared("q48_ranking_extras",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        Tables.load(s, dir, "supplier")
+          .select(
+            col("s_suppkey"),
+            out6(col("s_acctbal")).as("bal"),
+            big(ntile(4).over(w)).as("quartile"),
+            out6(percent_rank().over(w)).as("pr"),
+            out6(cume_dist().over(w)).as("cd"),
+            first_value(col("s_suppkey")).over(w).as("richest"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, CAST(ROUND(s_acctbal, 6) AS DECIMAL(18,6)) AS bal,
+             |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             |  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(18,6)) AS pr,
+             |  CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(18,6)) AS cd,
+             |  FIRST_VALUE(s_suppkey) OVER w AS richest
+             |FROM supplier
+             |WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // q45 — sliding windows (10-minute window, 1-minute slide) in batch:
     // every event lands in 10 windows. Spark assigns via window(); the
     // oracle reproduces the assignment by exploding the 10 offsets.

@@ -35,6 +35,35 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked tumbling aggregation drops late rows past the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = ms.toDF().toDF("id", "ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("wmagg").start()
+    try {
+      // window 10:00 gets two rows; event at 10:30 advances watermark to 10:20
+      ms.addData((1L, ts("2024-01-01 10:00:05"), 1.0), (2L, ts("2024-01-01 10:00:20"), 2.0))
+      q.processAllAvailable()
+      ms.addData((3L, ts("2024-01-01 10:30:00"), 3.0))
+      q.processAllAvailable()
+      // this row is 30 min late, far past the 10-min watermark: MUST be dropped
+      ms.addData((4L, ts("2024-01-01 10:00:40"), 100.0))
+      q.processAllAvailable()
+      // close remaining windows
+      ms.addData((5L, ts("2024-01-01 11:00:00"), 5.0))
+      q.processAllAvailable()
+      val w10 = spark.sql(
+        "SELECT n, s FROM wmagg WHERE date_format(window.start, 'HH:mm') = '10:00'")
+        .collect().head
+      assert(w10.getLong(0) == 2L, "late row leaked into the closed window")
+      assert(w10.getDouble(1) == 3.0)
+    } finally q.stop()
+  }
+
   test("runningOhlc drops cross-batch late ticks instead of duplicating bars") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
