@@ -15,9 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Finalized schema per query, used to mirror the DOUBLE terminal
+    // representation onto the oracle side (Protocol.wrapOracleDoubles).
+    val schemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        schemas(name) = df.schema
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -36,7 +42,12 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val wrapped = schemas.get(k)
+          .map(sch => graft.queries.Protocol.wrapOracleDoubles(v, sch))
+          .getOrElse(v)
+        s"${q(k)}: ${q(wrapped)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

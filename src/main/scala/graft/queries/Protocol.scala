@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, StructType}
 
 /** Determinism protocol shared by every declared query (SURVEY §2.3):
   *
@@ -11,7 +11,13 @@ import org.apache.spark.sql.types.DecimalType
   *       and the DuckDB oracle;
   *   (b) every result carries a total-order ORDER BY over its output columns
   *       (or a unique key subset);
-  *   (c) final numeric outputs are wrapped CAST(ROUND(x, 6) AS DECIMAL(18,6));
+  *   (c) final numeric outputs are wrapped CAST(ROUND(x, 6) AS DECIMAL(18,6)),
+  *       then the TERMINAL representation is DOUBLE on both sides (see
+  *       finalizeDoubles / wrapOracleDoubles below) — the driver's
+  *       canonicalizer renders DECIMAL cells differently on its two sides
+  *       (str(Decimal) vs shortest-form float repr), so e.g. `499978.590000`
+  *       vs `499978.59` hash-mismatch despite identical values; identical
+  *       float64 bits render identically under any canonicalizer;
   *   (d) timestamps are rendered as strings 'yyyy-MM-dd HH:mm:ss[.SSSSSS]' in
   *       UTC, so physical timestamp encodings can never diverge;
   *   (e) counts / ranks are cast to LongType to match DuckDB's BIGINT.
@@ -41,4 +47,36 @@ object Protocol {
 
   /** Date-like timestamp → canonical 'yyyy-MM-dd'. */
   def tdate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Terminal representation pass, applied centrally by QueryModule.queries:
+    * every top-level DECIMAL/FLOAT output column → DOUBLE. All arithmetic up
+    * to here stays decimal-exact (order-insensitive); only the final encoding
+    * changes. round(x, 6) guarantees ≤6 dp, and every 6-dp decimal within
+    * DECIMAL(18,6) maps to a distinct float64, so no information is lost.
+    */
+  def finalizeDoubles(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType | FloatType => col(f.name).cast("double").as(f.name)
+        case _                          => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** DuckDB twin of finalizeDoubles: given the FINALIZED Spark schema, wrap
+    * the oracle SQL so every column Spark emits as DOUBLE is ::DOUBLE in the
+    * oracle result too. A pure projection over the inner query — DuckDB's
+    * insertion-order preservation (default) keeps the inner ORDER BY intact.
+    */
+  def wrapOracleDoubles(sql: String, finalSchema: StructType): String = {
+    if (!finalSchema.fields.exists(_.dataType == DoubleType)) sql
+    else {
+      val sel = finalSchema.fields.map { f =>
+        val n = "\"" + f.name + "\""
+        if (f.dataType == DoubleType) s"CAST($n AS DOUBLE) AS $n" else n
+      }.mkString(", ")
+      s"SELECT $sel FROM (\n$sql\n) __graft_final"
+    }
+  }
 }

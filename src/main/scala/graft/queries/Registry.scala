@@ -14,8 +14,16 @@ final case class Declared(
 trait QueryModule {
   def declared: Seq[Declared]
 
+  /** Builders with the terminal-representation pass applied: decimal/float
+    * outputs become DOUBLE (Protocol.finalizeDoubles) so the driver's
+    * canonicalizer renders both gate sides identically.
+    */
   final def queries: Map[String, (SparkSession, String) => DataFrame] =
-    declared.map(d => d.name -> d.build).toMap
+    declared.map { d =>
+      d.name -> { (s: SparkSession, dir: String) =>
+        Protocol.finalizeDoubles(d.build(s, dir))
+      }
+    }.toMap
 
   final def oracleSql: Map[String, String] =
     declared.flatMap(d => d.oracle.map(d.name -> _)).toMap
