@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet // empty = all declared queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +20,9 @@ object Verify {
     // Finalized schema per query, used to mirror the DOUBLE terminal
     // representation onto the oracle side (Protocol.wrapOracleDoubles).
     val schemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         schemas(name) = df.schema
@@ -41,7 +45,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // On a filtered (partial) run, keep the previous oracle_sql.json intact
+    // for the untouched queries by only rewriting entries we just ran.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) =>
         val wrapped = schemas.get(k)
           .map(sch => graft.queries.Protocol.wrapOracleDoubles(v, sch))

@@ -11,6 +11,20 @@ import Protocol._
   */
 object MiscQueries extends QueryModule {
 
+  /** Brute-force exact top-3-per-query oracle (same shape as q27): valid for
+    * q40/q46 because their fixture configs provably/verifiably cover the true
+    * top-k (see the per-query notes below).
+    */
+  private val BruteForceTop3Sql: String =
+    """SELECT qid, rn, vec_id, cos FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS DECIMAL(18,6)) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+      |  FROM embeddings e, embeddings q
+      |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+      |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   override val declared: Seq[Declared] = Seq(
 
     // q38 — JSON parse of events.props ({"k": int}) into a MapType (the
@@ -39,35 +53,59 @@ object MiscQueries extends QueryModule {
              |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // q39 — HLL approximate distinct next to the exact counts. No oracle:
-    // the sketch is implementation-specific (driver records rows-only).
+    // q39 — HLL approximate distinct next to the exact counts. The sketch
+    // value is implementation-specific, so the oracle-checked columns are the
+    // exact counts plus "estimate within ±10% of exact" booleans: Spark
+    // computes the bound genuinely (rsd=0.02 ⇒ ±10% is a ≥5σ envelope), the
+    // oracle pins it TRUE. Tight numeric bounds on the estimates themselves
+    // are pinned in ScalaTest (QueriesSpec).
     Declared("q39_approx_distinct",
       (s, dir) => {
         Tables.load(s, dir, "lineitem")
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-            countDistinct(col("l_suppkey")).as("exact_supps"))
+            big(countDistinct(col("l_partkey"))).as("exact_parts"),
+            big(countDistinct(col("l_suppkey"))).as("exact_supps"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            approx_count_distinct(col("l_suppkey"), 0.02).as("as"))
+          .select(
+            col("exact_parts"), col("exact_supps"),
+            (abs(col("ap") - col("exact_parts"))
+              <= col("exact_parts") * 0.1).as("approx_parts_ok"),
+            (abs(col("as") - col("exact_supps"))
+              <= col("exact_supps") * 0.1).as("approx_supps_ok"))
       },
-      None),
+      Some("""SELECT
+             |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+             |  TRUE AS approx_parts_ok, TRUE AS approx_supps_ok
+             |FROM lineitem""".stripMargin)),
 
-    // q40 — LSH-bucketed ANN (operators.AnnLsh): approximate by design, so
-    // no value oracle; recall against brute force is pinned in AnnSpec.
+    // q40 — LSH-bucketed ANN (operators.AnnLsh). The full machinery runs
+    // (hyperplane signatures, band explode, bucket equi-join, exact re-rank)
+    // but the band parameters are pinned so the candidate buckets provably
+    // contain the true top-k on the fixture — empirically verified recall 1.0
+    // at sf0.001/0.01 — making brute-force exact top-k the oracle. The
+    // genuinely-approximate configs keep their recall-≥0.8 bound in AnnSpec.
     Declared("q40_ann_lsh",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("e").as("qe"))
-        AnnLsh.topK(e, q, k = 3)
+        AnnLsh.topK(e, q, k = 3, nPlanes = 16, nBands = 16)
           .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(BruteForceTop3Sql)),
 
     // q46 — IVF ANN (operators.AnnIvf): deterministic k-means buckets,
-    // nprobe search. Approximate; recall pinned in AnnMultimodalSpec.
+    // nprobe search. With nprobe = k (all 8 inverted lists probed) the
+    // search is exhaustive BY CONSTRUCTION — every candidate is in exactly
+    // one list and every list is probed — so brute-force exact top-k is a
+    // valid oracle regardless of how training placed the centroids, while
+    // the full train/assign/probe machinery still executes. The
+    // genuinely-approximate nprobe<k config keeps its recall bound in
+    // AnnMultimodalSpec.
     Declared("q46_ann_ivf",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -75,11 +113,11 @@ object MiscQueries extends QueryModule {
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("e").as("qe"))
         val centroids = AnnIvf.trainCentroids(e, k = 8, iters = 2, dim = 64)
-        AnnIvf.topK(e, q, k = 3, centroids, nprobe = 3)
+        AnnIvf.topK(e, q, k = 3, centroids, nprobe = 8)
           .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(BruteForceTop3Sql)),
 
     // q41 — first/last-in-group via min_by/max_by (the OHLC open/close
     // idiom, SURVEY §2.2 "first/last in group"): daily bars per event_type.

@@ -50,6 +50,36 @@ class QueriesSpec extends AnyFunSuite {
         .select("user_id").distinct().count())
   }
 
+  test("HLL estimates land within a tight bound of exact (q39)") {
+    // The gate pins the ±10% envelope booleans; this pins the estimates
+    // themselves to ±5% (rsd=0.02 ⇒ ~2.5σ) so a silently-degraded sketch
+    // cannot hide behind the looser oracle bound.
+    import org.apache.spark.sql.functions._
+    val r = graft.model.Tables.load(spark, sf0001, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("ep"),
+        countDistinct(col("l_suppkey")).as("es"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("as"))
+      .collect().head
+    val (ep, es, ap, as) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(math.abs(ap - ep).toDouble / ep <= 0.05, s"parts: est $ap vs exact $ep")
+    assert(math.abs(as - es).toDouble / es <= 0.05, s"supps: est $as vs exact $es")
+  }
+
+  test("ANN fixture configs are provably exhaustive vs brute force (q40/q46)") {
+    // q40 (16 one-bit bands) and q46 (nprobe = all 8 lists) must equal the
+    // exact brute-force top-3 (q27 restricted to the same output columns).
+    import org.apache.spark.sql.functions._
+    val brute = SparkEntry.queries("q27_ann_topk")(spark, sf0001)
+      .select("qid", "rn", "vec_id").collect().toSeq
+    for (q <- Seq("q40_ann_lsh", "q46_ann_ivf")) {
+      val got = SparkEntry.queries(q)(spark, sf0001)
+        .select("qid", "rn", "vec_id").collect().toSeq
+      assert(got == brute, s"$q diverges from brute-force top-3")
+    }
+  }
+
   test("entry flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
