@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Scale-safe global ranking (SURVEY §2.2 "window ranking" at scale).
+  *
+  * `Window.orderBy(...)` with no partitionBy moves the entire table into ONE
+  * partition (Spark warns: "Moving all data to a single partition") — correct
+  * at small SF, dead at 100 TB. This operator produces the same four
+  * ranking columns with no single-partition stage:
+  *
+  *   1. `repartitionByRange(order)` + `sortWithinPartitions(order)` — the one
+  *      unavoidable sort shuffle; partitions hold disjoint key ranges in
+  *      ascending partition-id order.
+  *   2. Local row numbers come free from the sorted iteration order via
+  *      `monotonically_increasing_id()`: the expression's documented layout
+  *      is (partitionId << 33) + localIndex, so `_pid = id >> 33` and
+  *      `_lrn = (id & (2^33−1)) + 1` — pure codegen arithmetic, no window,
+  *      no second shuffle. (Requires < 2^33 rows per partition — at 100 TB
+  *      that is >10 GB of rows per partition even at one byte per row; size
+  *      partitions long before that.) Determinism: the ordering must be
+  *      total (caller supplies a unique tiebreaker), so the sorted partition
+  *      content and iteration order are reproducible across job retries.
+  *   3. Per-partition counts are one tiny aggregate job — P rows collected
+  *      to the driver, the same bounded partition-count-sized model object
+  *      `RDD.zipWithIndex` materializes; prefix-sums become a broadcast
+  *      literal map, NOT a join.
+  *   4. rank / percent_rank / cume_dist / ntile are then arithmetic over
+  *      (globalRank, totalCount) — matching SQL semantics exactly for a
+  *      duplicate-free ordering (rank == row_number).
+  *
+  * The input is persisted (MEMORY_AND_DISK) so the counts job and the main
+  * job see identical range boundaries without recomputing the sort; callers
+  * owning a cheaper deterministic input can pass persist = false and accept
+  * the recompute (range sampling is seed-deterministic for identical input).
+  */
+object GlobalRank {
+
+  private final val IdxMask = (1L << 33) - 1
+
+  /** Appends `rank` (BIGINT, == row_number for the total order), `pr`
+    * (percent_rank, DOUBLE), `cd` (cume_dist, DOUBLE) and — when `tiles` > 0
+    * — `tile` (BIGINT, NTILE(tiles)) computed without any single-partition
+    * stage. `order` MUST be a total (duplicate-free) ordering.
+    */
+  def withRankColumns(df: DataFrame, order: Seq[Column], tiles: Int = 0,
+      numPartitions: Option[Int] = None, persist: Boolean = true): DataFrame = {
+    val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged0 = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+    val ranged = if (persist) ranged0.persist(StorageLevel.MEMORY_AND_DISK) else ranged0
+
+    // Bounded driver-side model: one (pid, count) pair per partition.
+    val counts: Array[(Int, Long)] = ranged
+      .groupBy(shiftright(col("_mid"), 33).cast("int").as("_pid"))
+      .count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.sortBy(_._1).map { case (pid, n) => val off = acc; acc += n; pid -> off }.toMap
+    }
+
+    val rank = (element_at(typedlit(offsets), shiftright(col("_mid"), 33).cast("int"))
+      + col("_mid").bitwiseAND(IdxMask) + 1L).as("rank")
+    val pr =
+      if (total <= 1L) lit(0.0)
+      else (col("rank") - 1L).cast("double") / lit((total - 1L).toDouble)
+    val cd = col("rank").cast("double") / lit(total.toDouble)
+
+    val out = ranged.withColumn("rank", rank)
+      .withColumn("pr", pr)
+      .withColumn("cd", cd)
+    val withTile = if (tiles <= 0) out else {
+      // SQL NTILE: first (total % tiles) tiles get one extra row.
+      val base = total / tiles
+      val rem = total % tiles
+      val cut = rem * (base + 1) // ranks 1..cut live in the wide tiles
+      val tile =
+        if (base == 0L) (col("rank") - 1L) / lit(base + 1L) + 1L // total < tiles
+        else when(col("rank") <= cut, (col("rank") - 1L) / lit(base + 1L) + 1L)
+          .otherwise(lit(rem) + (col("rank") - cut - 1L) / lit(base) + 1L)
+      out.withColumn("tile", tile.cast("long"))
+    }
+    withTile.drop("_mid")
+  }
+}

@@ -86,18 +86,26 @@ object CoverageQueries extends QueryModule {
     // q48 — the remaining ranking/analytic window functions from §2.2:
     // NTILE, PERCENT_RANK, CUME_DIST, FIRST_VALUE over the supplier table
     // (unique s_acctbal ordering tiebroken by s_suppkey for determinism).
+    // A bare Window.orderBy would move the whole table to ONE partition;
+    // operators.GlobalRank computes the same columns from a range-partitioned
+    // sort + broadcast prefix offsets (no single-partition stage), and
+    // FIRST_VALUE over the full order is the global argmax — a 1-row
+    // broadcast, not a window.
     Declared("q48_ranking_extras",
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
-        Tables.load(s, dir, "supplier")
+        val sup = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+        val ranked = graft.operators.GlobalRank.withRankColumns(
+          sup, Seq(col("s_acctbal").desc, col("s_suppkey")), tiles = 4)
+        val richest = sup.agg(
+          max_by(col("s_suppkey"), struct(col("s_acctbal"), negate(col("s_suppkey")))).as("richest"))
+        ranked.crossJoin(broadcast(richest))
           .select(
             col("s_suppkey"),
             out6(col("s_acctbal")).as("bal"),
-            big(ntile(4).over(w)).as("quartile"),
-            out6(percent_rank().over(w)).as("pr"),
-            out6(cume_dist().over(w)).as("cd"),
-            first_value(col("s_suppkey")).over(w).as("richest"))
+            big(col("tile")).as("quartile"),
+            out6(col("pr")).as("pr"),
+            out6(col("cd")).as("cd"),
+            col("richest"))
           .orderBy(col("s_suppkey"))
       },
       Some("""SELECT s_suppkey, CAST(ROUND(s_acctbal, 6) AS DECIMAL(18,6)) AS bal,

@@ -62,4 +62,21 @@ class OperatorSpec extends AnyFunSuite {
       .select($"g", $"rn", $"id")
     assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
   }
+
+  test("global rank equals native single-partition window functions") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"score".desc, $"id")
+    // 203 rows, 4 tiles -> uneven NTILE split (3 wide tiles); duplicate
+    // scores force the tiebreaker to carry the total order.
+    val df = (1 to 203).map(i => (i.toLong, (i * 37 % 101).toDouble)).toDF("id", "score")
+    val naive = df.select($"id",
+      row_number().over(w).cast("long").as("rank"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      ntile(4).over(w).cast("long").as("tile"))
+    val fast = graft.operators.GlobalRank
+      .withRankColumns(df, Seq($"score".desc, $"id"), tiles = 4)
+      .select($"id", $"rank", $"pr", $"cd", $"tile")
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+  }
 }
