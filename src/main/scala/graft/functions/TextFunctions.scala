@@ -50,10 +50,43 @@ object TextFunctions {
     transform(sequence(lit(1), lit(k)),
       j => array_min(transform(shingles, x => md5(concat(j.cast("string"), lit(":"), x)))))
 
-  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature. */
+  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature.
+    * Elements are rendered as strings first so numeric (BIGINT-lane) and
+    * string signatures both band identically to DuckDB's
+    * md5(array_to_string(slice, '|')).
+    */
   def bandKeys(sig: Column, nBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)),
-      b => md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+      b => md5(concat_ws("|",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))
+
+  /** MinHash prime modulus (2^31 − 1). Lane arithmetic stays below 2^63:
+    * (P−1)² · 2 + k < Long.MaxValue, so BIGINT math is overflow-free in both
+    * Spark (wrapping) and DuckDB (which ERRORS on overflow).
+    */
+  final val MinhashP = 2147483647L
+  private final val MixA = 2654435761L // Knuth multiplicative constants
+  private final val MixB = 2246822519L
+
+  /** k MinHash lane values from ONE md5 per value: the 128-bit digest is
+    * split into two independent 60-bit halves x1/x2 (15 hex chars each) and
+    * lane j is the universal hash (a_j·x1 + b_j·x2 + j) mod P — one digest,
+    * k lanes of pure codegen'd integer arithmetic, ~k× cheaper than hashing
+    * `j:value` per lane. The same construction is expressible verbatim in
+    * DuckDB SQL (see DedupQueries.duckSig), keeping the oracle bit-exact.
+    *
+    * Returns lane columns h1..hk for the given input column.
+    */
+  def minhashLaneHashes(v: Column, k: Int): Seq[Column] = {
+    val m = md5(v)
+    val x1 = conv(substring(m, 1, 15), 16, 10).cast("long") % MinhashP
+    val x2 = conv(substring(m, 17, 15), 16, 10).cast("long") % MinhashP
+    (1 to k).map { j =>
+      val aj = (j * MixA) % MinhashP
+      val bj = (j * MixB) % MinhashP
+      ((lit(aj) * x1 + lit(bj) * x2 + lit(j.toLong)) % MinhashP).as(s"h$j")
+    }
+  }
 
   /** Estimated Jaccard from two equal-length signatures: matching fraction. */
   def sigMatchCount(a: Column, b: Column, k: Int): Column =

@@ -26,6 +26,12 @@ object DedupQueries extends QueryModule {
   /** Shared DuckDB CTEs: shingles, minhash signatures, LSH band keys and
     * candidate pairs — defined ONCE so q32 and q47 can never drift apart on
     * what "LSH candidate" means.
+    *
+    * Lane construction mirrors TextFunctions.minhashLaneHashes exactly: ONE
+    * md5 per shingle, split into two 60-bit halves, lane j =
+    * (a_j·x1 + b_j·x2 + j) mod (2^31−1) with a_j = (j·2654435761) mod P,
+    * b_j = (j·2246822519) mod P. All intermediates < 2^63 (DuckDB errors on
+    * BIGINT overflow, so this is load-bearing, not cosmetic).
     */
   private val duckSig =
     """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
@@ -35,7 +41,10 @@ object DedupQueries extends QueryModule {
       |    ELSE [text] END AS sh FROM d),
       |sig AS (SELECT doc_id,
       |  list_transform(range(1, 17),
-      |    j -> list_aggregate(list_transform(sh, x -> md5(j::VARCHAR || ':' || x)), 'min')) AS sig
+      |    j -> list_aggregate(list_transform(sh, x ->
+      |      (((j * 2654435761) % 2147483647) * (CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647)
+      |       + ((j * 2246822519) % 2147483647) * (CAST(('0x' || substr(md5(x), 17, 15)) AS BIGINT) % 2147483647)
+      |       + j) % 2147483647), 'min')) AS sig
       |  FROM sh),
       |bands AS (SELECT doc_id, sig, b,
       |  md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band
@@ -43,50 +52,53 @@ object DedupQueries extends QueryModule {
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The MinHash-LSH near-duplicate pair stage, shared by q32 (which emits
+    * the pairs) and q47 (which drops the higher id of each pair) so the two
+    * queries can never diverge and the expensive signature stage exists in
+    * ONE place. Returns (id_a, id_b, est_jaccard ≥ 0.5), unordered.
+    *
+    * Shaped for scale: explode shingles, hash the DISTINCT shingle
+    * vocabulary once (corpora repeat shingles ~10×, and the one-md5→16-lane
+    * split in minhashLaneHashes cuts the per-shingle hash cost another
+    * ~16×), join the hashes back (AQE owns the broadcast decision: the
+    * vocabulary grows with corpus size — small at fixture scale, shuffle
+    * join at 100 TB), then ONE hash-aggregate with 16 codegen'd min columns
+    * and map-side partials. Banding turns candidate generation into an
+    * equi-join on (band index, band hash): only documents agreeing on a
+    * full band ever meet — never O(n²).
+    */
+  def lshNearPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val exploded = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(shingles3(col("text")))).as("sh"))
+    val vocab = exploded.select(col("sh")).distinct()
+      .select(col("sh") +: minhashLaneHashes(col("sh"), K): _*)
+    val comps = (1 to K).map(j => min(col(s"h$j")).as(s"m$j"))
+    val sigs = exploded.join(vocab, "sh")
+      .groupBy(col("doc_id"))
+      .agg(comps.head, comps.tail: _*)
+      .select(col("doc_id"), array((1 to K).map(j => col(s"m$j")): _*).as("sig"))
+      .persist()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
+    val a = banded.select(col("band_idx"), col("band"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", out6(dec(sigMatchCount(col("sig_a"), col("sig_b"), K)) / K))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   override val declared: Seq[Declared] = Seq(
 
     // q32 — MinHash + LSH near-dup candidate pairs with estimated Jaccard.
-    // Banding turns candidate generation into an equi-join on (band index,
-    // band hash): only documents agreeing on a full band ever meet.
+    // The whole pipeline lives in lshNearPairs (shared with q47).
     Declared("q32_minhash_pairs",
-      (s, dir) => {
-        // Signature computation shaped for scale: explode shingles, hash the
-        // DISTINCT shingle vocabulary once (corpora repeat shingles ~10×;
-        // 16 md5s per distinct shingle instead of per occurrence), join the
-        // hashes back (AQE broadcasts the small vocabulary side), then ONE
-        // hash-aggregate with 16 codegen'd min columns and map-side partial
-        // min. The nested-HOF one-liner (TextFunctions.minhashSig) is kept
-        // for row-local use — it evaluates interpreted and Catalyst
-        // re-inlines it into every consumer (measured ~8× recompute).
-        val exploded = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), explode(array_distinct(shingles3(col("text")))).as("sh"))
-        val vocab = exploded.select(col("sh")).distinct()
-          .select(col("sh") +: (1 to K).map(j =>
-            md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
-        val comps = (1 to K).map(j => min(col(s"h$j")).as(s"m$j"))
-        // No broadcast hint on the vocabulary join: it grows linearly with
-        // corpus size, so the broadcast decision must stay with AQE (small
-        // at fixture scale, shuffle join beyond the threshold at 100 TB).
-        val sigs = exploded.join(vocab, "sh")
-          .groupBy(col("doc_id"))
-          .agg(comps.head, comps.tail: _*)
-          .select(col("doc_id"), array((1 to K).map(j => col(s"m$j")): _*).as("sig"))
-          .persist()
-        val banded = sigs.select(col("doc_id"), col("sig"),
-          posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
-        val a = banded.select(col("band_idx"), col("band"),
-          col("doc_id").as("id_a"), col("sig").as("sig_a"))
-        val b = banded.select(col("band_idx"), col("band"),
-          col("doc_id").as("id_b"), col("sig").as("sig_b"))
-        a.join(b, Seq("band_idx", "band"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-          .dropDuplicates("id_a", "id_b")
-          .withColumn("est_jaccard", out6(dec(sigMatchCount(col("sig_a"), col("sig_b"), K)) / K))
-          .filter(col("est_jaccard") >= 0.5)
-          .select(col("id_a"), col("id_b"), col("est_jaccard"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, dir) => lshNearPairs(s, dir).orderBy(col("id_a"), col("id_b")),
       Some(duckSig +
         """
           |SELECT id_a, id_b, est_jaccard FROM (
@@ -184,7 +196,8 @@ object DedupQueries extends QueryModule {
           .filter(col("rn") > 1)
           .select(col("doc_id"))
         // near: the higher id of every LSH candidate pair at est >= 0.5
-        val nearDropped = queries("q32_minhash_pairs")(s, dir)
+        // (same lshNearPairs stage q32 runs — shared code, shared persist)
+        val nearDropped = lshNearPairs(s, dir)
           .select(col("id_b").as("doc_id")).distinct()
         val dropped = exactDropped.withColumn("reason", lit("exact"))
           .unionByName(
