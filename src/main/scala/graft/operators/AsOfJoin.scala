@@ -46,24 +46,32 @@ object AsOfJoin {
     // left payload columns ride along as nulls on the right side
     val extraLeft = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
 
+    // The right timestamp and ALL payload columns travel as ONE struct so a
+    // single last(_, ignoreNulls) matches them atomically: every emitted
+    // column comes from the SAME right row, and a right payload value that
+    // is genuinely NULL survives (filling each column independently would
+    // silently substitute it from an older row).
+    val payloadCol = "_r_payload"
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.schema(tsCol) +: rightVals.map(right.schema(_)))
+
     val rightUnion = right.select(
       keys.map(col) ++ Seq(col(tsCol), lit(0).as(sideCol)) ++
         extraLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(tsCol).as(s"_r_$tsCol")) ++ rightVals.map(c => col(c).as(s"_r_$c")): _*)
+        Seq(struct((tsCol +: rightVals).map(col): _*).as(payloadCol)): _*)
     val leftUnion = left.select(
       keys.map(col) ++ Seq(col(tsCol), lit(1).as(sideCol)) ++
         extraLeft.map(col) ++
-        Seq(lit(null).cast(right.schema(tsCol).dataType).as(s"_r_$tsCol")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        Seq(lit(null).cast(payloadType).as(payloadCol)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val matched = last(col(payloadCol), ignoreNulls = true).over(w)
     val matchedCols: Seq[Column] =
-      (s"_r_$tsCol" +: rightVals.map(c => s"_r_$c")).map(c =>
-        last(col(c), ignoreNulls = true).over(w).as(
-          if (c == s"_r_$tsCol") s"$prefix$tsCol" else s"$prefix${c.stripPrefix("_r_")}"))
+      matched.getField(tsCol).as(s"$prefix$tsCol") +:
+        rightVals.map(c => matched.getField(c).as(s"$prefix$c"))
 
     rightUnion.unionByName(leftUnion)
       .select((keys.map(col) ++ Seq(col(tsCol), col(sideCol)) ++ extraLeft.map(col)) ++ matchedCols: _*)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bucketed range join (SURVEY §2.2 [EXT], §7.3): pair rows whose timestamps
@@ -21,24 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Inner join only: the left side is exploded to 2 bucket rows before the
+    * join, so any outer type would emit spurious null-padded duplicates. For
+    * zero-preserving semantics, left-join the inner result back to `left` on
+    * its row id (the q37 pattern in JoinOpQueries).
+    */
   def backwardWindow(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, windowMicros: Long, joinType: String = "inner"): DataFrame = {
+      tsCol: String, windowMicros: Long): DataFrame = {
     val lUs = unix_micros(col(s"l.$tsCol"))
     val rUs = unix_micros(col(s"r.$tsCol"))
 
+    // True floor division in pure long arithmetic: subtracting the positive
+    // pmod makes the numerator an exact multiple of the window, so integer
+    // `div` equals floor even for pre-epoch (negative) timestamps. Column./
+    // would be DOUBLE division — a rounded double then truncated can flip a
+    // boundary bucket and silently miss pairs.
+    def bucket(c: Column): Column = {
+      val us = unix_micros(c)
+      val w = lit(windowMicros)
+      call_function("div", us - pmod(us, w), w)
+    }
+
     val leftB = left
-      .withColumn("_bucket", explode(array(
-        (unix_micros(col(tsCol)) / windowMicros).cast("long") - 1,
-        (unix_micros(col(tsCol)) / windowMicros).cast("long"))))
+      .withColumn("_bucket", explode(array(bucket(col(tsCol)) - 1, bucket(col(tsCol)))))
       .alias("l")
     val rightB = right
-      .withColumn("_bucket", (unix_micros(col(tsCol)) / windowMicros).cast("long"))
+      .withColumn("_bucket", bucket(col(tsCol)))
       .alias("r")
 
     val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
       col("l._bucket") === col("r._bucket") &&
       rUs >= lUs - windowMicros && rUs <= lUs
 
-    leftB.join(rightB, cond, joinType)
+    leftB.join(rightB, cond, "inner")
   }
 }

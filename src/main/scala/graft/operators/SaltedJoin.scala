@@ -18,11 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** Deterministic salt from the full fact row: task retries that recompute
+    * part of the map stage re-derive the SAME salt (a positional scheme like
+    * partition_id + monotonically_increasing_id re-salts recomputed rows,
+    * double-counting or losing them downstream). Hashing every column also
+    * spreads a hot key's rows across all n lanes unless they are exact
+    * duplicates — and exact duplicates land together harmlessly.
+    */
+  private def saltCol(df: DataFrame, salts: Int) =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int")
+
   /** Salted equi-join of a skewed fact to a small-ish dim on `key`. */
   def join(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val saltedFact = fact.withColumn("_salt", saltCol(fact, salts))
     val saltedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "_salt"), joinType).drop("_salt")
@@ -33,8 +42,7 @@ object SaltedJoin {
     * n small partials — no reducer ever sees one giant key group.
     */
   def skewProofCount(df: DataFrame, key: String, salts: Int): DataFrame = {
-    df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    df.withColumn("_salt", saltCol(df, salts))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))

@@ -34,6 +34,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("c3") == None)
   }
 
+  test("as-of join: NULL right payload survives and columns stay atomic per match") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:05"), "c1")).toDF("user_id", "ts", "tag")
+    // newest right row at-or-before c1 carries v = NULL: the match must emit
+    // (m_ts = 10:00:04, m_v = NULL), not borrow v = 3.0 from the older row.
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:03"), Some(3.0)),
+      (1L, ts("2024-01-01 10:00:04"), None)
+    ).toDF("user_id", "ts", "v")
+
+    val row = AsOfJoin.backward(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+      .select("m_ts", "m_v").collect().head
+    assert(row.getTimestamp(0) == ts("2024-01-01 10:00:04"))
+    assert(row.isNullAt(1))
+  }
+
   test("range join: exactly the rows within (ts-window, ts], bucket edges included") {
     import spark.implicits._
     val probe = Seq((1L, ts("2024-01-01 10:10:00"), 100L)).toDF("user_id", "ts", "event_id")
