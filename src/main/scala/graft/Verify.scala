@@ -11,6 +11,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -24,6 +25,7 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
+        System.err.println(s"[verify] running $name")
         val df = fn(spark, sfDir)
         schemas(name) = df.schema
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -37,13 +37,21 @@ object AnnLsh {
       when(VectorFunctions.dot(e, typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Explode a signature into (band_idx, band_bits) rows. */
-  private def bands(sig: Column, nBands: Int, bitsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      struct(lit(b).as("band_idx"),
-        shiftright(sig, b * bitsPerBand)
-          .bitwiseAND((1L << bitsPerBand) - 1).as("band_bits"))
-    }: _*)
+  /** Explode rows into (band_idx, band_bits) per band. The signature is
+    * materialized as its own projection BELOW the generate and the band bits
+    * are derived from that single attribute: building an array of per-band
+    * structs over the raw signature expression instead would duplicate the
+    * whole 16-dot-product tree once per band reference (CollapseProject
+    * re-inlines it), which both recomputes the dots 2·nBands times and blows
+    * whole-stage codegen past janino's 64 KB method limit (observed: q40
+    * falls back to interpreted eval).
+    */
+  private def banded(df: DataFrame, sig: Column, nBands: Int, bitsPerBand: Int): DataFrame =
+    df.withColumn("_sig", sig)
+      .withColumn("band_idx", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_bits",
+        call_function("shiftright", col("_sig"), col("band_idx") * bitsPerBand)
+          .bitwiseAND((1L << bitsPerBand) - 1))
 
   /** Approximate top-k: candidates = same (band_idx, band_bits) bucket in
     * any band; exact cosine + grouped top-k within candidates.
@@ -57,12 +65,10 @@ object AnnLsh {
     val bitsPerBand = nPlanes / nBands
     val planes = hyperplanes(nPlanes, dim)
 
-    val cands = emb
-      .withColumn("_b", explode(bands(signature(col("e"), planes), nBands, bitsPerBand)))
-      .select(col("vec_id"), col("e"), col("_b.band_idx"), col("_b.band_bits"))
-    val qs = queries
-      .withColumn("_b", explode(bands(signature(col("qe"), planes), nBands, bitsPerBand)))
-      .select(col("qid"), col("qe"), col("_b.band_idx"), col("_b.band_bits"))
+    val cands = banded(emb, signature(col("e"), planes), nBands, bitsPerBand)
+      .select(col("vec_id"), col("e"), col("band_idx"), col("band_bits"))
+    val qs = banded(queries, signature(col("qe"), planes), nBands, bitsPerBand)
+      .select(col("qid"), col("qe"), col("band_idx"), col("band_bits"))
 
     val scored = cands.join(qs, Seq("band_idx", "band_bits"))
       .filter(col("vec_id") =!= col("qid"))

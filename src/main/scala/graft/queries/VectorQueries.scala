@@ -61,6 +61,32 @@ object VectorQueries extends QueryModule {
              |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
              |LIMIT 5""".stripMargin)),
 
+    // Q26 pure-SQL twin: the same 5-NN query expressed entirely in SQL
+    // against the session catalog, exercising the custom Catalyst
+    // expressions through their GraftExtensions registrations
+    // (cosine_similarity, dot_product) — the deployment path a cluster user
+    // gets from `--conf spark.sql.extensions=graft.GraftExtensions`.
+    Declared("q26_vector_topk_sql",
+      (s, dir) => {
+        Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings_sql_v")
+        s.sql("""WITH q AS (SELECT embedding AS qe FROM embeddings_sql_v WHERE vec_id = 0)
+                |SELECT e.vec_id,
+                |  CAST(ROUND(cosine_similarity(e.embedding, q.qe), 6) AS DECIMAL(18,6)) AS cos,
+                |  CAST(ROUND(dot_product(e.embedding, q.qe), 6) AS DECIMAL(18,6)) AS dot
+                |FROM embeddings_sql_v e CROSS JOIN q
+                |WHERE e.vec_id <> 0
+                |ORDER BY cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+                |LIMIT 5""".stripMargin)
+      },
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS DECIMAL(18,6)) AS cos,
+             |  CAST(ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS DECIMAL(18,6)) AS dot
+             |FROM embeddings e, q
+             |WHERE e.vec_id <> 0
+             |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+             |LIMIT 5""".stripMargin)),
+
     // ANN batch: top-3 neighbours for every query vector (vec_id < 20),
     // brute-force baseline. The LSH-bucketed scale path lives in
     // DedupQueries / AnnLsh.

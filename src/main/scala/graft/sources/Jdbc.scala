@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC table source/sink (SURVEY §2.2 matrix "JDBC scan"; the reference's
+  * entire load path lands in a MySQL table — lambda_function.py:21-32, DDL in
+  * start_all_pipeline.py:463-464). Spark's builtin JDBC relation provider
+  * does the heavy lifting; this wrapper fixes the two decisions that matter
+  * at scale and documents why:
+  *
+  *  - READS must be partitioned or the whole table arrives through ONE task:
+  *    `read` requires (partitionColumn, lowerBound, upperBound,
+  *    numPartitions) so every call generates numPartitions range-predicate
+  *    queries that the database executes in parallel. An unpartitioned
+  *    convenience read is deliberately not offered.
+  *  - WRITES batch inserts (`batchsize`) and each task opens its own
+  *    connection — numPartitions of the incoming DataFrame bounds the
+  *    write parallelism, so `coalesce` upstream to what the database can
+  *    absorb (the reference's RDS instance would want single digits).
+  *
+  * Exercised end-to-end against embedded Derby (the one JDBC engine shipped
+  * with Spark's jars) in JdbcSpec; against MySQL the only change is the URL
+  * and driver class.
+  */
+object Jdbc {
+
+  def props(driver: String, extra: (String, String)*): Properties = {
+    val p = new Properties()
+    p.setProperty("driver", driver)
+    extra.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  /** Parallel range-partitioned scan: numPartitions concurrent queries, each
+    * `WHERE partitionColumn BETWEEN ...` — the database sees bounded slices,
+    * Spark sees numPartitions input splits.
+    */
+  def read(spark: SparkSession, url: String, table: String, connProps: Properties,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, connProps)
+
+  /** Batched append/overwrite; write parallelism = df partition count. */
+  def write(df: DataFrame, url: String, table: String, connProps: Properties,
+      mode: SaveMode = SaveMode.Append, batchSize: Int = 1000): Unit = {
+    connProps.setProperty("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, connProps)
+  }
+}
