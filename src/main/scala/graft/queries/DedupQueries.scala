@@ -57,23 +57,25 @@ object DedupQueries extends QueryModule {
     * queries can never diverge and the expensive signature stage exists in
     * ONE place. Returns (id_a, id_b, est_jaccard ≥ 0.5), unordered.
     *
-    * Shaped for scale: explode shingles, hash the DISTINCT shingle
-    * vocabulary once (corpora repeat shingles ~10×, and the one-md5→16-lane
-    * split in minhashLaneHashes cuts the per-shingle hash cost another
-    * ~16×), join the hashes back (AQE owns the broadcast decision: the
-    * vocabulary grows with corpus size — small at fixture scale, shuffle
-    * join at 100 TB), then ONE hash-aggregate with 16 codegen'd min columns
-    * and map-side partials. Banding turns candidate generation into an
-    * equi-join on (band index, band hash): only documents agreeing on a
-    * full band ever meet — never O(n²).
+    * Shaped for scale: explode shingles, compute the 16 lane hashes PER
+    * OCCURRENCE (one md5 + pure integer arithmetic each — cheap enough that
+    * re-hashing a repeated shingle beats de-duplicating it), then ONE
+    * hash-aggregate with 16 codegen'd min columns. Partial min runs
+    * map-side, so the exploded occurrence set is NEVER shuffled — each
+    * partition emits ≤ one 16-long row per doc. The earlier
+    * distinct-vocabulary + join-back design looked thrifty but shuffles
+    * every occurrence once for the distinct and (beyond broadcast scale)
+    * again for the join — two full shuffles bought back 10× less md5 work,
+    * a bad trade once a signature costs one digest. Banding turns candidate
+    * generation into an equi-join on (band index, band hash): only
+    * documents agreeing on a full band ever meet — never O(n²).
     */
   def lshNearPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val exploded = Tables.load(s, dir, "documents")
+    val laned = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(shingles3(col("text")))).as("sh"))
-    val vocab = exploded.select(col("sh")).distinct()
-      .select(col("sh") +: minhashLaneHashes(col("sh"), K): _*)
+      .select(col("doc_id") +: minhashLaneHashes(col("sh"), K): _*)
     val comps = (1 to K).map(j => min(col(s"h$j")).as(s"m$j"))
-    val sigs = exploded.join(vocab, "sh")
+    val sigs = laned
       .groupBy(col("doc_id"))
       .agg(comps.head, comps.tail: _*)
       .select(col("doc_id"), array((1 to K).map(j => col(s"m$j")): _*).as("sig"))
