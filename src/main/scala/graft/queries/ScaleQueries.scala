@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.SaltedJoin
+import graft.queries.VectorQueries.groupedTopK
+import Protocol._
+
+/** Scale-lever operations a 100 TB training-data pipeline leans on, each
+  * expressed as a gate query so its semantics are oracle-checked, not just
+  * asserted in tests (SURVEY §2.2 [EXT] + §7.4):
+  *
+  *  - pivot / unpivot (wide↔long reshaping of aggregates)
+  *  - deterministic hash splits (reproducible train/eval partitioning — at
+  *    scale you NEVER sample with RNG state, you hash a stable key)
+  *  - per-group uniform k-samples via smallest-hash ranking
+  *  - exact distributed percentiles (approx_percentile's oracle twin)
+  *  - bucketed co-located joins (exchange-free at any scale; plan asserted
+  *    in ScaleOpsSpec, row-correctness asserted here)
+  *  - partition-pruned reads of date-partitioned layouts
+  *  - salted skew-proof aggregation (SaltedJoin.skewProofCount through the
+  *    gate, not just its unit test)
+  */
+object ScaleQueries extends QueryModule {
+
+  /** Deterministic [0,100) bucket from a stable key: first 8 md5 hex chars
+    * as an integer, mod 100. Reproducible in any engine; no RNG state.
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 100
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q49 — pivot: order totals by month × status, wide. Fixed value list
+    // (F/O/P) so the output schema is static — at scale you never let
+    // pivot() run its implicit DISTINCT collect over the pivot column.
+    Declared("q49_pivot",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(dec(col("o_totalprice"))))
+          .select(col("ym"), out6(col("F")).as("F"), out6(col("O")).as("O"),
+            out6(col("P")).as("P"))
+          .orderBy(col("ym"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 6) AS DECIMAL(18,6)) AS "F",
+             |  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 6) AS DECIMAL(18,6)) AS "O",
+             |  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 6) AS DECIMAL(18,6)) AS "P"
+             |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin)),
+
+    // q50 — deterministic train/eval split: hash a stable composite key,
+    // bucket < 90 → train. The split is a pure function of the data, so it
+    // reproduces across runs, engines, and re-partitioning — the only safe
+    // way to split 100 TB.
+    Declared("q50_hash_split",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val key = concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))
+        li.withColumn("split",
+            when(hashBucket(key) < 90, lit("train")).otherwise(lit("eval")))
+          .groupBy(col("split"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("l_extendedprice")))).as("sum_price"))
+          .orderBy(col("split"))
+      },
+      Some("""SELECT CASE WHEN CAST(('0x' || substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 8)) AS BIGINT) % 100 < 90
+             |  THEN 'train' ELSE 'eval' END AS split,
+             |  COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_price
+             |FROM lineitem GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // q51 — per-group uniform 20-sample by smallest-hash ranking: order each
+    // group by md5(stable id) and keep the first k — a uniform sample that
+    // is deterministic AND scalable (groupedTopK pre-ranks per partition, so
+    // ≤ k·partitions rows reach the exchange; no RNG, no reservoir state).
+    Declared("q51_group_sample",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            md5(col("event_id").cast("string")).as("h"))
+        groupedTopK(ev, "event_type", 20, Seq(col("h"), col("event_id")))
+          .select(col("event_type"), col("rn"), col("event_id"))
+          .orderBy(col("event_type"), col("rn"))
+      },
+      Some("""SELECT event_type, rn, event_id FROM (
+             |  SELECT event_type, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+             |  FROM events)
+             |WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin)),
+
+    // q52 — exact distributed percentiles per group (the oracle twin of
+    // approx_percentile: same quantile definition, continuous
+    // interpolation). The approximate sketch path is bound-checked in
+    // ScaleOpsSpec against these exact values.
+    Declared("q52_percentiles",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            out6(percentile(col("l_quantity"), lit(0.25))).as("p25"),
+            out6(percentile(col("l_quantity"), lit(0.5))).as("p50"),
+            out6(percentile(col("l_quantity"), lit(0.75))).as("p75"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(ROUND(quantile_cont(l_quantity, 0.25), 6) AS DECIMAL(18,6)) AS p25,
+             |  CAST(ROUND(quantile_cont(l_quantity, 0.50), 6) AS DECIMAL(18,6)) AS p50,
+             |  CAST(ROUND(quantile_cont(l_quantity, 0.75), 6) AS DECIMAL(18,6)) AS p75
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // q53 — unpivot: the wide per-flag aggregate reshaped long, one row per
+    // (flag, measure). Spark's native unpivot (melt); no shuffle beyond the
+    // aggregate's own.
+    Declared("q53_unpivot",
+      (s, dir) => {
+        val wide = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            out6(sum(dec(col("l_quantity")))).as("sum_qty"),
+            out6(sum(dec(col("l_extendedprice")))).as("sum_price"),
+            out6(sum(dec(col("l_discount")))).as("sum_disc"))
+        wide.unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            "measure", "val")
+          .orderBy(col("l_returnflag"), col("measure"))
+      },
+      Some("""WITH w AS (SELECT l_returnflag,
+             |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_qty,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_price,
+             |  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_disc
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, measure, val FROM (
+             |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM w
+             |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+             |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+             |ORDER BY l_returnflag, measure""".stripMargin)),
+
+    // q54 — bucketed co-located join: both sides written bucketBy(8, key) +
+    // sortBy, joined with zero Exchange (ScaleOpsSpec pins the plan); the
+    // gate checks the rows are the same as a plain join of the raw parquet.
+    // This is THE lever for repeated big-big joins at 100 TB: pay the
+    // bucketed write once, join exchange-free forever after.
+    Declared("q54_bucketed_join",
+      (s, dir) => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+        // A fresh session does not know tables a PREVIOUS session left in
+        // the warehouse dir, so overwrite alone throws
+        // LOCATION_ALREADY_EXISTS on the orphaned location — drop from the
+        // catalog AND delete the path.
+        def reset(table: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS graft_buckets.$table")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val p = new org.apache.hadoop.fs.Path(s"$wh/graft_buckets.db/$table")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        reset("lineitem_b"); reset("orders_b")
+        Tables.load(s, dir, "lineitem")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .format("parquet").saveAsTable("graft_buckets.lineitem_b")
+        Tables.load(s, dir, "orders")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .format("parquet").saveAsTable("graft_buckets.orders_b")
+        s.table("graft_buckets.lineitem_b").hint("merge")
+          .join(s.table("graft_buckets.orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("l_extendedprice")))).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // q55 — salted skew-proof aggregation through the gate:
+    // SaltedJoin.skewProofCount spreads each hot key over 8 salt lanes
+    // (partial per (key, salt), merge per key) so no reducer ever owns a
+    // whole hot key. Results must equal a plain GROUP BY count.
+    Declared("q55_salted_count",
+      (s, dir) => {
+        SaltedJoin.skewProofCount(
+            Tables.load(s, dir, "events").select(col("event_type")),
+            "event_type", salts = 8)
+          .select(col("event_type"), big(col("n")).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+  )
+}

@@ -85,6 +85,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bar.volume == ticks.map(_._3).sum)
   }
 
+  test("approx_percentile tracks the exact distributed percentiles") {
+    // q52's gate checks the EXACT percentiles against DuckDB; here the
+    // sketch path (what you'd actually run at 100 TB) is bound against
+    // them: accuracy 10000 → rank error ≤ n/10000, so on ~6k rows the
+    // sketch must land within one value-step of exact.
+    val li = graft.model.Tables.load(spark, sf0001, "lineitem")
+    val both = li.groupBy(col("l_returnflag")).agg(
+      percentile(col("l_quantity"), lit(0.5)).as("exact"),
+      approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(e - a) <= math.max(1.0, 0.01 * math.abs(e)),
+        s"flag ${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("partitioned table write prunes partitions on read") {
     val ev = graft.model.Tables.load(spark, sf0001, "events")
       .withColumn("day", to_date(col("ts")))
