@@ -192,6 +192,26 @@ object ScaleQueries extends QueryModule {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, COUNT(*) AS n
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // q56 — the custom Generator UDTF through the SQL surface: LATERAL VIEW
+    // explode_shingles (GraftExtensions registration) feeding a frequency
+    // aggregate. Catalyst plans the same Generate node as builtin explode —
+    // no UDF row round-trip; partial counts combine map-side.
+    Declared("q56_lateral_shingles",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").createOrReplaceTempView("documents_sq_v")
+        s.sql("""SELECT s.shingle, COUNT(*) AS n
+                |FROM documents_sq_v LATERAL VIEW explode_shingles(text, 3) s
+                |GROUP BY s.shingle HAVING COUNT(*) >= 5
+                |ORDER BY n DESC, shingle LIMIT 20""".stripMargin)
+      },
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+             |  THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+             |  ELSE [text] END) AS shingle FROM d)
+             |SELECT shingle, COUNT(*) AS n FROM sh
+             |GROUP BY 1 HAVING COUNT(*) >= 5
+             |ORDER BY n DESC, shingle LIMIT 20""".stripMargin))
   )
 }

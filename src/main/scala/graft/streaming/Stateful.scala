@@ -90,4 +90,30 @@ object Stateful {
   /** Stream-static join: enrich live ticks with a static symbol dimension. */
   def enrich(ticks: DataFrame, symbolDim: DataFrame): DataFrame =
     ticks.join(broadcast(symbolDim), Seq("symbol"), "left")
+
+  /** Stream-stream interval join: match each left event to right events on
+    * the same key within `[left.ts - tolerance, left.ts]` (the streaming
+    * twin of RangeJoin.backwardWindow). BOTH sides carry a watermark and the
+    * join condition bounds event time in both directions, so Spark can
+    * derive state-eviction watermarks for each side — without the time
+    * bound, stream-stream state grows forever. Inner only (outer
+    * stream-stream joins need the same bounds plus result-emission delay).
+    *
+    * Input frames must expose (key, ts [timestamp], payload...); the right
+    * timestamp is emitted as `r_ts`, right payload columns keep their names
+    * (they must not collide with left's).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tolerance: String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right
+      .withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.r_ts") >= col("l.ts") - expr(s"INTERVAL $tolerance") &&
+        col("r.r_ts") <= col("l.ts"),
+      "inner")
+      .drop(col(s"r.$key"))
+  }
 }

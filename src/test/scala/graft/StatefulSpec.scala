@@ -35,6 +35,30 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within tolerance, both sides watermarked") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Stateful.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      views.toDF().toDF("user_id", "ts"),
+      key = "user_id", tolerance = "10 minutes")
+    val q = joined.select(col("user_id"), col("ts"), col("r_ts"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00")), // 5 min before the click: matches
+        (1L, ts("2024-01-01 09:40:00")), // 25 min before: outside tolerance
+        (2L, ts("2024-01-01 10:03:00"))) // other user: no click
+      clicks.addData((1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, r_ts FROM ssj ORDER BY user_id, r_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toList
+      assert(rows == List((1L, ts("2024-01-01 10:00:00"))))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling aggregation drops late rows past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
