@@ -66,6 +66,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L))
   }
 
+  test("as-of join equals the naive per-row reference on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val left = (1 to 400).map { i =>
+      (rnd.nextInt(8).toLong, new java.sql.Timestamp(base + rnd.nextInt(100000) * 1000L), i)
+    }
+    // right unique per (key, ts) as the contract requires
+    val right = (1 to 300).map { _ =>
+      (rnd.nextInt(8).toLong, new java.sql.Timestamp(base + rnd.nextInt(100000) * 1000L), rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val got = AsOfJoin.backward(
+        left.toDF("k", "ts", "row_id"), right.toDF("k", "ts", "v"),
+        Seq("k"), "ts", Seq("v"), "m_")
+      .select("row_id", "m_ts", "m_v").collect()
+      .map(r => r.getInt(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    left.foreach { case (k, ts, id) =>
+      val expect = right.filter(r => r._1 == k && !r._2.after(ts)) match {
+        case e if e.isEmpty => (None, None)
+        case e =>
+          val m = e.maxBy(_._2.getTime)
+          (Some(m._2), Some(m._3))
+      }
+      assert(got(id) == expect, s"row $id key $k ts $ts")
+    }
+  }
+
+  test("range join equals the naive filter on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val w = 300000000L // 5 min in micros
+    val probe = (1 to 200).map { i =>
+      (rnd.nextInt(6).toLong, new java.sql.Timestamp(base + rnd.nextInt(7200) * 1000L), i.toLong)
+    }
+    val cand = (1 to 200).map { i =>
+      (rnd.nextInt(6).toLong, new java.sql.Timestamp(base + rnd.nextInt(7200) * 1000L), (1000 + i).toLong)
+    }
+    val got = RangeJoin.backwardWindow(
+        probe.toDF("k", "ts", "pid"), cand.toDF("k", "ts", "cid"),
+        Seq("k"), "ts", w)
+      .select(col("l.pid"), col("r.cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (pk, pts, pid) <- probe
+      (ck, cts, cid) <- cand
+      if pk == ck
+      if cts.getTime * 1000 >= pts.getTime * 1000 - w && !cts.after(pts)
+    } yield (pid, cid)).toSet
+    assert(got == expect)
+  }
+
   test("grouped top-k equals naive window ranking") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i % 5, i, (i * 37 % 101).toDouble))

@@ -103,6 +103,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("observe metrics ride the materializing job - no extra scan") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(9.5))).toDF("id", "v")
+    val (observed, obs) = graft.operators.QualityMetrics.observed(
+      df, nullCols = Seq("v"), boundCols = Seq("id"))
+    assert(observed.count() == 3) // the ONLY job; metrics piggyback on it
+    val m = obs.get
+    assert(m("rows") == 3L && m("nulls_v") == 1L)
+    assert(m("min_id") == 1L && m("max_id") == 3L)
+  }
+
   test("partitioned table write prunes partitions on read") {
     val ev = graft.model.Tables.load(spark, sf0001, "events")
       .withColumn("day", to_date(col("ts")))
