@@ -47,17 +47,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // On a filtered (partial) run, keep the previous oracle_sql.json intact
-    // for the untouched queries by only rewriting entries we just ran.
-    val json = SparkEntry.oracleSql
+    // Partial runs must not truncate oracle_sql.json to just the queries
+    // that ran (a later full check.py would then silently verify only that
+    // subset — a false green). Each run writes its queries' wrapped SQL to
+    // one sidecar file apiece and the json is assembled from ALL sidecars;
+    // a full run clears the sidecar dir first so removed queries disappear.
+    val oracleDir = Paths.get(s"$outDir/.oracle")
+    if (only.isEmpty && Files.isDirectory(oracleDir)) {
+      Files.list(oracleDir).forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(oracleDir)
+    SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) =>
+      .foreach { case (k, v) =>
         val wrapped = schemas.get(k)
           .map(sch => graft.queries.Protocol.wrapOracleDoubles(v, sch))
           .getOrElse(v)
-        s"${q(k)}: ${q(wrapped)}"
-      }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+        Files.writeString(oracleDir.resolve(s"$k.sql"), wrapped)
+      }
+    val entries = Files.list(oracleDir).sorted().toArray.toSeq.map {
+      case p: java.nio.file.Path =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        s"${q(name)}: ${q(Files.readString(p))}"
+    }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      entries.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -35,6 +35,9 @@ import org.apache.spark.storage.StorageLevel
   * job see identical range boundaries without recomputing the sort; callers
   * owning a cheaper deterministic input can pass persist = false and accept
   * the recompute (range sampling is seed-deterministic for identical input).
+  * The cache is NOT unpersisted here (the returned frame still depends on
+  * it): the caller owns the release — `spark.catalog.clearCache()` or
+  * unpersist after materializing, as Verify/Bench do per query.
   */
 object GlobalRank {
 
@@ -79,10 +82,14 @@ object GlobalRank {
       val base = total / tiles
       val rem = total % tiles
       val cut = rem * (base + 1) // ranks 1..cut live in the wide tiles
+      // Integral `div`, NOT Column./ — double division then truncation can
+      // flip a tile boundary once ranks approach 2^53 (same trap as
+      // RangeJoin's bucket ids; all operands here are BIGINT).
+      def idiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
       val tile =
-        if (base == 0L) (col("rank") - 1L) / lit(base + 1L) + 1L // total < tiles
-        else when(col("rank") <= cut, (col("rank") - 1L) / lit(base + 1L) + 1L)
-          .otherwise(lit(rem) + (col("rank") - cut - 1L) / lit(base) + 1L)
+        if (base == 0L) idiv(col("rank") - 1L, base + 1L) + 1L // total < tiles
+        else when(col("rank") <= cut, idiv(col("rank") - 1L, base + 1L) + 1L)
+          .otherwise(lit(rem) + idiv(col("rank") - cut - 1L, base) + 1L)
       out.withColumn("tile", tile.cast("long"))
     }
     withTile.drop("_mid")

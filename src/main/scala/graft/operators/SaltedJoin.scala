@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
-  /** Deterministic salt from the full fact row: task retries that recompute
-    * part of the map stage re-derive the SAME salt (a positional scheme like
-    * partition_id + monotonically_increasing_id re-salts recomputed rows,
-    * double-counting or losing them downstream). Hashing every column also
-    * spreads a hot key's rows across all n lanes unless they are exact
-    * duplicates — and exact duplicates land together harmlessly.
+  /** Deterministic salt from the full fact row PLUS the input partition id:
+    * task retries that recompute part of the map stage re-derive the SAME
+    * salt (a positional scheme like monotonically_increasing_id re-salts
+    * recomputed rows, double-counting or losing them downstream; the
+    * partition id alone is stable for deterministic sources — file scans —
+    * because a retry re-reads the same split). The row columns spread a hot
+    * key's rows across lanes; the partition id keeps the spread alive even
+    * in the degenerate case where the frame carries ONLY the key columns
+    * (then a pure row hash is constant per key and every hot-key row would
+    * land in one lane — no skew protection at all).
     */
   private def saltCol(df: DataFrame, salts: Int) =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int")
+    pmod(xxhash64(df.columns.map(col).toSeq :+ spark_partition_id().cast("long"): _*),
+      lit(salts.toLong)).cast("int")
 
   /** Salted equi-join of a skewed fact to a small-ish dim on `key`. */
   def join(fact: DataFrame, dim: DataFrame, key: String, salts: Int,

@@ -51,8 +51,15 @@ object Protocol {
   /** Terminal representation pass, applied centrally by QueryModule.queries:
     * every top-level DECIMAL/FLOAT output column → DOUBLE. All arithmetic up
     * to here stays decimal-exact (order-insensitive); only the final encoding
-    * changes. round(x, 6) guarantees ≤6 dp, and every 6-dp decimal within
-    * DECIMAL(18,6) maps to a distinct float64, so no information is lost.
+    * changes. round(x, 6) guarantees ≤6 dp; 6-dp decimals map to DISTINCT
+    * float64s only below 2^53·10⁻⁶ ≈ 9.0e9, so above that magnitude two
+    * values differing in the last decimal digit could collapse to one double
+    * and a real last-digit divergence would slip the gate. Accepted
+    * tradeoff: the driver's canonicalizer REQUIRES the double terminal (it
+    * renders DECIMAL cells asymmetrically — see (c) above), the gate's SF
+    * aggregates sit near that boundary only for the largest sums, and any
+    * such divergence would be a decimal-arithmetic bug both engines would
+    * have to make in lockstep to go unnoticed.
     */
   def finalizeDoubles(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>

@@ -43,10 +43,15 @@ object Jdbc {
     spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
       numPartitions, connProps)
 
-  /** Batched append/overwrite; write parallelism = df partition count. */
+  /** Batched append/overwrite; write parallelism = df partition count.
+    * The caller's Properties is copied, not mutated (a shared instance
+    * would otherwise carry this call's batchsize into later uses).
+    */
   def write(df: DataFrame, url: String, table: String, connProps: Properties,
       mode: SaveMode = SaveMode.Append, batchSize: Int = 1000): Unit = {
-    connProps.setProperty("batchsize", batchSize.toString)
-    df.write.mode(mode).jdbc(url, table, connProps)
+    val p = new Properties()
+    p.putAll(connProps)
+    p.setProperty("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, p)
   }
 }

@@ -43,10 +43,14 @@ class JdbcSpec extends AnyFunSuite {
 
   test("jdbc append mode accumulates batches exactly once each") {
     import spark.implicits._
-    val batch = Seq((101L, "late", 9.99)).toDF("id", "symbol", "price")
-    Jdbc.write(batch, url, "ticks", Jdbc.props(driver), SaveMode.Append)
-    val n = Jdbc.read(spark, url, "ticks", Jdbc.props(driver), "id", 1L, 101L, 2)
+    // self-seeding (own table) so this test does not depend on the previous
+    // test having run or on suite execution order
+    val seed = Seq((1L, "a", 1.0)).toDF("id", "symbol", "price")
+    Jdbc.write(seed, url, "ticks_append", Jdbc.props(driver), SaveMode.Overwrite)
+    val batch = Seq((2L, "late", 9.99)).toDF("id", "symbol", "price")
+    Jdbc.write(batch, url, "ticks_append", Jdbc.props(driver), SaveMode.Append)
+    val n = Jdbc.read(spark, url, "ticks_append", Jdbc.props(driver), "id", 1L, 2L, 2)
       .count()
-    assert(n == 101)
+    assert(n == 2)
   }
 }
