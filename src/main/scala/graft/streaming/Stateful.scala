@@ -91,6 +91,25 @@ object Stateful {
   def enrich(ticks: DataFrame, symbolDim: DataFrame): DataFrame =
     ticks.join(broadcast(symbolDim), Seq("symbol"), "left")
 
+  /** Streaming dedup against a STATIC corpus (the "is this new document
+    * already in the training set" gate of an LLM data pipeline): left-anti
+    * join of the stream against the corpus's content hashes, then stateful
+    * within-stream dedup so a document arriving twice in one run also passes
+    * only once. The corpus side is a static DataFrame of md5 keys — Spark
+    * re-plans it per micro-batch, so at 100 TB it should be a compact
+    * hash-only table (one 16-byte column), not the full corpus.
+    */
+  def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("_h")).distinct()
+    docs
+      .withColumn("_h", md5(col(textCol)))
+      .join(corpusHashes, Seq("_h"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+  }
+
   /** Stream-stream interval join: match each left event to right events on
     * the same key within `[left.ts - tolerance, left.ts]` (the streaming
     * twin of RangeJoin.backwardWindow). BOTH sides carry a watermark and the

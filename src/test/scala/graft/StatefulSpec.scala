@@ -35,6 +35,42 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup against static corpus drops known and repeated docs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq("known doc one", "known doc two").toDF("text")
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val out = Stateful.dedupAgainstCorpus(
+      ms.toDF().toDF("text", "ts"), corpus)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("corpusdedup").start()
+    try {
+      ms.addData(
+        ("known doc one", ts("2024-01-01 10:00:00")),  // in corpus: dropped
+        ("fresh doc", ts("2024-01-01 10:00:01")),      // new: kept
+        ("fresh doc", ts("2024-01-01 10:00:02")))      // stream repeat: dropped
+      q.processAllAvailable()
+      ms.addData(("another fresh", ts("2024-01-01 10:00:03")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT text FROM corpusdedup ORDER BY text")
+        .collect().map(_.getString(0)).toList
+      assert(got == List("another fresh", "fresh doc"))
+    } finally q.stop()
+  }
+
+  test("small-file compaction preserves rows and cuts file count") {
+    val dir = tmpDir("compact") + "/t"
+    val df = graft.model.Tables.load(spark, sf0001, "lineitem")
+    df.repartition(64).write.parquet(dir) // 64 tiny files
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val rows = graft.tools.Compactor.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(rows == df.count())
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before, s"$after files after vs $before before")
+    assert(spark.read.parquet(dir).count() == rows) // readable post-rename
+  }
+
   test("stream-stream interval join matches within tolerance, both sides watermarked") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
