@@ -160,10 +160,16 @@ object ScaleQueries extends QueryModule {
           if (fs.exists(p)) fs.delete(p, true)
         }
         reset("lineitem_b"); reset("orders_b")
+        // Project to the join's columns BEFORE the bucketed write: the
+        // bucket layout only has to carry what the repeated join consumes
+        // (write-time column pruning; at 100 TB writing 11 columns to serve
+        // a 2-column join is the waste, not the join).
         Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
           .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .format("parquet").saveAsTable("graft_buckets.lineitem_b")
         Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
           .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .format("parquet").saveAsTable("graft_buckets.orders_b")
         s.table("graft_buckets.lineitem_b").hint("merge")
