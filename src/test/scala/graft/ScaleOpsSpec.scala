@@ -60,6 +60,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(counts(1) == 500 + 100 - 0) // i%50==1 (100) plus i%10==0 (500) hot rows
   }
 
+  test("AQE skew-join splits the hot partition at runtime") {
+    import spark.implicits._
+    // one key owns ~95% of the fact side; thresholds lowered so the
+    // fixture-sized skew is visible to AQE's planner
+    val fact = ((1 to 190000).map(_ => 1) ++ (1 to 10000).map(i => i % 100 + 2))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val dim = (1 to 101).map(i => (i, s"d$i")).toDF("k", "name")
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val plan = try {
+      keep.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = fact.join(dim, Seq("k"))
+      // materialize THIS dataset's own QueryExecution (count() would plan a
+      // separate aggregate query and leave joined's adaptive plan unexecuted)
+      assert(joined.collect().length == 200000)
+      joined.queryExecution.executedPlan.toString
+    } finally keep.foreach { case (k, _) => spark.conf.unset(k) }
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+  }
+
   test("WeightedMean UDAF: vwap across partitions") {
     import spark.implicits._
     Udafs.register(spark)
