@@ -65,10 +65,10 @@ object Verify {
           .getOrElse(v)
         Files.writeString(oracleDir.resolve(s"$k.sql"), wrapped)
       }
-    val entries = Files.list(oracleDir).sorted().toArray.toSeq.map {
-      case p: java.nio.file.Path =>
-        val name = p.getFileName.toString.stripSuffix(".sql")
-        s"${q(name)}: ${q(Files.readString(p))}"
+    import scala.jdk.CollectionConverters._
+    val entries = Files.list(oracleDir).iterator().asScala.toSeq.sortBy(_.toString).map { p =>
+      val name = p.getFileName.toString.stripSuffix(".sql")
+      s"${q(name)}: ${q(Files.readString(p))}"
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       entries.mkString("{", ",", "}"))

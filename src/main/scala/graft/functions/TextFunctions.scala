@@ -79,8 +79,8 @@ object TextFunctions {
     */
   def minhashLaneHashes(v: Column, k: Int): Seq[Column] = {
     val m = md5(v)
-    val x1 = conv(substring(m, 1, 15), 16, 10).cast("long") % MinhashP
-    val x2 = conv(substring(m, 17, 15), 16, 10).cast("long") % MinhashP
+    val x1 = ColumnOps.hexLong(m, 1, 15) % MinhashP
+    val x2 = ColumnOps.hexLong(m, 17, 15) % MinhashP
     (1 to k).map { j =>
       val aj = (j * MixA) % MinhashP
       val bj = (j * MixB) % MinhashP

@@ -83,9 +83,10 @@ object GlobalRank {
       val rem = total % tiles
       val cut = rem * (base + 1) // ranks 1..cut live in the wide tiles
       // Integral `div`, NOT Column./ — double division then truncation can
-      // flip a tile boundary once ranks approach 2^53 (same trap as
-      // RangeJoin's bucket ids; all operands here are BIGINT).
-      def idiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+      // flip a tile boundary once ranks approach 2^53 (ColumnOps explains;
+      // all operands here are BIGINT).
+      def idiv(a: Column, b: Long): Column =
+        graft.functions.ColumnOps.idiv(a, lit(b))
       val tile =
         if (base == 0L) idiv(col("rank") - 1L, base + 1L) + 1L // total < tiles
         else when(col("rank") <= cut, idiv(col("rank") - 1L, base + 1L) + 1L)

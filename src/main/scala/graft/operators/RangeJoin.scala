@@ -31,16 +31,12 @@ object RangeJoin {
     val lUs = unix_micros(col(s"l.$tsCol"))
     val rUs = unix_micros(col(s"r.$tsCol"))
 
-    // True floor division in pure long arithmetic: subtracting the positive
-    // pmod makes the numerator an exact multiple of the window, so integer
-    // `div` equals floor even for pre-epoch (negative) timestamps. Column./
-    // would be DOUBLE division — a rounded double then truncated can flip a
-    // boundary bucket and silently miss pairs.
-    def bucket(c: Column): Column = {
-      val us = unix_micros(c)
-      val w = lit(windowMicros)
-      call_function("div", us - pmod(us, w), w)
-    }
+    // True floor division in pure long arithmetic (ColumnOps.floorDiv):
+    // exact even for pre-epoch (negative) timestamps. Column./ would be
+    // DOUBLE division — a rounded double then truncated can flip a boundary
+    // bucket and silently miss pairs.
+    def bucket(c: Column): Column =
+      graft.functions.ColumnOps.floorDiv(unix_micros(c), windowMicros)
 
     val leftB = left
       .withColumn("_bucket", explode(array(bucket(col(tsCol)) - 1, bucket(col(tsCol)))))

@@ -28,7 +28,7 @@ object ScaleQueries extends QueryModule {
     * as an integer, mod 100. Reproducible in any engine; no RNG state.
     */
   private def hashBucket(key: org.apache.spark.sql.Column) =
-    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 100
+    graft.functions.ColumnOps.hexLong(md5(key), 1, 8) % 100
 
   override val declared: Seq[Declared] = Seq(
 
