@@ -95,21 +95,24 @@ object DedupQueries extends QueryModule {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** The DuckDB twin of lshNearPairs' OUTPUT (pairs surviving est ≥ 0.5),
+    * shared verbatim by the q32 oracle and the q57 verification oracle.
+    */
+  private val duckPairsSelect =
+    """SELECT id_a, id_b, est_jaccard FROM (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
+      |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) AS est_jaccard
+      |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
+      |WHERE est_jaccard >= 0.5""".stripMargin
+
   override val declared: Seq[Declared] = Seq(
 
     // q32 — MinHash + LSH near-dup candidate pairs with estimated Jaccard.
-    // The whole pipeline lives in lshNearPairs (shared with q47).
+    // The whole pipeline lives in lshNearPairs (shared with q47/q57).
     Declared("q32_minhash_pairs",
       (s, dir) => lshNearPairs(s, dir).orderBy(col("id_a"), col("id_b")),
-      Some(duckSig +
-        """
-          |SELECT id_a, id_b, est_jaccard FROM (
-          |  SELECT c.id_a, c.id_b,
-          |    CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
-          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) AS est_jaccard
-          |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
-          |WHERE est_jaccard >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin)),
+      Some(duckSig + "\n" + duckPairsSelect + "\nORDER BY id_a, id_b")),
 
     // q33 — 32-bit SimHash fingerprint per document (distinct-token lanes).
     // Shaped as explode → hash-aggregate with 32 codegen'd bit-count sums
@@ -251,6 +254,38 @@ object DedupQueries extends QueryModule {
              |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
              |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
              |WHERE cos > 0.45
-             |ORDER BY label, id_a, id_b""".stripMargin))
+             |ORDER BY label, id_a, id_b""".stripMargin)),
+
+    // q57 — fuzzy VERIFICATION of the LSH candidates: exact edit distance on
+    // 200-char prefixes of each surviving pair. The real pipeline
+    // composition — cheap sketch (MinHash bands) proposes, expensive exact
+    // metric (levenshtein, O(n·m) per pair) verifies — and the expensive
+    // step runs ONLY on candidate pairs, never all-pairs, so its cost is
+    // bounded by the sketch's selectivity at any scale.
+    Declared("q57_edit_verify",
+      (s, dir) => {
+        val prefix = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("p"))
+        lshNearPairs(s, dir).select(col("id_a"), col("id_b"))
+          .join(prefix.select(col("doc_id").as("id_a"), col("p").as("pa")), "id_a")
+          .join(prefix.select(col("doc_id").as("id_b"), col("p").as("pb")), "id_b")
+          .withColumn("edit_dist", big(levenshtein(col("pa"), col("pb"))))
+          .withColumn("edit_sim",
+            out6(lit(1) - dec(col("edit_dist")) / greatest(length(col("pa")), length(col("pb")))))
+          .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(duckSig +
+        s""",
+          |pairs AS ($duckPairsSelect),
+          |p AS (SELECT doc_id, substr(text, 1, 200) AS p FROM documents)
+          |SELECT id_a, id_b, edit_dist,
+          |  CAST(ROUND(1 - CAST(edit_dist AS DECIMAL(18,6)) / GREATEST(len_a, len_b), 6) AS DECIMAL(18,6)) AS edit_sim
+          |FROM (
+          |  SELECT pr.id_a, pr.id_b,
+          |    CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist,
+          |    length(pa.p) AS len_a, length(pb.p) AS len_b
+          |  FROM pairs pr JOIN p pa ON pa.doc_id = pr.id_a JOIN p pb ON pb.doc_id = pr.id_b)
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 }
