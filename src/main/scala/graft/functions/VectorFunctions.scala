@@ -43,6 +43,31 @@ object VectorFunctions {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
+  /** Symmetric int8 quantization of an embedding: per-vector scale
+    * `s = max|e|/127`, stored as (scale, array<tinyint>) — 1 byte per
+    * dimension instead of 8 (or 4 for float), the standard 4-8× memory cut
+    * for ANN candidate sets. HOF evaluation is fine HERE because
+    * quantization is one-time preprocessing, not a per-query hot path
+    * (the hot path compares already-quantized vectors).
+    */
+  def quantizeInt8(e: Column): Column = {
+    // floor on the scale keeps a zero vector from dividing by zero (its
+    // quantized form is all-zeros either way)
+    val scale = greatest(
+      aggregate(e, lit(0.0d), (m, x) => greatest(m, abs(x))) / 127.0d,
+      lit(java.lang.Double.MIN_NORMAL))
+    struct(
+      scale.as("scale"),
+      transform(e, x => round(x / scale).cast("tinyint")).as("q"))
+  }
+
+  /** Dequantize back to array<double>: q_i · scale. Cosine over the
+    * dequantized vectors approximates the exact cosine to ~1e-2 at dim 64
+    * (pinned in ScaleOpsSpec with recall on brute-force top-k).
+    */
+  def dequantizeInt8(qe: Column): Column =
+    transform(qe.getField("q"), x => x.cast("double") * qe.getField("scale"))
+
   /** Register `cosine_similarity` / `dot_product` for SQL use on this
     * session (GraftExtensions does the same via spark.sql.extensions).
     */

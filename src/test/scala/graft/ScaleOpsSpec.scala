@@ -60,6 +60,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(counts(1) == 500 + 100 - 0) // i%50==1 (100) plus i%10==0 (500) hot rows
   }
 
+  test("int8-quantized embeddings preserve brute-force top-k") {
+    import graft.functions.VectorFunctions._
+    val e = graft.model.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val deq = e.withColumn("qe", dequantizeInt8(quantizeInt8(col("e"))))
+    // per-vector reconstruction error bounded by scale/2 per dim
+    val maxErr = deq.select(max(aggregate(
+      zip_with(col("e"), col("qe"), (a, b) => abs(a - b)),
+      lit(0.0d), (m, x) => greatest(m, x)))).collect().head.getDouble(0)
+    assert(maxErr < 0.02, s"reconstruction error $maxErr")
+    // top-10 of query 0 by exact cosine vs quantized cosine: recall >= 0.9
+    def top10(cands: org.apache.spark.sql.DataFrame, c: String) =
+      cands.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(
+          cands.filter(col("vec_id") === 0).select(col(c).as("qv"))))
+        .withColumn("cos", cosine(col(c), col("qv")))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = top10(e, "e")
+    val approx = top10(deq.select(col("vec_id"), col("qe")), "qe")
+    assert(exact.intersect(approx).size >= 9, s"recall ${exact.intersect(approx).size}/10")
+  }
+
   test("AQE skew-join splits the hot partition at runtime") {
     import spark.implicits._
     // one key owns ~95% of the fact side; thresholds lowered so the
