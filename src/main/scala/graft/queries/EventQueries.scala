@@ -56,6 +56,36 @@ object EventQueries extends QueryModule {
              |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
              |  FROM events
              |)
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q58 — event-time RANGE frame: per user, count and average of `value`
+    // over the events in the PRECEDING 10 minutes (inclusive), ordered by
+    // second-truncated epoch. A RANGE frame is a different physical window
+    // than q17's ROWS frame: the boundary is a value predicate on the order
+    // key (peers at the same second share one frame), not a row offset —
+    // deterministic without a tiebreaker. Truncation to whole seconds is
+    // explicit on BOTH sides: Spark's unix_seconds floors; DuckDB's
+    // epoch(ts) would keep fractional seconds and shift boundaries.
+    Declared("q58_time_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_seconds(col("ts")))
+          .rangeBetween(-600, 0)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            dec(col("value")).as("v"))
+          .select(col("user_id"), col("event_id"),
+            big(count(lit(1)).over(w)).as("n_win"),
+            out6(sum(col("v")).over(w) / count(lit(1)).over(w)).as("avg_10m"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w / COUNT(*) OVER w, 6) AS DECIMAL(18,6)) AS avg_10m
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 }
