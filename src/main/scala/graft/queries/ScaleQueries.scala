@@ -218,6 +218,35 @@ object ScaleQueries extends QueryModule {
              |  ELSE [text] END) AS shingle FROM d)
              |SELECT shingle, COUNT(*) AS n FROM sh
              |GROUP BY 1 HAVING COUNT(*) >= 5
-             |ORDER BY n DESC, shingle LIMIT 20""".stripMargin))
+             |ORDER BY n DESC, shingle LIMIT 20""".stripMargin)),
+
+    // q59 — JDBC round trip through the gate: a bounded, deterministic
+    // slice of lineitem (l_orderkey ≤ 600 — fixed row count at every SF)
+    // goes Spark → Derby table → partitioned JDBC read → aggregate, and the
+    // oracle computes the same aggregate straight from parquet. Proves the
+    // reference's DB landing path (lambda_function.py:21-32) end-to-end:
+    // values must survive the SQL type round trip bit-exactly.
+    Declared("q59_jdbc_roundtrip",
+      (s, dir) => {
+        val dbDir = java.nio.file.Files.createTempDirectory("graft-q59").toString
+        val url = s"jdbc:derby:$dbDir/db;create=true"
+        val props = graft.sources.Jdbc.props("org.apache.derby.jdbc.EmbeddedDriver")
+        val slice = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 600)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        graft.sources.Jdbc.write(slice, url, "li_slice", props,
+          org.apache.spark.sql.SaveMode.Overwrite, batchSize = 500)
+        graft.sources.Jdbc.read(s, url, "li_slice", props,
+            partitionColumn = "l_orderkey", lowerBound = 1L, upperBound = 600L,
+            numPartitions = 4)
+          .groupBy(col("l_returnflag").cast("string").as("l_returnflag"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("l_quantity")))).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_qty
+             |FROM lineitem WHERE l_orderkey <= 600
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
   )
 }
