@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps.{hexLong, idiv}
+import graft.functions.TextFunctions._
+import graft.model.Tables
+import graft.operators.ConnectedComponents
+import Protocol._
+
+/** Corpus-curation operators (round 3): the steps a training-data pipeline
+  * runs AFTER pair-level dedup — cluster formation, benchmark
+  * decontamination, repetition/quality signals, PII-style scrubbing, domain
+  * mixing, vocabulary building. Each is blocked/broadcast shaped so nothing
+  * here is all-pairs or driver-materialized, and each has a bit-exact DuckDB
+  * oracle.
+  */
+object CurationQueries extends QueryModule {
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q60 — duplicate CLUSTERS from pair-level evidence: exact-dup edges
+    // (same md5, star to the group min) ∪ MinHash-LSH near-dup pairs
+    // (est_jaccard ≥ 0.5, shared lshNearPairs stage), resolved to connected
+    // components so transitive chains a–b–c collapse to ONE representative.
+    // Pairwise keep-first under-deletes exactly those chains; clusters are
+    // what production dedup (e.g. the public C4/RefinedWeb recipes) keeps.
+    Declared("q60_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val grpMin = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+        val exactEdges = docs
+          .select(col("doc_id").as("u"), grpMin.as("v"))
+          .filter(col("u") =!= col("v"))
+        val nearEdges = DedupQueries.lshNearPairs(s, dir)
+          .select(col("id_a").as("u"), col("id_b").as("v"))
+        ConnectedComponents(exactEdges.unionByName(nearEdges))
+          .select(col("node").as("doc_id"), col("rep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH RECURSIVE " + DedupQueries.duckSig.stripPrefix("WITH ") +
+        s""",
+          |near_pairs AS (${DedupQueries.duckPairsSelect}),
+          |exact_pairs AS (
+          |  SELECT m AS u, doc_id AS v FROM (
+          |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+          |    FROM documents) WHERE doc_id <> m),
+          |edges AS (
+          |  SELECT u, v FROM exact_pairs
+          |  UNION SELECT v, u FROM exact_pairs
+          |  UNION SELECT id_a, id_b FROM near_pairs
+          |  UNION SELECT id_b, id_a FROM near_pairs),
+          |reach(n, r) AS (
+          |  SELECT DISTINCT u, u FROM edges
+          |  UNION
+          |  SELECT e.u, rch.r FROM edges e JOIN reach rch ON rch.n = e.v)
+          |SELECT n AS doc_id, MIN(r) AS rep FROM reach GROUP BY n
+          |ORDER BY doc_id""".stripMargin)),
+
+    // q61 — benchmark DECONTAMINATION: flag training documents sharing any
+    // token 3-gram with the held-out eval set (stand-in: source = 'src0').
+    // The eval shingle set is tiny by construction → broadcast inner join;
+    // the training side streams through map-side, nothing all-pairs. This is
+    // the standard n-gram-overlap decontamination step (GPT-3 appendix C /
+    // FLAN recipes use 13-grams; the fixture's 10-99-token docs use 3-grams).
+    Declared("q61_decontaminate",
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(shingles3(col("text")))).as("sh"))
+        val evalSh = sh.filter(col("source") === "src0")
+          .select(col("sh")).distinct()
+        sh.filter(col("source") =!= "src0")
+          .join(broadcast(evalSh), "sh")
+          .groupBy(col("doc_id"))
+          .agg(big(count(lit(1))).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, source,
+             |  CASE WHEN len(tk) >= 3
+             |    THEN list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             |    ELSE [text] END AS sh FROM d),
+             |fl AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+             |ev AS (SELECT DISTINCT s FROM fl WHERE source = 'src0')
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             |FROM fl JOIN ev USING (s) WHERE source <> 'src0'
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q62 — repetition quality signals per document (Gopher-rule shape):
+    // duplicate-3-gram fraction and top-token frequency fraction. Both are
+    // explode → hash-aggregate (partial map-side), shuffling one counter row
+    // per (doc, token) — never the text.
+    Declared("q62_repetition",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+            size(tokens(col("text"))).as("n_tokens"),
+            size(shingles3(col("text"))).as("n_sh"),
+            size(array_distinct(shingles3(col("text")))).as("n_dist"))
+        val topTok = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("max_c"))
+        base.join(topTok, "doc_id")
+          .select(col("doc_id"),
+            big(col("n_tokens")).as("n_tokens"),
+            out6(lit(1) - dec(col("n_dist")) / col("n_sh")).as("dup_3gram_frac"),
+            out6(dec(col("max_c")) / col("n_tokens")).as("top_token_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, len(tk) AS n_tokens,
+             |  CASE WHEN len(tk) >= 3
+             |    THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+             |    ELSE [text] END AS sh FROM d),
+             |b AS (SELECT doc_id, n_tokens, len(sh) AS n_sh, len(list_distinct(sh)) AS n_dist FROM s),
+             |t AS (SELECT doc_id, MAX(c) AS max_c FROM (
+             |  SELECT doc_id, t, COUNT(*) AS c FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+             |  GROUP BY doc_id, t) GROUP BY doc_id)
+             |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(ROUND(1 - CAST(n_dist AS DECIMAL(18,6)) / n_sh, 6) AS DECIMAL(18,6)) AS dup_3gram_frac,
+             |  CAST(ROUND(CAST(max_c AS DECIMAL(18,6)) / b.n_tokens, 6) AS DECIMAL(18,6)) AS top_token_frac
+             |FROM b JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // q63 — PII-style pattern scrub over the events stream's JSON props:
+    // count pattern matches and distinct post-redaction shapes per event
+    // type. The digit-run pattern stands in for phone/SSN/account patterns —
+    // the operator (regexp_count + regexp_replace inside codegen, then
+    // hash-agg) is the production shape; patterns are config. Both regex
+    // dialects (Java here, RE2 in the oracle) agree on this pattern class.
+    Declared("q63_pii_scrub",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            regexp_count(col("props"), lit("[0-9]+")).as("n_runs"),
+            regexp_replace(col("props"), "[0-9]+", "<NUM>").as("red"))
+          .groupBy(col("event_type"))
+          .agg(big(sum(col("n_runs"))).as("n_numeric_runs"),
+            big(countDistinct(col("red"))).as("n_distinct_redacted"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_numeric_runs,
+             |  CAST(COUNT(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS n_distinct_redacted
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q64 — domain MIXING: deterministic down-sampling of over-represented
+    // sources toward a per-source target of total/(2·n_sources). Keep rule is
+    // pure integer arithmetic on an md5-uniform of doc_id —
+    // (h mod 10⁶)·cnt_s < target·10⁶ ⇔ u < min(1, target/cnt_s) — so the
+    // sample is a pure function of the data (reproducible across engines,
+    // retries, and partitionings; no RNG state). Two passes: per-source
+    // counts (tiny → broadcast), then one map-side filter + count.
+    Declared("q64_domain_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val target = cnt
+          .agg(sum(col("n_docs")).as("tot"), count(lit(1)).as("nsrc"))
+          .select(idiv(col("tot"), lit(2) * col("nsrc")).as("target"))
+        val kept = docs
+          .join(broadcast(cnt), "source")
+          .crossJoin(broadcast(target))
+          .filter(
+            (hexLong(md5(col("doc_id").cast("string")), 1, 15) % 1000000L)
+              * col("n_docs") < col("target") * 1000000L)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        cnt.join(kept, Seq("source"), "left")
+          .select(col("source"), big(col("n_docs")).as("n_docs"),
+            big(coalesce(col("n_kept"), lit(0L))).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+             |t AS (SELECT SUM(n_docs) // (2 * COUNT(*)) AS target FROM c),
+             |k AS (SELECT d.source, COUNT(*) AS n_kept
+             |  FROM documents d JOIN c ON c.source = d.source CROSS JOIN t
+             |  WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+             |        * c.n_docs < t.target * 1000000
+             |  GROUP BY d.source)
+             |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+             |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+             |FROM c LEFT JOIN k ON k.source = c.source
+             |ORDER BY c.source""".stripMargin)),
+
+    // q65 — vocabulary building: token document frequency, top 50 with a
+    // total-order tie-break. Distinct-tokens-per-doc explode → partial
+    // count map-side → TakeOrderedAndProject; the full vocabulary never
+    // lands on one node.
+    Declared("q65_vocab_df",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(explode(array_distinct(tokens(col("text")))).as("token"))
+          .groupBy(col("token")).agg(big(count(lit(1))).as("df"))
+          .orderBy(col("df").desc, col("token"))
+          .limit(50)
+      },
+      Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+             |  FROM documents)
+             |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin))
+  )
+}

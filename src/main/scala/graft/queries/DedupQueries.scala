@@ -33,7 +33,7 @@ object DedupQueries extends QueryModule {
     * b_j = (j·2246822519) mod P. All intermediates < 2^63 (DuckDB errors on
     * BIGINT overflow, so this is load-bearing, not cosmetic).
     */
-  private val duckSig =
+  private[queries] val duckSig =
     """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id,
       |  CASE WHEN len(tk) >= 3
@@ -98,7 +98,7 @@ object DedupQueries extends QueryModule {
   /** The DuckDB twin of lshNearPairs' OUTPUT (pairs surviving est ≥ 0.5),
     * shared verbatim by the q32 oracle and the q57 verification oracle.
     */
-  private val duckPairsSelect =
+  private[queries] val duckPairsSelect =
     """SELECT id_a, id_b, est_jaccard FROM (
       |  SELECT c.id_a, c.id_b,
       |    CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
