@@ -47,6 +47,12 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // Convergence probe: labels only ever DECREASE (least/min of node ids),
+    // so Σ label strictly decreases until the fixpoint — one map-side
+    // aggregate over the already-checkpointed round, no join needed.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -63,12 +69,10 @@ object ConnectedComponents {
           Seq("label"), "left")
         .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old"))
-        .limit(1).count() > 0
+      val nextSum = labelSum(next)
       labels = next
-      converged = !changed
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     require(converged, s"connectedComponents: not converged after $maxIters rounds")
