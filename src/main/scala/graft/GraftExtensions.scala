@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, ShingleExplode}
+import graft.functions.{CosineSimilarity, DotProduct, ShingleArray, ShingleExplode}
 
 /** Session extensions: install with
   * `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -24,6 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.binary("dot_product", DotProduct)))
     // optimizer: HOF dot-product idiom -> codegen'd DotProduct
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    ext.injectFunction((
+      FunctionIdentifier("shingle_array"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+      {
+        case Seq(t) => ShingleArray(t, distinct = false)
+        case Seq(t, d: org.apache.spark.sql.catalyst.expressions.Literal) =>
+          ShingleArray(t, distinct = d.value == true)
+        case other => throw new IllegalArgumentException(
+          s"shingle_array requires (text[, distinct]), got ${other.size} args")
+      }))
     ext.injectFunction((
       FunctionIdentifier("explode_shingles"),
       new ExpressionInfo(classOf[ShingleExplode].getName, "explode_shingles"),

@@ -29,9 +29,26 @@ object TextFunctions {
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Token 3-gram shingles; documents shorter than 3 tokens degrade to a
-    * single whole-text shingle.
+    * single whole-text shingle. Dispatches to the codegen'd ShingleArray
+    * expression — the HOF formulation (shingles3Hof) evaluates interpreted,
+    * one closure + slice allocation per shingle, ~2× the signature-stage
+    * cost on the dedup hot path.
     */
-  def shingles3(text: Column): Column = {
+  def shingles3(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ShingleArray(org.apache.spark.sql.GraftSqlBridge.expression(text), distinct = false))
+
+  /** First-occurrence-distinct shingles — fused `array_distinct(shingles3)`
+    * (one hash-set pass inside the same codegen call).
+    */
+  def shingles3Distinct(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ShingleArray(org.apache.spark.sql.GraftSqlBridge.expression(text), distinct = true))
+
+  /** HOF reference formulation of shingles3 — kept as the cross-check for
+    * the codegen expression (TextFunctionsSpec pins parity).
+    */
+  def shingles3Hof(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2), i => concat_ws(" ", slice(toks, i, lit(3)))))

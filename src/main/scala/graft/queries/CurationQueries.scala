@@ -68,7 +68,7 @@ object CurationQueries extends QueryModule {
       (s, dir) => {
         val sh = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            explode(array_distinct(shingles3(col("text")))).as("sh"))
+            explode(shingles3Distinct(col("text"))).as("sh"))
         val evalSh = sh.filter(col("source") === "src0")
           .select(col("sh")).distinct()
         sh.filter(col("source") =!= "src0")
@@ -98,7 +98,7 @@ object CurationQueries extends QueryModule {
         val base = docs.select(col("doc_id"),
             size(tokens(col("text"))).as("n_tokens"),
             size(shingles3(col("text"))).as("n_sh"),
-            size(array_distinct(shingles3(col("text")))).as("n_dist"))
+            size(shingles3Distinct(col("text"))).as("n_dist"))
         val topTok = docs
           .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))

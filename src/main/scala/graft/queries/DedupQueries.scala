@@ -72,7 +72,7 @@ object DedupQueries extends QueryModule {
     */
   def lshNearPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val laned = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(shingles3(col("text")))).as("sh"))
+      .select(col("doc_id"), explode(shingles3Distinct(col("text"))).as("sh"))
       .select(col("doc_id") +: minhashLaneHashes(col("sh"), K): _*)
     val comps = (1 to K).map(j => min(col(s"h$j")).as(s"m$j"))
     val sigs = laned
@@ -155,7 +155,7 @@ object DedupQueries extends QueryModule {
         // pairs that SHARE a shingle ever exist; |A∪B| = |A|+|B|−common.
         val flat = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"),
-            explode(array_distinct(shingles3(col("text")))).as("sh"))
+            explode(shingles3Distinct(col("text"))).as("sh"))
           .persist()
         val sizes = flat.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val a = flat.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id_a"))

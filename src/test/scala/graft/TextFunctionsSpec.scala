@@ -24,6 +24,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(oneSeq(shingles3(col("text")), "a b") == Seq("a b"))
   }
 
+  test("shingles: codegen expression matches the HOF reference formulation") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b c d e", "a b", "x", "", "a  b c d", // double space keeps empty token
+      "tok1 tok2 tok1 tok2 tok1 tok2",          // duplicate shingles
+      "é ü 中文 🎉 plain txt")                   // non-ASCII survives byte round-trip
+    texts.foreach { t =>
+      assert(oneSeq(shingles3(col("text")), t) ==
+        oneSeq(shingles3Hof(col("text")), t), s"all-shingles parity for '$t'")
+      assert(oneSeq(shingles3Distinct(col("text")), t) ==
+        oneSeq(array_distinct(shingles3Hof(col("text"))), t), s"distinct parity for '$t'")
+    }
+    // SQL registry path
+    val viaSql = Seq("a b c d").toDF("text")
+      .selectExpr("shingle_array(text, true) AS sh").collect().head.getSeq[String](0)
+    assert(viaSql == Seq("a b c", "b c d"))
+  }
+
   test("minhash: identical docs share full signature; permuted docs mostly overlap") {
     import spark.implicits._
     val df = Seq(
