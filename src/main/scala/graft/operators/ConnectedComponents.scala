@@ -44,8 +44,13 @@ object ConnectedComponents {
     // round and restarts lineage from the stored blocks; on a real cluster
     // with executor loss in play, swap in reliable checkpoint() to a
     // distributed FS — same call shape, fault-tolerant blocks.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed with round 1's neighbor-min already applied: label₀(n) =
+    // min(n, min neighbor) — one aggregation instead of a distinct plus a
+    // full propagate round (every node appears as src of the bidirectional
+    // edge list, so the groupBy also enumerates the node set).
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("label"))
       .localCheckpoint(true)
     // Convergence probe: labels only ever DECREASE (least/min of node ids),
     // so Σ label strictly decreases until the fixpoint — one map-side
