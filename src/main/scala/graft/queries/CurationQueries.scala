@@ -66,9 +66,8 @@ object CurationQueries extends QueryModule {
     // FLAN recipes use 13-grams; the fixture's 10-99-token docs use 3-grams).
     Declared("q61_decontaminate",
       (s, dir) => {
-        val sh = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            explode(shingles3Distinct(col("text"))).as("sh"))
+        val sh = SharedStages.docShingles(s, dir)
+          .select(col("doc_id"), col("source"), col("sh"))
         val evalSh = sh.filter(col("source") === "src0")
           .select(col("sh")).distinct()
         sh.filter(col("source") =!= "src0")

@@ -19,9 +19,9 @@ import Protocol._
   */
 object DedupQueries extends QueryModule {
 
-  private val K = 16      // minhash signature length
-  private val BANDS = 4   // LSH bands
-  private val ROWS = 4    // rows per band (K = BANDS * ROWS)
+  private[queries] val K = 16      // minhash signature length
+  private[queries] val BANDS = 4   // LSH bands
+  private[queries] val ROWS = 4    // rows per band (K = BANDS * ROWS)
 
   /** Shared DuckDB CTEs: shingles, minhash signatures, LSH band keys and
     * candidate pairs — defined ONCE so q32 and q47 can never drift apart on
@@ -53,47 +53,16 @@ object DedupQueries extends QueryModule {
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
   /** The MinHash-LSH near-duplicate pair stage, shared by q32 (which emits
-    * the pairs) and q47 (which drops the higher id of each pair) so the two
-    * queries can never diverge and the expensive signature stage exists in
-    * ONE place. Returns (id_a, id_b, est_jaccard ≥ 0.5), unordered.
-    *
-    * Shaped for scale: explode shingles, compute the 16 lane hashes PER
-    * OCCURRENCE (one md5 + pure integer arithmetic each — cheap enough that
-    * re-hashing a repeated shingle beats de-duplicating it), then ONE
-    * hash-aggregate with 16 codegen'd min columns. Partial min runs
-    * map-side, so the exploded occurrence set is NEVER shuffled — each
-    * partition emits ≤ one 16-long row per doc. The earlier
-    * distinct-vocabulary + join-back design looked thrifty but shuffles
-    * every occurrence once for the distinct and (beyond broadcast scale)
-    * again for the join — two full shuffles bought back 10× less md5 work,
-    * a bad trade once a signature costs one digest. Banding turns candidate
-    * generation into an equi-join on (band index, band hash): only
-    * documents agreeing on a full band ever meet — never O(n²).
+    * the pairs), q47 (which drops the higher id of each pair), q57 (which
+    * verifies the pairs) and q60 (which clusters them) so the four can never
+    * diverge and the expensive signature stage is COMPUTED ONCE per
+    * (session, dir) — SharedStages materializes shingles → signatures →
+    * pairs to parquet and every consumer reads the written stage. Returns
+    * (id_a, id_b, est_jaccard ≥ 0.5), unordered. Shape rationale lives on
+    * SharedStages.minhashSigs / lshPairs.
     */
-  def lshNearPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val laned = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles3Distinct(col("text"))).as("sh"))
-      .select(col("doc_id") +: minhashLaneHashes(col("sh"), K): _*)
-    val comps = (1 to K).map(j => min(col(s"h$j")).as(s"m$j"))
-    val sigs = laned
-      .groupBy(col("doc_id"))
-      .agg(comps.head, comps.tail: _*)
-      .select(col("doc_id"), array((1 to K).map(j => col(s"m$j")): _*).as("sig"))
-      .persist()
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
-    val a = banded.select(col("band_idx"), col("band"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("est_jaccard", out6(dec(sigMatchCount(col("sig_a"), col("sig_b"), K)) / K))
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
-  }
+  def lshNearPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    SharedStages.lshPairs(s, dir)
 
   /** The DuckDB twin of lshNearPairs' OUTPUT (pairs surviving est ≥ 0.5),
     * shared verbatim by the q32 oracle and the q57 verification oracle.
@@ -153,10 +122,13 @@ object DedupQueries extends QueryModule {
         // and count matches per pair, instead of materializing doc-pair rows
         // carrying whole shingle arrays and intersecting per pair. Only
         // pairs that SHARE a shingle ever exist; |A∪B| = |A|+|B|−common.
-        val flat = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("source"),
-            explode(shingles3Distinct(col("text"))).as("sh"))
-          .persist()
+        // `flat` is the materialized shared shingle stage (parquet-backed,
+        // no executor cache to leak); `sizes` joins UNHINTED — it is one row
+        // per document, i.e. corpus-sized, and a forced broadcast of it
+        // would OOM every executor at 100 TB. AQE still broadcasts it at
+        // runtime when it measures small; at scale it shuffle-joins on the
+        // pair side's id key, which is cheap (`common` is already hashed).
+        val flat = SharedStages.docShingles(s, dir)
         val sizes = flat.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val a = flat.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id_a"))
         val b = flat.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id_b"))
@@ -165,8 +137,8 @@ object DedupQueries extends QueryModule {
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("common"))
         common
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
           .withColumn("jaccard",
             out6(dec(col("common")) / (col("sz_a") + col("sz_b") - col("common"))))
           .filter(col("jaccard") >= 0.5)
