@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by min-label propagation with pointer
@@ -19,28 +19,44 @@ import org.apache.spark.sql.functions._
   * Components in MapReduce and Beyond", SoCC'14), with the label table
   * playing the parent array.
   *
-  * Scale notes (100 TB): `edges` is persisted so each round touches the
-  * deduplicated edge list, never the upstream candidate generator; min() is
-  * map-side combinable so hub nodes don't skew step (1); step (2)'s join key
-  * is the label, where big components concentrate — AQE's skew-join split
-  * handles that at runtime. The only driver-side value per round is the
-  * 1-bit "did any label change" convergence probe.
+  * Scale notes (100 TB):
+  *   - `edges` is persisted so each round touches the deduplicated edge
+  *     list, never the upstream candidate generator; min() is map-side
+  *     combinable so hub nodes don't skew step (1).
+  *   - The convergence probe rides the checkpoint job as an `observe()`
+  *     metric (labels only ever decrease, so Σ label is strictly monotone
+  *     until the fixpoint) — zero extra jobs or driver round-trips.
+  *   - l₁ is materialized once per round; the pointer-double join consumes
+  *     the stored blocks twice instead of recomputing the neighbor-min
+  *     subplan for both join sides.
+  *   - Step (2)'s probe side concentrates on a giant component's label. The
+  *     hot-label split bounds that structurally: labels owning ≥
+  *     `hotLabelThreshold` nodes (at most n/threshold of them — a bounded,
+  *     model-sized set, like a centroid table) resolve through a broadcast
+  *     map; only keys with < threshold rows ever reach the shuffled join.
+  *     AQE's skew split remains as backstop for the cold path.
   */
 object ConnectedComponents {
 
   /** @param pairs two-column DataFrame of undirected edges (u, v)
+    * @param maxIters convergence bound; O(log n) rounds are expected, so 25
+    *                 covers any plausible corpus (2^25 pointer depth)
+    * @param hotLabelThreshold pointer-double probe keys with at least this
+    *                 many rows are resolved via broadcast instead of shuffle
     * @return (node, rep) — rep is the minimum node id reachable from node;
     *         every node that appears in `pairs` gets a row
     */
-  def apply(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def apply(pairs: DataFrame, maxIters: Int = 25,
+      hotLabelThreshold: Long = 100000L): DataFrame = {
     val e0 = pairs.toDF("u", "v")
     val edges = e0.union(e0.select(col("v"), col("u")))
       .toDF("src", "dst")
       .distinct()
       .persist()
-    // Each round's result is localCheckpoint'ed (eager): `next` references l₁
-    // TWICE, so without lineage truncation the logical plan doubles per round
-    // and planning itself goes exponential. localCheckpoint materializes the
+    // Each round's result is localCheckpoint'ed (eager): the pointer-double
+    // join references l₁ TWICE, so without materialization the neighbor-min
+    // subplan runs twice per round and the logical plan doubles per round
+    // (planning itself goes exponential). localCheckpoint materializes the
     // round and restarts lineage from the stored blocks; on a real cluster
     // with executor loss in play, swap in reliable checkpoint() to a
     // distributed FS — same call shape, fault-tolerant blocks.
@@ -48,33 +64,69 @@ object ConnectedComponents {
     // min(n, min neighbor) — one aggregation instead of a distinct plus a
     // full propagate round (every node appears as src of the bidirectional
     // edge list, so the groupBy also enumerates the node set).
-    var labels = edges.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("nbr"))
-      .select(col("node"), least(col("node"), col("nbr")).as("label"))
-      .localCheckpoint(true)
-    // Convergence probe: labels only ever DECREASE (least/min of node ids),
-    // so Σ label strictly decreases until the fixpoint — one map-side
-    // aggregate over the already-checkpointed round, no join needed.
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("label"))).head.getLong(0)
-    var prevSum = labelSum(labels)
+    def checkpointObserved(df: DataFrame, name: String): (DataFrame, Long, Long) = {
+      val obs = Observation(name)
+      val out = df
+        .observe(obs, sum(col("label")).as("s"), count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val m = obs.get
+      // sum() over an empty frame is NULL — treat as 0 (degenerate empty graph)
+      val s = Option(m("s")).fold(0L)(_.asInstanceOf[Long])
+      (out, s, m("n").asInstanceOf[Long])
+    }
+    var (labels, prevSum, _) = checkpointObserved(
+      edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("nbr"))
+        .select(col("node"), least(col("node"), col("nbr")).as("label")),
+      "cc_seed")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // (1) neighbor-min, materialized once — both pointer-double sides and
+      // the hot-label count read the stored blocks.
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
-      val l1 = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-      // l₂(n) = l₁(l₁(n)): labels are always node ids, so l₁ has a row for
-      // every label value; left+coalesce is only a safety net
-      val next = l1
-        .join(l1.select(col("node").as("label"), col("label").as("label2")),
-          Seq("label"), "left")
-        .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+      val (l1, _, l1Rows) = checkpointObserved(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label")),
+        s"cc_l1_$iter")
+      // (2) l₂(n) = l₁(l₁(n)): labels are always node ids, so l₁ has a row
+      // for every label value; left+coalesce is only a safety net. Hot
+      // labels (≥ threshold probe rows) resolve via a driver-collected map —
+      // bounded at n/threshold entries, each one (label, l₁(label)) pair —
+      // so no shuffle key ever carries a giant component's full row set.
+      // Detection is gated on l1's total row count (observed on the
+      // checkpoint job, so below threshold — e.g. any test-scale run — it
+      // costs literally nothing).
+      val lookup = l1.select(col("node").as("label"), col("label").as("label2"))
+      val hotMap: Map[Long, Long] =
+        if (l1Rows < hotLabelThreshold) Map.empty
+        else l1.groupBy(col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= hotLabelThreshold)
+          .select(col("label"))
+          .join(lookup, Seq("label"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+      val pointered =
+        if (hotMap.isEmpty) {
+          l1.join(lookup, Seq("label"), "left")
+            .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
+        } else {
+          val hotDf = broadcast(
+            l1.sparkSession.createDataFrame(hotMap.toSeq).toDF("label", "hot2"))
+          val marked = l1.join(hotDf, Seq("label"), "left")
+          val hotDone = marked.filter(col("hot2").isNotNull)
+            .select(col("node"), col("hot2").as("label"))
+          val coldDone = marked.filter(col("hot2").isNull)
+            .join(lookup, Seq("label"), "left")
+            .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
+          hotDone.union(coldDone)
+        }
+      val (next, nextSum, _) = checkpointObserved(pointered, s"cc_round_$iter")
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

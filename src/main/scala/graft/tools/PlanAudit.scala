@@ -1,20 +1,34 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 /** Prints condensed physical plans for representative declared queries —
-  * the pushdown/broadcast/codegen audit (run per round, paste into PLANS.md). */
+  * the pushdown/broadcast/codegen audit (run per round, paste into PLANS.md).
+  *
+  * Second arg `scale` simulates the 100 TB planning regime by setting
+  * `spark.sql.autoBroadcastJoinThreshold=-1`: cost-based broadcasts (chosen
+  * because a table *measures* small at test SF) disappear, so any
+  * BroadcastExchange that SURVIVES is hint-forced and would still be forced
+  * when the table is corpus-sized — i.e. a scale-killer. Intentional forced
+  * broadcasts of genuinely bounded tables (dims, centroid models, eval sets)
+  * are expected to appear; a forced broadcast of a per-document/per-fact
+  * table is a bug.
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sp = SparkSession.builder().master("local[8]")
+    val scaleMode = args.length > 1 && args(1) == "scale"
+    val b = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions","8").config("spark.sql.adaptive.enabled","true")
-      .config("spark.sql.session.timeZone","UTC").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.session.timeZone","UTC").config("spark.ui.enabled","false")
+    if (scaleMode) b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val sp = b.getOrCreate()
     sp.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val interesting = args.headOption.map(_.split(",").toSeq).getOrElse(Seq(
+    val interesting = args.headOption.filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq(
       "q01_filter_project", "q04_join_agg", "q05_join3_month", "q08_semi_join",
       "q16_window_rank", "q26_vector_topk", "q32_minhash_pairs", "q37_range_join"))
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(sp, dir)
-      println(s"===== $name =====")
+      println(s"===== $name${if (scaleMode) " [scale: auto-broadcast off]" else ""} =====")
       val plan = df.queryExecution.executedPlan.toString
       plan.linesIterator
         .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema")

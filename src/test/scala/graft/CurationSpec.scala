@@ -32,4 +32,21 @@ class CurationSpec extends AnyFunSuite {
     val got = ConnectedComponents(pairs).as[(Long, Long)].collect().toMap
     assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 2L))
   }
+
+  test("connected components: giant component through the hot-label broadcast path") {
+    import spark.implicits._
+    // One giant component (a 10k-node path — worst-case diameter) unioned
+    // with a 500-leaf star: the path's min label ends up owning ~10k nodes,
+    // far over the test threshold of 64, so pointer doubling MUST route the
+    // giant label through the broadcast map while the star stays on the
+    // shuffled cold path. Converges within the O(log n) bound (2^15 >> 10k).
+    val path = (0L until 9999L).map(i => (i, i + 1L))
+    val star = (1L to 500L).map(i => (20000L, 20000L + i))
+    val pairs = (path ++ star).toDF("u", "v")
+    val got = ConnectedComponents(pairs, maxIters = 16, hotLabelThreshold = 64L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 10501)
+    assert((0L until 10000L).forall(got(_) == 0L))
+    assert((20000L to 20500L).forall(got(_) == 20000L))
+  }
 }
