@@ -86,6 +86,54 @@ object EventQueries extends QueryModule {
              |WINDOW w AS (PARTITION BY user_id
              |  ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
              |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // q66 — the STREAMING half of the engine under the DuckDB gate: q22's
+    // tumbling-window semantics executed through the real Structured
+    // Streaming path (file micro-batch source → windowed streaming
+    // aggregation → foreachBatch parquet sink → read back), hash-matched
+    // against the SAME oracle as batch q22. The events table is replayed as
+    // 4 parquet files at one file per trigger, so the aggregation genuinely
+    // runs incrementally across micro-batches (reference semantic:
+    // `main.py:36-47` + `lambda_function.py:26`).
+    //
+    // Output mode is `complete` + overwrite because this is a bounded
+    // REPLAY: at end-of-input the watermark never passes the last window, so
+    // `append` would withhold it forever — a liveness property of unbounded
+    // streams, not a correctness property of this harness. The production
+    // unbounded twin (append + watermark + idempotent batch sink) is
+    // Ingest.windowedTsvSink / Loader.writeBatchIdempotent, ScalaTest-
+    // covered; foreachBatch-overwrite here is the same idempotent-sink
+    // pattern (a Lambda retry = batch replay = same files rewritten).
+    Declared("q66_stream_tumbling",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val events = Tables.load(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+        val base = java.nio.file.Files.createTempDirectory("graft-q66-").toString
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        val stream = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val agg = stream
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n"), out6(sum(dec(col("value")))).as("sum_value"))
+          .select(tsec(col("window").getField("start")).as("w"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy(col("w"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
