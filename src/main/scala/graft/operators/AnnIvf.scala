@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions
 import graft.queries.VectorQueries.groupedTopK
+import graft.sources.BucketedTables
 
 /** IVF (inverted-file) approximate nearest neighbour — the second scale path
   * from SURVEY §2.2 ("an IVF or LSH-bucketed variant") next to AnnLsh.
@@ -79,6 +80,35 @@ object AnnIvf {
     val qs = queries
       .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
     val scored = cands.join(qs, "cluster")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe")))
+    groupedTopK(scored, "qid", k, Seq(col("cos").desc, col("vec_id")))
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
+
+  /** Materialize the inverted lists ONCE: the corpus assignment is written as
+    * a managed parquet table bucketed by cluster id. Every subsequent query
+    * batch skips re-assignment (the expensive centroid scoring over the full
+    * corpus) and joins straight onto the stored lists.
+    */
+  def buildIndex(emb: DataFrame, centroids: Array[Array[Double]],
+      table: String, buckets: Int = 8): Unit =
+    BucketedTables.writeBucketed(assign(emb, centroids), table, "cluster", buckets)
+
+  /** Search a prebuilt index: a pure equi-join of the (bounded, broadcast)
+    * probe batch onto the bucketed cluster key — the corpus side streams out
+    * of its buckets with NO shuffle exchange (pinned by ScaleOpsSpec); the
+    * only shuffle in the plan is groupedTopK's k·partitions-row partial
+    * top-k merge. At 100 TB this is the IVF search you want: index built
+    * once per corpus version, per-batch cost independent of corpus
+    * assignment.
+    */
+  def topKIndexed(spark: SparkSession, table: String, queries: DataFrame,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
+    val cands = spark.table(table)
+    val qs = queries
+      .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
+    val scored = cands.join(broadcast(qs), "cluster")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe")))
     groupedTopK(scored, "qid", k, Seq(col("cos").desc, col("vec_id")))

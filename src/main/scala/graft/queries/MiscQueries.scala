@@ -99,12 +99,15 @@ object MiscQueries extends QueryModule {
       Some(BruteForceTop3Sql)),
 
     // q46 — IVF ANN (operators.AnnIvf): deterministic k-means buckets,
-    // nprobe search. With nprobe = k (all 8 inverted lists probed) the
-    // search is exhaustive BY CONSTRUCTION — every candidate is in exactly
-    // one list and every list is probed — so brute-force exact top-k is a
-    // valid oracle regardless of how training placed the centroids, while
-    // the full train/assign/probe machinery still executes. The
-    // genuinely-approximate nprobe<k config keeps its recall bound in
+    // nprobe search THROUGH THE PERSISTED INDEX — the inverted lists are
+    // written once as a bucketed table and the search is a broadcast
+    // equi-join onto them (no re-assignment, no corpus-side shuffle;
+    // ScaleOpsSpec pins the plan). With nprobe = k (all 8 inverted lists
+    // probed) the search is exhaustive BY CONSTRUCTION — every candidate is
+    // in exactly one list and every list is probed — so brute-force exact
+    // top-k is a valid oracle regardless of how training placed the
+    // centroids, while the full train/build/probe machinery still executes.
+    // The genuinely-approximate nprobe<k config keeps its recall bound in
     // AnnMultimodalSpec.
     Declared("q46_ann_ivf",
       (s, dir) => {
@@ -113,7 +116,8 @@ object MiscQueries extends QueryModule {
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("e").as("qe"))
         val centroids = AnnIvf.trainCentroids(e, k = 8, iters = 2, dim = 64)
-        AnnIvf.topK(e, q, k = 3, centroids, nprobe = 8)
+        AnnIvf.buildIndex(e, centroids, table = "ivf_idx")
+        AnnIvf.topKIndexed(s, "ivf_idx", q, k = 3, centroids, nprobe = 8)
           .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
           .orderBy(col("qid"), col("rn"))
       },

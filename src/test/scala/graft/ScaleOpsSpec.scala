@@ -60,6 +60,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(counts(1) == 500 + 100 - 0) // i%50==1 (100) plus i%10==0 (500) hot rows
   }
 
+  test("persisted IVF index: search joins the bucketed lists with no corpus shuffle") {
+    import graft.operators.AnnIvf
+    val e = graft.model.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val centroids = AnnIvf.trainCentroids(e, k = 4, iters = 1, dim = 64)
+    AnnIvf.buildIndex(e, centroids, table = "ivf_idx_spec", buckets = 4)
+    val indexed = AnnIvf.topKIndexed(spark, "ivf_idx_spec", q, k = 3, centroids, nprobe = 2)
+    // identical results to the assign-per-batch path with the same model
+    val direct = AnnIvf.topK(e, q, k = 3, centroids, nprobe = 2)
+    assert(indexed.exceptAll(direct).count() == 0 && direct.exceptAll(indexed).count() == 0)
+    // plan pin: the probe batch broadcasts onto the stored lists — the
+    // corpus side must reach the join straight from its buckets, never
+    // through a shuffle on the cluster key (the only hashpartitioning
+    // exchange allowed is groupedTopK's per-qid top-k merge)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(cluster"),
+      s"corpus side re-shuffled on the cluster key:\n$plan")
+  }
+
   test("int8-quantized embeddings preserve brute-force top-k") {
     import graft.functions.VectorFunctions._
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
