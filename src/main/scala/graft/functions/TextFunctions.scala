@@ -41,9 +41,15 @@ object TextFunctions {
   /** First-occurrence-distinct shingles — fused `array_distinct(shingles3)`
     * (one hash-set pass inside the same codegen call).
     */
-  def shingles3Distinct(text: Column): Column =
+  def shingles3Distinct(text: Column): Column = shinglesDistinct(text, 3)
+
+  /** Width-parametric first-occurrence-distinct token n-gram shingles;
+    * documents shorter than n tokens degrade to one whole-text shingle.
+    * Width 13 is the public GPT-3/FLAN decontamination recipe.
+    */
+  def shinglesDistinct(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
-      ShingleArray(org.apache.spark.sql.GraftSqlBridge.expression(text), distinct = true))
+      ShingleArray(org.apache.spark.sql.GraftSqlBridge.expression(text), distinct = true, n = n))
 
   /** HOF reference formulation of shingles3 — kept as the cross-check for
     * the codegen expression (TextFunctionsSpec pins parity).

@@ -58,22 +58,22 @@ object CurationQueries extends QueryModule {
           |SELECT n AS doc_id, MIN(r) AS rep FROM reach GROUP BY n
           |ORDER BY doc_id""".stripMargin)),
 
-    // q61 — benchmark DECONTAMINATION: flag training documents sharing any
-    // token 3-gram with the held-out eval set (stand-in: source = 'src0').
-    // The eval shingle set is tiny by construction → broadcast inner join;
-    // the training side streams through map-side, nothing all-pairs. This is
-    // the standard n-gram-overlap decontamination step (GPT-3 appendix C /
-    // FLAN recipes use 13-grams; the fixture's 10-99-token docs use 3-grams).
+    // q61 — benchmark DECONTAMINATION (operators.Decontaminate): flag
+    // training documents sharing any token n-gram with the held-out eval
+    // set (stand-in: source = 'src0'). The eval shingle set is tiny by
+    // construction → broadcast inner join; the training side streams
+    // through map-side, nothing all-pairs. The fixture config is width 3
+    // over the materialized shared shingle stage (the 10-99-token synthetic
+    // docs are too short for the production width-13 GPT-3/FLAN default,
+    // which CurationSpec exercises on a synthetic eval set).
     Declared("q61_decontaminate",
       (s, dir) => {
         val sh = SharedStages.docShingles(s, dir)
           .select(col("doc_id"), col("source"), col("sh"))
-        val evalSh = sh.filter(col("source") === "src0")
-          .select(col("sh")).distinct()
-        sh.filter(col("source") =!= "src0")
-          .join(broadcast(evalSh), "sh")
-          .groupBy(col("doc_id"))
-          .agg(big(count(lit(1))).as("n_hits"))
+        graft.operators.Decontaminate.fromShingles(
+            sh.filter(col("source") =!= "src0"),
+            sh.filter(col("source") === "src0"))
+          .select(col("doc_id"), big(col("n_hits")).as("n_hits"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),

@@ -33,6 +33,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 2L))
   }
 
+  test("decontamination at the width-13 default: only a full 13-token overlap flags") {
+    import spark.implicits._
+    val evalDoc = (1 to 20).map(i => s"e$i").mkString(" ") // 20 eval tokens
+    // t1 embeds eval tokens 4..16 verbatim (a full 13-gram) -> contaminated;
+    // t2 shares only a 12-token run (e4..e15) -> clean at width 13;
+    // t3 is disjoint -> clean; t4 is shorter than 13 tokens, degrades to a
+    // whole-text shingle that is not itself in the eval set -> clean.
+    val t1 = ("x " + (4 to 16).map(i => s"e$i").mkString(" ") + " y z q r s").trim
+    val t2 = ("x " + (4 to 15).map(i => s"e$i").mkString(" ") + " y z q r s w").trim
+    val t3 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val t4 = "e4 e5 e6"
+    val train = Seq((1L, t1), (2L, t2), (3L, t3), (4L, t4)).toDF("doc_id", "text")
+    val eval_ = Seq(Tuple1(evalDoc)).toDF("text")
+    val got = graft.operators.Decontaminate(train, eval_)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L))
+  }
+
   test("connected components: giant component through the hot-label broadcast path") {
     import spark.implicits._
     // One giant component (a 10k-node path — worst-case diameter) unioned
