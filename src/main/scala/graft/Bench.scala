@@ -9,11 +9,21 @@ import org.apache.spark.sql.SparkSession
   * (a bare count() would let Catalyst prune the projected columns and
   * under-report scan/compute cost). One warmup query amortizes JVM/codegen
   * startup out of the first measurement.
+  *
+  * Per query the MEDIAN of SPARK_GRAFT_REPS (default 3) runs is reported:
+  * single-shot timings on a shared host carry a documented ±40% noise band
+  * (BASELINE.md), which made round-over-round regressions unattributable.
+  * The dedup family's shared shingle/signature/pair stage (SharedStages) is
+  * built once and timed as its own `shared_stage_build` entry — with
+  * medians, the one-time build would otherwise vanish from every consumer's
+  * median (first rep builds, later reps reuse), silently under-reporting
+  * the suite. `total` = sum of query medians + the stage build.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -34,27 +44,38 @@ object Bench {
       force(li.groupBy("l_returnflag").agg(sum("l_quantity")).orderBy("l_returnflag"))
     } catch { case _: Throwable => }
 
-    // a failed query reports -1, never a fast fake success — the baseline
-    // gate must see breakage, not a speedup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(run: () => Unit): Double = {
       val t0 = System.nanoTime()
-      val ok = try { force(fn(spark, sfDir)); true } catch {
+      val ok = try { run(); true } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] failed: ${e.getMessage}"); false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // after timing: unpersist cost isn't the query's; the GC lets the
-      // ContextCleaner reap dead broadcasts/shuffles between queries (their
+      // ContextCleaner reap dead broadcasts/shuffles between runs (their
       // cleanup is reference-triggered and otherwise lands inside a later
-      // query's measurement)
+      // run's measurement)
       spark.catalog.clearCache()
       System.gc()
-      name -> (if (ok) elapsed else -1.0)
+      if (ok) elapsed else -1.0
     }
+    // a failed run reports -1, never a fast fake success — the baseline
+    // gate must see breakage, not a speedup; one failure poisons the median
+    def median(run: () => Unit): Double = {
+      val ts = (1 to reps).map(_ => timed(run)).sorted
+      if (ts.head < 0) -1.0 else ts(ts.length / 2)
+    }
+
+    // the one-time shared-stage materialization, timed on its own
+    val stageBuild = timed(() => force(queries.SharedStages.lshPairs(spark, sfDir)))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> median(() => force(fn(spark, sfDir)))
+    } :+ ("shared_stage_build" -> stageBuild)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

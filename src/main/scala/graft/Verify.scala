@@ -72,6 +72,20 @@ object Verify {
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       entries.mkString("{", ",", "}"))
+    // Storage hygiene: after a full sequential run nothing may stay cached —
+    // the query paths use written parquet stages, not persist(), and the
+    // only block-storage users (ConnectedComponents' transient edge persist
+    // and localCheckpoints) release on completion via the ContextCleaner.
+    // Drain (reference-triggered cleanup needs a GC) and report; a leak here
+    // means a long-lived session would accumulate executor memory.
+    spark.catalog.clearCache()
+    var tries = 0
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty && tries < 20) {
+      System.gc(); Thread.sleep(250); tries += 1
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs
+    System.err.println(s"[verify] storage_clean=${leaked.isEmpty}" +
+      (if (leaked.nonEmpty) s" leaked_rdds=${leaked.keys.mkString(",")}" else ""))
     spark.stop()
   }
 }

@@ -33,6 +33,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 2L))
   }
 
+  test("dedup-family plans hold no executor cache (shared stages are written, not persisted)") {
+    // The old per-query persist()s leaked cached stages into long-lived
+    // sessions; SharedStages materializes to parquet instead. Pin that: the
+    // optimized plans of every shared-stage consumer contain no
+    // InMemoryRelation (cache) node — race-free against the parallel suite,
+    // unlike asserting global storage status on the shared session.
+    for (name <- Seq("q32_minhash_pairs", "q34_ngram_jaccard", "q47_dedup_corpus",
+        "q57_edit_verify", "q61_decontaminate")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val cached = df.queryExecution.optimizedPlan.collect {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation => im
+      }
+      assert(cached.isEmpty, s"$name plan caches: $cached")
+    }
+  }
+
   test("decontamination at the width-13 default: only a full 13-token overlap flags") {
     import spark.implicits._
     val evalDoc = (1 to 20).map(i => s"e$i").mkString(" ") // 20 eval tokens
