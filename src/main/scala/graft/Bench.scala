@@ -67,7 +67,8 @@ object Bench {
     }
 
     // the one-time shared-stage materialization, timed on its own
-    val stageBuild = timed(() => force(queries.SharedStages.lshPairs(spark, sfDir)))
+    // (dedupClusters builds shingles → sigs → pairs → cluster map)
+    val stageBuild = timed(() => force(queries.SharedStages.dedupClusters(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> median(() => force(fn(spark, sfDir)))

@@ -1,12 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnOps.{hexLong, idiv}
 import graft.functions.TextFunctions._
 import graft.model.Tables
-import graft.operators.ConnectedComponents
 import Protocol._
 
 /** Corpus-curation operators (round 3): the steps a training-data pipeline
@@ -18,6 +16,29 @@ import Protocol._
   */
 object CurationQueries extends QueryModule {
 
+  /** DuckDB CTE chain ending at `cl(doc_id, rep)` — the oracle twin of
+    * SharedStages.dedupClusters, shared verbatim by q60 and q67 so the two
+    * can never drift on what a cluster is.
+    */
+  private val duckClusterCtes: String =
+    "WITH RECURSIVE " + DedupQueries.duckSig.stripPrefix("WITH ") +
+      s""",
+        |near_pairs AS (${DedupQueries.duckPairsSelect}),
+        |exact_pairs AS (
+        |  SELECT m AS u, doc_id AS v FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+        |    FROM documents) WHERE doc_id <> m),
+        |edges AS (
+        |  SELECT u, v FROM exact_pairs
+        |  UNION SELECT v, u FROM exact_pairs
+        |  UNION SELECT id_a, id_b FROM near_pairs
+        |  UNION SELECT id_b, id_a FROM near_pairs),
+        |reach(n, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, rch.r FROM edges e JOIN reach rch ON rch.n = e.v),
+        |cl AS (SELECT n AS doc_id, MIN(r) AS rep FROM reach GROUP BY n)""".stripMargin
+
   override val declared: Seq[Declared] = Seq(
 
     // q60 — duplicate CLUSTERS from pair-level evidence: exact-dup edges
@@ -26,37 +47,75 @@ object CurationQueries extends QueryModule {
     // components so transitive chains a–b–c collapse to ONE representative.
     // Pairwise keep-first under-deletes exactly those chains; clusters are
     // what production dedup (e.g. the public C4/RefinedWeb recipes) keeps.
+    // The cluster map is a materialized shared stage (SharedStages
+    // .dedupClusters) consumed here and by q67.
     Declared("q60_dedup_clusters",
+      (s, dir) => SharedStages.dedupClusters(s, dir).orderBy(col("doc_id")),
+      Some(duckClusterCtes +
+        "\nSELECT doc_id, rep FROM cl ORDER BY doc_id")),
+
+    // q67 — quality-aware cluster REPRESENTATIVES: per near-dup cluster keep
+    // the longest member (tokens desc, doc_id asc tiebreak) — the
+    // keep-best-of-cluster step production dedup runs after cluster
+    // formation (min-id keep-first throws away the best copy whenever the
+    // shortest crawl happens to have the smallest id). One equi-join of the
+    // cluster map to per-doc token counts, one hash-agg with an atomic
+    // max_by struct — both map-side combinable, nothing all-pairs.
+    Declared("q67_cluster_reps",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val grpMin = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
-        val exactEdges = docs
-          .select(col("doc_id").as("u"), grpMin.as("v"))
-          .filter(col("u") =!= col("v"))
-        val nearEdges = DedupQueries.lshNearPairs(s, dir)
-          .select(col("id_a").as("u"), col("id_b").as("v"))
-        ConnectedComponents(exactEdges.unionByName(nearEdges))
-          .select(col("node").as("doc_id"), col("rep"))
-          .orderBy(col("doc_id"))
+        val clusters = SharedStages.dedupClusters(s, dir)
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        clusters.join(toks, "doc_id")
+          .groupBy(col("rep"))
+          .agg(
+            // one struct comparison: keep_id and keep_tokens come from the
+            // SAME member row (two independent max_by calls could disagree
+            // on ties)
+            max_by(struct(col("n_tokens"), (-col("doc_id")).as("nid")),
+              struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best"),
+            big(count(lit(1))).as("cluster_size"))
+          .select(col("rep"), (-col("best.nid")).as("keep_id"),
+            big(col("best.n_tokens")).as("keep_tokens"), col("cluster_size"))
+          .orderBy(col("rep"))
       },
-      Some("WITH RECURSIVE " + DedupQueries.duckSig.stripPrefix("WITH ") +
-        s""",
-          |near_pairs AS (${DedupQueries.duckPairsSelect}),
-          |exact_pairs AS (
-          |  SELECT m AS u, doc_id AS v FROM (
-          |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
-          |    FROM documents) WHERE doc_id <> m),
-          |edges AS (
-          |  SELECT u, v FROM exact_pairs
-          |  UNION SELECT v, u FROM exact_pairs
-          |  UNION SELECT id_a, id_b FROM near_pairs
-          |  UNION SELECT id_b, id_a FROM near_pairs),
-          |reach(n, r) AS (
-          |  SELECT DISTINCT u, u FROM edges
-          |  UNION
-          |  SELECT e.u, rch.r FROM edges e JOIN reach rch ON rch.n = e.v)
-          |SELECT n AS doc_id, MIN(r) AS rep FROM reach GROUP BY n
-          |ORDER BY doc_id""".stripMargin)),
+      Some(duckClusterCtes +
+        """,
+          |j AS (SELECT cl.rep, cl.doc_id, len(string_split(d.text, ' ')) AS n_tokens
+          |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+          |rk AS (SELECT rep, doc_id, n_tokens,
+          |  ROW_NUMBER() OVER (PARTITION BY rep ORDER BY n_tokens DESC, doc_id) AS rn,
+          |  COUNT(*) OVER (PARTITION BY rep) AS csz
+          |  FROM j)
+          |SELECT rep, doc_id AS keep_id, CAST(n_tokens AS BIGINT) AS keep_tokens,
+          |  CAST(csz AS BIGINT) AS cluster_size
+          |FROM rk WHERE rn = 1 ORDER BY rep""".stripMargin)),
+
+    // q68 — sequence PACKING: assign documents to fixed-capacity context
+    // bins (1024 tokens) by cumulative token count in doc_id order — the
+    // standard cumsum approximation of greedy sample packing (each doc
+    // lands in the bin its running total starts in; a boundary-spanning doc
+    // overflows its bin by < one doc, which the trainer's chunker absorbs).
+    // The global running sum is GlobalCumSum — range-partitioned prefix
+    // sums + a broadcast offset map, NO single-partition window stage.
+    Declared("q68_seq_packing",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.operators.GlobalCumSum
+          .withCumSum(toks, Seq(col("doc_id")), col("n_tokens"), "cum")
+          .withColumn("bin", idiv(col("cum") - col("n_tokens"), lit(1024L)))
+          .groupBy(col("bin"))
+          .agg(big(count(lit(1))).as("n_docs"), big(sum(col("n_tokens"))).as("bin_tokens"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+             |c AS (SELECT doc_id, n,
+             |  SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM d)
+             |SELECT CAST((cum - n) // 1024 AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n) AS BIGINT) AS bin_tokens
+             |FROM c GROUP BY bin ORDER BY bin""".stripMargin)),
 
     // q61 — benchmark DECONTAMINATION (operators.Decontaminate): flag
     // training documents sharing any token n-gram with the held-out eval

@@ -77,6 +77,28 @@ object SharedStages {
     * equi-join on (band index, band hash): only documents agreeing on a full
     * band ever meet — never O(n²).
     */
+  /** (doc_id, rep): the duplicate-cluster map — exact-dup edges (same md5,
+    * star to the group min) ∪ LSH near-dup pairs, resolved to connected
+    * components. Materialized because cluster CONSUMERS are plural (q60
+    * reports it, q67 picks quality-aware representatives, a delete pass
+    * would anti-join it) while the iterative CC computation is the most
+    * job-heavy stage in the suite — exactly the artifact a production
+    * pipeline lands once per corpus version.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    materialize(s, dir, "clusters") {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val grpMin = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+      val exactEdges = docs
+        .select(col("doc_id").as("u"), grpMin.as("v"))
+        .filter(col("u") =!= col("v"))
+      val nearEdges = lshPairs(s, dir)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      graft.operators.ConnectedComponents(exactEdges.unionByName(nearEdges))
+        .select(col("node").as("doc_id"), col("rep"))
+    }
+
   def lshPairs(s: SparkSession, dir: String): DataFrame =
     materialize(s, dir, "lshpairs") {
       import DedupQueries.{BANDS, K, ROWS}

@@ -60,6 +60,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(counts(1) == 500 + 100 - 0) // i%50==1 (100) plus i%10==0 (500) hot rows
   }
 
+  test("GlobalCumSum equals the single-partition window cumsum, distributed") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // values chosen so partial sums differ per ordering mistake; shuffled
+    // input order so the range repartition actually has to sort
+    val df = scala.util.Random.shuffle((1L to 5000L).toList)
+      .map(i => (i, i % 97 + 1)).toDF("k", "v").repartition(7)
+    val got = graft.operators.GlobalCumSum
+      .withCumSum(df, Seq(col("k")), col("v"), "cum", numPartitions = Some(6))
+    val naive = df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+    // and the plan carries no empty-partitionBy window (the single-partition
+    // stage the operator exists to avoid)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [sum") || plan.contains("windowspecdefinition(_pid"),
+      s"unexpected window shape:\n$plan")
+    spark.catalog.clearCache() // GlobalCumSum's ranged persist is caller-owned
+  }
+
   test("persisted IVF index: search joins the bucketed lists with no corpus shuffle") {
     import graft.operators.AnnIvf
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
