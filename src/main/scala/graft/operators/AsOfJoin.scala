@@ -1,28 +1,34 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join (SURVEY §2.2 [EXT]: "latest right row with
-  * right.ts <= left.ts per key") — the natural tick-data lookup the
-  * reference's MySQL 5.7 surface could only emulate with correlated
-  * subqueries.
+/** As-of join (SURVEY §2.2 [EXT]) in all three directions — the natural
+  * tick-data lookup the reference's MySQL 5.7 surface could only emulate
+  * with correlated subqueries:
+  *
+  *   - `backward` (default): latest right row with right.ts <= left.ts
+  *   - `forward`:  earliest right row with right.ts >= left.ts
+  *   - `nearest`:  whichever of the two is closer in time (ties → backward,
+  *     matching pandas merge_asof's tie preference for the past)
   *
   * Spark has no built-in as-of join; this implements the scalable
-  * union + windowed last() formulation (SURVEY §7.3.3):
+  * union + windowed last()/first() formulation (SURVEY §7.3.3):
   *
-  *   1. tag right rows 0 and left rows 1, union them on (keys, ts, tag);
-  *   2. one shuffle on the key columns, one sort by (ts, tag) inside each
+  *   1. tag rows by side, union them on (keys, ts, side);
+  *   2. one shuffle on the key columns, one sort per direction inside each
   *      partition — identical cost profile to a sort-merge join;
-  *   3. running last(right payload, ignoreNulls) gives every left row the
-  *      most recent right row at or before its timestamp (tag 0 < 1 makes
-  *      the match inclusive on ts equality);
+  *   3. running last(payload, ignoreNulls) over the preceding frame (or
+  *      first() over the following frame) gives every left row the adjacent
+  *      right row; the side tag breaks ts ties so the match is INCLUSIVE on
+  *      equality in both directions;
   *   4. keep the left rows.
   *
   * At 100 TB this is ONE shuffle of left+right with no row amplification —
   * strictly better than the non-equi-join fallback Catalyst would pick
-  * (BroadcastNestedLoopJoin) for the same predicate.
+  * (BroadcastNestedLoopJoin) for the same predicate. `nearest` costs one
+  * extra in-partition sort (both direction windows share the one exchange).
   *
   * Rows in `right` must be unique per (keys, ts) — pre-aggregate if not,
   * otherwise "the" match is ambiguous (the reference stack has the same
@@ -39,7 +45,25 @@ object AsOfJoin {
     * @param prefix     prefix for emitted right columns
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-      rightVals: Seq[String], prefix: String = "asof_"): DataFrame = {
+      rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
+    joined(left, right, keys, tsCol, rightVals, prefix, "backward")
+
+  /** Earliest right row with right.ts >= left.ts (same contract as
+    * `backward` otherwise).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
+    joined(left, right, keys, tsCol, rightVals, prefix, "forward")
+
+  /** Closer of the backward/forward matches by |Δts|; exact ties take the
+    * backward (past) match.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
+    joined(left, right, keys, tsCol, rightVals, prefix, "nearest")
+
+  private def joined(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightVals: Seq[String], prefix: String, direction: String): DataFrame = {
     val leftCols = left.columns.toSeq
     val sideCol = "_asof_side"
 
@@ -47,10 +71,10 @@ object AsOfJoin {
     val extraLeft = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
 
     // The right timestamp and ALL payload columns travel as ONE struct so a
-    // single last(_, ignoreNulls) matches them atomically: every emitted
-    // column comes from the SAME right row, and a right payload value that
-    // is genuinely NULL survives (filling each column independently would
-    // silently substitute it from an older row).
+    // single last/first(_, ignoreNulls) matches them atomically: every
+    // emitted column comes from the SAME right row, and a right payload
+    // value that is genuinely NULL survives (filling each column
+    // independently would silently substitute it from another row).
     val payloadCol = "_r_payload"
     val payloadType = org.apache.spark.sql.types.StructType(
       right.schema(tsCol) +: rightVals.map(right.schema(_)))
@@ -64,11 +88,28 @@ object AsOfJoin {
         extraLeft.map(col) ++
         Seq(lit(null).cast(payloadType).as(payloadCol)): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    // Inclusive equality via the side tag: backward sorts right(0) BEFORE
+    // left(1) at equal ts so the preceding frame sees it; forward sorts
+    // right AFTER left (side desc) so the following frame sees it. Both
+    // windows share one hash exchange on the keys.
+    def wB: WindowSpec = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def wF: WindowSpec = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(sideCol).desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val matched = last(col(payloadCol), ignoreNulls = true).over(w)
+    val back = last(col(payloadCol), ignoreNulls = true).over(wB)
+    val fwd = first(col(payloadCol), ignoreNulls = true).over(wF)
+    val matched: Column = direction match {
+      case "backward" => back
+      case "forward"  => fwd
+      case "nearest"  =>
+        val db = unix_micros(col(tsCol)) - unix_micros(back.getField(tsCol))
+        val df = unix_micros(fwd.getField(tsCol)) - unix_micros(col(tsCol))
+        when(fwd.isNull, back).when(back.isNull, fwd)
+          .when(db <= df, back).otherwise(fwd)
+    }
     val matchedCols: Seq[Column] =
       matched.getField(tsCol).as(s"$prefix$tsCol") +:
         rightVals.map(c => matched.getField(c).as(s"$prefix$c"))

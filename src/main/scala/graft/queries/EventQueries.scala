@@ -110,7 +110,7 @@ object EventQueries extends QueryModule {
         import org.apache.spark.sql.streaming.Trigger
         val events = Tables.load(s, dir, "events")
           .select(col("ts"), col("event_type"), col("value"))
-        val base = java.nio.file.Files.createTempDirectory("graft-q66-").toString
+        val base = SharedStages.scratchDir("q66")
         val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
         events.repartition(4).write.mode("overwrite").parquet(src)
         val stream = s.readStream.schema(events.schema)

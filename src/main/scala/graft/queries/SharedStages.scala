@@ -26,6 +26,30 @@ import graft.model.Tables
 object SharedStages {
 
   private val built = scala.collection.mutable.Map.empty[String, String]
+  private val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** A temp dir reclaimed on JVM exit — for stage copies and per-query
+    * scratch (q66's replay source/sink/checkpoint). Repeated Verify/Bench
+    * runs would otherwise accumulate dead dirs under java.io.tmpdir (each
+    * new SparkContext gets a new stage key).
+    */
+  def scratchDir(prefix: String): String = synchronized {
+    val d = Files.createTempDirectory(s"graft-$prefix-").toString
+    scratch += d
+    d
+  }
+
+  sys.addShutdownHook {
+    (built.values ++ scratch).foreach { dir =>
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
 
   /** Compute `build` once per (app, dir, stage), write it to a temp parquet
     * dir, and hand every caller the read-back frame. Synchronized on the

@@ -93,6 +93,88 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join forward: earliest right row at-or-after, inclusive ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "c1"),
+      (1L, ts("2024-01-01 10:00:10"), "c2"), // equal ts: inclusive
+      (2L, ts("2024-01-01 10:00:03"), "c3")  // nothing at-or-after
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:07"), 7.0),
+      (1L, ts("2024-01-01 10:00:10"), 10.0),
+      (2L, ts("2024-01-01 10:00:02"), 2.0)
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.forward(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+      .select("tag", "m_v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("c1") == Some(7.0))
+    assert(out("c2") == Some(10.0))
+    assert(out("c3") == None)
+  }
+
+  test("as-of join nearest: closer side wins, exact tie prefers backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "mid"),   // 2s to past(03), 1s to future(06) -> future
+      (1L, ts("2024-01-01 10:00:04"), "tie"),   // 1s to both 03 and 06... no: 1s to 03, 2s to 06 -> past
+      (1L, ts("2024-01-01 10:00:00"), "early"), // only future exists at-or-after? 03 -> future
+      (2L, ts("2024-01-01 10:00:09"), "late")   // only past exists (08) -> past
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:03"), 3.0),
+      (1L, ts("2024-01-01 10:00:06"), 6.0),
+      (2L, ts("2024-01-01 10:00:08"), 8.0)
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.nearest(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+      .select("tag", "m_v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("mid") == Some(6.0))
+    assert(out("tie") == Some(3.0))
+    assert(out("early") == Some(3.0))
+    assert(out("late") == Some(8.0))
+    // exact-tie case: 10:00:05 with rights at 04 and 06 must take the past
+    val tieL = Seq((9L, ts("2024-01-01 10:00:05"), "t")).toDF("user_id", "ts", "tag")
+    val tieR = Seq((9L, ts("2024-01-01 10:00:04"), 4.0), (9L, ts("2024-01-01 10:00:06"), 6.0))
+      .toDF("user_id", "ts", "v")
+    val tie = AsOfJoin.nearest(tieL, tieR, Seq("user_id"), "ts", Seq("v"), "m_")
+      .select("m_v").collect().head.getDouble(0)
+    assert(tie == 4.0)
+  }
+
+  test("as-of join forward/nearest equal the naive reference on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val left = (1 to 300).map { i =>
+      (rnd.nextInt(6).toLong, new java.sql.Timestamp(base + rnd.nextInt(50000) * 1000L), i)
+    }
+    val right = (1 to 200).map { _ =>
+      (rnd.nextInt(6).toLong, new java.sql.Timestamp(base + rnd.nextInt(50000) * 1000L), rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    def naive(k: Long, t: java.sql.Timestamp): (Option[Double], Option[Double]) = {
+      val past = right.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(_._2.getTime).lastOption
+      val future = right.filter(r => r._1 == k && !r._2.before(t))
+        .sortBy(_._2.getTime).headOption
+      val near = (past, future) match {
+        case (Some(p), Some(f)) =>
+          if (t.getTime - p._2.getTime <= f._2.getTime - t.getTime) Some(p._3) else Some(f._3)
+        case (p, f) => p.orElse(f).map(_._3)
+      }
+      (future.map(_._3), near)
+    }
+    val fwd = AsOfJoin.forward(left.toDF("k", "ts", "row_id"), right.toDF("k", "ts", "v"),
+        Seq("k"), "ts", Seq("v"), "m_")
+      .select("row_id", "m_v").collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    val near = AsOfJoin.nearest(left.toDF("k", "ts", "row_id"), right.toDF("k", "ts", "v"),
+        Seq("k"), "ts", Seq("v"), "m_")
+      .select("row_id", "m_v").collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    left.foreach { case (k, t, id) =>
+      val (ef, en) = naive(k, t)
+      assert(fwd(id) == ef, s"forward row $id key $k ts $t")
+      assert(near(id) == en, s"nearest row $id key $k ts $t")
+    }
+  }
+
   test("range join equals the naive filter on randomized data") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
