@@ -42,6 +42,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq("a b c", "b c d"))
   }
 
+  test("shingles: width-n generalization matches a reference sliding window") {
+    def ref(text: String, n: Int): Seq[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) Seq(text)
+      else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    val texts = Seq("a b c d e f g", "a b", "", "t t t t t", "é ü 中文 x y")
+    for (t <- texts; n <- Seq(1, 2, 3, 5, 13)) {
+      assert(oneSeq(shinglesDistinct(col("text"), n), t) == ref(t, n),
+        s"width-$n parity for '$t'")
+    }
+  }
+
   test("minhash: identical docs share full signature; permuted docs mostly overlap") {
     import spark.implicits._
     val df = Seq(
