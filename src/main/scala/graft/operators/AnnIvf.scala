@@ -96,11 +96,15 @@ object AnnIvf {
     BucketedTables.writeBucketed(assign(emb, centroids), table, "cluster", buckets)
 
   /** Search a prebuilt index: a pure equi-join of the (bounded, broadcast)
-    * probe batch onto the bucketed cluster key — the corpus side streams out
-    * of its buckets with NO shuffle exchange (pinned by ScaleOpsSpec); the
-    * only shuffle in the plan is groupedTopK's k·partitions-row partial
-    * top-k merge. At 100 TB this is the IVF search you want: index built
-    * once per corpus version, per-batch cost independent of corpus
+    * probe batch onto the stored lists — the corpus side streams with NO
+    * shuffle exchange because the probe side broadcasts (pinned by
+    * ScaleOpsSpec); the only shuffle in the plan is groupedTopK's
+    * k·partitions-row partial top-k merge. The bucketing-by-cluster is NOT
+    * what makes this plan shuffle-free — it buys (a) bucket-pruned scans
+    * when a cluster-key filter is pushed (probe only nprobe/k of the data)
+    * and (b) an exchange-free sort-merge fallback if a probe batch ever
+    * outgrows broadcast. At 100 TB this is the IVF search you want: index
+    * built once per corpus version, per-batch cost independent of corpus
     * assignment.
     */
   def topKIndexed(spark: SparkSession, table: String, queries: DataFrame,

@@ -105,8 +105,15 @@ object AsOfJoin {
       case "backward" => back
       case "forward"  => fwd
       case "nearest"  =>
-        val db = unix_micros(col(tsCol)) - unix_micros(back.getField(tsCol))
-        val df = unix_micros(fwd.getField(tsCol)) - unix_micros(col(tsCol))
+        // distance works for TIMESTAMP and for numeric epoch ts columns
+        // alike (backward/forward only compare ordinally, so nearest must
+        // not narrow the shared contract to timestamps)
+        val toLong: Column => Column =
+          if (right.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType)
+            unix_micros _
+          else (c: Column) => c.cast("long")
+        val db = toLong(col(tsCol)) - toLong(back.getField(tsCol))
+        val df = toLong(fwd.getField(tsCol)) - toLong(col(tsCol))
         when(fwd.isNull, back).when(back.isNull, fwd)
           .when(db <= df, back).otherwise(fwd)
     }

@@ -94,31 +94,27 @@ object ConnectedComponents {
         s"cc_l1_$iter")
       // (2) l₂(n) = l₁(l₁(n)): labels are always node ids, so l₁ has a row
       // for every label value; left+coalesce is only a safety net. Hot
-      // labels (≥ threshold probe rows) resolve via a driver-collected map —
-      // bounded at n/threshold entries, each one (label, l₁(label)) pair —
-      // so no shuffle key ever carries a giant component's full row set.
-      // Detection is gated on l1's total row count (observed on the
-      // checkpoint job, so below threshold — e.g. any test-scale run — it
-      // costs literally nothing).
+      // labels (≥ threshold probe rows) resolve through a BROADCAST of
+      // their lookup rows — bounded at n/threshold rows, one
+      // (label, l₁(label)) pair per hot label, id-type-generic (no driver
+      // materialization) — so no shuffle key ever carries a giant
+      // component's full row set. The split is gated on l1's total row
+      // count (observed on the checkpoint job): below threshold — e.g. any
+      // test-scale run — no label can be hot and the plain join runs with
+      // zero extra cost.
       val lookup = l1.select(col("node").as("label"), col("label").as("label2"))
-      val hotMap: Map[Long, Long] =
-        if (l1Rows < hotLabelThreshold) Map.empty
-        else l1.groupBy(col("label"))
-          .agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= hotLabelThreshold)
-          .select(col("label"))
-          .join(lookup, Seq("label"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getLong(1))
-          .toMap
       val pointered =
-        if (hotMap.isEmpty) {
+        if (l1Rows < hotLabelThreshold) {
           l1.join(lookup, Seq("label"), "left")
             .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
         } else {
-          val hotDf = broadcast(
-            l1.sparkSession.createDataFrame(hotMap.toSeq).toDF("label", "hot2"))
-          val marked = l1.join(hotDf, Seq("label"), "left")
+          val hotLookup = l1.groupBy(col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= hotLabelThreshold)
+            .select(col("label"))
+            .join(lookup, Seq("label"))
+            .withColumnRenamed("label2", "hot2")
+          val marked = l1.join(broadcast(hotLookup), Seq("label"), "left")
           val hotDone = marked.filter(col("hot2").isNotNull)
             .select(col("node"), col("hot2").as("label"))
           val coldDone = marked.filter(col("hot2").isNull)

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe global running sum — the cumulative-total primitive behind
@@ -10,44 +10,70 @@ import org.apache.spark.storage.StorageLevel
   * computation.
   *
   * `Window.orderBy(...)` with no partitionBy funnels the whole table into
-  * ONE task; this produces the same column with no single-partition stage,
-  * the GlobalRank recipe applied to sums:
+  * ONE task; this produces the same column with no single-partition stage
+  * and exactly ONE shuffle, the GlobalRank recipe applied to sums:
   *
-  *   1. `repartitionByRange(order)` + `sortWithinPartitions(order)` — one
-  *      sort shuffle; partitions hold disjoint key ranges in ascending
-  *      partition-id order (`_pid = monotonically_increasing_id() >> 33`).
-  *   2. The within-partition running sum is a PARTITIONED window
-  *      (`Window.partitionBy(_pid).orderBy(_mid)`) — distributed, one pass
-  *      over each sorted partition.
-  *   3. Per-partition totals are one tiny aggregate — P rows to the driver,
-  *      a bounded model object; prefix offsets become a broadcast literal
-  *      map added in codegen, NOT a join.
+  *   1. `repartitionByRange(order)` + `sortWithinPartitions(order)` — the
+  *      one sort shuffle; partitions hold disjoint key ranges in ascending
+  *      partition-id order.
+  *   2. Within-partition prefix sums are ONE imperative pass per sorted
+  *      partition (`mapPartitionsWithIndex`). A partitioned window
+  *      (`Window.partitionBy(pid)`) would be semantically identical but
+  *      RangePartitioning does not satisfy the window's clustered
+  *      distribution, so Catalyst would insert a SECOND full-table hash
+  *      exchange — running sums are data-dependent (unlike GlobalRank's row
+  *      numbers, which fall out of `monotonically_increasing_id`
+  *      arithmetic), so this is the sanctioned per-partition-imperative
+  *      `mapPartitions` case. Cost: one codegen boundary at the RDD
+  *      round-trip, instead of re-shuffling the table.
+  *   3. Per-partition totals are one tiny aggregate over the cached pass —
+  *      P rows to the driver, a bounded model object; prefix offsets become
+  *      a broadcast literal map added in codegen, NOT a join.
   *
-  * `order` MUST be a total (duplicate-free) ordering and `value` LONG-typed
-  * non-null (sums stay exact; a double sum would be partition-order
-  * dependent). Like GlobalRank, the ranged input is persisted so the totals
-  * job and the main job see identical range boundaries; the CALLER owns the
-  * release (clearCache / unpersist after materializing, as Verify/Bench do).
+  * `order` MUST be a total (duplicate-free) ordering and `value` an
+  * integral non-null column (enforced; long sums stay exact — a double sum
+  * would be partition-order dependent, and a silent cast from fractional
+  * values would corrupt every total). The augmented pass is persisted so
+  * the totals job and the output read identical partition content —
+  * re-executing `repartitionByRange` in two separate jobs may re-sample
+  * different range bounds (the sampler is seeded by RDD id), which would
+  * silently misalign the offset map. The CALLER owns the release
+  * (clearCache / unpersist after materializing, as Verify/Bench do).
   */
 object GlobalCumSum {
-
-  private final val IdxMask = (1L << 33) - 1
 
   /** Appends `out` = running total of `value` over the global `order`,
     * inclusive of the current row.
     */
   def withCumSum(df: DataFrame, order: Seq[Column], value: Column, out: String,
-      numPartitions: Option[Int] = None, persist: Boolean = true): DataFrame = {
-    val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged0 = df.repartitionByRange(parts, order: _*)
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val withV = df.withColumn("_v", value)
+    val vType = withV.schema("_v").dataType
+    require(Seq("byte", "short", "integer", "long").contains(vType.typeName),
+      s"GlobalCumSum value must be integral (got $vType): a fractional cast " +
+        "would silently truncate; cast and round explicitly if that is intended")
+    val ranged = withV.withColumn("_v", col("_v").cast("long"))
+      .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
-      .withColumn("_v", value.cast("long"))
-    val ranged = if (persist) ranged0.persist(StorageLevel.MEMORY_AND_DISK) else ranged0
 
-    // Bounded driver-side model: one (pid, sum) pair per partition.
-    val totals: Array[(Int, Long)] = ranged
+    // One imperative pass per sorted partition: local running sum + the
+    // partition id the row was ranged into.
+    val vIdx = ranged.schema.fieldIndex("_v")
+    val augmentedRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = 0L
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ pid :+ acc)
+      }
+    }
+    val augmented = spark.createDataFrame(augmentedRdd,
+        ranged.schema.add("_pid", IntegerType).add("_local", LongType))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Bounded driver-side model: one (pid, total) pair per partition.
+    val totals: Array[(Int, Long)] = augmented
       .groupBy(col("_pid")).agg(sum(col("_v")).as("_s"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets: Map[Int, Long] = {
@@ -55,12 +81,9 @@ object GlobalCumSum {
       totals.sortBy(_._1).map { case (pid, s) => val off = acc; acc += s; pid -> off }.toMap
     }
 
-    val local = sum(col("_v")).over(
-      Window.partitionBy(col("_pid")).orderBy(col("_mid"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranged
+    augmented
       .withColumn(out,
-        coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)) + local)
-      .drop("_mid", "_pid", "_v")
+        coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)) + col("_local"))
+      .drop("_v", "_pid", "_local")
   }
 }

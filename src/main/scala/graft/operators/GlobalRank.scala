@@ -32,12 +32,15 @@ import org.apache.spark.storage.StorageLevel
   *      duplicate-free ordering (rank == row_number).
   *
   * The input is persisted (MEMORY_AND_DISK) so the counts job and the main
-  * job see identical range boundaries without recomputing the sort; callers
-  * owning a cheaper deterministic input can pass persist = false and accept
-  * the recompute (range sampling is seed-deterministic for identical input).
-  * The cache is NOT unpersisted here (the returned frame still depends on
-  * it): the caller owns the release — `spark.catalog.clearCache()` or
-  * unpersist after materializing, as Verify/Bench do per query.
+  * job see identical range boundaries without recomputing the sort. This is
+  * a correctness requirement, not a cache optimization: re-executing
+  * `repartitionByRange` in two separate jobs may re-sample DIFFERENT range
+  * bounds (the sampler is seeded by RDD id, which a re-planned execution
+  * does not preserve), silently misaligning the offset map — hence no
+  * opt-out. The cache is NOT unpersisted here (the returned frame still
+  * depends on it): the caller owns the release — `spark.catalog
+  * .clearCache()` or unpersist after materializing, as Verify/Bench do per
+  * query.
   */
 object GlobalRank {
 
@@ -49,12 +52,12 @@ object GlobalRank {
     * stage. `order` MUST be a total (duplicate-free) ordering.
     */
   def withRankColumns(df: DataFrame, order: Seq[Column], tiles: Int = 0,
-      numPartitions: Option[Int] = None, persist: Boolean = true): DataFrame = {
+      numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged0 = df.repartitionByRange(parts, order: _*)
+    val ranged = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_mid", monotonically_increasing_id())
-    val ranged = if (persist) ranged0.persist(StorageLevel.MEMORY_AND_DISK) else ranged0
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Bounded driver-side model: one (pid, count) pair per partition.
     val counts: Array[(Int, Long)] = ranged

@@ -73,12 +73,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       sum(col("v")).over(Window.orderBy(col("k"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
-    // and the plan carries no empty-partitionBy window (the single-partition
-    // stage the operator exists to avoid)
+    // plan pin: after the cached one-shuffle imperative pass, the output
+    // query is a pure projection — no window operator (single-partition or
+    // otherwise) and no further exchange anywhere
     val plan = got.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window [sum") || plan.contains("windowspecdefinition(_pid"),
-      s"unexpected window shape:\n$plan")
-    spark.catalog.clearCache() // GlobalCumSum's ranged persist is caller-owned
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+    // and fractional value columns are rejected, not silently truncated
+    intercept[IllegalArgumentException] {
+      graft.operators.GlobalCumSum.withCumSum(
+        df.withColumn("w", col("v") + 0.5), Seq(col("k")), col("w"), "cum")
+    }
+    spark.catalog.clearCache() // GlobalCumSum's cached pass is caller-owned
   }
 
   test("persisted IVF index: search joins the bucketed lists with no corpus shuffle") {
