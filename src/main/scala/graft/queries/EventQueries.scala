@@ -134,6 +134,87 @@ object EventQueries extends QueryModule {
       Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
              |  COUNT(*) AS n,
              |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q70 — STREAMING STATEFUL DEDUP under the gate: the documents table
+    // replayed as 4 micro-batches through `dropDuplicates` (state = seen
+    // md5 keys, carried ACROSS batches), first-seen rows appended to the
+    // sink. Which member of a duplicate group is kept is not deterministic
+    // under parallel replay, so the declared result is the invariant pair
+    // the oracle can pin: the sink holds exactly one row per distinct text
+    // (n_kept) and no key twice (n_distinct == n_kept). A dropped key or a
+    // cross-batch duplicate breaks the hash. Unbounded state is fine for a
+    // bounded replay; the watermark-bounded production twin is
+    // Stateful.dedupAgainstCorpus / dropDuplicatesWithinWatermark
+    // (StatefulSpec).
+    Declared("q70_stream_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val base = SharedStages.scratchDir("q70")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .dropDuplicates("h")
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .agg(big(count(lit(1))).as("n_kept"),
+            big(countDistinct(col("h"))).as("n_distinct"))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_kept,
+             |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+             |FROM documents""".stripMargin)),
+
+    // q71 — STREAM-STATIC JOIN under the gate: events replayed as 4
+    // micro-batches, each batch equi-joined (stateless, map-side vs the
+    // broadcastable static side) to a BATCH-computed per-user dimension,
+    // enriched rows appended to the sink, read back and aggregated. The
+    // oracle is the plain batch join — so a dropped batch, a double-join or
+    // a dim mismatch breaks the hash. Reference semantic: enriching the
+    // tick stream against the warehouse dimension at load time.
+    Declared("q71_stream_static_join",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val userDim = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("user_events"))
+        val base = SharedStages.scratchDir("q71")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .join(userDim, "user_id")
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .groupBy(col("user_id"), col("user_events"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("value")))).as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH dim AS (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+             |SELECT e.user_id, CAST(dim.user_events AS BIGINT) AS user_events,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+             |FROM events e JOIN dim USING (user_id)
+             |GROUP BY e.user_id, dim.user_events ORDER BY e.user_id""".stripMargin))
   )
 }
