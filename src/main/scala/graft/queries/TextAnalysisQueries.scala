@@ -144,6 +144,57 @@ object TextAnalysisQueries extends QueryModule {
              |      list_transform(string_split(text, ' '),
              |        t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
              |    (h, t) -> (h * 31 + t) % 1000000007) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q72 — per-document top TF-IDF term: the doc-level relevance/keyword
+    // extraction step (q65's vocabulary DF is the corpus-level half). IDF is
+    // the RATIONAL variant N/df rather than ln(N/df): ln is a pointwise
+    // monotone map of it, so the per-document argmax term is IDENTICAL for
+    // any df tie-free pair, and rational idf keeps every intermediate in
+    // exact decimal — the gate protocol (Protocol.scala) forbids transcendental
+    // doubles whose last-ulp may differ between JVM Math.log and DuckDB libm.
+    //
+    // Shape at 100 TB: (doc,term) counts are one explode + map-side partial
+    // hash agg; the DF table derives from those same counts (no second text
+    // scan); the term-keyed join shuffles counter rows (never text); N is a
+    // 1-row broadcast; the per-doc argmax is one atomic min_by(struct) —
+    // best term and score always come from the same row, no second window.
+    Declared("q72_tfidf",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        val dlen = docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        val dfTab = tc.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tc.join(dlen, "doc_id")
+          .join(dfTab, "t")
+          .crossJoin(broadcast(n))
+          .withColumn("tf", out6(dec(col("c")) / col("n_tokens")))
+          .withColumn("idf", out6(dec(col("n_docs")) / col("df")))
+          .withColumn("score", out6(col("tf") * col("idf")))
+          .groupBy(col("doc_id"))
+          .agg(min_by(struct(col("t").as("term"), col("score").as("sc")),
+            struct((-col("score")).as("ns"), col("t"))).as("best"))
+          .select(col("doc_id"), col("best.term").as("term"),
+            col("best.sc").as("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |tc AS (SELECT doc_id, t, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(tk) AS t FROM d) GROUP BY doc_id, t),
+             |dl AS (SELECT doc_id, len(tk) AS n_tokens FROM d),
+             |dft AS (SELECT t, COUNT(*) AS df FROM tc GROUP BY t),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |sc AS (SELECT tc.doc_id, tc.t,
+             |  CAST(ROUND(
+             |    CAST(ROUND(CAST(tc.c AS DECIMAL(18,6)) / dl.n_tokens, 6) AS DECIMAL(18,6)) *
+             |    CAST(ROUND(CAST(n.n_docs AS DECIMAL(18,6)) / dft.df, 6) AS DECIMAL(18,6)),
+             |  6) AS DECIMAL(18,6)) AS score
+             |  FROM tc JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN n),
+             |rk AS (SELECT doc_id, t, score,
+             |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rn FROM sc)
+             |SELECT doc_id, t AS term, score FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 }
