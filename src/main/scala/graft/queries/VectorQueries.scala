@@ -109,6 +109,57 @@ object VectorQueries extends QueryModule {
              |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
              |  FROM embeddings e, embeddings q
              |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
-             |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+             |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // q73 — nearest-centroid batch INFERENCE + evaluation: per-label mean
+    // centroids, assign every vector to its most-cosine-similar centroid,
+    // emit the confusion matrix. This is the k-means E-step / embedding
+    // cluster-assignment shape a curation pipeline runs for topic bucketing
+    // and the simplest "model scoring over the whole corpus" job.
+    //
+    // Determinism: centroid elements are EXACT decimal sums (posexplode →
+    // groupBy(label,pos) → sum(DECIMAL)) — order-insensitive in both
+    // engines, unlike a double sum whose value depends on partition merge
+    // order. Cosine uses unnormalized sums: cos(x, Σv) == cos(x, mean v), so
+    // skipping the division avoids DuckDB's decimal/int → DOUBLE division.
+    // The final cosine runs in doubles through the SAME fixed-order loop on
+    // both sides (codegen CosineSimilarity here, list_cosine_similarity in
+    // the oracle — the proven q26 idiom), with label-asc tiebreak.
+    //
+    // Shape at 100 TB: centroids are |labels| rows → broadcast; the corpus
+    // streams through one codegen'd map (no shuffle of embeddings); argmax
+    // is an atomic min_by; the confusion matrix is a tiny two-level agg.
+    Declared("q73_centroid_assign",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val el = e.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        val cent = el.groupBy(col("label"), col("pos"))
+          .agg(sum(dec(col("v"))).as("cv"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv").cast("double")).as("ce"))
+          .select(col("label").as("clabel"), col("ce"))
+        e.crossJoin(broadcast(cent))
+          .withColumn("cos", cosine(col("e"), col("ce")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min_by(col("clabel"), struct((-col("cos")).as("nc"), col("clabel"))).as("pred"))
+          .groupBy(col("label"), col("pred"))
+          .agg(big(count(lit(1))).as("n"))
+          .orderBy(col("label"), col("pred"))
+      },
+      Some("""WITH el AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+             |    unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+             |cs AS (SELECT label, pos, SUM(CAST(v AS DECIMAL(18,6))) AS cv
+             |  FROM el GROUP BY label, pos),
+             |cent AS (SELECT label AS clabel, list(CAST(cv AS DOUBLE) ORDER BY pos) AS ce
+             |  FROM cs GROUP BY label),
+             |sc AS (SELECT e.vec_id, e.label, c.clabel,
+             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS cos
+             |  FROM embeddings e CROSS JOIN cent c),
+             |pr AS (SELECT vec_id, label, clabel,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+             |  FROM sc)
+             |SELECT label, clabel AS pred, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM pr WHERE rn = 1 GROUP BY label, clabel ORDER BY label, pred""".stripMargin))
   )
 }
