@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.binary("dot_product", DotProduct)))
     // optimizer: HOF dot-product idiom -> codegen'd DotProduct
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    // planner: native as-of join (AsOfJoinPlan -> AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("shingle_array"),
       new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),

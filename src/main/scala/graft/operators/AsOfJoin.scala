@@ -126,4 +126,41 @@ object AsOfJoin {
       .filter(col(sideCol) === 1)
       .drop(sideCol)
   }
+
+  /** Backward as-of join through the NATIVE Catalyst operator
+    * (`plans.AsOfJoinPlan` → `plans.AsOfJoinExec`): same contract and
+    * emitted schema as [[backward]] (left columns, then
+    * `<prefix><tsCol>`, `<prefix><v>`…), but planned as a first-class
+    * sort-merge as-of — no union glue, no window frame, O(|L|+|R|)
+    * streaming merge per partition after one shuffle+sort of each side.
+    * NativeAsOfSpec pins row-set parity between the two formulations; q74
+    * pins this one against DuckDB's native ASOF JOIN.
+    */
+  def backwardNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightVals: Seq[String], prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val spark = left.sparkSession
+    GraftSqlBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+
+    // Alias every kept right column: Alias mints fresh exprIds, so the two
+    // sides can never carry colliding attribute ids (the analyzer dedups
+    // ids for built-in Join nodes only — a custom node must self-insure
+    // against e.g. a self-as-of on one scan).
+    val payNames = (tsCol +: rightVals).map(prefix + _)
+    val rightP = right.select(
+      (keys :+ tsCol).map(c => col(c).as(c)) ++
+        (tsCol +: rightVals).map(c => col(c).as(prefix + c)): _*)
+
+    val lPlan = GraftSqlBridge.analyzed(left)
+    val rPlan = GraftSqlBridge.analyzed(rightP)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+
+    GraftSqlBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, tsCol), attr(rPlan, tsCol),
+      payNames.map(attr(rPlan, _))))
+  }
 }

@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Physical backward as-of join: a sort-merge scan over co-partitioned,
+  * co-sorted children — the plan shape a native engine gives this operator.
+  *
+  * Distribution/ordering contract (EnsureRequirements supplies the
+  * exchanges and sorts, exactly as for SortMergeJoinExec):
+  *   - both children hash-clustered on their key columns (co-partitioned —
+  *     the two ClusteredDistributions are reconciled by the planner's
+  *     shuffle-spec compatibility machinery);
+  *   - each partition sorted by (keys…, ts).
+  *
+  * The merge then streams BOTH sides exactly once per partition: for each
+  * left row in (keys, ts) order, the right cursor advances while
+  * (rKey, rTs) <= (lKey, lTs), remembering the payload of the last
+  * same-key row it passed — that row IS the as-of match (latest right at or
+  * before the probe ts). O(|L| + |R|) per partition, zero row
+  * amplification, no per-group buffering of either side — vs the window
+  * encoding, this drops the union glue and the running-last frame
+  * materialization. At 100 TB: one shuffle of each side, then a pure
+  * streaming pass.
+  *
+  * The held match is one copied UnsafeRow (key) + one copied payload row —
+  * constant memory regardless of group size. Output rows are JoinedRow
+  * views (downstream operators copy if they buffer, the standard join-exec
+  * contract).
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    payload: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  // every output row is a left row (left-outer, no amplification) — left's
+  // partitioning and sort order survive verbatim
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val numPay = payload.length
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val payAttrs = payload
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = UnsafeProjection.create(lKeyExprs, leftOut)
+      val rKey = UnsafeProjection.create(rKeyExprs, rightOut)
+      val lTs = UnsafeProjection.create(Seq(lTsExpr), leftOut)
+      val rTs = UnsafeProjection.create(Seq(rTsExpr), rightOut)
+      val rPay = UnsafeProjection.create(payAttrs, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
+      val nullPay = new GenericInternalRow(numPay)
+      val joined = new JoinedRow
+      // downstream contract: emit UnsafeRow (exchanges/collect cast to it).
+      // Payload attrs MUST bind as nullable here — an unmatched left row
+      // carries a null payload row, and a non-nullable binding would read
+      // the null slot as a raw 0/garbage value instead of NULL.
+      val outAttrs = leftOut ++ payAttrs.map(_.withNullability(true))
+      val resultProj = UnsafeProjection.create(
+        outAttrs.map(a => a: Expression), outAttrs)
+
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        // latest right row already passed: its key and payload (copies —
+        // the projections reuse their buffers)
+        private var mKey: UnsafeRow = _
+        private var mPay: UnsafeRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKey(l)
+          val lt = lTs(l)
+          var advancing = true
+          while (advancing && rRow != null) {
+            val c = keyOrd.compare(rKey(rRow), lk)
+            if (c < 0 || (c == 0 && tsOrd.compare(rTs(rRow), lt) <= 0)) {
+              if (c == 0) { mKey = rKey(rRow).copy(); mPay = rPay(rRow).copy() }
+              rRow = if (rIter.hasNext) rIter.next() else null
+            } else advancing = false
+          }
+          val pay: InternalRow =
+            if (mKey != null && keyOrd.compare(mKey, lk) == 0) mPay else nullPay
+          resultProj(joined(l, pay))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Logical backward as-of join — the whole-operator Catalyst path (SURVEY
+  * §7.3 option c): a first-class plan node the planner lowers to
+  * [[AsOfJoinExec]] via [[AsOfJoinStrategy]], instead of the
+  * union+window *encoding* in `operators.AsOfJoin` (kept as the
+  * pure-DataFrame formulation; q36/q69 pin both against DuckDB's native
+  * ASOF JOIN).
+  *
+  * Semantics: for every left row, the latest right row with the same `keys`
+  * and `rightTs <= leftTs` (inclusive), left-outer — unmatched left rows get
+  * NULL payload. `payload` are attributes of `right`'s output (pre-aliased
+  * by the caller to their emitted names); they become nullable in the
+  * output. NULL keys group like values (both sides' NULL-key rows can
+  * match), mirroring the window formulation's partitionBy semantics.
+  *
+  * Mirrors the reference's latest-tick-at-or-before-t lookup
+  * (`/root/reference/lambda_function.py:26` tables queried with MySQL 5.7
+  * correlated-subquery emulation) as one native operator.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    payload: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy lowering [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Installed
+  * by `graft.GraftExtensions` (cluster deployment:
+  * `--conf spark.sql.extensions=graft.GraftExtensions`) and added
+  * idempotently to `experimental.extraStrategies` by the
+  * `operators.AsOfJoin.backwardNative` API for plain sessions.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, pay) =>
+      AsOfJoinExec(lk, rk, lts, rts, pay, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}

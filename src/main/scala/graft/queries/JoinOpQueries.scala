@@ -100,6 +100,37 @@ object JoinOpQueries extends QueryModule {
              | AND x.ts >= e.ts - INTERVAL 5 MINUTE AND x.ts <= e.ts
              | AND x.event_id <> e.event_id
              |WHERE e.event_type = 'error'
-             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
+             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)),
+
+    // q74 — q36's backward as-of through the NATIVE Catalyst operator
+    // (plans.AsOfJoinPlan → AsOfJoinExec via the injected planner strategy):
+    // same query, same DuckDB ASOF JOIN oracle, different physical plan — a
+    // co-partitioned co-sorted O(|L|+|R|) merge with no union glue or
+    // window frame. Keeping both declared pins the two formulations to the
+    // same hash forever.
+    Declared("q74_asof_native",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        AsOfJoin.backwardNative(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "view_")
+          .select(col("event_id"), col("user_id"),
+            tmicro(col("ts")).as("ts"),
+            tmicro(col("view_ts")).as("view_ts"),
+            out6(dec(col("view_v_value"))).as("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, max_by(value, event_id) AS v_value
+             |          FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+             |  CAST(ROUND(CAST(v.v_value AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+             |ORDER BY c.event_id""".stripMargin))
   )
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Tables
+import graft.operators.AsOfJoin
+
+/** The native Catalyst as-of operator (plans.AsOfJoinPlan/Exec): semantics
+  * pinned on hand-checked inputs, row-set parity against the union+window
+  * formulation at fixture scale, and the physical plan shape (merge exec
+  * present; no window, no nested-loop join).
+  */
+class NativeAsOfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("native as-of: latest-at-or-before per key, inclusive, left-outer") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "c1"),
+      (1L, ts("2024-01-01 10:00:10"), "c2"),
+      (2L, ts("2024-01-01 10:00:01"), "c3")
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:03"), 3.0),
+      (1L, ts("2024-01-01 10:00:10"), 10.0), // equal ts: inclusive match
+      (2L, ts("2024-01-01 10:00:02"), 2.0)   // after c3: no match
+    ).toDF("user_id", "ts", "v")
+
+    val out = AsOfJoin.backwardNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+      .select("tag", "m_v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("c1") == Some(3.0))
+    assert(out("c2") == Some(10.0))
+    assert(out("c3") == None)
+  }
+
+  test("native as-of: NULL payload survives (match stays atomic per right row)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:05"), "c1")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:03"), Some(3.0)),
+      (1L, ts("2024-01-01 10:00:04"), None)
+    ).toDF("user_id", "ts", "v")
+
+    val row = AsOfJoin.backwardNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+      .select("m_ts", "m_v").collect().head
+    assert(row.getTimestamp(0) == ts("2024-01-01 10:00:04"))
+    assert(row.isNullAt(1))
+  }
+
+  test("native as-of: empty right side -> all-null payload, all left rows kept") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:05"), "c1")).toDF("user_id", "ts", "tag")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("user_id", "ts", "v")
+    val rows = AsOfJoin.backwardNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_").collect()
+    assert(rows.length == 1 && rows.head.isNullAt(3) && rows.head.isNullAt(4))
+  }
+
+  test("native as-of: self-as-of on one scan (exprId collision) stays correct") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:03"), 3.0),
+      (1L, ts("2024-01-01 10:00:05"), 5.0)
+    ).toDF("user_id", "ts", "v")
+    // both sides derive from the SAME DataFrame — the aliasing in
+    // backwardNative must mint fresh right-side attribute ids
+    val out = AsOfJoin.backwardNative(df, df, Seq("user_id"), "ts", Seq("v"), "p_")
+      .select("v", "p_v").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(out == Set((3.0, 3.0), (5.0, 5.0))) // inclusive: each row matches itself
+  }
+
+  test("native as-of matches the union+window formulation on the events fixture") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v_value"))
+
+    val a = AsOfJoin.backward(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "m_")
+      .select("event_id", "m_ts", "m_v_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val b = AsOfJoin.backwardNative(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "m_")
+      .select("event_id", "m_ts", "m_v_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("native as-of plan: AsOfJoinExec present, no WindowExec / nested loop") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v_value"))
+    val plan = AsOfJoin.backwardNative(clicks, views, Seq("user_id"), "ts", Seq("v_value"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native exec missing:\n$plan")
+    assert(!plan.contains("WindowExec"), "window encoding leaked into native plan")
+    assert(!plan.contains("BroadcastNestedLoop"), "nested-loop fallback in native plan")
+  }
+}
