@@ -215,6 +215,48 @@ object EventQueries extends QueryModule {
              |  CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
              |FROM events e JOIN dim USING (user_id)
-             |GROUP BY e.user_id, dim.user_events ORDER BY e.user_id""".stripMargin))
+             |GROUP BY e.user_id, dim.user_events ORDER BY e.user_id""".stripMargin)),
+
+    // q75 — sequential conversion FUNNEL (view → click → purchase, strictly
+    // later at each step): per user, the first view, the first click after
+    // it, the first purchase after that; emitted as per-stage user counts.
+    // The classic ordered-event product query a tick/event store serves.
+    //
+    // Shape at 100 TB: every stage is a conditional min keyed on user_id —
+    // the three aggs and both joins share ONE hash partitioning on user_id,
+    // so after the first exchange the whole chain is co-partitioned
+    // (Exchange reuse + AQE keep it to one shuffle of each filtered leg);
+    // stage tables shrink monotonically, and the final counts are 1-row
+    // aggregates unioned driver-free.
+    Declared("q75_funnel",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(big(count(lit(1))).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        stage(v, "1_view")
+          .unionByName(stage(c, "2_click_after_view"))
+          .unionByName(stage(p, "3_purchase_after_click"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+             |SELECT stage, n_users FROM (
+             |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+             |  UNION ALL SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+             |  UNION ALL SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p)
+             |ORDER BY stage""".stripMargin))
   )
 }
