@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -164,12 +165,14 @@ object TextAnalysisQueries extends QueryModule {
         val docs = Tables.load(s, dir, "documents")
         val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-        val dlen = docs.select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        val dfTab = tc.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        // doc length (Σ c) and document frequency both derive from tc via
+        // unordered windows, NOT self-joins: a join back to tc would
+        // re-derive the explode+agg per consumer — three full text scans at
+        // 100 TB. This shape tokenizes ONCE; everything after shuffles
+        // (doc,term,count) counter rows only.
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        tc.join(dlen, "doc_id")
-          .join(dfTab, "t")
+        tc.withColumn("n_tokens", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
           .crossJoin(broadcast(n))
           .withColumn("tf", out6(dec(col("c")) / col("n_tokens")))
           .withColumn("idf", out6(dec(col("n_docs")) / col("df")))
