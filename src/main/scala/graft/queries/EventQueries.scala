@@ -257,6 +257,51 @@ object EventQueries extends QueryModule {
              |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
              |  UNION ALL SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
              |  UNION ALL SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // q76 — STREAMING SESSION WINDOWS under the gate: events replayed as 4
+    // micro-batches through `session_window(ts, '30 minutes')` state (the
+    // q66 harness shape), per-user session count + event totals read back
+    // from the sink. Boundary semantics: session_window starts a NEW
+    // session when gap >= 30 min EXACTLY (the merge test is ts <
+    // sessionEnd), so the batch oracle's gaps-and-islands uses >=, one
+    // stricter than q23's > (the fixtures contain no exact-30-min gap —
+    // verified at all three SFs — but the oracle must encode the operator's
+    // true contract, not the fixture's luck).
+    Declared("q76_stream_session",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val events = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"))
+        val base = SharedStages.scratchDir("q76")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        val agg = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .groupBy(col("user_id"))
+          .agg(big(count(lit(1))).as("n_sessions"), big(sum(col("n_events"))).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  CAST(1 + SUM(CASE WHEN gap_us >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             |  COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id, ts,
+             |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |  FROM events
+             |)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

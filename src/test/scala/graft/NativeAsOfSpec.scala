@@ -88,6 +88,30 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("native as-of: randomized parity with the window formulation (duplicate ts, sparse keys)") {
+    import spark.implicits._
+    // adversarial shape: few keys (forces multi-row groups), coarse ts
+    // (forces equal-ts ties on both sides), payload occasionally null
+    val rnd = new scala.util.Random(0xA50F)
+    def rows(n: Int) = Seq.fill(n)((
+      rnd.nextInt(4).toLong,
+      ts(f"2024-01-01 10:00:${rnd.nextInt(30)}%02d"),
+      if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(100).toDouble)))
+    val left = rows(200).map { case (k, t, v) => (k, t, v.getOrElse(-1.0)) }
+      .toDF("user_id", "ts", "lv")
+    // right must be unique per (key, ts): the operator contract
+    val right = rows(300).toDF("user_id", "ts", "v")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("v")).as("v"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "ts", "lv", "m_ts", "m_v").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          Option(r.get(3)), Option(r.get(4)))).sortBy(_.toString).toSeq
+    val a = canon(AsOfJoin.backward(left, right, Seq("user_id"), "ts", Seq("v"), "m_"))
+    val b = canon(AsOfJoin.backwardNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_"))
+    assert(a == b)
+  }
+
   test("native as-of plan: AsOfJoinExec present, no WindowExec / nested loop") {
     val ev = Tables.load(spark, sf0001, "events")
     val clicks = ev.filter(col("event_type") === "click")
