@@ -137,7 +137,19 @@ object AsOfJoin {
     * pins this one against DuckDB's native ASOF JOIN.
     */
   def backwardNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-      rightVals: Seq[String], prefix: String = "asof_"): DataFrame = {
+      rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
+    native(left, right, keys, tsCol, rightVals, prefix, graft.plans.AsOfBackward)
+
+  /** Forward as-of (earliest right with rTs >= lTs, inclusive) through the
+    * native operator — same contract as [[forward]].
+    */
+  def forwardNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
+    native(left, right, keys, tsCol, rightVals, prefix, graft.plans.AsOfForward)
+
+  private def native(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightVals: Seq[String], prefix: String,
+      direction: graft.plans.AsOfDirection): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val spark = left.sparkSession
     GraftSqlBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
@@ -161,6 +173,6 @@ object AsOfJoin {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, tsCol), attr(rPlan, tsCol),
-      payNames.map(attr(rPlan, _))))
+      payNames.map(attr(rPlan, _)), direction))
   }
 }

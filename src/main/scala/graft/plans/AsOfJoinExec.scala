@@ -37,6 +37,7 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     payload: Seq[Attribute],
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -82,6 +83,7 @@ case class AsOfJoinExec(
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
       val nullPay = new GenericInternalRow(numPay)
       val joined = new JoinedRow
+      val forward = direction == AsOfForward
       // downstream contract: emit UnsafeRow (exchanges/collect cast to it).
       // Payload attrs MUST bind as nullable here — an unmatched left row
       // carries a null payload row, and a non-nullable binding would read
@@ -106,13 +108,25 @@ case class AsOfJoinExec(
           var advancing = true
           while (advancing && rRow != null) {
             val c = keyOrd.compare(rKey(rRow), lk)
-            if (c < 0 || (c == 0 && tsOrd.compare(rTs(rRow), lt) <= 0)) {
-              if (c == 0) { mKey = rKey(rRow).copy(); mPay = rPay(rRow).copy() }
+            // backward consumes rows AT the probe ts too (inclusive match =
+            // last one passed); forward must STOP on them — the first
+            // same-key row at-or-after the probe IS the match, and left's
+            // ascending order guarantees consumed rows are never needed
+            // by a later probe
+            val consume =
+              c < 0 || (c == 0 && (if (forward) tsOrd.compare(rTs(rRow), lt) < 0
+                                   else tsOrd.compare(rTs(rRow), lt) <= 0))
+            if (consume) {
+              if (!forward && c == 0) { mKey = rKey(rRow).copy(); mPay = rPay(rRow).copy() }
               rRow = if (rIter.hasNext) rIter.next() else null
             } else advancing = false
           }
           val pay: InternalRow =
-            if (mKey != null && keyOrd.compare(mKey, lk) == 0) mPay else nullPay
+            if (forward) {
+              if (rRow != null && keyOrd.compare(rKey(rRow), lk) == 0) rPay(rRow) else nullPay
+            } else {
+              if (mKey != null && keyOrd.compare(mKey, lk) == 0) mPay else nullPay
+            }
           resultProj(joined(l, pay))
         }
       }

@@ -29,7 +29,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -47,8 +48,19 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, pay) =>
-      AsOfJoinExec(lk, rk, lts, rts, pay, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, pay, dir) =>
+      AsOfJoinExec(lk, rk, lts, rts, pay, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
+
+/** Match direction of the native as-of operator. `nearest` intentionally
+  * stays window-only (operators.AsOfJoin.nearest): it needs BOTH adjacent
+  * matches plus a type-dependent distance, which the single-cursor merge
+  * below has no natural shape for.
+  */
+sealed trait AsOfDirection
+/** latest right with rTs <= lTs (inclusive) */
+case object AsOfBackward extends AsOfDirection
+/** earliest right with rTs >= lTs (inclusive) */
+case object AsOfForward extends AsOfDirection

@@ -131,6 +131,35 @@ object JoinOpQueries extends QueryModule {
              |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
              |  CAST(ROUND(CAST(v.v_value AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
              |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // q77 — q69's FORWARD as-of through the native operator (AsOfForward
+    // merge: right cursor stops at the first same-key row at-or-after the
+    // probe — no held copy needed, left's ascending order makes consumed
+    // rows dead). Same DuckDB forward-ASOF oracle as q69.
+    Declared("q77_asof_forward_native",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        AsOfJoin.forwardNative(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "view_")
+          .select(col("event_id"), col("user_id"),
+            tmicro(col("ts")).as("ts"),
+            tmicro(col("view_ts")).as("view_ts"),
+            out6(dec(col("view_v_value"))).as("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, max_by(value, event_id) AS v_value
+             |          FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+             |  CAST(ROUND(CAST(v.v_value AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts
              |ORDER BY c.event_id""".stripMargin))
   )
 }

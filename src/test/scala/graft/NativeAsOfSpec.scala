@@ -88,6 +88,46 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("native as-of FORWARD: earliest-at-or-after per key, inclusive, left-outer") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "c1"),
+      (1L, ts("2024-01-01 10:00:10"), "c2"), // equal ts: inclusive match
+      (2L, ts("2024-01-01 10:00:03"), "c3")  // after last right for key 2: no match
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:07"), 7.0),
+      (1L, ts("2024-01-01 10:00:10"), 10.0),
+      (2L, ts("2024-01-01 10:00:02"), 2.0)
+    ).toDF("user_id", "ts", "v")
+
+    val out = AsOfJoin.forwardNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+      .select("tag", "m_v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("c1") == Some(7.0))
+    assert(out("c2") == Some(10.0))
+    assert(out("c3") == None)
+  }
+
+  test("native as-of FORWARD: randomized parity with the window formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xF0E)
+    def rows(n: Int) = Seq.fill(n)((
+      rnd.nextInt(4).toLong,
+      ts(f"2024-01-01 10:00:${rnd.nextInt(30)}%02d"),
+      rnd.nextInt(100).toDouble))
+    val left = rows(200).toDF("user_id", "ts", "lv")
+    val right = rows(300).toDF("user_id", "ts", "v")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("v")).as("v"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "ts", "lv", "m_ts", "m_v").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          Option(r.get(3)), Option(r.get(4)))).sortBy(_.toString).toSeq
+    val a = canon(AsOfJoin.forward(left, right, Seq("user_id"), "ts", Seq("v"), "m_"))
+    val b = canon(AsOfJoin.forwardNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_"))
+    assert(a == b)
+  }
+
   test("native as-of: randomized parity with the window formulation (duplicate ts, sparse keys)") {
     import spark.implicits._
     // adversarial shape: few keys (forces multi-row groups), coarse ts
