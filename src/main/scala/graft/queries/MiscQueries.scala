@@ -145,6 +145,62 @@ object MiscQueries extends QueryModule {
              |  CAST(ROUND(CAST(min(value) AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS low,
              |  CAST(ROUND(CAST(arg_max(value, ts) AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS close,
              |  COUNT(*) AS n
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q79 — correlation / covariance / stddev via EXACT second moments:
+    // the builtin corr/covar/stddev aggregates are one-pass DOUBLE
+    // algorithms whose result depends on partition merge order — fine for
+    // analytics, unpinnable for a bit-exact cross-engine gate. Instead the
+    // five moments (Σx, Σy, Σx², Σy², Σxy) aggregate in EXACT decimal
+    // (order-insensitive, map-side combinable — the same trick as q73's
+    // centroids), and the closed-form statistics are evaluated in doubles
+    // from those exact sums with an identical expression on both sides:
+    // same inputs, same IEEE ops, same bits. Shape at 100 TB: one scan, one
+    // 6-accumulator hash agg — cheaper than builtin corr (which keeps the
+    // same moments, just in doubles).
+    Declared("q79_exact_moments",
+      (s, dir) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+          .select(col("l_returnflag"),
+            big(col("n")).as("n"),
+            out6((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+                   (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("corr_qp"),
+            out6((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              (d(col("n")) * d(col("n")))).as("covar_pop_qp"),
+            out6(sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+              (d(col("n")) * d(col("n"))))).as("std_qty"),
+            out6(sqrt((d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))) /
+              (d(col("n")) * d(col("n"))))).as("std_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+             |    -- DECIMAL(19,6) operands force DuckDB's int128 multiply path
+             |    -- (the int64 fast path overflows on price^2 raws); scale-6
+             |    -- rounding is identical so the sums stay bit-equal to Spark's
+             |    SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+             |    SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |  CAST(ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+             |    sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+             |         (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS DECIMAL(18,6)) AS corr_qp,
+             |  CAST(ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS covar_pop_qp,
+             |  CAST(ROUND(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))), 6) AS DECIMAL(18,6)) AS std_qty,
+             |  CAST(ROUND(sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))), 6) AS DECIMAL(18,6)) AS std_price
+             |FROM s ORDER BY l_returnflag""".stripMargin))
   )
 }

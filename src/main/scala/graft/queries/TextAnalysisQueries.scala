@@ -198,6 +198,32 @@ object TextAnalysisQueries extends QueryModule {
              |  FROM tc JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN n),
              |rk AS (SELECT doc_id, t, score,
              |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rn FROM sc)
-             |SELECT doc_id, t AS term, score FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+             |SELECT doc_id, t AS term, score FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // q78 — per-source document-LENGTH histogram (16-token bins with
+    // per-bin doc count, token mass, min/max): the distribution diagnostic
+    // a curation pipeline reads before setting length filters and packing
+    // capacities. One scan, one two-key hash agg (map-side partial) — at
+    // 100 TB the shuffle carries only (source, bin) counter rows.
+    Declared("q78_length_histogram",
+      (s, dir) => {
+        import graft.functions.ColumnOps.idiv
+        Tables.load(s, dir, "documents")
+          .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+          .withColumn("bin", idiv(col("n"), lit(16L)))
+          .groupBy(col("source"), col("bin"))
+          .agg(big(count(lit(1))).as("n_docs"), big(sum(col("n"))).as("bin_tokens"),
+            big(min(col("n"))).as("min_tokens"), big(max(col("n"))).as("max_tokens"))
+          .select(col("source"), big(col("bin")).as("bin"), col("n_docs"),
+            col("bin_tokens"), col("min_tokens"), col("max_tokens"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""SELECT source, CAST(n // 16 AS BIGINT) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n) AS BIGINT) AS bin_tokens,
+             |  CAST(MIN(n) AS BIGINT) AS min_tokens,
+             |  CAST(MAX(n) AS BIGINT) AS max_tokens
+             |FROM (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
+             |GROUP BY source, bin ORDER BY source, bin""".stripMargin))
   )
 }
