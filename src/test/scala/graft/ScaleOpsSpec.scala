@@ -226,6 +226,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("runtime bloom-filter pruning fires on a selective shuffled join") {
+    // Spark's InjectRuntimeFilter: a selective filter on one join side
+    // grows a bloom filter that prunes the OTHER side's shuffle input at
+    // runtime — the third pruning lever next to static pushdown and AQE,
+    // and the one that matters at 100 TB when the big side can't know the
+    // dim's surviving keys statically. Thresholds are tuned down because
+    // the fixture scans are tiny; at scale the defaults (10 GB application
+    // side) gate it to genuinely large scans.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // no broadcast: SMJ + runtime filter
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_totalprice") > 400000) // selective creation side
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(ord("o_orderkey")).agg(sum(li("l_quantity")))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter") ||
+        optimized.contains("might_contain"), s"no runtime bloom filter in:\n$optimized")
+      assert(j.count() > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("synthetic rate-source ticks feed the ingest transform") {
     val ticks = graft.streaming.Ingest.syntheticTicks(spark, ticksPerSecond = 1000)
     assert(ticks.isStreaming)
