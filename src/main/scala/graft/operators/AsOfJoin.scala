@@ -128,13 +128,15 @@ object AsOfJoin {
   }
 
   /** Backward as-of join through the NATIVE Catalyst operator
-    * (`plans.AsOfJoinPlan` → `plans.AsOfJoinExec`): same contract and
-    * emitted schema as [[backward]] (left columns, then
-    * `<prefix><tsCol>`, `<prefix><v>`…), but planned as a first-class
-    * sort-merge as-of — no union glue, no window frame, O(|L|+|R|)
-    * streaming merge per partition after one shuffle+sort of each side.
-    * NativeAsOfSpec pins row-set parity between the two formulations; q74
-    * pins this one against DuckDB's native ASOF JOIN.
+    * (`plans.AsOfJoinPlan` → `plans.AsOfJoinExec`): same match semantics
+    * and column SET as [[backward]] — left columns, then `<prefix><tsCol>`,
+    * `<prefix><v>`… — but left columns keep `left.output` ORDER, whereas
+    * the window formulation reorders them to (keys, ts, extras). Select by
+    * name when swapping formulations. Planned as a first-class sort-merge
+    * as-of — no union glue, no window frame, O(|L|+|R|) streaming merge per
+    * partition after one shuffle+sort of each side. NativeAsOfSpec pins
+    * row-set parity between the two formulations; q74 pins this one
+    * against DuckDB's native ASOF JOIN.
     */
   def backwardNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
@@ -159,15 +161,29 @@ object AsOfJoin {
     // ids for built-in Join nodes only — a custom node must self-insure
     // against e.g. a self-as-of on one scan).
     val payNames = (tsCol +: rightVals).map(prefix + _)
+    val clash = left.columns.toSet.intersect(payNames.toSet)
+    require(clash.isEmpty,
+      s"left side already has column(s) ${clash.mkString(", ")} that the as-of payload " +
+        "would emit — pick a different prefix")
     val rightP = right.select(
       (keys :+ tsCol).map(c => col(c).as(c)) ++
         (tsCol +: rightVals).map(c => col(c).as(prefix + c)): _*)
 
     val lPlan = GraftSqlBridge.analyzed(left)
     val rPlan = GraftSqlBridge.analyzed(rightP)
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    // exact name first, then case-insensitive (mirroring the analyzer's
+    // default resolution); ambiguity is an error, not a silent first-match
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) = {
+      val exact = plan.output.filter(_.name == name)
+      val hits = if (exact.nonEmpty) exact else plan.output.filter(_.name.equalsIgnoreCase(name))
+      hits match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous among ${many.map(_.name)}")
+      }
+    }
 
     GraftSqlBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lPlan, rPlan,

@@ -93,11 +93,23 @@ case class AsOfJoinExec(
         outAttrs.map(a => a: Expression), outAttrs)
 
       new Iterator[InternalRow] {
-        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-        // latest right row already passed: its key and payload (copies —
-        // the projections reuse their buffers)
+        private var rRow: InternalRow = _
+        // rk/rt hold the rKey/rTs projection buffers for the CURRENT rRow:
+        // each projection runs exactly once per cursor advance and nothing
+        // else invokes those instances, so the buffers stay valid until the
+        // next advance — no re-evaluation in the per-probe hot path
+        private var rk: UnsafeRow = _
+        private var rt: UnsafeRow = _
+        // backward: latest same-key right row already passed — key and
+        // payload held as COPIES (the buffers above get overwritten)
         private var mKey: UnsafeRow = _
         private var mPay: UnsafeRow = _
+
+        private def advanceRight(): Unit = {
+          rRow = if (rIter.hasNext) rIter.next() else null
+          if (rRow != null) { rk = rKey(rRow); rt = rTs(rRow) }
+        }
+        advanceRight()
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -105,25 +117,28 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lk = lKey(l)
           val lt = lTs(l)
+          // key comparison of the current right cursor vs this probe —
+          // computed once per (probe, cursor) pair
+          var cmp = if (rRow == null) 1 else keyOrd.compare(rk, lk)
           var advancing = true
           while (advancing && rRow != null) {
-            val c = keyOrd.compare(rKey(rRow), lk)
             // backward consumes rows AT the probe ts too (inclusive match =
             // last one passed); forward must STOP on them — the first
             // same-key row at-or-after the probe IS the match, and left's
             // ascending order guarantees consumed rows are never needed
             // by a later probe
             val consume =
-              c < 0 || (c == 0 && (if (forward) tsOrd.compare(rTs(rRow), lt) < 0
-                                   else tsOrd.compare(rTs(rRow), lt) <= 0))
+              cmp < 0 || (cmp == 0 && (if (forward) tsOrd.compare(rt, lt) < 0
+                                       else tsOrd.compare(rt, lt) <= 0))
             if (consume) {
-              if (!forward && c == 0) { mKey = rKey(rRow).copy(); mPay = rPay(rRow).copy() }
-              rRow = if (rIter.hasNext) rIter.next() else null
+              if (!forward && cmp == 0) { mKey = rk.copy(); mPay = rPay(rRow).copy() }
+              advanceRight()
+              cmp = if (rRow == null) 1 else keyOrd.compare(rk, lk)
             } else advancing = false
           }
           val pay: InternalRow =
             if (forward) {
-              if (rRow != null && keyOrd.compare(rKey(rRow), lk) == 0) rPay(rRow) else nullPay
+              if (rRow != null && cmp == 0) rPay(rRow) else nullPay
             } else {
               if (mKey != null && keyOrd.compare(mKey, lk) == 0) mPay else nullPay
             }

@@ -32,6 +32,19 @@ case class AsOfJoinPlan(
     payload: Seq[Attribute],
     direction: AsOfDirection = AsOfBackward) extends BinaryNode {
 
+  // fail at plan-construction time, not with a ClassCastException (or a
+  // silent garbage comparison for same-width types) inside an executor:
+  // the exec's orderings are built from the LEFT side's types and applied
+  // to BOTH sides, so the sides must agree exactly
+  if ((leftKeys ++ rightKeys :+ leftTs :+ rightTs).forall(_.resolved)) {
+    require(leftKeys.length == rightKeys.length &&
+      leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType },
+      s"as-of join key types must match pairwise: " +
+        s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+    require(leftTs.dataType == rightTs.dataType,
+      s"as-of join ts types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
+  }
+
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
 

@@ -151,37 +151,40 @@ object TextAnalysisQueries extends QueryModule {
     // extraction step (q65's vocabulary DF is the corpus-level half). IDF is
     // the RATIONAL variant N/df rather than ln(N/df): ln is a pointwise
     // monotone map of it, so the per-document argmax term is IDENTICAL for
-    // any df tie-free pair, and rational idf keeps every intermediate in
-    // exact decimal — the gate protocol (Protocol.scala) forbids transcendental
-    // doubles whose last-ulp may differ between JVM Math.log and DuckDB libm.
+    // any df tie-free pair — and the whole score stays in INTEGER arithmetic:
+    //   score_micro = floor(c·N·10⁶ / (n_tokens·df))
+    // A decimal or double division here is a latent gate breaker — Spark
+    // divides decimals exactly (HALF_UP at the result scale) while DuckDB
+    // degrades decimal/int to DOUBLE, so a quotient landing exactly on a
+    // 6-dp halfway (e.g. 3/640 = 0.0046875) rounds UP in Spark and DOWN in
+    // DuckDB whenever the nearest double sits below the true value. Integer
+    // floor division is bit-identical in both engines. Width bound:
+    // c·N·10⁶ < 2⁶³ ⇔ c·N < 9.2e12 — holds to ~10¹⁰ docs; past that, lift
+    // the numerator to DECIMAL(38,0)/HUGEINT on both sides.
     //
     // Shape at 100 TB: (doc,term) counts are one explode + map-side partial
-    // hash agg; the DF table derives from those same counts (no second text
-    // scan); the term-keyed join shuffles counter rows (never text); N is a
+    // hash agg; doc length (Σc) and document frequency derive from those
+    // counts via unordered windows, NOT join-backs (a join back would
+    // re-derive the explode per consumer — three full text scans); N is a
     // 1-row broadcast; the per-doc argmax is one atomic min_by(struct) —
     // best term and score always come from the same row, no second window.
     Declared("q72_tfidf",
       (s, dir) => {
+        import graft.functions.ColumnOps.idiv
         val docs = Tables.load(s, dir, "documents")
         val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-        // doc length (Σ c) and document frequency both derive from tc via
-        // unordered windows, NOT self-joins: a join back to tc would
-        // re-derive the explode+agg per consumer — three full text scans at
-        // 100 TB. This shape tokenizes ONCE; everything after shuffles
-        // (doc,term,count) counter rows only.
         val n = docs.agg(count(lit(1)).as("n_docs"))
         tc.withColumn("n_tokens", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
           .withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
           .crossJoin(broadcast(n))
-          .withColumn("tf", out6(dec(col("c")) / col("n_tokens")))
-          .withColumn("idf", out6(dec(col("n_docs")) / col("df")))
-          .withColumn("score", out6(col("tf") * col("idf")))
+          .withColumn("score_micro",
+            idiv(col("c") * col("n_docs") * lit(1000000L), col("n_tokens") * col("df")))
           .groupBy(col("doc_id"))
-          .agg(min_by(struct(col("t").as("term"), col("score").as("sc")),
-            struct((-col("score")).as("ns"), col("t"))).as("best"))
+          .agg(min_by(struct(col("t").as("term"), col("score_micro").as("sc")),
+            struct((-col("score_micro")).as("ns"), col("t"))).as("best"))
           .select(col("doc_id"), col("best.term").as("term"),
-            col("best.sc").as("score"))
+            big(col("best.sc")).as("score_micro"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -191,14 +194,12 @@ object TextAnalysisQueries extends QueryModule {
              |dft AS (SELECT t, COUNT(*) AS df FROM tc GROUP BY t),
              |n AS (SELECT COUNT(*) AS n_docs FROM documents),
              |sc AS (SELECT tc.doc_id, tc.t,
-             |  CAST(ROUND(
-             |    CAST(ROUND(CAST(tc.c AS DECIMAL(18,6)) / dl.n_tokens, 6) AS DECIMAL(18,6)) *
-             |    CAST(ROUND(CAST(n.n_docs AS DECIMAL(18,6)) / dft.df, 6) AS DECIMAL(18,6)),
-             |  6) AS DECIMAL(18,6)) AS score
+             |  (tc.c * n.n_docs * 1000000) // (dl.n_tokens * dft.df) AS score_micro
              |  FROM tc JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN n),
-             |rk AS (SELECT doc_id, t, score,
-             |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rn FROM sc)
-             |SELECT doc_id, t AS term, score FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+             |rk AS (SELECT doc_id, t, score_micro,
+             |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, t) AS rn FROM sc)
+             |SELECT doc_id, t AS term, CAST(score_micro AS BIGINT) AS score_micro
+             |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     // q78 — per-source document-LENGTH histogram (16-token bins with
     // per-bin doc count, token mass, min/max): the distribution diagnostic

@@ -139,8 +139,12 @@ object VectorQueries extends QueryModule {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
             x => x.getField("cv").cast("double")).as("ce"))
           .select(col("label").as("clabel"), col("ce"))
+        // argmax over the 6-dp ROUNDED cosine (ties → min label): anchors
+        // the cross-engine contract to the same out6(cos) equality the
+        // whole vector family already relies on, instead of assuming the
+        // two engines' full-precision cosine loops are bit-identical
         e.crossJoin(broadcast(cent))
-          .withColumn("cos", cosine(col("e"), col("ce")))
+          .withColumn("cos", out6(cosine(col("e"), col("ce"))))
           .groupBy(col("vec_id"), col("label"))
           .agg(min_by(col("clabel"), struct((-col("cos")).as("nc"), col("clabel"))).as("pred"))
           .groupBy(col("label"), col("pred"))
@@ -154,7 +158,7 @@ object VectorQueries extends QueryModule {
              |cent AS (SELECT label AS clabel, list(CAST(cv AS DOUBLE) ORDER BY pos) AS ce
              |  FROM cs GROUP BY label),
              |sc AS (SELECT e.vec_id, e.label, c.clabel,
-             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS cos
+             |    CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS DECIMAL(18,6)) AS cos
              |  FROM embeddings e CROSS JOIN cent c),
              |pr AS (SELECT vec_id, label, clabel,
              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn

@@ -152,6 +152,26 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("native as-of: mismatched ts types fail fast at plan construction") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:05"), "c1")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 1704103203L, 3.0)).toDF("user_id", "ts", "v") // ts is LONG
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backwardNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+    }
+    assert(e.getMessage.contains("ts types must match"))
+  }
+
+  test("native as-of: payload name collision with a left column is rejected") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:05"), 9.9)).toDF("user_id", "ts", "m_v")
+    val right = Seq((1L, ts("2024-01-01 10:00:03"), 3.0)).toDF("user_id", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backwardNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+    }
+    assert(e.getMessage.contains("prefix"))
+  }
+
   test("native as-of plan: AsOfJoinExec present, no WindowExec / nested loop") {
     val ev = Tables.load(spark, sf0001, "events")
     val clicks = ev.filter(col("event_type") === "click")
