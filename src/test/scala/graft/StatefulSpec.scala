@@ -151,6 +151,40 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningOhlcTws (transformWithState) emits the same bars as the v1 operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[TradeTick]
+    val base = 1700000040000L
+    def tick(id: Long, p: String, tMs: Long) = TradeTick(id, "BTCUSDT", p, "2.00000000", tMs, true)
+    val q = Stateful.runningOhlcTws(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("twsbars").start()
+    try {
+      // same scenario as the v1 late-tick test: rotation on later minute,
+      // cross-batch late tick dropped, multi-batch state carry
+      ms.addData(tick(1, "10", base), tick(2, "11", base + 1000), tick(3, "20", base + 60000))
+      q.processAllAvailable()
+      ms.addData(tick(4, "99", base + 2000)) // late -> dropped
+      q.processAllAvailable()
+      ms.addData(tick(5, "30", base + 120000))
+      q.processAllAvailable()
+      val bars = spark.sql(
+        "SELECT windowStartSec, open, high, low, close, volume, count FROM twsbars ORDER BY windowStartSec")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6))).toList
+      assert(bars == List(
+        (base / 1000, 10.0, 11.0, 10.0, 11.0, 4.0, 2L),
+        (base / 1000 + 60, 20.0, 20.0, 20.0, 20.0, 2.0, 1L)))
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
   test("stream-static enrich joins the symbol dimension") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
