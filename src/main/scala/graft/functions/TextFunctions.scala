@@ -43,6 +43,14 @@ object TextFunctions {
     */
   def shingles3Distinct(text: Column): Column = shinglesDistinct(text, 3)
 
+  /** Width-parametric NON-distinct token n-gram shingles (every occurrence
+    * kept — the shape pair-frequency counting needs, e.g. the BPE merge
+    * statistic in q81).
+    */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ShingleArray(org.apache.spark.sql.GraftSqlBridge.expression(text), distinct = false, n = n))
+
   /** Width-parametric first-occurrence-distinct token n-gram shingles;
     * documents shorter than n tokens degrade to one whole-text shingle.
     * Width 13 is the public GPT-3/FLAN decontamination recipe.

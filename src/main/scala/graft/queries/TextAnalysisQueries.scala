@@ -225,6 +225,30 @@ object TextAnalysisQueries extends QueryModule {
              |  CAST(MIN(n) AS BIGINT) AS min_tokens,
              |  CAST(MAX(n) AS BIGINT) AS max_tokens
              |FROM (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
-             |GROUP BY source, bin ORDER BY source, bin""".stripMargin))
+             |GROUP BY source, bin ORDER BY source, bin""".stripMargin)),
+
+    // q81 — adjacent-pair frequencies (the BPE merge statistic): count
+    // every token bigram OCCURRENCE across the corpus, keep the top 50 —
+    // the per-iteration step of byte-pair-encoding tokenizer training
+    // (count pairs → merge the argmax → repeat). One codegen'd ShingleArray
+    // (width 2, non-distinct) explode → map-side-partial hash agg →
+    // TakeOrdered(50): the shuffle carries (pair, count) rows, never text,
+    // and the top-k never materializes the full pair vocabulary anywhere.
+    Declared("q81_bpe_pairs",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(explode(shingles(col("text"), 2)).as("pair"))
+          .groupBy(col("pair"))
+          .agg(big(count(lit(1))).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(50)
+      },
+      Some("""WITH d AS (SELECT text, string_split(text, ' ') AS tk FROM documents),
+             |p AS (SELECT unnest(CASE WHEN len(tk) >= 2
+             |    THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+             |    ELSE [text] END) AS pair
+             |  FROM d)
+             |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin))
   )
 }

@@ -164,6 +164,38 @@ object VectorQueries extends QueryModule {
              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
              |  FROM sc)
              |SELECT label, clabel AS pred, CAST(COUNT(*) AS BIGINT) AS n
-             |FROM pr WHERE rn = 1 GROUP BY label, clabel ORDER BY label, pred""".stripMargin))
+             |FROM pr WHERE rn = 1 GROUP BY label, clabel ORDER BY label, pred""".stripMargin)),
+
+    // q80 — HARD-NEGATIVE mining: for each probe vector, the most similar
+    // vector with a DIFFERENT label — the contrastive-training data op
+    // (hard negatives are what make triplet/InfoNCE batches informative).
+    // Probe batch broadcast, corpus streams through one codegen'd cosine
+    // map (no shuffle of embeddings), atomic min_by argmax per probe on the
+    // 6-dp rounded cosine (the q73 cross-engine anchor). At 100 TB the
+    // probe side stays the bounded batch; candidate generation routes
+    // through the IVF index (q46) and this exact argmax runs per bucket.
+    Declared("q80_hard_negatives",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("label").as("qlabel"))
+        e.crossJoin(broadcast(q))
+          .filter(col("label") =!= col("qlabel"))
+          .withColumn("cos", out6(cosine(col("e"), col("qe"))))
+          .groupBy(col("qid"))
+          .agg(min_by(struct(col("vec_id").as("neg_id"), col("cos").as("c")),
+            struct((-col("cos")).as("nc"), col("vec_id"))).as("best"))
+          .select(col("qid"), col("best.neg_id").as("neg_id"), col("best.c").as("cos"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
+             |  FROM embeddings WHERE vec_id < 50),
+             |sc AS (SELECT q.qid, e.vec_id,
+             |    CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS DECIMAL(18,6)) AS cos
+             |  FROM embeddings e, q WHERE e.label <> q.qlabel),
+             |rk AS (SELECT qid, vec_id, cos,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |  FROM sc)
+             |SELECT qid, vec_id AS neg_id, cos FROM rk WHERE rn = 1 ORDER BY qid""".stripMargin))
   )
 }
