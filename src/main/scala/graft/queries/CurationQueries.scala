@@ -257,6 +257,73 @@ object CurationQueries extends QueryModule {
       Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM (
              |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
              |  FROM documents)
-             |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin))
+             |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin)),
+
+    // q82 — the END-TO-END curated corpus: quality-aware cluster
+    // representatives (q67's keep rule) MINUS decontamination hits (q61's
+    // operator) MINUS quality failures, reported as per-source yield. This
+    // is the whole curation pipeline as ONE declared query — a user keeps
+    // exactly the docs this emits. Composition notes: the cluster map and
+    // shingle stage are the SharedStages artifacts (computed once, read
+    // here); the quality thresholds are INTEGER-only comparisons
+    // (5·(n_sh−n_dist) < 2·n_sh encodes dup_3gram_frac < 0.4 without a
+    // division — the gate protocol's halfway-rounding hazard never arises);
+    // kept = semi-join on representatives, anti-join on contaminated.
+    Declared("q82_curated_corpus",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val metrics = docs.select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          size(shingles3(col("text"))).as("n_sh"),
+          size(shingles3Distinct(col("text"))).as("n_dist"))
+        val clusters = SharedStages.dedupClusters(s, dir)
+        val toks = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
+        val keepers = clusters.join(toks, "doc_id")
+          .groupBy(col("rep"))
+          .agg(max_by(struct(col("nt"), (-col("doc_id")).as("nid")),
+            struct(col("nt"), (-col("doc_id")).as("nid"))).as("best"))
+          .select((-col("best.nid")).as("doc_id"))
+        val sh = SharedStages.docShingles(s, dir)
+          .select(col("doc_id"), col("source"), col("sh"))
+        val contaminated = graft.operators.Decontaminate.fromShingles(
+            sh.filter(col("source") =!= "src0"), sh.filter(col("source") === "src0"))
+          .select(col("doc_id"))
+        metrics
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .filter(col("source") =!= "src0")
+          .filter(col("n_tokens") >= 12 &&
+            lit(5) * (col("n_sh") - col("n_dist")) < lit(2) * col("n_sh"))
+          .groupBy(col("source"))
+          .agg(big(count(lit(1))).as("n_kept"), big(sum(col("n_tokens"))).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(duckClusterCtes +
+        """,
+          |j2 AS (SELECT cl.rep, cl.doc_id, len(string_split(d.text, ' ')) AS nt
+          |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+          |rk2 AS (SELECT rep, doc_id,
+          |  ROW_NUMBER() OVER (PARTITION BY rep ORDER BY nt DESC, doc_id) AS rn FROM j2),
+          |keepers AS (SELECT doc_id FROM rk2 WHERE rn = 1),
+          |dd AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+          |shf AS (SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 3
+          |    THEN list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+          |    ELSE [text] END) AS s FROM dd),
+          |ev2 AS (SELECT DISTINCT s FROM shf WHERE source = 'src0'),
+          |cont AS (SELECT DISTINCT shf.doc_id FROM shf JOIN ev2 USING (s) WHERE source <> 'src0'),
+          |m AS (SELECT doc_id, source, len(tk) AS n_tokens,
+          |  CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 1 END AS n_sh,
+          |  CASE WHEN len(tk) >= 3
+          |    THEN len(list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))))
+          |    ELSE 1 END AS n_dist
+          |  FROM dd)
+          |SELECT m.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          |  CAST(SUM(m.n_tokens) AS BIGINT) AS kept_tokens
+          |FROM m
+          |JOIN keepers USING (doc_id)
+          |LEFT JOIN cont ON cont.doc_id = m.doc_id
+          |WHERE cont.doc_id IS NULL AND m.source <> 'src0'
+          |  AND m.n_tokens >= 12 AND 5 * (m.n_sh - m.n_dist) < 2 * m.n_sh
+          |GROUP BY m.source ORDER BY m.source""".stripMargin))
   )
 }
