@@ -39,6 +39,23 @@ object CurationQueries extends QueryModule {
         |  SELECT e.u, rch.r FROM edges e JOIN reach rch ON rch.n = e.v),
         |cl AS (SELECT n AS doc_id, MIN(r) AS rep FROM reach GROUP BY n)""".stripMargin
 
+  /** The quality-aware keep rule shared by q67 and q82: per cluster, the
+    * member with the most tokens (doc_id asc on ties), chosen with ONE
+    * atomic max_by struct so id and token count always come from the same
+    * member row. Returns (rep, best{n_tokens, nid=-keep_id}, cluster_size).
+    */
+  private def clusterBest(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val clusters = SharedStages.dedupClusters(s, dir)
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    clusters.join(toks, "doc_id")
+      .groupBy(col("rep"))
+      .agg(
+        max_by(struct(col("n_tokens"), (-col("doc_id")).as("nid")),
+          struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best"),
+        big(count(lit(1))).as("cluster_size"))
+  }
+
   override val declared: Seq[Declared] = Seq(
 
     // q60 — duplicate CLUSTERS from pair-level evidence: exact-dup edges
@@ -61,20 +78,11 @@ object CurationQueries extends QueryModule {
     // shortest crawl happens to have the smallest id). One equi-join of the
     // cluster map to per-doc token counts, one hash-agg with an atomic
     // max_by struct — both map-side combinable, nothing all-pairs.
+    // The keep rule lives in [[clusterBest]], shared verbatim with q82 so
+    // the two declared queries can never drift on what a representative is.
     Declared("q67_cluster_reps",
       (s, dir) => {
-        val clusters = SharedStages.dedupClusters(s, dir)
-        val toks = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-        clusters.join(toks, "doc_id")
-          .groupBy(col("rep"))
-          .agg(
-            // one struct comparison: keep_id and keep_tokens come from the
-            // SAME member row (two independent max_by calls could disagree
-            // on ties)
-            max_by(struct(col("n_tokens"), (-col("doc_id")).as("nid")),
-              struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best"),
-            big(count(lit(1))).as("cluster_size"))
+        clusterBest(s, dir)
           .select(col("rep"), (-col("best.nid")).as("keep_id"),
             big(col("best.n_tokens")).as("keep_tokens"), col("cluster_size"))
           .orderBy(col("rep"))
@@ -259,16 +267,19 @@ object CurationQueries extends QueryModule {
              |  FROM documents)
              |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin)),
 
-    // q82 — the END-TO-END curated corpus: quality-aware cluster
-    // representatives (q67's keep rule) MINUS decontamination hits (q61's
-    // operator) MINUS quality failures, reported as per-source yield. This
-    // is the whole curation pipeline as ONE declared query — a user keeps
-    // exactly the docs this emits. Composition notes: the cluster map and
-    // shingle stage are the SharedStages artifacts (computed once, read
-    // here); the quality thresholds are INTEGER-only comparisons
-    // (5·(n_sh−n_dist) < 2·n_sh encodes dup_3gram_frac < 0.4 without a
-    // division — the gate protocol's halfway-rounding hazard never arises);
-    // kept = semi-join on representatives, anti-join on contaminated.
+    // q82 — the END-TO-END curated corpus: drop LOSING duplicate-cluster
+    // members (everyone but the q67 representative — documents with no
+    // duplicate evidence are never in the cluster map and are KEPT), then
+    // drop decontamination hits (q61's operator) and quality failures;
+    // report per-source yield. This is the whole curation pipeline as ONE
+    // declared query — a user keeps exactly the docs this emits.
+    // Composition notes: the cluster map and shingle stage are the
+    // SharedStages artifacts (computed once, read here) and the keep rule
+    // is [[clusterBest]], shared verbatim with q67; the quality thresholds
+    // are INTEGER-only comparisons (5·(n_sh−n_dist) < 2·n_sh encodes
+    // dup_3gram_frac < 0.4 without a division — the gate protocol's
+    // halfway-rounding hazard never arises); kept = anti-join on the
+    // cluster losers, anti-join on contaminated.
     Declared("q82_curated_corpus",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -276,20 +287,26 @@ object CurationQueries extends QueryModule {
           size(tokens(col("text"))).cast("long").as("n_tokens"),
           size(shingles3(col("text"))).as("n_sh"),
           size(shingles3Distinct(col("text"))).as("n_dist"))
-        val clusters = SharedStages.dedupClusters(s, dir)
-        val toks = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
-        val keepers = clusters.join(toks, "doc_id")
-          .groupBy(col("rep"))
-          .agg(max_by(struct(col("nt"), (-col("doc_id")).as("nid")),
-            struct(col("nt"), (-col("doc_id")).as("nid"))).as("best"))
-          .select((-col("best.nid")).as("doc_id"))
+        // losers = cluster members that are NOT their cluster's
+        // representative; unique docs never appear in the cluster map and
+        // therefore never in this drop set
+        val keepers = clusterBest(s, dir).select((-col("best.nid")).as("doc_id"))
+        val losers = SharedStages.dedupClusters(s, dir).select(col("doc_id"))
+          .join(keepers, Seq("doc_id"), "left_anti")
+        // Contamination at the fixture's width-3 shingles is NOISY (short
+        // synthetic docs share stray trigrams with the eval stand-in —
+        // any-hit flags 84% of the corpus), so the composed pipeline drops
+        // only the genuine tail: n_hits >= 10 (p99 of the per-doc hit
+        // distribution). At the production width-13 default (q61 operator
+        // doc), any hit is disqualifying and this threshold drops to 1.
         val sh = SharedStages.docShingles(s, dir)
           .select(col("doc_id"), col("source"), col("sh"))
         val contaminated = graft.operators.Decontaminate.fromShingles(
             sh.filter(col("source") =!= "src0"), sh.filter(col("source") === "src0"))
+          .filter(col("n_hits") >= 10)
           .select(col("doc_id"))
         metrics
-          .join(keepers, Seq("doc_id"), "left_semi")
+          .join(losers, Seq("doc_id"), "left_anti")
           .join(contaminated, Seq("doc_id"), "left_anti")
           .filter(col("source") =!= "src0")
           .filter(col("n_tokens") >= 12 &&
@@ -304,13 +321,14 @@ object CurationQueries extends QueryModule {
           |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
           |rk2 AS (SELECT rep, doc_id,
           |  ROW_NUMBER() OVER (PARTITION BY rep ORDER BY nt DESC, doc_id) AS rn FROM j2),
-          |keepers AS (SELECT doc_id FROM rk2 WHERE rn = 1),
+          |losers AS (SELECT doc_id FROM rk2 WHERE rn > 1),
           |dd AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
           |shf AS (SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 3
           |    THEN list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
           |    ELSE [text] END) AS s FROM dd),
           |ev2 AS (SELECT DISTINCT s FROM shf WHERE source = 'src0'),
-          |cont AS (SELECT DISTINCT shf.doc_id FROM shf JOIN ev2 USING (s) WHERE source <> 'src0'),
+          |cont AS (SELECT shf.doc_id FROM shf JOIN ev2 USING (s) WHERE source <> 'src0'
+          |  GROUP BY shf.doc_id HAVING COUNT(*) >= 10),
           |m AS (SELECT doc_id, source, len(tk) AS n_tokens,
           |  CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 1 END AS n_sh,
           |  CASE WHEN len(tk) >= 3
@@ -320,9 +338,9 @@ object CurationQueries extends QueryModule {
           |SELECT m.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
           |  CAST(SUM(m.n_tokens) AS BIGINT) AS kept_tokens
           |FROM m
-          |JOIN keepers USING (doc_id)
+          |LEFT JOIN losers ON losers.doc_id = m.doc_id
           |LEFT JOIN cont ON cont.doc_id = m.doc_id
-          |WHERE cont.doc_id IS NULL AND m.source <> 'src0'
+          |WHERE losers.doc_id IS NULL AND cont.doc_id IS NULL AND m.source <> 'src0'
           |  AND m.n_tokens >= 12 AND 5 * (m.n_sh - m.n_dist) < 2 * m.n_sh
           |GROUP BY m.source ORDER BY m.source""".stripMargin))
   )

@@ -25,6 +25,40 @@ object Stateful {
       open: Double, high: Double, low: Double, close: Double,
       volume: Double, count: Long)
 
+  /** The per-group OHLC fold shared by BOTH stateful operators
+    * ([[runningOhlc]] v1 and [[runningOhlcTws]]) — one definition so the
+    * twins can never diverge on rotation or late-tick policy. Sorts the
+    * batch's ticks, folds them into the carried state, appends closed bars
+    * to `out`, returns the state to carry.
+    *
+    * Policy: a bar emits when the first tick of a LATER minute arrives
+    * (the reference's rotation-on-next-bucket, `main.py:36-47`); a tick
+    * for an ALREADY-ROTATED minute (cross-batch late) is dropped —
+    * rotating backwards would emit a premature bar now and a duplicate
+    * (symbol, window) bar later (watermark-0 semantics, the same rows the
+    * reference loses).
+    */
+  private def foldTicks(symbol: String, carried: OhlcStateV1, ticks: Iterator[TradeTick],
+      out: scala.collection.mutable.ArrayBuffer[OhlcBar]): OhlcStateV1 = {
+    var st = carried
+    ticks.toSeq.sortBy(t => (t.tradeTimeMs, t.tradeId)).foreach { t =>
+      val w = t.tradeTimeMs / 60000 * 60
+      val p = t.price.toDouble
+      val q = t.qty.toDouble
+      if (st == null) {
+        st = OhlcStateV1(1, w, p, p, p, p, q, 1)
+      } else if (w == st.windowStartSec) {
+        st = st.copy(high = math.max(st.high, p), low = math.min(st.low, p),
+          close = p, volume = st.volume + q, count = st.count + 1)
+      } else if (w > st.windowStartSec) {
+        out += OhlcBar(symbol, st.windowStartSec, st.open, st.high, st.low,
+          st.close, st.volume, st.count)
+        st = OhlcStateV1(1, w, p, p, p, p, q, 1)
+      } // w < current window: cross-batch late tick, dropped (see above)
+    }
+    st
+  }
+
   /** Running per-symbol 1-minute OHLCV with data-driven window close — the
     * reference's rotation-on-next-bucket (`main.py:36-47`) as arbitrary
     * state: a bar is emitted when the first tick of a LATER minute arrives,
@@ -39,27 +73,8 @@ object Stateful {
       .flatMapGroupsWithState[OhlcStateV1, OhlcBar](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (symbol, it, state: GroupState[OhlcStateV1]) =>
-          var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[OhlcBar]
-          it.toSeq.sortBy(t => (t.tradeTimeMs, t.tradeId)).foreach { t =>
-            val w = t.tradeTimeMs / 60000 * 60
-            val p = t.price.toDouble
-            val q = t.qty.toDouble
-            if (st == null) {
-              st = OhlcStateV1(1, w, p, p, p, p, q, 1)
-            } else if (w == st.windowStartSec) {
-              st = st.copy(high = math.max(st.high, p), low = math.min(st.low, p),
-                close = p, volume = st.volume + q, count = st.count + 1)
-            } else if (w > st.windowStartSec) {
-              out += OhlcBar(symbol, st.windowStartSec, st.open, st.high, st.low,
-                st.close, st.volume, st.count)
-              st = OhlcStateV1(1, w, p, p, p, p, q, 1)
-            }
-            // w < current window: a cross-batch late tick. Rotating backwards
-            // would emit a premature bar now and a duplicate (symbol, window)
-            // bar later — drop it instead (watermark-0 semantics, same rows
-            // the reference loses to its rotation-on-next-bucket design).
-          }
+          val st = foldTicks(symbol, state.getOption.orNull, it, out)
           if (st != null) state.update(st)
           out.iterator
       }
@@ -89,23 +104,8 @@ object Stateful {
 
     override def handleInputRows(symbol: String, rows: Iterator[TradeTick],
         timers: TimerValues): Iterator[OhlcBar] = {
-      var st = if (state.exists()) state.get() else null
       val out = scala.collection.mutable.ArrayBuffer.empty[OhlcBar]
-      rows.toSeq.sortBy(t => (t.tradeTimeMs, t.tradeId)).foreach { t =>
-        val w = t.tradeTimeMs / 60000 * 60
-        val p = t.price.toDouble
-        val q = t.qty.toDouble
-        if (st == null) {
-          st = OhlcStateV1(1, w, p, p, p, p, q, 1)
-        } else if (w == st.windowStartSec) {
-          st = st.copy(high = math.max(st.high, p), low = math.min(st.low, p),
-            close = p, volume = st.volume + q, count = st.count + 1)
-        } else if (w > st.windowStartSec) {
-          out += OhlcBar(symbol, st.windowStartSec, st.open, st.high, st.low,
-            st.close, st.volume, st.count)
-          st = OhlcStateV1(1, w, p, p, p, p, q, 1)
-        } // w < window: cross-batch late tick, dropped (see scaladoc)
-      }
+      val st = foldTicks(symbol, if (state.exists()) state.get() else null, rows, out)
       if (st != null) state.update(st)
       out.iterator
     }
