@@ -96,4 +96,27 @@ class QueriesSpec extends AnyFunSuite {
     val events = graft.model.Tables.load(spark, sf0001, "events").count()
     assert(total == events * 10)
   }
+
+  test("exact-moment statistics agree with the builtin double aggregates (q79)") {
+    import org.apache.spark.sql.functions._
+    // q79 re-derives corr/covar_pop/stddev_pop from exact decimal moments
+    // (merge-order-independent); the builtins compute the same statistics
+    // in one-pass doubles. Agreement within float slack proves the closed
+    // forms are the right formulas, independent of the DuckDB oracle.
+    val li = graft.model.Tables.load(spark, sf0001, "lineitem")
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_pop(col("l_quantity")).as("sq"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("q79_exact_moments")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(exact.keySet == builtin.keySet)
+    exact.foreach { case (k, (c, cv, sq)) =>
+      val (bc, bcv, bsq) = builtin(k)
+      assert(math.abs(c - bc) < 1e-6, s"corr $k: $c vs $bc")
+      assert(math.abs(cv - bcv) / math.abs(bcv).max(1.0) < 1e-6, s"covar $k")
+      assert(math.abs(sq - bsq) / bsq.max(1.0) < 1e-6, s"stddev $k")
+    }
+  }
 }
