@@ -25,7 +25,10 @@ object PlanAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val interesting = args.headOption.filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq(
       "q01_filter_project", "q04_join_agg", "q05_join3_month", "q08_semi_join",
-      "q16_window_rank", "q26_vector_topk", "q32_minhash_pairs", "q37_range_join"))
+      "q16_window_rank", "q26_vector_topk", "q32_minhash_pairs", "q37_range_join",
+      // round-4 representatives: native as-of, shared-stage consumer,
+      // curation composition, one-scan TF-IDF
+      "q74_asof_native", "q60_dedup_clusters", "q82_curated_corpus", "q72_tfidf"))
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(sp, dir)
       println(s"===== $name${if (scaleMode) " [scale: auto-broadcast off]" else ""} =====")
