@@ -342,6 +342,57 @@ object CurationQueries extends QueryModule {
           |LEFT JOIN cont ON cont.doc_id = m.doc_id
           |WHERE losers.doc_id IS NULL AND cont.doc_id IS NULL AND m.source <> 'src0'
           |  AND m.n_tokens >= 12 AND 5 * (m.n_sh - m.n_dist) < 2 * m.n_sh
-          |GROUP BY m.source ORDER BY m.source""".stripMargin))
+          |GROUP BY m.source ORDER BY m.source""".stripMargin)),
+
+    // q83 — SPLIT-LEAKAGE audit: assign every document to a deterministic
+    // 80/10/10 train/val/test split (q50's md5-bucket rule on a salted
+    // doc key), then count DUPLICATE-EVIDENCE pairs (exact md5 stars ∪ LSH
+    // near-dup pairs — q60's edge set) whose endpoints land in DIFFERENT
+    // splits. Cross-split duplicates are evaluation leakage: a val/test
+    // doc whose near-copy sits in train inflates every metric. Production
+    // recipes split by CLUSTER for exactly this reason; this query is the
+    // audit that proves whether a split needs that. Pair evidence comes
+    // from the materialized SharedStages pair stage (no recompute); split
+    // assignment is a codegen'd md5 bucket; the leak matrix is a tiny agg.
+    Declared("q83_split_leakage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val bucket = hexLong(md5(concat(lit("doc:"), col("doc_id").cast("string"))), 1, 8) % 100
+        val splits = docs.select(col("doc_id"),
+          when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        val grpMin = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+        val exactPairs = docs.select(grpMin.as("u"), col("doc_id").as("v"))
+          .filter(col("u") =!= col("v"))
+        val nearPairs = SharedStages.lshPairs(s, dir)
+          .select(col("id_a").as("u"), col("id_b").as("v"))
+        exactPairs.unionByName(nearPairs).distinct()
+          .join(splits.toDF("u", "split_u"), "u")
+          .join(splits.toDF("v", "split_v"), "v")
+          .select(least(col("split_u"), col("split_v")).as("split_a"),
+            greatest(col("split_u"), col("split_v")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(big(count(lit(1))).as("n_dup_pairs"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(DedupQueries.duckSig +
+        """,
+          |near_pairs AS (""".stripMargin + DedupQueries.duckPairsSelect +
+        """),
+          |exact_pairs AS (
+          |  SELECT m AS u, doc_id AS v FROM (
+          |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+          |    FROM documents) WHERE doc_id <> m),
+          |pairs AS (SELECT u, v FROM exact_pairs UNION SELECT id_a, id_b FROM near_pairs),
+          |sp AS (SELECT doc_id,
+          |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT doc_id,
+          |    CAST(('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          |  FROM documents))
+          |SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b,
+          |  CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+          |FROM pairs p JOIN sp a ON a.doc_id = p.u JOIN sp b ON b.doc_id = p.v
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
