@@ -149,6 +149,14 @@ object AsOfJoin {
       rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
     native(left, right, keys, tsCol, rightVals, prefix, graft.plans.AsOfForward)
 
+  /** Nearest as-of (closer of backward/forward by |Δts|, ties → backward)
+    * through the native operator — same contract as [[nearest]]. Requires a
+    * timestamp or integral ts column (the distance needs a numeric).
+    */
+  def nearestNative(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
+    native(left, right, keys, tsCol, rightVals, prefix, graft.plans.AsOfNearest)
+
   private def native(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       rightVals: Seq[String], prefix: String,
       direction: graft.plans.AsOfDirection): DataFrame = {

@@ -84,6 +84,13 @@ case class AsOfJoinExec(
       val nullPay = new GenericInternalRow(numPay)
       val joined = new JoinedRow
       val forward = direction == AsOfForward
+      val nearest = direction == AsOfNearest
+      // nearest's distance reads the 1-field ts rows as longs (plan
+      // construction restricts the type to timestamp/integral)
+      val tsLong: InternalRow => Long = tsType match {
+        case org.apache.spark.sql.types.IntegerType => _.getInt(0).toLong
+        case _ => _.getLong(0)
+      }
       // downstream contract: emit UnsafeRow (exchanges/collect cast to it).
       // Payload attrs MUST bind as nullable here — an unmatched left row
       // carries a null payload row, and a non-nullable binding would read
@@ -100,10 +107,11 @@ case class AsOfJoinExec(
         // next advance — no re-evaluation in the per-probe hot path
         private var rk: UnsafeRow = _
         private var rt: UnsafeRow = _
-        // backward: latest same-key right row already passed — key and
-        // payload held as COPIES (the buffers above get overwritten)
+        // backward/nearest: latest same-key right row already passed — key,
+        // payload and ts held as COPIES (the buffers above get overwritten)
         private var mKey: UnsafeRow = _
         private var mPay: UnsafeRow = _
+        private var mTs: UnsafeRow = _
 
         private def advanceRight(): Unit = {
           rRow = if (rIter.hasNext) rIter.next() else null
@@ -131,7 +139,9 @@ case class AsOfJoinExec(
               cmp < 0 || (cmp == 0 && (if (forward) tsOrd.compare(rt, lt) < 0
                                        else tsOrd.compare(rt, lt) <= 0))
             if (consume) {
-              if (!forward && cmp == 0) { mKey = rk.copy(); mPay = rPay(rRow).copy() }
+              if (!forward && cmp == 0) {
+                mKey = rk.copy(); mPay = rPay(rRow).copy(); mTs = rt.copy()
+              }
               advanceRight()
               cmp = if (rRow == null) 1 else keyOrd.compare(rk, lk)
             } else advancing = false
@@ -139,6 +149,19 @@ case class AsOfJoinExec(
           val pay: InternalRow =
             if (forward) {
               if (rRow != null && cmp == 0) rPay(rRow) else nullPay
+            } else if (nearest) {
+              // backward candidate: the held match; forward candidate: the
+              // cursor row (first same-key row strictly after the probe —
+              // an equal-ts row was consumed into the backward hold, so the
+              // tie goes to the past, matching the window formulation)
+              val backOk = mKey != null && keyOrd.compare(mKey, lk) == 0
+              val fwdOk = rRow != null && cmp == 0
+              if (backOk && fwdOk) {
+                val lv = tsLong(lt)
+                if (lv - tsLong(mTs) <= tsLong(rt) - lv) mPay else rPay(rRow)
+              } else if (backOk) mPay
+              else if (fwdOk) rPay(rRow)
+              else nullPay
             } else {
               if (mKey != null && keyOrd.compare(mKey, lk) == 0) mPay else nullPay
             }

@@ -43,6 +43,11 @@ case class AsOfJoinPlan(
         s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
     require(leftTs.dataType == rightTs.dataType,
       s"as-of join ts types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
+    if (direction == AsOfNearest) {
+      import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+      require(Seq(TimestampType, LongType, IntegerType).contains(leftTs.dataType),
+        s"nearest as-of needs a timestamp or integral ts for the distance; got ${leftTs.dataType}")
+    }
   }
 
   override def output: Seq[Attribute] =
@@ -67,13 +72,15 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Match direction of the native as-of operator. `nearest` intentionally
-  * stays window-only (operators.AsOfJoin.nearest): it needs BOTH adjacent
-  * matches plus a type-dependent distance, which the single-cursor merge
-  * below has no natural shape for.
-  */
+/** Match direction of the native as-of operator. */
 sealed trait AsOfDirection
 /** latest right with rTs <= lTs (inclusive) */
 case object AsOfBackward extends AsOfDirection
 /** earliest right with rTs >= lTs (inclusive) */
 case object AsOfForward extends AsOfDirection
+/** closer of the two by |Δts| (ties → backward). Needs a numeric-comparable
+  * ts (timestamp or integral) for the distance — enforced at plan
+  * construction. The merge runs in backward mode and decides against the
+  * cursor row, which at probe time IS the forward candidate.
+  */
+case object AsOfNearest extends AsOfDirection

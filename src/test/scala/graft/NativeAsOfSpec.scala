@@ -152,6 +152,53 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("native as-of NEAREST: closer side wins, exact tie goes backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "closer_back"),  // back Δ2 vs fwd Δ3
+      (1L, ts("2024-01-01 10:00:09"), "closer_fwd"),   // back Δ6 vs fwd Δ1? -> 10:00:10 fwd
+      (1L, ts("2024-01-01 10:00:06.500000"), "tie")    // Δ3.5 both -> backward
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:03"), 3.0),
+      (1L, ts("2024-01-01 10:00:10"), 10.0)
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.nearestNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+      .select("tag", "m_v").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("closer_back") == 3.0)
+    assert(out("closer_fwd") == 10.0)
+    assert(out("tie") == 3.0)
+  }
+
+  test("native as-of NEAREST: randomized parity with the window formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x4EA1)
+    def rows(n: Int) = Seq.fill(n)((
+      rnd.nextInt(4).toLong,
+      ts(f"2024-01-01 10:00:${rnd.nextInt(30)}%02d"),
+      rnd.nextInt(100).toDouble))
+    val left = rows(200).toDF("user_id", "ts", "lv")
+    val right = rows(300).toDF("user_id", "ts", "v")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("v")).as("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "ts", "lv", "m_ts", "m_v").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          Option(r.get(3)), Option(r.get(4)))).sortBy(_.toString).toSeq
+    val a = canon(AsOfJoin.nearest(left, right, Seq("user_id"), "ts", Seq("v"), "m_"))
+    val b = canon(AsOfJoin.nearestNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_"))
+    assert(a == b)
+  }
+
+  test("native as-of NEAREST: string ts rejected at plan construction") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 1.0)).toDF("user_id", "ts", "lv")
+    val right = Seq((1L, "a", 2.0)).toDF("user_id", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nearestNative(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+    }
+    assert(e.getMessage.contains("nearest"))
+  }
+
   test("native as-of: mismatched ts types fail fast at plan construction") {
     import spark.implicits._
     val left = Seq((1L, ts("2024-01-01 10:00:05"), "c1")).toDF("user_id", "ts", "tag")
