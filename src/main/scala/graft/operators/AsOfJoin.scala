@@ -168,6 +168,16 @@ object AsOfJoin {
     // sides can never carry colliding attribute ids (the analyzer dedups
     // ids for built-in Join nodes only — a custom node must self-insure
     // against e.g. a self-as-of on one scan).
+    require(!keys.contains(tsCol),
+      s"tsCol '$tsCol' must not also be an equality key — drop it from keys " +
+        "(the as-of match already equates keys and orders on tsCol)")
+    require(keys.distinct == keys,
+      s"duplicate key column(s): ${keys.diff(keys.distinct).distinct.mkString(", ")}")
+    require(!rightVals.contains(tsCol),
+      s"rightVals must not include tsCol '$tsCol' — it is always emitted as " +
+        s"'$prefix$tsCol'")
+    require(rightVals.distinct == rightVals,
+      s"duplicate rightVals column(s): ${rightVals.diff(rightVals.distinct).distinct.mkString(", ")}")
     val payNames = (tsCol +: rightVals).map(prefix + _)
     val clash = left.columns.toSet.intersect(payNames.toSet)
     require(clash.isEmpty,

@@ -157,8 +157,19 @@ case class AsOfJoinExec(
               val backOk = mKey != null && keyOrd.compare(mKey, lk) == 0
               val fwdOk = rRow != null && cmp == 0
               if (backOk && fwdOk) {
-                val lv = tsLong(lt)
-                if (lv - tsLong(mTs) <= tsLong(rt) - lv) mPay else rPay(rRow)
+                // NULL ts anywhere → no defined distance. Prefer the
+                // candidate whose ts is non-NULL; if the probe ts (or both)
+                // is NULL, take forward — the window formulation's
+                // when(db <= df) is NULL there, which falls through to
+                // otherwise(fwd). Never read a NULL slot as a raw 0.
+                val backNull = mTs.isNullAt(0)
+                val fwdNull = rt.isNullAt(0)
+                if (backNull || fwdNull || lt.isNullAt(0)) {
+                  if (fwdNull && !backNull) mPay else rPay(rRow)
+                } else {
+                  val lv = tsLong(lt)
+                  if (lv - tsLong(mTs) <= tsLong(rt) - lv) mPay else rPay(rRow)
+                }
               } else if (backOk) mPay
               else if (fwdOk) rPay(rRow)
               else nullPay

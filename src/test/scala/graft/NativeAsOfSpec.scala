@@ -189,6 +189,46 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("native as-of NEAREST: NULL ts never read as a raw 0") {
+    import spark.implicits._
+    // long ts keeps the distances TZ-free; nearest accepts integral ts
+    val left = Seq(
+      (1L, Some(4L), "non_null_wins"), // back candidate has NULL ts
+      (2L, Some(4L), "only_candidate"), // the ONLY candidate has NULL ts
+      (3L, Option.empty[Long], "null_probe") // probe ts NULL, back absent
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, Option.empty[Long], 99.0), // NULL read as 0 would be "closer" to 4
+      (1L, Some(10L), 10.0),
+      (2L, Option.empty[Long], 7.0),
+      (3L, Some(1L), 1.0),
+      (3L, Some(9L), 9.0)
+    ).toDF("user_id", "ts", "v")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Seq[String], String, Seq[String], String) => org.apache.spark.sql.DataFrame) =
+      f(left, right, Seq("user_id"), "ts", Seq("v"), "m_")
+        .select("tag", "m_v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val native = run(AsOfJoin.nearestNative)
+    assert(native("non_null_wins") == Some(10.0)) // NOT 99.0 via |4-0| < |10-4|
+    assert(native("only_candidate") == Some(7.0)) // sole candidate matches, as in backward
+    assert(native("null_probe") == Some(1.0))     // fwd candidate when back absent
+    assert(run(AsOfJoin.nearest) == native)       // window formulation agrees
+  }
+
+  test("native as-of: degenerate arguments rejected with named messages") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 1.0)).toDF("user_id", "ts", "lv")
+    val right = Seq((1L, 1L, 2.0)).toDF("user_id", "ts", "v")
+    def go(keys: Seq[String], vals: Seq[String]) =
+      intercept[IllegalArgumentException] {
+        AsOfJoin.backwardNative(left, right, keys, "ts", vals, "m_")
+      }.getMessage
+    assert(go(Seq("user_id", "ts"), Seq("v")).contains("must not also be an equality key"))
+    assert(go(Seq("user_id", "user_id"), Seq("v")).contains("duplicate key"))
+    assert(go(Seq("user_id"), Seq("ts")).contains("must not include tsCol"))
+    assert(go(Seq("user_id"), Seq("v", "v")).contains("duplicate rightVals"))
+  }
+
   test("native as-of NEAREST: string ts rejected at plan construction") {
     import spark.implicits._
     val left = Seq((1L, "a", 1.0)).toDF("user_id", "ts", "lv")
