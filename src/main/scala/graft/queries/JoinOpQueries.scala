@@ -160,6 +160,48 @@ object JoinOpQueries extends QueryModule {
              |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
              |  CAST(ROUND(CAST(v.v_value AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
              |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts
-             |ORDER BY c.event_id""".stripMargin))
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // q84 — NEAREST as-of through the native operator (AsOfNearest merge:
+    // backward-mode consume keeps a held match, and each probe decides
+    // between that hold and the cursor row by |Δts|, ties to the past).
+    // DuckDB has no nearest ASOF, so the oracle composes its backward and
+    // forward ASOF joins and picks the closer side with the same
+    // tie-to-backward rule — both payload columns are selected by ONE CASE
+    // condition so the emitted (ts, value) always come from the same row.
+    Declared("q84_asof_nearest_native",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        AsOfJoin.nearestNative(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "view_")
+          .select(col("event_id"), col("user_id"),
+            tmicro(col("ts")).as("ts"),
+            tmicro(col("view_ts")).as("view_ts"),
+            out6(dec(col("view_v_value"))).as("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, max_by(value, event_id) AS v_value
+             |          FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             |     b AS (SELECT c.event_id, c.user_id, c.ts, v.ts AS m_ts, v.v_value AS m_value
+             |           FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts),
+             |     f AS (SELECT c.event_id, v.ts AS m_ts, v.v_value AS m_value
+             |           FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
+             |SELECT b.event_id, b.user_id,
+             |  strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             |  strftime(CASE WHEN f.m_ts IS NULL THEN b.m_ts
+             |                WHEN b.m_ts IS NULL THEN f.m_ts
+             |                WHEN b.ts - b.m_ts <= f.m_ts - b.ts THEN b.m_ts
+             |                ELSE f.m_ts END, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+             |  CAST(ROUND(CAST(CASE WHEN f.m_ts IS NULL THEN b.m_value
+             |                WHEN b.m_ts IS NULL THEN f.m_value
+             |                WHEN b.ts - b.m_ts <= f.m_ts - b.ts THEN b.m_value
+             |                ELSE f.m_value END AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
+             |FROM b JOIN f USING (event_id)
+             |ORDER BY b.event_id""".stripMargin))
   )
 }

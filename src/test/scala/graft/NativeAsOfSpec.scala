@@ -259,6 +259,47 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("prefix"))
   }
 
+  test("native as-of under AQE: all three directions match the window formulation " +
+      "with coalescing forced") {
+    // AQE rewrites the exchanges under AsOfJoinExec after materialization;
+    // the exec's zipPartitions contract (equal partition counts, matched
+    // key clustering) must survive CoalesceShufflePartitions. Tiny advisory
+    // size + many initial partitions forces a real coalesce decision.
+    val ev = Tables.load(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v_value"))
+    val prior = Map(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.shuffle.partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+      "spark.sql.adaptive.coalescePartitions.enabled" ->
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id", "m_ts", "m_v_value").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      for ((native, window) <- Seq(
+          (AsOfJoin.backwardNative _, AsOfJoin.backward _),
+          (AsOfJoin.forwardNative _, AsOfJoin.forward _),
+          (AsOfJoin.nearestNative _, AsOfJoin.nearest _))) {
+        val n = native(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "m_")
+        val w = window(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "m_")
+        assert(canon(n) == canon(w))
+        val executed = n.queryExecution.executedPlan.toString
+        assert(executed.contains("AdaptiveSparkPlan"), s"AQE not active:\n$executed")
+        assert(executed.contains("AsOfJoin"), s"native exec missing under AQE:\n$executed")
+      }
+    } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("native as-of plan: AsOfJoinExec present, no WindowExec / nested loop") {
     val ev = Tables.load(spark, sf0001, "events")
     val clicks = ev.filter(col("event_type") === "click")
