@@ -15,7 +15,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     CoreQueries, EventQueries, TextQueries, VectorQueries,
     TextAnalysisQueries, DedupQueries, JoinOpQueries, MiscQueries,
-    CoverageQueries, ScaleQueries, CurationQueries)
+    CoverageQueries, ScaleQueries, CurationQueries, MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference-mirror tumbling window (Q22) — the reference's core

@@ -1,17 +1,17 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY §2.2 [EXT] "multimodal columns"):
   * image/audio/video as opaque `binary` columns with typed metadata, and the
   * per-partition batch-processing shape a real decode/feature pipeline uses.
   *
-  * The DECODE STEP IS A STUB: this container ships no image/audio codecs, so
-  * `StubDecoder` produces a deterministic fake (bytes → digest-derived
-  * "features"). Everything around it — the schema, the one-decoder-per-
-  * partition lifecycle, the batch iteration, the output shape — is the real
-  * Spark plumbing a production codec drops into.
+  * The image and audio decodes are REAL pure-JVM codecs — `javax.imageio`
+  * (PNG/BMP/GIF ship with the JDK) and `javax.sound.sampled` (WAV PCM) — no
+  * native libraries required. Only VIDEO falls back to a digest-derived
+  * pseudo-feature: no pure-JVM video codec exists; the fallback is the
+  * explicit, documented seam where ffmpeg-class tooling plugs in.
   *
   * Scale notes: binary payloads ride the scan and never enter a shuffle
   * (features are extracted first, and only features move); decoders are
@@ -37,16 +37,187 @@ object Multimodal {
       n_bytes: Long,
       feature: Array[Float])
 
-  /** A "decoder" with per-partition lifecycle. The real implementation
-    * would wrap a codec handle (libjpeg/ffmpeg/...); the stub derives
-    * deterministic pseudo-features from a rolling digest of the payload so
-    * tests can assert exact values.
-    */
-  final class StubDecoder(featureDim: Int) extends Serializable {
-    var decodedCount: Long = 0L // observability: one decoder per partition
+  /** Decoded image statistics (what a real pipeline keys quality filters on). */
+  final case class ImageStats(
+      media_id: Long,
+      width: Int, height: Int,
+      n_px: Long,
+      sum_luma: Long)
 
-    def decode(bytes: Array[Byte]): Array[Float] = {
+  /** Decoded audio statistics. */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_amp: Long,
+      sum_abs: Long)
+
+  /** Real image codec over `javax.imageio` (JDK-bundled PNG/BMP/GIF readers —
+    * no native codecs needed). One instance per partition.
+    */
+  final class ImageCodec extends Serializable {
+    var decodedCount: Long = 0L // observability: one codec per partition
+
+    /** Fixture/test helper: deterministic grayscale PNG. Lossless — the
+      * band-0 samples read back exactly as written.
+      */
+    def encodeGrayPng(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xFF); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       decodedCount += 1
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    /** (width, height, sum of per-pixel luminance). Luminance = the single
+      * band for grayscale images, integer mean of the color bands otherwise
+      * (deterministic — no float weighting).
+      */
+    def stats(img: java.awt.image.BufferedImage): (Int, Int, Long) = {
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      val bands = raster.getNumBands
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (bands == 1) sum += raster.getSample(x, y, 0)
+          else {
+            var b = 0; var s = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            sum += s / bands
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum)
+    }
+
+    /** Fixed-dim feature from real pixels: pixels bucketed row-major into
+      * `dim` cells, mean luminance per cell, normalized to [-1, 1].
+      */
+    def gridFeature(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cell = (((y.toLong * w + x) * dim) / n).toInt min (dim - 1)
+          sums(cell) += raster.getSample(x, y, 0)
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (counts(i) == 0) 0f
+        else (sums(i).toDouble / counts(i) / 127.5 - 1.0).toFloat)
+    }
+  }
+
+  /** Real audio codec over `javax.sound.sampled` (JDK-bundled WAV reader).
+    * 16-bit PCM mono in/out. One instance per partition.
+    */
+  final class AudioCodec extends Serializable {
+    var decodedCount: Long = 0L
+
+    /** Fixture/test helper: deterministic 16-bit PCM mono WAV. */
+    def encodeWavPcm16(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) { // little-endian, matching the format above
+        data(2 * i) = (samples(i) & 0xFF).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** (sample rate, decoded 16-bit samples). */
+    def decodePcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+      decodedCount += 1
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val raw = ais.readAllBytes()
+      val out = new Array[Short](raw.length / 2)
+      val le = !fmt.isBigEndian
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (le) (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF)).toShort
+          else (((raw(2 * i) & 0xFF) << 8) | (raw(2 * i + 1) & 0xFF)).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, out)
+    }
+
+    /** Fixed-dim feature from real samples: `dim` consecutive blocks, mean
+      * amplitude per block, normalized to [-1, 1].
+      */
+    def blockFeature(samples: Array[Short], dim: Int): Array[Float] = {
+      val n = samples.length.toLong max 1L
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < samples.length) {
+        val cell = ((i.toLong * dim) / n).toInt min (dim - 1)
+        sums(cell) += samples(i)
+        counts(cell) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (counts(i) == 0) 0f
+        else (sums(i).toDouble / counts(i) / 32768.0).toFloat)
+    }
+  }
+
+  /** Per-partition decode dispatcher: real codecs for image and audio, and a
+    * clearly-marked digest fallback for video (the one kind with no pure-JVM
+    * codec — swap in an ffmpeg binding here without touching the dataflow).
+    */
+  final class MediaDecoder(featureDim: Int) extends Serializable {
+    val image = new ImageCodec
+    val audio = new AudioCodec
+
+    def feature(r: MediaRow): Array[Float] = r.kind match {
+      case "image" => image.gridFeature(image.decode(r.bytes), featureDim)
+      case "audio" => audio.blockFeature(audio.decodePcm16(r.bytes)._2, featureDim)
+      case _       => digestFeature(r.bytes)
+    }
+
+    /** VIDEO FALLBACK ONLY: deterministic pseudo-feature from a rolling
+      * digest of the payload — stands in for a real frame-decode + embed.
+      */
+    def digestFeature(bytes: Array[Byte]): Array[Float] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val out = new Array[Float](featureDim)
       var seed = bytes
@@ -62,24 +233,54 @@ object Multimodal {
   }
 
   /** Batch feature extraction: one decoder per partition, rows streamed
-    * through it. Swap `StubDecoder` for a real codec without touching the
-    * dataflow.
+    * through it. Image/audio features come from REAL decoded pixels/samples.
     */
   def extractFeatures(media: Dataset[MediaRow], featureDim: Int = 16,
       decoderCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder = new StubDecoder(featureDim) // ONE per partition
+      val decoder = new MediaDecoder(featureDim) // ONE per partition
       decoderCounter.foreach(_.add(1))
       rows.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, decoder.decode(r.bytes))
+        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, decoder.feature(r))
+      }
+    }
+  }
+
+  /** Real image decode → stats, one codec per partition. Recovers
+    * width/height from the BYTES (the metadata columns are not consulted).
+    */
+  def decodeImageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new ImageCodec
+      rows.map { r =>
+        val (w, h, sum) = codec.stats(codec.decode(r.bytes))
+        ImageStats(r.media_id, w, h, w.toLong * h, sum)
+      }
+    }
+  }
+
+  /** Real audio decode → stats, one codec per partition. */
+  def decodeAudioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new AudioCodec
+      rows.map { r =>
+        val (rate, samples) = codec.decodePcm16(r.bytes)
+        var sum = 0L; var abs = 0L
+        var i = 0
+        while (i < samples.length) {
+          sum += samples(i); abs += math.abs(samples(i).toInt); i += 1
+        }
+        AudioStats(r.media_id, rate, samples.length.toLong, sum, abs)
       }
     }
   }
 
   /** Metadata-only "resize": the part of a resize that is pure plumbing —
-    * the pixel transform itself is the stubbed codec's job.
+    * the pixel transform itself is the codec's job.
     */
   def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0),

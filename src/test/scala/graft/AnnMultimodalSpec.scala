@@ -78,12 +78,23 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - c) < 1e-12)
   }
 
-  test("multimodal: deterministic stub features, one decoder per partition") {
+  test("multimodal: real image+audio+video decode, one decoder per partition") {
     import spark.implicits._
+    val img = new Multimodal.ImageCodec
+    val aud = new Multimodal.AudioCodec
     val media = (0 until 40).map { i =>
-      Multimodal.MediaRow(i.toLong, if (i % 2 == 0) "image" else "audio",
-        Array.tabulate[Byte](64 + i)(j => ((i * 31 + j) % 127).toByte),
-        640, 480, 16000, "raw")
+      i % 3 match {
+        case 0 => Multimodal.MediaRow(i.toLong, "image",
+          img.encodeGrayPng(12, 10, (x, y) => (i * 31 + x * 7 + y * 13) % 256),
+          12, 10, 0, "png")
+        case 1 => Multimodal.MediaRow(i.toLong, "audio",
+          aud.encodeWavPcm16(Array.tabulate(400)(j =>
+            (((i * 31 + j * 7) % 2001) - 1000).toShort), 8000f),
+          0, 0, 8000, "wav")
+        case _ => Multimodal.MediaRow(i.toLong, "video", // digest fallback kind
+          Array.tabulate[Byte](64 + i)(j => ((i * 31 + j) % 127).toByte),
+          640, 480, 0, "raw")
+      }
     }
     val ds = media.toDS().repartition(4)
     val acc = spark.sparkContext.longAccumulator("decoders")
@@ -99,14 +110,30 @@ class AnnMultimodalSpec extends AnyFunSuite {
     again.foreach(f => assert(m1(f.media_id) == f.feature.toSeq))
   }
 
+  test("multimodal: PNG and WAV decode recover exact pixel/sample content") {
+    val img = new Multimodal.ImageCodec
+    val png = img.encodeGrayPng(9, 7, (x, y) => (x * 7 + y * 13 + 5) % 256)
+    val (w, h, sum) = img.stats(img.decode(png))
+    val expected = (for (x <- 0 until 9; y <- 0 until 7) yield (x * 7 + y * 13 + 5) % 256).sum
+    assert((w, h) == (9, 7))
+    assert(sum == expected.toLong)
+
+    val aud = new Multimodal.AudioCodec
+    val samples = Array.tabulate(500)(i => ((i * 37) % 2001 - 1000).toShort)
+    val (rate, back) = aud.decodePcm16(aud.encodeWavPcm16(samples, 8000f))
+    assert(rate == 8000)
+    assert(back.toSeq == samples.toSeq)
+  }
+
   test("integration: decode -> feature -> ANN search over media assets") {
     import spark.implicits._
-    // near-duplicate media: asset i and i+100 share bytes (same "image"),
-    // so their stub features are identical and ANN must pair them up
+    // near-duplicate media: asset i and i+100 share bytes (same image), so
+    // their decoded-pixel features are identical and ANN must pair them up
+    val enc = new Multimodal.ImageCodec
     val media = ((0 until 100) ++ (0 until 100)).zipWithIndex.map { case (seed, idx) =>
       Multimodal.MediaRow(idx.toLong, "image",
-        Array.tabulate[Byte](64)(j => ((seed * 131 + j * 7) % 127).toByte),
-        640, 480, 0, "raw")
+        enc.encodeGrayPng(16, 16, (x, y) => (seed * 131 + x * 7 + y * 3) % 256),
+        16, 16, 0, "png")
     }
     val feats = Multimodal.extractFeatures(media.toDS().repartition(4), featureDim = 16)
       .select(col("media_id").as("vec_id"),
