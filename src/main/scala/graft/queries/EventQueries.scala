@@ -302,6 +302,46 @@ object EventQueries extends QueryModule {
              |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
              |  FROM events
              |)
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q85 — STREAMING SLIDING WINDOWS under the gate: q45's 10-minute
+    // window / 1-minute slide executed through the real Structured
+    // Streaming path (the q66 harness shape — file micro-batch replay →
+    // windowed streaming aggregation with overlap state → foreachBatch
+    // sink → read back), hash-matched against the SAME oracle as batch
+    // q45. Every event updates 10 window states across micro-batches;
+    // a slide misassignment or a window dropped at a batch boundary
+    // breaks the hash.
+    Declared("q85_stream_sliding",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val events = Tables.load(s, dir, "events")
+          .select(col("ts"), col("event_type"))
+        val base = SharedStages.scratchDir("q85")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        val agg = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .groupBy(window(col("ts"), "10 minutes", "1 minute").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(tsec(col("w").getField("start")).as("w_start"),
+            col("event_type"), col("n"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy(col("w_start"), col("event_type"))
+      },
+      Some("""SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
+             |FROM (
+             |  SELECT date_trunc('minute', ts) - to_minutes(k) AS w_start, event_type
+             |  FROM events CROSS JOIN (SELECT unnest(range(0, 10)) AS k) offs
+             |)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
