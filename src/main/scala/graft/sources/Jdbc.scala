@@ -54,4 +54,34 @@ object Jdbc {
     p.setProperty("batchsize", batchSize.toString)
     df.write.mode(mode).jdbc(url, table, p)
   }
+
+  // ---- MySQL endpoint surface ---------------------------------------------
+  // The reference's store is Aurora MySQL 5.7 (start_all_pipeline.py:509-510;
+  // loader at lambda_function.py:26). Spark ships a MySQL dialect
+  // (JdbcDialects resolves it from the URL prefix), so against a real
+  // endpoint the ONLY changes vs the Derby-tested path are the URL and
+  // driver below — read/write/pushdown behavior is dialect-resolved.
+  // JdbcSpec pins that resolution plus the dialect's identifier quoting and
+  // tinyint mapping, so a live endpoint is config-only.
+
+  /** MySQL Connector/J driver class (not shipped in this container — supply
+    * the jar on the executor classpath at deploy time).
+    */
+  val MysqlDriver = "com.mysql.cj.jdbc.Driver"
+
+  def mysqlUrl(host: String, port: Int = 3306, database: String = "binance"): String =
+    s"jdbc:mysql://$host:$port/$database"
+
+  /** The reference's landing-table DDL verbatim (start_all_pipeline.py:463-
+    * 464) — execute over a plain JDBC Statement before the first write, as
+    * the reference's control plane does. Read-side type mapping into Spark:
+    * bigint→LongType, char(7)→StringType, float(7,2)/(7,5)→FloatType (via
+    * Types.REAL), datetime→TimestampType (all Spark common JDBC mappings),
+    * tinyint→ByteType (MySQL dialect) — the model's `maker` boolean is the
+    * 0/1 conversion at the edge (model.Tables.btcusdtTsvSchema).
+    */
+  def btcusdtCreateMysqlDdl(table: String = "binance.BTCUSDT"): String =
+    s"create table $table ( bid bigint null, parameter char(7) null, " +
+      "price float(7,2) null, quantity float(7,5) null, " +
+      "time datetime null, maker tinyint null )"
 }

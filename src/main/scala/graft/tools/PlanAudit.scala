@@ -28,7 +28,9 @@ object PlanAudit {
       "q16_window_rank", "q26_vector_topk", "q32_minhash_pairs", "q37_range_join",
       // round-4 representatives: native as-of, shared-stage consumer,
       // curation composition, one-scan TF-IDF
-      "q74_asof_native", "q60_dedup_clusters", "q82_curated_corpus", "q72_tfidf"))
+      "q74_asof_native", "q60_dedup_clusters", "q82_curated_corpus", "q72_tfidf",
+      // round-5: JDBC scan pushdown (PushedFilters must reach the database)
+      "q59_jdbc_roundtrip"))
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(sp, dir)
       println(s"===== $name${if (scaleMode) " [scale: auto-broadcast off]" else ""} =====")
