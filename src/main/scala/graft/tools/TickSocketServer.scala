@@ -1,0 +1,71 @@
+package graft.tools
+
+/** Loopback tick-feed server speaking `sources.TickSocketProvider`'s RESUME
+  * protocol: each client connects, sends `RESUME <seq>\n`, and receives the
+  * deterministic tick stream (sources.TickGen formula — the same rows every
+  * other generator in the repo emits) as reference-framed TSV lines
+  * (`main.py:61-67` field order) starting at that sequence number.
+  *
+  * This is the egress-free twin of the reference's exchange WebSocket
+  * (`main.py:30-35`): sequence-addressed replay is exactly what trade ids
+  * give a real consumer. Used by TickSocketSpec to prove kill/restart
+  * recovery; also runnable as a manual demo endpoint.
+  */
+final class TickSocketServer(
+    startMs: Long = 1710000000000L,
+    msPerTick: Long = 10L,
+    throttleEveryN: Int = 500,
+    throttleMs: Long = 1L) extends AutoCloseable {
+
+  private val server = new java.net.ServerSocket(
+    0, 8, java.net.InetAddress.getLoopbackAddress)
+  @volatile private var closed = false
+  /** Last RESUME sequence any client requested (observability for specs). */
+  @volatile var lastResume: Long = -1L
+
+  def port: Int = server.getLocalPort
+
+  private def tsv(i: Long): String = {
+    val (bid, sym, price, qty, t, maker) = graft.sources.TickGen.at(i, startMs, msPerTick)
+    s"$bid\t$sym\t$price\t$qty\t$t\t${if (maker) "1" else "0"}"
+  }
+
+  private val acceptor = new Thread(() => {
+    while (!closed) {
+      try {
+        val conn = server.accept()
+        val t = new Thread(() => {
+          try {
+            val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+              conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+            val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+              new java.io.OutputStreamWriter(conn.getOutputStream,
+                java.nio.charset.StandardCharsets.UTF_8)), false)
+            val req = in.readLine()
+            var seq = if (req != null && req.startsWith("RESUME "))
+              req.substring("RESUME ".length).trim.toLong else 0L
+            lastResume = seq
+            while (!closed && !out.checkError()) {
+              out.println(tsv(seq))
+              seq += 1
+              if (throttleEveryN > 0 && seq % throttleEveryN == 0) {
+                out.flush()
+                Thread.sleep(throttleMs)
+              }
+            }
+          } catch {
+            case _: java.io.IOException | _: InterruptedException => // client gone
+          } finally conn.close()
+        }, s"ticksocket-server-conn-${conn.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: java.io.IOException => // server closed
+      }
+    }
+  }, "ticksocket-server-accept")
+
+  def start(): TickSocketServer = { acceptor.setDaemon(true); acceptor.start(); this }
+
+  override def close(): Unit = { closed = true; server.close() }
+}
