@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -12,6 +14,54 @@ import graft.sources.BucketedTables
   */
 class ScaleOpsSpec extends AnyFunSuite {
   import TestSpark._
+
+  test("ConnectedComponents hot-label path: giant component resolves via broadcast") {
+    import spark.implicits._
+    // one giant star (label 0 owns `big` nodes — far past the threshold),
+    // a 60-node chain (cold path, exercises pointer doubling), an isolated
+    // pair: the hot split must activate AND the result must stay exact
+    val big = 3000
+    val star = (1 until big).map(i => (0L, i.toLong))
+    val chain = (0 until 59).map(i => (100000L + i, 100000L + i + 1))
+    val pair = Seq((900000L, 900001L))
+    val edges = (star ++ chain ++ pair).toDF("u", "v")
+
+    // capture executed plans of the operator's internal jobs
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val hot =
+      try graft.operators.ConnectedComponents(edges, hotLabelThreshold = 1000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally {
+        // listener bus is async: give outstanding onSuccess callbacks a beat
+        val deadline = System.currentTimeMillis() + 10000
+        while (!plans.asScala.exists(_.contains("BroadcastHashJoin")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        spark.listenerManager.unregister(listener)
+      }
+
+    // correctness: exact expected cluster map
+    (1 until big).foreach(i => assert(hot(i.toLong) == 0L))
+    (0 to 59).foreach(i => assert(hot(100000L + i) == 100000L))
+    assert(hot(900001L) == 900000L && hot(900000L) == 900000L)
+    assert(hot.size == big + 60 + 2)
+
+    // parity: the plain-join path (threshold never reached) agrees exactly
+    val cold = graft.operators.ConnectedComponents(edges, hotLabelThreshold = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold == hot)
+
+    // the split genuinely ran through a broadcast: some internal round job
+    // carried a BroadcastHashJoin (the plain path uses only shuffled joins)
+    assert(plans.asScala.exists(_.contains("BroadcastHashJoin")),
+      "hot-label broadcast join never appeared in any executed plan")
+  }
 
   test("bucketed twin tables join with ZERO shuffle exchanges") {
     BucketedTables.bucketFacts(spark, sf0001, buckets = 4)
