@@ -86,4 +86,27 @@ object Loader {
   /** Read the loaded table back (hides the `_batch` bookkeeping column). */
   def readTable(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(tableDir).drop("_batch")
+
+  /** Corrupt-tolerant read of the staging TSV contract (quote-free,
+    * header-free — `main.py:61-67`): PERMISSIVE mode nulls the typed
+    * columns of a malformed line and preserves the raw line in
+    * `_corrupt_record`, so bad input quarantines instead of killing the
+    * load (the reference's LOAD DATA would abort the whole file). Split on
+    * `_corrupt_record IS NULL`: clean rows continue to the table, rejects
+    * go to a quarantine sink with their original bytes intact.
+    */
+  def readTsvTolerant(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.btcusdtTsvSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "_corrupt_record", org.apache.spark.sql.types.StringType))
+    spark.read
+      .schema(schema)
+      .option("sep", "\t")
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("pathGlobFilter", "*.tsv")
+      .csv(dir)
+  }
 }

@@ -112,6 +112,37 @@ class IngestSpec extends AnyFunSuite {
     spark.sql("DROP TABLE btcusdt")
   }
 
+  test("corrupt TSV lines quarantine in PERMISSIVE mode, clean rows load") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("tsv-corrupt")
+    val good = (1 to 6).map(i =>
+      s"$i\tBTCUSDT\t26000.1$i\t0.0000$i\t2024-01-01 10:00:0$i\t${i % 2}")
+    val bad = Seq(
+      "not_a_number\tBTCUSDT\t26000.11\t0.00001\t2024-01-01 10:00:01\t1", // bad bid
+      "7\tBTCUSDT\t26000.17", // too few fields
+      "totally mangled line with no tabs at all !!!")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/window.tsv"),
+      scala.util.Random.shuffle(good ++ bad).mkString("\n").getBytes("UTF-8"))
+
+    // cache first: Spark disallows queries that reference ONLY the internal
+    // corrupt-record column directly against the raw CSV scan
+    val df = Loader.readTsvTolerant(spark, dir).cache()
+    try {
+      assert(df.count() == 9)
+      val rejects = df.filter(col("_corrupt_record").isNotNull)
+      assert(rejects.count() == 3, "expected exactly the 3 mangled lines quarantined")
+      // rejects carry the original line for a quarantine sink
+      val rawLines = rejects.select("_corrupt_record").collect().map(_.getString(0)).toSet
+      assert(rawLines == bad.toSet)
+      // clean rows parsed fully typed
+      val clean = df.filter(col("_corrupt_record").isNull)
+      assert(clean.count() == 6)
+      val r1 = clean.filter(col("bid") === 1L).collect().head
+      assert(r1.getAs[String]("parameter") == "BTCUSDT")
+      assert(r1.getAs[java.math.BigDecimal]("price").doubleValue() == 26000.11)
+    } finally df.unpersist()
+  }
+
   test("loader: file-level exactly-once across restarts and batch replay") {
     import spark.implicits._
     val staging = tmpDir("staging")
