@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSession
   * medians, the one-time build would otherwise vanish from every consumer's
   * median (first rep builds, later reps reuse), silently under-reporting
   * the suite. `total` = sum of query medians + the stage build.
+  *
+  * Next to each wall-clock median, `task_sec` carries the summed executor
+  * task run time (SparkListener onTaskEnd, executorRunTime) of the SAME
+  * rep whose wall-clock was the median. Wall-clock on a shared host moves
+  * with external load; summed task time is work actually executed —
+  * round-over-round comparisons should prefer it (`task_total` at the
+  * top level). Streaming-harness queries (q66/q70/q71/q76/q85) still
+  * include their source-write/read-back scaffolding in both numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,26 +52,46 @@ object Bench {
       force(li.groupBy("l_returnflag").agg(sum("l_quantity")).orderBy("l_returnflag"))
     } catch { case _: Throwable => }
 
-    def timed(run: () => Unit): Double = {
+    // summed executor task run time, attributed per run by snapshotting
+    // around it (queries run sequentially; the bus is drained at each edge)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) taskMs.addAndGet(m.executorRunTime)
+      }
+    })
+    def drain(): Unit =
+      try org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 30000)
+      catch { case _: Throwable => }
+
+    def timed(run: () => Unit): (Double, Double) = {
+      drain()
+      val task0 = taskMs.get
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] failed: ${e.getMessage}"); false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      drain()
+      val taskSec = (taskMs.get - task0) / 1e3
       // after timing: unpersist cost isn't the query's; the GC lets the
       // ContextCleaner reap dead broadcasts/shuffles between runs (their
       // cleanup is reference-triggered and otherwise lands inside a later
       // run's measurement)
       spark.catalog.clearCache()
       System.gc()
-      if (ok) elapsed else -1.0
+      if (ok) (elapsed, taskSec) else (-1.0, -1.0)
     }
     // a failed run reports -1, never a fast fake success — the baseline
-    // gate must see breakage, not a speedup; one failure poisons the median
-    def median(run: () => Unit): Double = {
-      val ts = (1 to reps).map(_ => timed(run)).sorted
-      if (ts.head < 0) -1.0 else ts(ts.length / 2)
+    // gate must see breakage, not a speedup; one failure poisons the median.
+    // task_sec reports the SAME rep as the wall-clock median, so the two
+    // numbers describe one run.
+    def median(run: () => Unit): (Double, Double) = {
+      val ts = (1 to reps).map(_ => timed(run))
+      if (ts.exists(_._1 < 0)) (-1.0, -1.0)
+      else ts.sortBy(_._1).apply(ts.length / 2)
     }
 
     // the one-time shared-stage materialization, timed on its own
@@ -73,10 +101,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> median(() => force(fn(spark, sfDir)))
     } :+ ("shared_stage_build" -> stageBuild)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val task = results.map { case (k, (_, t)) => "\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val taskTotal = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""task_sec":$task,"task_total":$taskTotal,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -29,4 +29,11 @@ object GraftSqlBridge {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Block until the listener bus has delivered all queued events —
+    * `private[spark]`, needed to attribute SparkListener task metrics to
+    * the query that just ran (Bench's task-time accounting).
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }
