@@ -61,9 +61,35 @@ object Udafs {
     override def outputEncoder: Encoder[OhlcBuf] = Encoders.product[OhlcBuf]
   }
 
+  /** Exact (decimal) weighted-sum parts: Σ(w·x) and Σ(w) as BigDecimal, so
+    * the aggregation is order-insensitive and can sit under the DuckDB
+    * hash gate (q88) — the double-buffered [[WeightedMean]] cannot (float
+    * addition order varies with partitioning). The caller divides and
+    * rounds per the determinism protocol; emitting the parts rather than
+    * the quotient keeps the one inexact step (division) in the same place
+    * every other gated query puts it.
+    */
+  final case class WSumParts(sum_wx: java.math.BigDecimal, sum_w: java.math.BigDecimal)
+
+  object DecimalWeightedSum extends Aggregator[
+      (java.math.BigDecimal, java.math.BigDecimal), WSumParts, WSumParts] {
+    private val Z = java.math.BigDecimal.ZERO
+    override def zero: WSumParts = WSumParts(Z, Z)
+    override def reduce(b: WSumParts, a: (java.math.BigDecimal, java.math.BigDecimal)): WSumParts =
+      if (a._1 == null || a._2 == null) b // SQL semantics: NULL rows don't contribute
+      else WSumParts(b.sum_wx.add(a._1.multiply(a._2)), b.sum_w.add(a._2))
+    override def merge(x: WSumParts, y: WSumParts): WSumParts =
+      WSumParts(x.sum_wx.add(y.sum_wx), x.sum_w.add(y.sum_w))
+    override def finish(r: WSumParts): WSumParts = r
+    override def bufferEncoder: Encoder[WSumParts] = Encoders.product[WSumParts]
+    override def outputEncoder: Encoder[WSumParts] = Encoders.product[WSumParts]
+  }
+
   /** Register the UDAFs (and a sample scalar UDF) on a session for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("weighted_mean", org.apache.spark.sql.functions.udaf(WeightedMean))
+    spark.udf.register("weighted_sum_parts", org.apache.spark.sql.functions.udaf(
+      DecimalWeightedSum, Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)))
     // scalar UDF example — the API exists; hot paths should use codegen'd
     // expressions (CosineSimilarity) instead, per SURVEY §2.2.
     spark.udf.register("clip01", (x: Double) => math.max(0.0, math.min(1.0, x)))

@@ -201,6 +201,37 @@ object MiscQueries extends QueryModule {
              |    (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))), 6) AS DECIMAL(18,6)) AS std_qty,
              |  CAST(ROUND(sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) /
              |    (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))), 6) AS DECIMAL(18,6)) AS std_price
-             |FROM s ORDER BY l_returnflag""".stripMargin))
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // q88 — typed UDAF under the gate: the volume-weighted average price
+    // (the reference domain's VWAP) through `functions.udaf(Aggregator)`.
+    // The buffer is EXACT BigDecimal parts (Σw·x, Σw) — order-insensitive,
+    // map-side combinable, so the custom aggregate meets the same
+    // determinism bar as the builtins it sits beside (the double-buffered
+    // WeightedMean twin stays spec-only for exactly this reason). The one
+    // inexact step — the division — happens outside the UDAF where every
+    // other gated query puts it.
+    Declared("q88_udaf_vwap",
+      (s, dir) => {
+        import org.apache.spark.sql.Encoders
+        val parts = udaf(graft.functions.Udafs.DecimalWeightedSum,
+          Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL))
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(parts(dec(col("l_extendedprice")), dec(col("l_quantity"))).as("w"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), big(col("n")).as("n"),
+            out6(col("w.sum_wx")).as("sum_wx"),
+            out6(col("w.sum_w")).as("sum_qty"),
+            out6(col("w.sum_wx") / col("w.sum_w")).as("vwap"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  -- DECIMAL(19,6) multiply operands force DuckDB's int128 path (q79 note)
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))), 6) AS DECIMAL(18,6)) AS sum_wx,
+             |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_qty,
+             |  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
+             |       / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS DECIMAL(18,6)) AS vwap
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
