@@ -247,6 +247,51 @@ object ScaleQueries extends QueryModule {
       Some("""SELECT l_returnflag, COUNT(*) AS n,
              |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_qty
              |FROM lineitem WHERE l_orderkey <= 600
-             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // q89 — ORC round trip through the gate: orders goes parquet → ORC
+    // files → ORC scan (with a pushable predicate) → aggregate; the oracle
+    // computes the same aggregate straight from parquet. Widens the source
+    // matrix to Spark's second columnar format with the same bit-exactness
+    // bar as q59's JDBC trip; the filter lands in the ORC reader's
+    // PushedFilters (same pushdown machinery as parquet).
+    Declared("q89_orc_roundtrip",
+      (s, dir) => {
+        val base = SharedStages.scratchDir("q89")
+        Tables.load(s, dir, "orders").write.mode("overwrite").orc(s"$base/orders_orc")
+        s.read.orc(s"$base/orders_orc")
+          .filter(col("o_totalprice") > 1000.0)
+          .groupBy(col("o_orderstatus"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("o_totalprice")))).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_price
+             |FROM orders WHERE o_totalprice > 1000.0
+             |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // q90 — JSON-lines round trip through the gate: documents (free text
+    // with whitespace/quotes — the fields that break naive row formats) go
+    // parquet → JSON lines → schema-applied JSON scan → per-language
+    // aggregate over BOTH a passthrough column and the text itself
+    // (md5 over the round-tripped text pins escaping losslessness);
+    // oracle straight from parquet.
+    Declared("q90_json_roundtrip",
+      (s, dir) => {
+        val base = SharedStages.scratchDir("q90")
+        val docs = Tables.load(s, dir, "documents")
+        docs.write.mode("overwrite").json(s"$base/docs_json")
+        s.read.schema(docs.schema).json(s"$base/docs_json")
+          .groupBy(col("lang"))
+          .agg(big(count(lit(1))).as("n"),
+            big(sum(col("n_chars"))).as("sum_chars"),
+            min(md5(col("text"))).as("min_text_md5"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  MIN(md5(text)) AS min_text_md5
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 }
