@@ -100,8 +100,13 @@ private[sources] class TickSocketStream(
     if (socket != null) socket.close()
     epoch += 1
     val myEpoch = epoch
-    buffer.clear()
-    base = from
+    // `from == base + buffer.size` is an APPEND continuation (reader
+    // auto-reconnect after upstream loss): already-buffered rows stay
+    // valid. Any other resume point restarts the window.
+    if (from != base + buffer.size) {
+      buffer.clear()
+      base = from
+    }
     lastEnd = math.max(lastEnd, from)
     socket = new java.net.Socket(host, port)
     val out = new java.io.PrintWriter(socket.getOutputStream, true)
@@ -110,6 +115,7 @@ private[sources] class TickSocketStream(
       new java.io.InputStreamReader(socket.getInputStream,
         java.nio.charset.StandardCharsets.UTF_8))
     val readerThread = new Thread(() => {
+      var failure: Throwable = null
       try {
         var line = in.readLine()
         var live = line != null
@@ -125,9 +131,35 @@ private[sources] class TickSocketStream(
           if (live) { line = in.readLine(); live = line != null }
         }
       } catch {
-        case _: java.net.SocketException => // closed by stop()/reconnect
         case _: InterruptedException =>
-        case t: Throwable => readerError = t
+        case t: Throwable => failure = t // includes SocketException: sort out below
+      }
+      // Upstream died (EOF or IO error) while we are still the live reader:
+      // the feed is sequence-addressed, so this is RECOVERABLE — reconnect
+      // and RESUME at the first sequence we don't have. Bounded retries with
+      // backoff; only a final failure surfaces to the engine. A stop() or a
+      // newer epoch means the exit was intentional — do nothing.
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val shouldReconnect = TickSocketStream.this.synchronized {
+          !stopped && epoch == myEpoch
+        }
+        if (!shouldReconnect) done = true
+        else {
+          try {
+            Thread.sleep(math.min(5000L, 200L << attempt))
+            TickSocketStream.this.synchronized {
+              if (!stopped && epoch == myEpoch) connect(base + buffer.size)
+            }
+            done = true
+          } catch {
+            case _: InterruptedException => done = true
+            case t: Throwable =>
+              attempt += 1
+              if (attempt >= 8) { readerError = if (failure != null) failure else t; done = true }
+          }
+        }
       }
     }, s"ticksocket-reader-$host:$port-e$myEpoch")
     readerThread.setDaemon(true)

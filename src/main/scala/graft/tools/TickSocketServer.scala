@@ -15,10 +15,13 @@ final class TickSocketServer(
     startMs: Long = 1710000000000L,
     msPerTick: Long = 10L,
     throttleEveryN: Int = 500,
-    throttleMs: Long = 1L) extends AutoCloseable {
+    throttleMs: Long = 1L,
+    fixedPort: Int = 0) extends AutoCloseable {
 
-  private val server = new java.net.ServerSocket(
-    0, 8, java.net.InetAddress.getLoopbackAddress)
+  private val server = new java.net.ServerSocket()
+  server.setReuseAddress(true) // restart-on-same-port (upstream-failure specs)
+  server.bind(new java.net.InetSocketAddress(
+    java.net.InetAddress.getLoopbackAddress, fixedPort), 8)
   @volatile private var closed = false
   /** Last RESUME sequence any client requested (observability for specs). */
   @volatile var lastResume: Long = -1L

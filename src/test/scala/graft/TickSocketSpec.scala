@@ -79,4 +79,62 @@ class TickSocketSpec extends AnyFunSuite {
     assert(sample.getString(0) == sym && sample.getString(1) == p &&
       sample.getString(2) == q && sample.getLong(3) == t && sample.getBoolean(4) == m)
   }
+
+  test("socket source: upstream dies mid-stream, reader auto-reconnects with RESUME") {
+    val base = tmpDir("ticksock-up")
+    val (out, ck) = (s"$base/out", s"$base/ck")
+
+    // phase A: server on a fixed port dies while the QUERY KEEPS RUNNING
+    val sA = new TickSocketServer().start()
+    val port = sA.port
+    val stream = spark.readStream.format("graft.sources.TickSocketProvider")
+      .option("port", port.toString)
+      .option("maxPerTrigger", "500")
+      // small buffer cap: backpressure keeps the backlog tiny, so progress
+      // past the failure point REQUIRES the reader's RESUME reconnect
+      .option("maxBuffered", "2000")
+      .load()
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (sinkCount(out) < 1000 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.exception.foreach(throw _)
+      }
+      assert(sinkCount(out) >= 1000)
+      sA.close() // upstream failure — the query stays up
+
+      // phase B: replacement server binds the SAME port; the source's
+      // reader must reconnect and RESUME at its next-needed sequence
+      Thread.sleep(400)
+      val sB = new TickSocketServer(fixedPort = port).start()
+      try {
+        // progress must pass the failure point AND the replacement server
+        // must have seen a mid-sequence RESUME (kernel TCP buffers can
+        // serve a backlog for a while before the reader hits EOF)
+        val more = sinkCount(out) + 5000
+        val deadline2 = System.currentTimeMillis() + 120000
+        while ((sinkCount(out) < more || sB.lastResume <= 0) &&
+            System.currentTimeMillis() < deadline2) {
+          Thread.sleep(200); q.exception.foreach(throw _)
+        }
+        assert(sinkCount(out) >= more, "stream never progressed after upstream restart")
+        assert(sB.lastResume > 0, "reconnect did not RESUME mid-sequence")
+      } finally sB.close()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+    val stats = got.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("tradeId")).as("nd"),
+      max(col("tradeId")).as("hi")).collect().head
+    val (n, nd, hi) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    assert(n == nd, s"duplicates across the upstream failure: $n rows, $nd distinct")
+    assert(hi == n - 1, s"gap across the upstream failure: max=$hi over $n rows")
+  }
 }
