@@ -168,6 +168,35 @@ object Stateful {
       .drop("_h")
   }
 
+  /** Stream-static AS-OF enrichment (the SCD-2 lookup a tick loader wants:
+    * each live event joined to the dimension version in force AT ITS EVENT
+    * TIME, not the current one). The versioned dimension (key, `dimTsCol` =
+    * version-effective-from, payload…) is turned into half-open validity
+    * intervals `[validFrom, nextFrom)` with one BATCH-side window pass,
+    * then every micro-batch row equi-joins on the key with a residual
+    * interval predicate — exactly one version matches per row, left-outer
+    * keeps rows older than the first version (null payload).
+    *
+    * Scale: the interval table is dimension-sized (versions, not facts) —
+    * broadcast. A fact-sized "dimension" should go through the native
+    * batch as-of (`AsOfJoin.backwardNative`) in `foreachBatch` instead.
+    * StatefulSpec pins row-for-row parity with that batch operator.
+    */
+  def asOfEnrich(stream: DataFrame, versionedDim: DataFrame, key: String,
+      tsCol: String, dimTsCol: String): DataFrame = {
+    require(tsCol != dimTsCol,
+      s"stream ts column '$tsCol' and dim version column '$dimTsCol' must differ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(dimTsCol))
+    val intervals = versionedDim.withColumn("_valid_to", lead(col(dimTsCol), 1).over(w))
+    stream.join(broadcast(intervals),
+      stream(key) === intervals(key) &&
+        col(tsCol) >= col(dimTsCol) &&
+        (col("_valid_to").isNull || col(tsCol) < col("_valid_to")),
+      "left_outer")
+      .drop(intervals(key)).drop("_valid_to")
+  }
+
   /** Stream-stream interval join: match each left event to right events on
     * the same key within `[left.ts - tolerance, left.ts]` (the streaming
     * twin of RangeJoin.backwardWindow). BOTH sides carry a watermark and the

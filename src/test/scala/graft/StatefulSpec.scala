@@ -199,4 +199,47 @@ class StatefulSpec extends AnyFunSuite {
       assert(r.map(_.getString(0)).toSeq == Seq("Bitcoin"))
     } finally q.stop()
   }
+
+  test("stream-static AS-OF enrich: each event gets the dim version in force at its time") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // versioned fee schedule: 2 symbols × several effective-from versions
+    val dim = Seq(
+      ("BTCUSDT", 100L, 10), ("BTCUSDT", 200L, 20), ("BTCUSDT", 300L, 30),
+      ("ETHUSDT", 150L, 5)
+    ).toDF("symbol", "effective_ms", "fee_bps")
+
+    val ms = MemoryStream[(String, Long, Long)]
+    val stream = ms.toDF().toDF("symbol", "event_ms", "event_id")
+    val q = Stateful.asOfEnrich(stream, dim, "symbol", "event_ms", "effective_ms")
+      .writeStream.outputMode("append").format("memory").queryName("asof_enriched").start()
+    try {
+      // two micro-batches, events straddling version boundaries + one
+      // pre-first-version event (must survive with null payload)
+      ms.addData(("BTCUSDT", 50L, 1L), ("BTCUSDT", 100L, 2L), ("BTCUSDT", 250L, 3L))
+      q.processAllAvailable()
+      ms.addData(("BTCUSDT", 300L, 4L), ("BTCUSDT", 999L, 5L), ("ETHUSDT", 200L, 6L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, fee_bps FROM asof_enriched").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got == Map(
+        1L -> None,       // before first version
+        2L -> Some(10),   // inclusive at effective_ms
+        3L -> Some(20),
+        4L -> Some(30),   // inclusive at the newest version boundary
+        5L -> Some(30),   // open-ended newest version
+        6L -> Some(5)))
+
+      // parity with the BATCH native as-of on the same data
+      val batchStream = Seq(
+        ("BTCUSDT", 50L, 1L), ("BTCUSDT", 100L, 2L), ("BTCUSDT", 250L, 3L),
+        ("BTCUSDT", 300L, 4L), ("BTCUSDT", 999L, 5L), ("ETHUSDT", 200L, 6L)
+      ).toDF("symbol", "ts", "event_id")
+      val batch = graft.operators.AsOfJoin.backwardNative(
+        batchStream, dim.withColumnRenamed("effective_ms", "ts"),
+        Seq("symbol"), "ts", Seq("fee_bps"), "m_")
+        .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
