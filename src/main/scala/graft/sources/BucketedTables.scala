@@ -18,9 +18,15 @@ object BucketedTables {
 
   /** Write `df` as a managed bucketed table (drops any previous incarnation,
     * including an orphaned warehouse directory from a crashed run).
+    *
+    * `sortBy` columns make the per-bucket files sorted; the scan reports
+    * that ordering ONLY when each bucket is a single file, so the input is
+    * repartitioned onto the bucket key first (one task → one file per
+    * bucket). A sorted bucketed twin then feeds sort-merge shapes — the
+    * equi-join AND the native as-of — with neither an Exchange nor a Sort.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      sortBy: Option[String] = None): Unit = {
+      sortBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
@@ -28,17 +34,20 @@ object BucketedTables {
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode("overwrite").format("parquet")
+    val in = if (sortBy.isEmpty) df
+      else df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+    val w = in.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
-    sortBy.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+    (if (sortBy.isEmpty) w else w.sortBy(sortBy.head, sortBy.tail: _*))
+      .saveAsTable(table)
   }
 
   /** Bucket the two big fact tables on the orderkey join key. */
   def bucketFacts(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
     writeBucketed(spark.read.parquet(s"$dir/lineitem.parquet"),
-      "lineitem_b", "l_orderkey", buckets, sortBy = Some("l_orderkey"))
+      "lineitem_b", "l_orderkey", buckets, sortBy = Seq("l_orderkey"))
     writeBucketed(spark.read.parquet(s"$dir/orders.parquet"),
-      "orders_b", "o_orderkey", buckets, sortBy = Some("o_orderkey"))
+      "orders_b", "o_orderkey", buckets, sortBy = Seq("o_orderkey"))
   }
 
   /** The co-located join: correct on any tables, shuffle-free on bucketed

@@ -300,6 +300,48 @@ class NativeAsOfSpec extends AnyFunSuite {
     } finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("native as-of over bucketed sorted twins: ZERO exchange below the merge") {
+    // DEPLOY claims pre-bucketing both sides by the key makes the native
+    // as-of exchange-free — pin it. Both sides bucketed on user_id AND
+    // sorted by (user_id, ts), single file per bucket, same bucket count:
+    // EnsureRequirements must find the clustering AND the ordering already
+    // satisfied.
+    val ev = Tables.load(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v_value"))
+    graft.sources.BucketedTables.writeBucketed(
+      clicks, "clicks_asof_b", "user_id", buckets = 4, sortBy = Seq("user_id", "ts"))
+    graft.sources.BucketedTables.writeBucketed(
+      views, "views_asof_b", "user_id", buckets = 4, sortBy = Seq("user_id", "ts"))
+    // sorted-bucket scan ordering is behind a default-off flag (Spark
+    // checks one-file-per-bucket lazily; writeBucketed guarantees it)
+    val sortedScanKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prior = spark.conf.get(sortedScanKey)
+    try {
+      spark.conf.set(sortedScanKey, "true")
+      val out = AsOfJoin.backwardNative(
+        spark.table("clicks_asof_b"), spark.table("views_asof_b"),
+        Seq("user_id"), "ts", Seq("v_value"), "m_")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), s"native exec missing:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed as-of still shuffles:\n$plan")
+      assert(!plan.contains("Sort "), s"sorted buckets still re-sorted:\n$plan")
+      // and the exchange-free plan returns exactly the plain path's rows
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id", "m_ts", "m_v_value").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val plain = AsOfJoin.backwardNative(clicks, views, Seq("user_id"), "ts", Seq("v_value"), "m_")
+      assert(canon(out) == canon(plain))
+    } finally {
+      spark.conf.set(sortedScanKey, prior)
+      spark.sql("DROP TABLE IF EXISTS clicks_asof_b")
+      spark.sql("DROP TABLE IF EXISTS views_asof_b")
+    }
+  }
+
   test("native as-of plan: AsOfJoinExec present, no WindowExec / nested loop") {
     val ev = Tables.load(spark, sf0001, "events")
     val clicks = ev.filter(col("event_type") === "click")
