@@ -393,6 +393,55 @@ object CurationQueries extends QueryModule {
           |SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b,
           |  CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
           |FROM pairs p JOIN sp a ON a.doc_id = p.u JOIN sp b ON b.doc_id = p.v
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q91 — BOILERPLATE REMOVAL as a document REWRITE (the CCNet/
+    // RefinedWeb-style cleanup): words whose document frequency exceeds
+    // 80% of the corpus (df·5 > N·4 — integer comparison, no division;
+    // the fixture vocabulary is ~40 words, so production's lower cutoffs
+    // would dissolve most synthetic docs outright)
+    // are boilerplate; every document is re-emitted with those words
+    // removed, ORIGINAL ORDER PRESERVED. The md5 of the rebuilt text pins
+    // the reassembly byte-for-byte — a wrong position sort or a dropped
+    // word breaks the hash. A document of pure boilerplate disappears (no
+    // kept words), consistently on both sides.
+    //
+    // Scale shape: one exploded pass feeds both the DF table (distinct +
+    // count, map-side combinable) and the rewrite; the boilerplate set is
+    // vocabulary-bounded → broadcast anti-join; reassembly is a per-doc
+    // hash agg (collect_list bounded by document length, the same bound
+    // the text column itself already imposes on a row).
+    Declared("q91_boilerplate_scrub",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val words = docs.select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+        val df = words.select(col("doc_id"), col("word")).distinct()
+          .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val totals = docs.agg(count(lit(1)).as("n_docs"))
+        val boiler = df.crossJoin(broadcast(totals))
+          .filter(col("df") * 5 > col("n_docs") * 4)
+          .select(col("word"))
+        words.join(broadcast(boiler), Seq("word"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(big(count(lit(1))).as("n_kept"),
+            md5(concat_ws(" ",
+              transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+                x => x.getField("word")))).as("scrubbed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |w AS (SELECT doc_id,
+             |        unnest(list_transform(string_split(text, ' '),
+             |                              (x, i) -> {'word': x, 'ord': i})) AS t
+             |      FROM documents),
+             |wo AS (SELECT doc_id, t.word AS word, t.ord AS ord FROM w),
+             |bp AS (SELECT word FROM (SELECT word, COUNT(DISTINCT doc_id) AS df
+             |                         FROM wo GROUP BY word), n
+             |       WHERE df * 5 > n_docs * 4)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |  md5(string_agg(word, ' ' ORDER BY ord)) AS scrubbed_md5
+             |FROM wo WHERE word NOT IN (SELECT word FROM bp)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
