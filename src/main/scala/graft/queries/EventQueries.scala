@@ -304,6 +304,62 @@ object EventQueries extends QueryModule {
              |)
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // q92 — INCREMENTAL MATERIALIZED ROLLUP (streaming upsert view): the
+    // q22 tumbling rollup maintained as a keyed TABLE by update-mode
+    // micro-batches — each trigger emits ONLY the (w, event_type) groups
+    // it changed, and foreachBatch MERGEs them into the view (anti-join
+    // out the stale versions, union the new). Unlike q66's complete-mode
+    // harness, the streaming side's emit is proportional to the CHANGED
+    // groups; the merge rewrite is proportional to the VIEW, which is
+    // counter-sized (windows × types), never fact-sized — the shape an
+    // always-on rollup view needs. A replayed batch re-merges to the same
+    // bytes (idempotent upsert). On a warehouse this foreachBatch body is
+    // one MERGE INTO keyed on (w, event_type). Same q22 oracle.
+    Declared("q92_stream_rollup_merge",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val events = Tables.load(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+        val base = SharedStages.scratchDir("q92")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        val agg = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n"), out6(sum(dec(col("value")))).as("sum_value"))
+          .select(tsec(col("window").getField("start")).as("w"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = agg.writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val cur =
+              try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
+            val merged = cur match {
+              case None => batch
+              case Some(c) => c
+                .join(batch.select("w", "event_type"), Seq("w", "event_type"), "left_anti")
+                .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+            }
+            // the merge READS the files the write replaces: materialize
+            // first (stored blocks, lineage cut), then rewrite. On a real
+            // cluster: write-temp-and-swap, or the engine's MERGE INTO.
+            val m = merged.localCheckpoint(true)
+            m.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select(col("w"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("w"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // q85 — STREAMING SLIDING WINDOWS under the gate: q45's 10-minute
     // window / 1-minute slide executed through the real Structured
     // Streaming path (the q66 harness shape — file micro-batch replay →
