@@ -360,6 +360,81 @@ object EventQueries extends QueryModule {
              |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // q93 — STREAM-STREAM AS-OF JOIN under the gate: q36's click↔view
+    // lookup executed through Stateful.asOfJoinStream (flatMapGroups-
+    // WithState: watermark-gated emission, per-key bounded buffers) and
+    // hash-matched against the SAME DuckDB ASOF oracle as batch q36.
+    // Replay: clicks and views interleave as ONE union stream bucketed by
+    // event_id across 4 files (event time and arrival order fully
+    // decoupled), one file per trigger; a far-future pusher row written
+    // LAST (newer modTime → final trigger) advances the watermark so
+    // event-time timers flush every pending probe. The watermark delay
+    // spans the whole fixture — nothing is late, so the streaming result
+    // must equal the batch oracle row-for-row.
+    Declared("q93_stream_asof",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.load(s, dir, "events")
+        val asofEv = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").cast("string").as("key"), col("ts"),
+            when(col("event_type") === "click", lit(1)).otherwise(lit(0))
+              .cast("byte").as("side"),
+            col("event_id").as("id"), col("value").as("v"))
+        val base = SharedStages.scratchDir("q93")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        val fs = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+            .head.getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+        }
+        (0 until 4).foreach(i => writeOne(asofEv.filter(pmod(col("id"), lit(4)) === i), s"data_$i"))
+        // the pusher: its own key, event time one delay-unit past the max —
+        // modTime must be newest (the source replays oldest-first)
+        Thread.sleep(1200)
+        val maxTs = asofEv.agg(max(col("ts"))).head().getTimestamp(0)
+        val pusher = {
+          import s.implicits._
+          Seq(("zz~pusher", new java.sql.Timestamp(maxTs.getTime + 87601L * 3600 * 1000),
+            0.toByte, 0L, 0.0)).toDF("key", "ts", "side", "id", "v")
+        }
+        writeOne(pusher, "zz_pusher")
+        val stream = s.readStream.schema(asofEv.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .as[graft.streaming.Stateful.AsOfEv](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Stateful.AsOfEv])
+        val q = graft.streaming.Stateful.asOfJoinStream(stream, delay = "87600 hours")
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select(col("id").as("event_id"), col("key").cast("long").as("user_id"),
+            tmicro(timestamp_micros(col("tsUs"))).as("ts"),
+            tmicro(timestamp_micros(col("mTsUs"))).as("view_ts"),
+            out6(dec(col("mV"))).as("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, max_by(value, event_id) AS v_value
+             |          FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+             |  CAST(ROUND(CAST(v.v_value AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // q85 — STREAMING SLIDING WINDOWS under the gate: q45's 10-minute
     // window / 1-minute slide executed through the real Structured
     // Streaming path (the q66 harness shape — file micro-batch replay →

@@ -168,6 +168,123 @@ object Stateful {
       .drop("_h")
   }
 
+  // ---- stream-stream event-time AS-OF join -------------------------------
+
+  /** One event on either side of the streaming as-of (side 1 = probe/left,
+    * side 0 = reference/right). `id` disambiguates same-timestamp rights:
+    * the match among equal-ts rights is the max-id one (the streaming twin
+    * of q36's `max_by(value, event_id)` pre-aggregation).
+    */
+  final case class AsOfEv(key: String, ts: java.sql.Timestamp,
+      side: Byte, id: Long, v: Double)
+
+  /** Emitted probe row (timestamps in event-time MICROSECONDS — ms would
+    * silently truncate the parquet micro-precision event times).
+    */
+  final case class AsOfOut(key: String, tsUs: Long, id: Long,
+      mTsUs: Option[Long], mV: Option[Double])
+
+  /** Versioned per-key buffers (v1): pending probes + reference rows, both
+    * kept sorted ((tsUs, id) — equal-ts rights resolve to the max id).
+    */
+  final case class AsOfBufV1(version: Int,
+      lefts: List[(Long, Long)],             // (tsUs, id)
+      rights: List[(Long, Long, Double)])    // (tsUs, id, v)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** STREAM-STREAM event-time AS-OF join — the quote/trade lookup Spark's
+    * built-in stream-stream joins cannot express (equi + interval only):
+    * every left event is matched to the LATEST right event of the same key
+    * at-or-before its event time, inclusive, left-outer.
+    *
+    * Correctness protocol (watermark-gated emission):
+    *   - both sides share one union + one watermark; a probe emits only
+    *     once the watermark passes STRICTLY beyond its timestamp — at that
+    *     point no on-time right at-or-before it can still arrive;
+    *   - per-key state is BOUNDED: pending probes sit inside the watermark
+    *     window by construction, and of the reference rows at-or-below the
+    *     emission frontier only the NEWEST is kept (it is the only one a
+    *     future probe can still match — probes below the frontier have
+    *     already emitted);
+    *   - events later than the watermark (either side) are dropped, the
+    *     same contract as Spark's built-in stream-stream joins;
+    *   - keys with nothing pending keep their last reference row for
+    *     `retention` ms past the frontier, then the state is removed
+    *     (EventTimeTimeout) — an idle key costs one buffered row, not
+    *     forever-state.
+    *
+    * StatefulSpec pins multi-batch replay parity against the batch
+    * operator (AsOfJoin.backward) on the same rows. The concrete row
+    * shapes ([[AsOfEv]]/[[AsOfOut]]) keep the state encoder simple —
+    * generalize by swapping the case classes.
+    */
+  def asOfJoinStream(events: Dataset[AsOfEv], delay: String = "10 minutes",
+      retentionMs: Long = 3600000L): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+
+    def emit(st: AsOfBufV1, wmUs: Long): (List[AsOfOut], AsOfBufV1) = {
+      val (due, pending) = st.lefts.partition(_._1 < wmUs)
+      val out = due.map { case (ts, id) =>
+        // latest right at-or-before ts; among equal-ts rights the sort
+        // makes lastOption the max-id one (q36's max_by tiebreak)
+        val m = st.rights.takeWhile(_._1 <= ts).lastOption
+        AsOfOut("", ts, id, m.map(_._1), m.map(_._3))
+      }
+      // frontier = everything below min(pending probe, watermark) is in the
+      // past for every FUTURE match; keep only the newest right below it
+      val frontier = (pending.headOption.map(_._1).toList :+ wmUs).min
+      val (below, above) = st.rights.partition(_._1 <= frontier)
+      val kept = below.lastOption.toList ++ above
+      (out, AsOfBufV1(1, pending, kept))
+    }
+
+    def fn(key: String, it: Iterator[AsOfEv], state: GroupState[AsOfBufV1])
+        : Iterator[AsOfOut] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val prev = state.getOption.getOrElse(AsOfBufV1(1, Nil, Nil))
+      // NOTE: the engine already drops rows with event time <= the current
+      // watermark before fMGWS sees them (so a ts==epoch-0 row can never
+      // arrive — the watermark starts at 0); this filter is the same
+      // contract applied to whatever does get through.
+      val arrivals = it.toSeq.filter(e => micros(e.ts) >= wmUs)
+      val lefts = (prev.lefts ++ arrivals.filter(_.side == 1)
+        .map(e => (micros(e.ts), e.id))).sorted
+      val rights = (prev.rights ++ arrivals.filter(_.side == 0)
+        .map(e => (micros(e.ts), e.id, e.v))).sortBy(r => (r._1, r._2))
+      val (out, next) = emit(AsOfBufV1(1, lefts, rights), wmUs)
+      if (next.lefts.isEmpty && (next.rights.isEmpty || state.hasTimedOut)) {
+        state.remove()
+      } else {
+        state.update(next)
+        // wake (in MS — the engine's timer clock) when the watermark can
+        // flush the oldest pending probe, or to expire an idle key's kept
+        // reference row
+        val wakeMs = next.lefts.headOption.map(_._1 / 1000L + 1)
+          .getOrElse(math.max(wmUs, next.rights.map(_._1).max) / 1000L + retentionMs)
+        state.setTimeoutTimestamp(math.max(wakeMs, wmUs / 1000L + 1))
+      }
+      out.map(o => o.copy(key = key)).iterator
+    }
+
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Column-level wrapper: left (key, ts, id) as-of right (key, ts, v). */
+  def asOfEnrichStream(left: DataFrame, right: DataFrame,
+      delay: String = "10 minutes"): Dataset[AsOfOut] = {
+    import left.sparkSession.implicits._
+    val l = left.select(col("key"), col("ts"), lit(1).cast("byte").as("side"),
+      col("id"), lit(0.0).as("v"))
+    val r = right.select(col("key"), col("ts"), lit(0).cast("byte").as("side"),
+      lit(0L).as("id"), col("v"))
+    asOfJoinStream(l.unionByName(r).as[AsOfEv], delay)
+  }
+
   /** Stream-static AS-OF enrichment (the SCD-2 lookup a tick loader wants:
     * each live event joined to the dimension version in force AT ITS EVENT
     * TIME, not the current one). The versioned dimension (key, `dimTsCol` =

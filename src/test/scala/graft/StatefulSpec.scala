@@ -200,6 +200,98 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAM-STREAM as-of join: multi-batch replay matches the batch operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def L(k: String, ms: Long, id: Long) = Stateful.AsOfEv(k, ts(ms), 1, id, 0.0)
+    def R(k: String, ms: Long, v: Double) = Stateful.AsOfEv(k, ts(ms), 0, 0L, v)
+
+    // interleaved quotes (right) and probes (left) on two keys; probes
+    // before any quote, at exact quote times (inclusive), and between
+    val batch1 = Seq(
+      R("a", 1000, 1.0), L("a", 500, 1), L("a", 1000, 2), L("a", 1500, 3),
+      R("b", 2000, 9.0))
+    val batch2 = Seq(
+      // R(a,1200) lands AFTER probe id=3 (ts 1500) arrived but BEFORE the
+      // watermark emitted it — the match must upgrade to this later-arriving
+      // earlier-timestamped quote (the reason emission is watermark-gated)
+      R("a", 1200, 1.5),
+      R("a", 2000, 2.0), L("a", 2500, 4),
+      L("b", 1999, 5), L("b", 2000, 6), L("b", 9000, 7))
+    val ms = MemoryStream[Stateful.AsOfEv]
+    val q = Stateful.asOfJoinStream(ms.toDS(), delay = "1 second")
+      .writeStream.outputMode("append").format("memory").queryName("ss_asof").start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      // watermark pusher: its own key, far future — flushes every pending
+      // probe via event-time timers on the no-data batch that follows
+      ms.addData(R("zz_pusher", 10000000, 0.0)); q.processAllAvailable()
+
+      val got = spark.sql("SELECT key, tsUs, id, mTsUs, mV FROM ss_asof")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSet
+
+      // batch twin on the same rows
+      val all = batch1 ++ batch2
+      val left = all.filter(_.side == 1).map(e => (e.key, e.ts, e.id)).toDF("key", "ts", "id")
+      val right = all.filter(_.side == 0).map(e => (e.key, e.ts, e.v)).toDF("key", "ts", "v")
+      val expect = graft.operators.AsOfJoin.backward(left, right, Seq("key"), "ts", Seq("v"), "m_")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000L, r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[java.sql.Timestamp].getTime * 1000L),
+          Option(r.get(4)))).toSet
+      assert(got == expect, s"\ngot    $got\nexpect $expect")
+      assert(got.size == 7) // every probe emitted exactly once
+    } finally q.stop()
+  }
+
+  test("STREAM-STREAM as-of join: randomized replay parity with the batch operator") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(0x55A0F)
+    // 3 keys, coarse millisecond grid (forces equal-ts inclusive ties),
+    // rights unique per (key, ts) per the operator contract
+    val keys = Seq("k1", "k2", "k3")
+    // base offset keeps every event ABOVE the engine's initial watermark
+    // (rows with event time <= the watermark are dropped before the
+    // stateful operator sees them, and the watermark starts at 0)
+    val base = 3600000L
+    val rights = (for (k <- keys; t <- 0 until 40 if rnd.nextBoolean())
+      yield Stateful.AsOfEv(k, new java.sql.Timestamp(base + t * 100L), 0, 0L,
+        rnd.nextInt(1000).toDouble))
+    val lefts = (1 to 120).map(i => Stateful.AsOfEv(keys(rnd.nextInt(3)),
+      new java.sql.Timestamp(base + rnd.nextInt(45) * 100L), 1, i.toLong, 0.0))
+    // arrival order is shuffled and split into 3 batches — event time and
+    // arrival order are fully decoupled (within the watermark window)
+    val shuffled = rnd.shuffle(rights ++ lefts)
+    val batches = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+
+    val ms = MemoryStream[Stateful.AsOfEv]
+    val q = Stateful.asOfJoinStream(ms.toDS(), delay = "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("ss_asof_rnd").start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      ms.addData(Stateful.AsOfEv("zz", new java.sql.Timestamp(10000000L), 0, 0L, 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, tsUs, id, mTsUs, mV FROM ss_asof_rnd")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSet
+      val expect = graft.operators.AsOfJoin.backward(
+        lefts.map(e => (e.key, e.ts, e.id)).toDF("key", "ts", "id"),
+        rights.map(e => (e.key, e.ts, e.v)).toDF("key", "ts", "v"),
+        Seq("key"), "ts", Seq("v"), "m_")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000L, r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[java.sql.Timestamp].getTime * 1000L),
+          Option(r.get(4)))).toSet
+      val gotS: Set[String] = got.map(_.toString)
+      val expS: Set[String] = expect.map(_.toString)
+      assert(gotS == expS,
+        s"\nmissing: ${expS -- gotS}\nspurious: ${gotS -- expS}")
+      assert(got.size == 120)
+    } finally q.stop()
+  }
+
   test("stream-static AS-OF enrich: each event gets the dim version in force at its time") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
