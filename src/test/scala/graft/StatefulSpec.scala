@@ -246,7 +246,28 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAM-STREAM as-of join: randomized replay parity with the batch operator " +
+      "(RocksDB state store)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the production state backend: per-key buffers live in RocksDB, so the
+    // encoder round-trip of AsOfBufV1 through the store is exercised too
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { runRandomizedAsOfReplay("ss_asof_rnd_rocks") }
+    finally savedProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("STREAM-STREAM as-of join: randomized replay parity with the batch operator") {
+    runRandomizedAsOfReplay("ss_asof_rnd")
+  }
+
+  private def runRandomizedAsOfReplay(sink: String): Unit = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val rnd = new scala.util.Random(0x55A0F)
@@ -269,12 +290,12 @@ class StatefulSpec extends AnyFunSuite {
 
     val ms = MemoryStream[Stateful.AsOfEv]
     val q = Stateful.asOfJoinStream(ms.toDS(), delay = "10 seconds")
-      .writeStream.outputMode("append").format("memory").queryName("ss_asof_rnd").start()
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
     try {
       batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
       ms.addData(Stateful.AsOfEv("zz", new java.sql.Timestamp(10000000L), 0, 0L, 0.0))
       q.processAllAvailable()
-      val got = spark.sql("SELECT key, tsUs, id, mTsUs, mV FROM ss_asof_rnd")
+      val got = spark.sql(s"SELECT key, tsUs, id, mTsUs, mV FROM $sink")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           Option(r.get(3)), Option(r.get(4)))).toSet
       val expect = graft.operators.AsOfJoin.backward(
