@@ -442,6 +442,43 @@ object CurationQueries extends QueryModule {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
              |  md5(string_agg(word, ' ' ORDER BY ord)) AS scrubbed_md5
              |FROM wo WHERE word NOT IN (SELECT word FROM bp)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q95 — TOKEN-BUDGET CORPUS SELECTION: rank every document by a
+    // deterministic integer quality score (type-token ratio in ppm,
+    // tie-broken by doc_id), then take the best documents whose RUNNING
+    // token total fits a global budget (60% of the corpus) — the
+    // "pick the best N tokens" selection step that follows scoring in a
+    // training-data pipeline. The running total is GlobalCumSum (one range
+    // shuffle + per-partition prefix sums + broadcast offsets — never a
+    // single-partition window), the budget scalar is a 1-row broadcast, and
+    // the verdict is per-source yield. All arithmetic is integral: ppm
+    // scores and floor-div budgets are engine-portable where a double sort
+    // key would not be.
+    Declared("q95_token_budget",
+      (s, dir) => {
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n"),
+            size(array_distinct(tokens(col("text")))).cast("long").as("n_types"))
+          .withColumn("q_ppm", idiv(col("n_types") * lit(1000000L), col("n")))
+        val budget = t.agg(idiv(sum(col("n")) * lit(6L), lit(10L)).as("budget"))
+        graft.operators.GlobalCumSum
+          .withCumSum(t, Seq(col("q_ppm").desc, col("doc_id")), col("n"), "cum")
+          .crossJoin(broadcast(budget))
+          .filter(col("cum") <= col("budget"))
+          .groupBy(col("source"))
+          .agg(big(count(lit(1))).as("n_docs"), big(sum(col("n"))).as("sel_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n,
+             |  (len(list_distinct(string_split(text, ' '))) * 1000000) // len(string_split(text, ' ')) AS q_ppm
+             |  FROM documents),
+             |b AS (SELECT (SUM(n) * 6) // 10 AS budget FROM t),
+             |c AS (SELECT source, n,
+             |  SUM(n) OVER (ORDER BY q_ppm DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS sel_tokens
+             |FROM c, b WHERE cum <= budget GROUP BY source ORDER BY source""".stripMargin))
   )
 }

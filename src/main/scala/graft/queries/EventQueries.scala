@@ -473,6 +473,76 @@ object EventQueries extends QueryModule {
              |  SELECT date_trunc('minute', ts) - to_minutes(k) AS w_start, event_type
              |  FROM events CROSS JOIN (SELECT unnest(range(0, 10)) AS k) offs
              |)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q94 — STREAMING FUNNEL under the gate: q75's sequential conversion
+    // funnel (first view → first click after it → first purchase after
+    // that) maintained INCREMENTALLY by Stateful.funnelStream
+    // (mapGroupsWithState, Update mode). Events replay as 4 arbitrary-order
+    // micro-batches; the handler re-derives the v→c→p chain whenever a
+    // late-arriving earlier view lowers the anchor, so the final live
+    // funnel table must equal the batch formulation row-for-row — the
+    // oracle is VERBATIM q75's. The sink is latest-row-wins per user (the
+    // q92 merge shape); final stage counts read from the merged table.
+    Declared("q94_stream_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id").as("userId"),
+            unix_micros(col("ts")).as("tsUs"),
+            when(col("event_type") === "view", lit(0))
+              .when(col("event_type") === "click", lit(1))
+              .otherwise(lit(2)).cast("byte").as("etype"))
+        val base = SharedStages.scratchDir("q94")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .as[graft.streaming.Stateful.FunnelEv](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Stateful.FunnelEv])
+        val q = graft.streaming.Stateful.funnelStream(stream)
+          .toDF()
+          .writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val cur =
+              try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
+            val merged = cur match {
+              case None => batch
+              case Some(c) => c
+                .join(batch.select("userId"), Seq("userId"), "left_anti")
+                .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+            }
+            // merge reads the files the write replaces: materialize first
+            val m = merged.localCheckpoint(true)
+            m.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        val fin = s.read.parquet(out)
+        def stage(c: String, name: String) =
+          fin.filter(col(c).isNotNull)
+            .agg(big(count(lit(1))).as("n_users"))
+            .select(lit(name).as("stage"), col("n_users"))
+        stage("vTsUs", "1_view")
+          .unionByName(stage("cTsUs", "2_click_after_view"))
+          .unionByName(stage("pTsUs", "3_purchase_after_click"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+             |SELECT stage, n_users FROM (
+             |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+             |  UNION ALL SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+             |  UNION ALL SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p)
+             |ORDER BY stage""".stripMargin))
   )
 }

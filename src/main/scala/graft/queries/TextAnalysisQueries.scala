@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ColumnOps.idiv
 import graft.functions.TextFunctions._
 import graft.model.Tables
 import Protocol._
@@ -249,6 +250,47 @@ object TextAnalysisQueries extends QueryModule {
              |    ELSE [text] END) AS pair
              |  FROM d)
              |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
-             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin))
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
+
+    // q96 — INVERTED-INDEX (posting-list) CONSTRUCTION: term → document
+    // frequency + the head of the sorted posting list, for index-worthy
+    // terms (df ≥ 2, and df ≤ 78% of the corpus — terms above that are
+    // boilerplate/stopwords a lexical index skips) — the retrieval-index
+    // build step of a search/RAG pipeline over the corpus. Order of
+    // operations is the scale-critical part: df is aggregated FIRST
+    // ((term, count) rows — no text, no lists), the band filter kills
+    // stopword terms, and only then does the equi-join + collect_list build
+    // postings — so a hot term's posting list (unbounded at 100 TB) is
+    // never materialized anywhere. Both shuffles key on `term` (exchange
+    // reuse); the posting head is capped at 20 doc ids (a full-scale index
+    // would shard the tail by (term, doc_id range) instead of capping).
+    Declared("q96_inverted_index",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = docs
+          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+        val dfCounts = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val totals = docs.agg(count(lit(1)).as("n_docs"))
+        val band = dfCounts.crossJoin(broadcast(totals))
+          .filter(col("df") >= 2 &&
+            col("df") <= idiv(col("n_docs") * lit(78L), lit(100L)))
+          .select(col("term"), col("df"))
+        pairs.join(band, Seq("term"))
+          .groupBy(col("term"), col("df"))
+          .agg(concat_ws(",",
+            transform(slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+              x => x.cast("string"))).as("posting_head"))
+          .select(col("term"), big(col("df")).as("df"), col("posting_head"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH p AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+             |  FROM documents),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+             |b AS (SELECT term, df FROM d, n WHERE df >= 2 AND df <= (n_docs * 78) // 100)
+             |SELECT b.term, CAST(b.df AS BIGINT) AS df,
+             |  array_to_string(list_transform(list_sort(list(p.doc_id))[1:20], x -> CAST(x AS VARCHAR)), ',') AS posting_head
+             |FROM p JOIN b USING (term)
+             |GROUP BY b.term, b.df ORDER BY b.term""".stripMargin))
   )
 }

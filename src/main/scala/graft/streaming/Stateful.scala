@@ -339,4 +339,68 @@ object Stateful {
       "inner")
       .drop(col(s"r.$key"))
   }
+
+  /** Funnel input event (event time in micros; etype: 0=view 1=click
+    * 2=purchase).
+    */
+  final case class FunnelEv(userId: Long, tsUs: Long, etype: Byte)
+
+  /** Versioned per-user funnel state (v1). Only the MIN view time matters
+    * (the funnel anchors on the first view), but clicks/purchases must be
+    * kept individually: a late-arriving EARLIER view lowers the anchor, and
+    * then the first-click-after-view must be re-derived from clicks that
+    * were previously at-or-before the old anchor. Lists are kept sorted.
+    */
+  final case class FunnelStV1(version: Int, vMinUs: Long,
+      clicks: List[Long], purchases: List[Long])
+
+  /** Current funnel position of one user (None = stage not reached yet). */
+  final case class FunnelRow(userId: Long,
+      vTsUs: Option[Long], cTsUs: Option[Long], pTsUs: Option[Long])
+
+  /** STREAMING SEQUENTIAL-CONVERSION FUNNEL (the incremental twin of batch
+    * q75): per user, the first view, the first click strictly after it, the
+    * first purchase strictly after that — maintained across micro-batches
+    * with mapGroupsWithState and CORRECT under arbitrary arrival order,
+    * because the derived chain (v→c→p) is recomputed from the kept events
+    * whenever the view anchor moves earlier. Emits the user's CURRENT
+    * funnel row each time their state changes (Update output mode); a
+    * latest-row-wins sink holds the live funnel table.
+    *
+    * State bound: one long for the view anchor plus the user's click and
+    * purchase times. At 100 TB deployment the input carries a watermark and
+    * the handler freezes the chain once the watermark passes the purchase
+    * time (no earlier view can then arrive on time), dropping the lists —
+    * the fixture replay keeps every event so parity with the batch oracle
+    * is exact regardless of replay order.
+    */
+  def funnelStream(events: Dataset[FunnelEv]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, it: Iterator[FunnelEv],
+        state: GroupState[FunnelStV1]): FunnelRow = {
+      val prev = state.getOption.getOrElse(FunnelStV1(1, Long.MaxValue, Nil, Nil))
+      var vMin = prev.vMinUs
+      var clicks = prev.clicks
+      var purchases = prev.purchases
+      it.foreach { e =>
+        e.etype match {
+          case 0 => if (e.tsUs < vMin) vMin = e.tsUs
+          case 1 => clicks = e.tsUs :: clicks
+          case _ => purchases = e.tsUs :: purchases
+        }
+      }
+      clicks = clicks.sorted
+      purchases = purchases.sorted
+      state.update(FunnelStV1(1, vMin, clicks, purchases))
+      val vTs = if (vMin == Long.MaxValue) None else Some(vMin)
+      val cTs = vTs.flatMap(v => clicks.find(_ > v))
+      val pTs = cTs.flatMap(c => purchases.find(_ > c))
+      FunnelRow(userId, vTs, cTs, pTs)
+    }
+
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+  }
 }

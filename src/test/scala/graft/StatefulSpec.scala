@@ -355,4 +355,65 @@ class StatefulSpec extends AnyFunSuite {
       assert(batch == got)
     } finally q.stop()
   }
+
+  /** Drives funnelStream over the given micro-batches, returning the final
+    * (latest-row-wins) funnel table.
+    */
+  private def runFunnel(batches: Seq[Seq[Stateful.FunnelEv]])
+      : Map[Long, (Option[Long], Option[Long], Option[Long])] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Byte)]
+    val acc = scala.collection.concurrent.TrieMap
+      .empty[Long, (Option[Long], Option[Long], Option[Long])]
+    val stream = Stateful.funnelStream(
+      ms.toDS().map { case (u, t, e) => Stateful.FunnelEv(u, t, e) })
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Stateful.FunnelRow], _: Long) =>
+          b.collect().foreach(r => acc(r.userId) = (r.vTsUs, r.cTsUs, r.pTsUs))
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        ms.addData(b.map(e => (e.userId, e.tsUs, e.etype)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    acc.toMap
+  }
+
+  test("streaming funnel re-derives the chain when an earlier view arrives late") {
+    def ev(u: Long, t: Long, e: Int) = Stateful.FunnelEv(u, t, e.toByte)
+    // batch 1: user 1's click precedes its only known view (no conversion
+    // yet); user 2 converts fully. batch 2: user 1's EARLIER view arrives
+    // late — the anchor drops from 100 to 40 and the click at 50 (previously
+    // at-or-before the anchor) must now count, then the purchase at 60.
+    val got = runFunnel(Seq(
+      Seq(ev(1, 50, 1), ev(1, 100, 0), ev(2, 10, 0), ev(2, 20, 1), ev(2, 30, 2)),
+      Seq(ev(1, 40, 0), ev(1, 60, 2))))
+    assert(got == Map(
+      1L -> ((Some(40L), Some(50L), Some(60L))),
+      2L -> ((Some(10L), Some(20L), Some(30L)))))
+  }
+
+  test("streaming funnel randomized multi-batch parity with the batch chain") {
+    val rnd = new scala.util.Random(4242)
+    val events = (1 to 400).map { _ =>
+      Stateful.FunnelEv(rnd.nextInt(25).toLong + 1,
+        rnd.nextInt(10000).toLong, rnd.nextInt(3).toByte)
+    }
+    // arbitrary arrival order, 4 uneven micro-batches
+    val shuffled = rnd.shuffle(events)
+    val batches = shuffled.grouped(math.max(1, shuffled.size / 4 + 1)).toSeq
+    val got = runFunnel(batches)
+    val ref = events.groupBy(_.userId).map { case (u, evs) =>
+      def times(t: Byte) = evs.filter(_.etype == t).map(_.tsUs).sorted
+      val v = times(0).headOption
+      val c = v.flatMap(a => times(1).find(_ > a))
+      val p = c.flatMap(a => times(2).find(_ > a))
+      u -> ((v, c, p))
+    }
+    assert(got == ref)
+  }
 }
