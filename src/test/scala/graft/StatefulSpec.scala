@@ -397,7 +397,7 @@ class StatefulSpec extends AnyFunSuite {
       2L -> ((Some(10L), Some(20L), Some(30L)))))
   }
 
-  test("streaming funnel randomized multi-batch parity with the batch chain") {
+  private def runRandomizedFunnel(): Unit = {
     val rnd = new scala.util.Random(4242)
     val events = (1 to 400).map { _ =>
       Stateful.FunnelEv(rnd.nextInt(25).toLong + 1,
@@ -415,5 +415,22 @@ class StatefulSpec extends AnyFunSuite {
       u -> ((v, c, p))
     }
     assert(got == ref)
+  }
+
+  test("streaming funnel randomized multi-batch parity with the batch chain") {
+    runRandomizedFunnel()
+  }
+
+  test("streaming funnel randomized parity (RocksDB state store)") {
+    // FunnelStV1 round-trips through the production state backend too
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runRandomizedFunnel()
+    finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 }
