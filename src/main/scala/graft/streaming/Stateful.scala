@@ -10,7 +10,7 @@ import graft.model.TradeTick
   * OHLC per symbol via arbitrary state, session windows, watermarked dedup.
   * State case classes are versioned from day one (SURVEY §7.4).
   */
-object Stateful {
+object Stateful extends Serializable {
 
   /** Versioned running-OHLC state (v1). */
   final case class OhlcStateV1(
@@ -350,9 +350,13 @@ object Stateful {
     * kept individually: a late-arriving EARLIER view lowers the anchor, and
     * then the first-click-after-view must be re-derived from clicks that
     * were previously at-or-before the old anchor. Lists are kept sorted.
+    * `fixedV`/`fixedC`/`fixedP` mark stages the watermark has FROZEN (no
+    * on-time event can change them anymore) — pruned mode drops the lists
+    * behind each frozen stage.
     */
   final case class FunnelStV1(version: Int, vMinUs: Long,
-      clicks: List[Long], purchases: List[Long])
+      clicks: List[Long], purchases: List[Long],
+      fixedV: Boolean = false, fixedC: Boolean = false, fixedP: Boolean = false)
 
   /** Current funnel position of one user (None = stage not reached yet). */
   final case class FunnelRow(userId: Long,
@@ -374,32 +378,84 @@ object Stateful {
     * the fixture replay keeps every event so parity with the batch oracle
     * is exact regardless of replay order.
     */
-  def funnelStream(events: Dataset[FunnelEv]): Dataset[FunnelRow] = {
+  /** Pure per-trigger state transition of the funnel (unit-tested directly).
+    * Folds `arrivals` into `prev`, derives the current v→c→p chain, and —
+    * when `wmUs` is given — FREEZES stages the watermark has passed and
+    * prunes the state behind them: once wm ≥ v no earlier view can arrive
+    * on time, so clicks at-or-before the anchor are dropped; once wm ≥ c
+    * (with v frozen) the click list collapses to the single chosen click;
+    * once wm ≥ p the purchase list collapses too. A fully frozen chain is
+    * THREE LONGS of state per user — the 100 TB steady-state shape.
+    */
+  private[graft] def funnelAdvance(prev: FunnelStV1, arrivals: Iterator[FunnelEv],
+      wmUs: Option[Long]): (FunnelStV1, (Option[Long], Option[Long], Option[Long])) = {
+    var vMin = prev.vMinUs
+    var clicks = prev.clicks
+    var purchases = prev.purchases
+    arrivals.foreach { e =>
+      e.etype match {
+        case 0 => if (e.tsUs < vMin) vMin = e.tsUs
+        case 1 => clicks = e.tsUs :: clicks
+        case _ => purchases = e.tsUs :: purchases
+      }
+    }
+    clicks = clicks.sorted
+    purchases = purchases.sorted
+    val vTs = if (vMin == Long.MaxValue) None else Some(vMin)
+    val cTs = vTs.flatMap(v => clicks.find(_ > v))
+    val pTs = cTs.flatMap(c => purchases.find(_ > c))
+    val next = wmUs match {
+      case None => FunnelStV1(1, vMin, clicks, purchases)
+      case Some(wm) =>
+        // freeze uses ≤: an on-time event may still carry ts == wm, but an
+        // equal-ts view/click/purchase cannot change a MIN already at wm
+        val fV = prev.fixedV || vTs.exists(_ <= wm)
+        val fC = prev.fixedC || (fV && cTs.exists(_ <= wm))
+        val fP = prev.fixedP || (fC && pTs.exists(_ <= wm))
+        // unfrozen stages still prune to the watermark window: a FUTURE
+        // anchor (view or click) arrives on time, i.e. at-or-after wm, so
+        // an event at-or-before wm can never qualify against it
+        val ck = if (fC) cTs.toList
+          else if (fV) clicks.filter(_ > vMin)
+          else clicks.filter(_ > wm)
+        val pu = if (fP) pTs.toList
+          else if (fC) purchases.filter(_ > cTs.get)
+          else purchases.filter(_ > wm)
+        FunnelStV1(1, vMin, ck, pu, fV, fC, fP)
+    }
+    (next, (vTs, cTs, pTs))
+  }
+
+  /** See [[funnelAdvance]] for the state machine. `watermarkDelay = Some(d)`
+    * turns on the production shape: the input gets an event-time watermark
+    * (events later than `d` behind the stream head are dropped — the same
+    * contract as Spark's built-in stateful operators) and per-user state is
+    * pruned as the watermark freezes each funnel stage. `None` (the gate's
+    * replay mode) keeps every event so parity with the batch oracle is
+    * exact under ANY arrival order.
+    */
+  def funnelStream(events: Dataset[FunnelEv],
+      watermarkDelay: Option[String] = None): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
+
+    val src = watermarkDelay match {
+      case Some(d) => events.toDF()
+        .withColumn("_ts", timestamp_micros(col("tsUs")))
+        .withWatermark("_ts", d)
+        .as[FunnelEv](org.apache.spark.sql.Encoders.product[FunnelEv])
+      case None => events
+    }
 
     def fn(userId: Long, it: Iterator[FunnelEv],
         state: GroupState[FunnelStV1]): FunnelRow = {
       val prev = state.getOption.getOrElse(FunnelStV1(1, Long.MaxValue, Nil, Nil))
-      var vMin = prev.vMinUs
-      var clicks = prev.clicks
-      var purchases = prev.purchases
-      it.foreach { e =>
-        e.etype match {
-          case 0 => if (e.tsUs < vMin) vMin = e.tsUs
-          case 1 => clicks = e.tsUs :: clicks
-          case _ => purchases = e.tsUs :: purchases
-        }
-      }
-      clicks = clicks.sorted
-      purchases = purchases.sorted
-      state.update(FunnelStV1(1, vMin, clicks, purchases))
-      val vTs = if (vMin == Long.MaxValue) None else Some(vMin)
-      val cTs = vTs.flatMap(v => clicks.find(_ > v))
-      val pTs = cTs.flatMap(c => purchases.find(_ > c))
+      val wm = watermarkDelay.map(_ => state.getCurrentWatermarkMs() * 1000L)
+      val (next, (vTs, cTs, pTs)) = funnelAdvance(prev, it, wm)
+      state.update(next)
       FunnelRow(userId, vTs, cTs, pTs)
     }
 
-    events
+    src
       .groupByKey(_.userId)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
   }

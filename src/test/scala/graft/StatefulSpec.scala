@@ -359,7 +359,8 @@ class StatefulSpec extends AnyFunSuite {
   /** Drives funnelStream over the given micro-batches, returning the final
     * (latest-row-wins) funnel table.
     */
-  private def runFunnel(batches: Seq[Seq[Stateful.FunnelEv]])
+  private def runFunnel(batches: Seq[Seq[Stateful.FunnelEv]],
+      watermarkDelay: Option[String] = None)
       : Map[Long, (Option[Long], Option[Long], Option[Long])] = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -367,7 +368,8 @@ class StatefulSpec extends AnyFunSuite {
     val acc = scala.collection.concurrent.TrieMap
       .empty[Long, (Option[Long], Option[Long], Option[Long])]
     val stream = Stateful.funnelStream(
-      ms.toDS().map { case (u, t, e) => Stateful.FunnelEv(u, t, e) })
+      ms.toDS().map { case (u, t, e) => Stateful.FunnelEv(u, t, e) },
+      watermarkDelay)
     val q = stream.writeStream.outputMode("update")
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[Stateful.FunnelRow], _: Long) =>
@@ -419,6 +421,57 @@ class StatefulSpec extends AnyFunSuite {
 
   test("streaming funnel randomized multi-batch parity with the batch chain") {
     runRandomizedFunnel()
+  }
+
+  test("funnelAdvance freezes and prunes state as the watermark passes each stage") {
+    import Stateful.{FunnelEv, FunnelStV1}
+    def ev(t: Long, e: Int) = FunnelEv(1, t, e.toByte)
+    val empty = FunnelStV1(1, Long.MaxValue, Nil, Nil)
+    // wm=0: nothing frozen — the pre-anchor click at 50 is kept (a later
+    // EARLIER view could still make it the conversion click)
+    val (s1, r1) = Stateful.funnelAdvance(empty,
+      Iterator(ev(100, 0), ev(50, 1), ev(150, 1), ev(200, 2)), Some(0L))
+    assert(r1 == ((Some(100L), Some(150L), Some(200L))))
+    assert(s1 == FunnelStV1(1, 100, List(50, 150), List(200)))
+    // wm=120 (past the view): anchor frozen, clicks ≤ anchor dropped
+    val (s2, _) = Stateful.funnelAdvance(s1, Iterator.empty, Some(120L))
+    assert(s2 == FunnelStV1(1, 100, List(150), List(200), fixedV = true))
+    // wm=160 (past the click): click list collapses to the chosen click
+    val (s3, _) = Stateful.funnelAdvance(s2, Iterator.empty, Some(160L))
+    assert(s3 == FunnelStV1(1, 100, List(150), List(200), fixedV = true, fixedC = true))
+    // wm=300 (past the purchase): fully frozen — three longs of state
+    val (s4, r4) = Stateful.funnelAdvance(s3, Iterator.empty, Some(300L))
+    assert(s4 == FunnelStV1(1, 100, List(150), List(200),
+      fixedV = true, fixedC = true, fixedP = true))
+    assert(r4 == ((Some(100L), Some(150L), Some(200L))))
+    // no view yet: clicks/purchases at-or-before the watermark can never
+    // qualify against a future (on-time, ≥ wm) anchor — dropped
+    val (s5, r5) = Stateful.funnelAdvance(empty,
+      Iterator(ev(10, 1), ev(20, 2), ev(500, 1)), Some(400L))
+    assert(s5 == FunnelStV1(1, Long.MaxValue, List(500), Nil))
+    assert(r5 == ((None, None, None)))
+  }
+
+  test("streaming funnel with watermark pruning matches the batch chain under bounded disorder") {
+    val rnd = new scala.util.Random(777)
+    val events = (1 to 600).map { _ =>
+      Stateful.FunnelEv(rnd.nextInt(25).toLong + 1,
+        rnd.nextInt(10_000_000).toLong + 1, rnd.nextInt(3).toByte)
+    }
+    // time-ordered chunks of 1s span, shuffled WITHIN each chunk: disorder
+    // is bounded by 1s < the 2s watermark delay, so nothing is late-dropped
+    // and the pruned-state result must still equal the batch chain
+    val batches = events.sortBy(_.tsUs).grouped(60).toSeq
+      .map(chunk => rnd.shuffle(chunk))
+    val got = runFunnel(batches, watermarkDelay = Some("2 seconds"))
+    val ref = events.groupBy(_.userId).map { case (u, evs) =>
+      def times(t: Byte) = evs.filter(_.etype == t).map(_.tsUs).sorted
+      val v = times(0).headOption
+      val c = v.flatMap(a => times(1).find(_ > a))
+      val p = c.flatMap(a => times(2).find(_ > a))
+      u -> ((v, c, p))
+    }
+    assert(got == ref)
   }
 
   test("streaming funnel randomized parity (RocksDB state store)") {
