@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.ColumnOps.idiv
 import graft.model.Tables
 import graft.operators.SaltedJoin
 import graft.queries.VectorQueries.groupedTopK
@@ -292,6 +293,49 @@ object ScaleQueries extends QueryModule {
       Some("""SELECT lang, COUNT(*) AS n,
              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |  MIN(md5(text)) AS min_text_md5
-             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // q97 — Z-ORDER LAYOUT semantics under the gate: the Morton key of
+    // (customer, order-day) — operators.ZOrderLayout's interleaved-bit
+    // arithmetic, pure codegen'd shifts/masks — bucketed into 64 curve
+    // segments with per-segment count + the min/max BOX of both original
+    // dimensions. Tight per-segment boxes are exactly what makes z-ordered
+    // files prunable on either dimension at 100 TB (ScaleOpsSpec measures
+    // the file-level effect; this pins the key arithmetic bit-for-bit
+    // against DuckDB's `<<`/`&` reproduction).
+    Declared("q97_zorder_layout",
+      (s, dir) => {
+        import graft.operators.ZOrderLayout.zKey2
+        val dimA = pmod(col("o_custkey"), lit(65536L))
+        val dimB = pmod(datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).cast("long"), lit(65536L))
+        Tables.load(s, dir, "orders")
+          .withColumn("zkey", zKey2(dimA, dimB))
+          .withColumn("bucket", idiv(col("zkey"), lit(1L << 22)))
+          .groupBy(col("bucket"))
+          .agg(big(count(lit(1))).as("n"),
+            big(min(col("zkey"))).as("min_z"), big(max(col("zkey"))).as("max_z"),
+            big(min(dimA)).as("min_cust"), big(max(dimA)).as("max_cust"),
+            big(min(dimB)).as("min_day"), big(max(dimB)).as("max_day"))
+          .select(big(col("bucket")).as("bucket"), col("n"), col("min_z"), col("max_z"),
+            col("min_cust"), col("max_cust"), col("min_day"), col("max_day"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (SELECT o_custkey % 65536 AS a,
+             |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 65536 AS b FROM orders),
+             |s1 AS (SELECT a, b, ((a | (a << 8)) & 16711935) AS a1,
+             |    ((b | (b << 8)) & 16711935) AS b1 FROM d),
+             |s2 AS (SELECT a, b, ((a1 | (a1 << 4)) & 252645135) AS a2,
+             |    ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+             |s3 AS (SELECT a, b, ((a2 | (a2 << 2)) & 858993459) AS a3,
+             |    ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+             |s4 AS (SELECT a, b, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+             |    ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+             |z AS (SELECT a, b, (a4 | (b4 << 1)) AS zkey FROM s4)
+             |SELECT CAST(zkey // 4194304 AS BIGINT) AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MIN(zkey) AS BIGINT) AS min_z, CAST(MAX(zkey) AS BIGINT) AS max_z,
+             |  CAST(MIN(a) AS BIGINT) AS min_cust, CAST(MAX(a) AS BIGINT) AS max_cust,
+             |  CAST(MIN(b) AS BIGINT) AS min_day, CAST(MAX(b) AS BIGINT) AS max_day
+             |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }

@@ -308,6 +308,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrderLayout: zKey2 column matches the bit-interleave reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val pairs = Seq.fill(300)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(graft.operators.ZOrderLayout.zKey2(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pairs.map { case (a, b) => graft.operators.ZOrderLayout.zKey2Ref(a, b) })
+  }
+
+  test("ZOrderLayout: a dimensional box query touches far fewer z-ordered files") {
+    val orders = graft.model.Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).cast("long").as("day"))
+    val stats = orders.agg(
+      min("o_custkey"), max("o_custkey"), min("day"), max("day")).head()
+    val (c0, c1, d0, d1) = (stats.getLong(0), stats.getLong(1),
+      stats.getLong(2), stats.getLong(3))
+    // a ~20% x ~20% box in the middle of both dimensions
+    def box(lo: Long, hi: Long) = (lo + (hi - lo) * 2 / 5, lo + (hi - lo) * 3 / 5)
+    val (cLo, cHi) = box(c0, c1)
+    val (dLo, dHi) = box(d0, d1)
+
+    val natural = tmpDir("zorder_nat")
+    val zordered = tmpDir("zorder_z")
+    // natural layout: insertion order (orderkey) — every file spans the
+    // full custkey/day range, so box stats prune nothing
+    orders.repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(natural)
+    graft.operators.ZOrderLayout.writeClustered(orders,
+      pmod(col("o_custkey"), lit(65536L)), pmod(col("day"), lit(65536L)),
+      zordered, files = 16)
+
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("o_custkey").between(cLo, cHi) && col("day").between(dLo, dHi))
+        .select(input_file_name()).distinct().count()
+    val nat = filesTouched(natural)
+    val z = filesTouched(zordered)
+    assert(z * 2 <= nat,
+      s"z-order box locality: expected <= half the files, got z=$z natural=$nat")
+    // same rows either way
+    assert(spark.read.parquet(zordered).count() == orders.count())
+  }
+
   test("synthetic rate-source ticks feed the ingest transform") {
     val ticks = graft.streaming.Ingest.syntheticTicks(spark, ticksPerSecond = 1000)
     assert(ticks.isStreaming)
