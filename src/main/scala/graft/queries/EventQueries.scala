@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ColumnOps.idiv
 import graft.model.Tables
 import Protocol._
 
@@ -543,6 +544,60 @@ object EventQueries extends QueryModule {
              |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
              |  UNION ALL SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
              |  UNION ALL SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // q98 — TIME-SERIES GAP FILL (dense minute grid + forward-fill): the
+    // bar-store operation the reference's product implies but never ships —
+    // BTCUSDT minutes with no trades simply have NO ROW (`main.py:36-47`
+    // writes a file per non-empty bucket), so every consumer re-implements
+    // "carry the last level forward". Here: per-type minute bars (max level
+    // per minute), a generated dense minute grid over the corpus span, and
+    // the NATIVE as-of operator (AsOfJoin.backwardNative) carrying each
+    // grid minute's latest at-or-before bar — the production composition of
+    // sequence-generation + as-of. Per (type, day) verdict: minutes,
+    // covered minutes, own-bar minutes, filled-level mass.
+    //
+    // Shape at 100 TB: the grid is types × minutes (time-sized, not
+    // fact-sized) and the as-of is one exchange+sort per side on the type
+    // key; the bar table aggregates map-side first. Nothing is all-pairs,
+    // nothing single-partition (the sequence explodes per-type AFTER the
+    // 1-row span broadcast).
+    Declared("q98_gap_fill",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            idiv(unix_micros(col("ts")), lit(60000000L)).as("m"),
+            col("value"))
+        val bars = ev.groupBy(col("event_type"), col("m"))
+          .agg(out6(max(dec(col("value")))).as("level"))
+        val span = ev.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+        val grid = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), explode(sequence(col("m0"), col("m1"))).as("m"))
+        graft.operators.AsOfJoin.backwardNative(
+            grid, bars, Seq("event_type"), "m", Seq("level"), "bar_")
+          .groupBy(col("event_type"), idiv(col("m"), lit(1440L)).as("day"))
+          .agg(big(count(lit(1))).as("n_minutes"),
+            big(count(col("bar_m"))).as("n_covered"),
+            big(count(when(col("bar_m") === col("m"), 1))).as("n_own_bars"),
+            out6(sum(col("bar_level"))).as("sum_level"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 60000000 AS m, value FROM events),
+             |bars AS (SELECT event_type, m,
+             |  CAST(ROUND(MAX(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS level
+             |  FROM e GROUP BY 1, 2),
+             |span AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM e),
+             |grid AS (SELECT t.event_type, UNNEST(range(s.m0, s.m1 + 1)) AS m
+             |  FROM (SELECT DISTINCT event_type FROM e) t, span s),
+             |f AS (SELECT g.event_type, g.m, b.m AS bar_m, b.level
+             |  FROM grid g ASOF LEFT JOIN bars b
+             |  ON g.event_type = b.event_type AND b.m <= g.m)
+             |SELECT event_type, (m // 1440) AS day,
+             |  CAST(COUNT(*) AS BIGINT) AS n_minutes,
+             |  CAST(COUNT(bar_m) AS BIGINT) AS n_covered,
+             |  CAST(COUNT(CASE WHEN bar_m = m THEN 1 END) AS BIGINT) AS n_own_bars,
+             |  CAST(ROUND(SUM(level), 6) AS DECIMAL(18,6)) AS sum_level
+             |FROM f GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
   )
 }
