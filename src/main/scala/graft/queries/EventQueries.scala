@@ -121,15 +121,17 @@ object EventQueries extends QueryModule {
           .agg(count(lit(1)).as("n"), out6(sum(dec(col("value")))).as("sum_value"))
           .select(tsec(col("window").getField("start")).as("w"),
             col("event_type"), col("n"), col("sum_value"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out).orderBy(col("w"), col("event_type"))
       },
       Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
@@ -156,18 +158,20 @@ object EventQueries extends QueryModule {
         val base = SharedStages.scratchDir("q70")
         val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
         docs.repartition(4).write.mode("overwrite").parquet(src)
-        val q = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(src)
-          .dropDuplicates("h")
-          .writeStream
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .dropDuplicates("h")
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .agg(big(count(lit(1))).as("n_kept"),
             big(countDistinct(col("h"))).as("n_distinct"))
@@ -193,18 +197,20 @@ object EventQueries extends QueryModule {
         val base = SharedStages.scratchDir("q71")
         val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
         ev.repartition(4).write.mode("overwrite").parquet(src)
-        val q = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(src)
-          .join(userDim, "user_id")
-          .writeStream
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .join(userDim, "user_id")
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .groupBy(col("user_id"), col("user_events"))
           .agg(big(count(lit(1))).as("n"),
@@ -281,15 +287,17 @@ object EventQueries extends QueryModule {
           .option("maxFilesPerTrigger", "1").parquet(src)
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .groupBy(col("user_id"))
           .agg(big(count(lit(1))).as("n_sessions"), big(sum(col("n_events"))).as("n_events"))
@@ -330,28 +338,30 @@ object EventQueries extends QueryModule {
           .agg(count(lit(1)).as("n"), out6(sum(dec(col("value")))).as("sum_value"))
           .select(tsec(col("window").getField("start")).as("w"),
             col("event_type"), col("n"), col("sum_value"))
-        val q = agg.writeStream
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val sp = batch.sparkSession
-            val cur =
-              try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
-            val merged = cur match {
-              case None => batch
-              case Some(c) => c
-                .join(batch.select("w", "event_type"), Seq("w", "event_type"), "left_anti")
-                .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val sp = batch.sparkSession
+              val cur =
+                try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
+              val merged = cur match {
+                case None => batch
+                case Some(c) => c
+                  .join(batch.select("w", "event_type"), Seq("w", "event_type"), "left_anti")
+                  .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+              }
+              // the merge READS the files the write replaces: materialize
+              // first (stored blocks, lineage cut), then rewrite. On a real
+              // cluster: write-temp-and-swap, or the engine's MERGE INTO.
+              val m = merged.localCheckpoint(true)
+              m.write.mode("overwrite").parquet(out)
             }
-            // the merge READS the files the write replaces: materialize
-            // first (stored blocks, lineage cut), then rewrite. On a real
-            // cluster: write-temp-and-swap, or the engine's MERGE INTO.
-            val m = merged.localCheckpoint(true)
-            m.write.mode("overwrite").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .select(col("w"), col("event_type"), col("n"), col("sum_value"))
           .orderBy(col("w"), col("event_type"))
@@ -408,17 +418,19 @@ object EventQueries extends QueryModule {
           .option("maxFilesPerTrigger", "1").parquet(src)
           .as[graft.streaming.Stateful.AsOfEv](
             org.apache.spark.sql.Encoders.product[graft.streaming.Stateful.AsOfEv])
-        val q = graft.streaming.Stateful.asOfJoinStream(stream, delay = "87600 hours")
-          .toDF()
-          .writeStream
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = graft.streaming.Stateful.asOfJoinStream(stream, delay = "87600 hours")
+            .toDF()
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out)
           .select(col("id").as("event_id"), col("key").cast("long").as("user_id"),
             tmicro(timestamp_micros(col("tsUs"))).as("ts"),
@@ -458,15 +470,17 @@ object EventQueries extends QueryModule {
           .agg(count(lit(1)).as("n"))
           .select(tsec(col("w").getField("start")).as("w_start"),
             col("event_type"), col("n"))
-        val q = agg.writeStream
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(out).orderBy(col("w_start"), col("event_type"))
       },
       Some("""SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
@@ -502,28 +516,30 @@ object EventQueries extends QueryModule {
           .option("maxFilesPerTrigger", "1").parquet(src)
           .as[graft.streaming.Stateful.FunnelEv](
             org.apache.spark.sql.Encoders.product[graft.streaming.Stateful.FunnelEv])
-        val q = graft.streaming.Stateful.funnelStream(stream)
-          .toDF()
-          .writeStream
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ck)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val sp = batch.sparkSession
-            val cur =
-              try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
-            val merged = cur match {
-              case None => batch
-              case Some(c) => c
-                .join(batch.select("userId"), Seq("userId"), "left_anti")
-                .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = graft.streaming.Stateful.funnelStream(stream)
+            .toDF()
+            .writeStream
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val sp = batch.sparkSession
+              val cur =
+                try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
+              val merged = cur match {
+                case None => batch
+                case Some(c) => c
+                  .join(batch.select("userId"), Seq("userId"), "left_anti")
+                  .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+              }
+              // merge reads the files the write replaces: materialize first
+              val m = merged.localCheckpoint(true)
+              m.write.mode("overwrite").parquet(out)
             }
-            // merge reads the files the write replaces: materialize first
-            val m = merged.localCheckpoint(true)
-            m.write.mode("overwrite").parquet(out)
-          }
-          .start()
-        q.awaitTermination()
+            .start()
+          q.awaitTermination()
+        }
         val fin = s.read.parquet(out)
         def stage(c: String, name: String) =
           fin.filter(col(c).isNotNull)

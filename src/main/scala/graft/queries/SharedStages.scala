@@ -39,6 +39,23 @@ object SharedStages {
     d
   }
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` scoped to `n`, restoring
+    * the session value after. The streaming REPLAY harnesses use this: a
+    * stateful micro-batch query materializes one state-store instance per
+    * shuffle partition per trigger, so the fixture replays (tens of
+    * thousands of rows across 4 triggers) pay pure per-instance overhead at
+    * the session's scan-sized setting — 8 is right for the harness, and a
+    * cluster deployment sizes it to cores as usual. Only the streaming
+    * section runs under the scope: the returned read-back DataFrame
+    * executes later at session settings.
+    */
+  def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, saved)
+  }
+
   sys.addShutdownHook {
     (built.values ++ scratch).foreach { dir =>
       val root = java.nio.file.Paths.get(dir)
