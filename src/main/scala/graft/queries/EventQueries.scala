@@ -343,22 +343,7 @@ object EventQueries extends QueryModule {
             .outputMode("update")
             .trigger(Trigger.AvailableNow())
             .option("checkpointLocation", ck)
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              val sp = batch.sparkSession
-              val cur =
-                try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
-              val merged = cur match {
-                case None => batch
-                case Some(c) => c
-                  .join(batch.select("w", "event_type"), Seq("w", "event_type"), "left_anti")
-                  .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
-              }
-              // the merge READS the files the write replaces: materialize
-              // first (stored blocks, lineage cut), then rewrite. On a real
-              // cluster: write-temp-and-swap, or the engine's MERGE INTO.
-              val m = merged.localCheckpoint(true)
-              m.write.mode("overwrite").parquet(out)
-            }
+            .foreachBatch(SharedStages.latestRowMergeSink(out, Seq("w", "event_type")))
             .start()
           q.awaitTermination()
         }
@@ -523,20 +508,7 @@ object EventQueries extends QueryModule {
             .outputMode("update")
             .trigger(Trigger.AvailableNow())
             .option("checkpointLocation", ck)
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              val sp = batch.sparkSession
-              val cur =
-                try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
-              val merged = cur match {
-                case None => batch
-                case Some(c) => c
-                  .join(batch.select("userId"), Seq("userId"), "left_anti")
-                  .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
-              }
-              // merge reads the files the write replaces: materialize first
-              val m = merged.localCheckpoint(true)
-              m.write.mode("overwrite").parquet(out)
-            }
+            .foreachBatch(SharedStages.latestRowMergeSink(out, Seq("userId")))
             .start()
           q.awaitTermination()
         }

@@ -56,6 +56,28 @@ object SharedStages {
     try body finally s.conf.set(key, saved)
   }
 
+  /** foreachBatch body for a LATEST-ROW-WINS merge sink: each batch's rows
+    * replace the same-key rows of the parquet dir `out` (the incremental
+    * materialized-view shape shared by q92's rollup and q94's funnel). The
+    * merge reads the files the write replaces, so the merged frame is
+    * materialized first (localCheckpoint: stored blocks, lineage cut). The
+    * sink table is keyed/bounded (a view, not a fact log); on a real
+    * warehouse this body is one MERGE INTO.
+    */
+  def latestRowMergeSink(out: String, keys: Seq[String])
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val sp = batch.sparkSession
+    val cur =
+      try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
+    val merged = cur match {
+      case None => batch
+      case Some(c) => c
+        .join(batch.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+    }
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(out)
+  }
+
   sys.addShutdownHook {
     (built.values ++ scratch).foreach { dir =>
       val root = java.nio.file.Paths.get(dir)

@@ -392,7 +392,16 @@ object Stateful extends Serializable {
     var vMin = prev.vMinUs
     var clicks = prev.clicks
     var purchases = prev.purchases
-    arrivals.foreach { e =>
+    // late-event guard (watermarked mode): the engine already filters rows
+    // older than the watermark before the handler sees them, but only under
+    // EventTimeTimeout — this applies the same contract unconditionally, so
+    // a late event can never unfreeze a pruned chain even if the operator's
+    // timeout conf changes
+    val live = wmUs match {
+      case Some(wm) => arrivals.filter(_.tsUs >= wm)
+      case None => arrivals
+    }
+    live.foreach { e =>
       e.etype match {
         case 0 => if (e.tsUs < vMin) vMin = e.tsUs
         case 1 => clicks = e.tsUs :: clicks
@@ -455,8 +464,16 @@ object Stateful extends Serializable {
       FunnelRow(userId, vTs, cTs, pTs)
     }
 
+    // EventTimeTimeout in watermarked mode is NOT about timers (none are
+    // set): it is the switch that makes the exec drop rows older than the
+    // watermark before fn sees them (FlatMapGroupsWithStateExec applies its
+    // late-row filter only under EventTimeTimeout). funnelAdvance's own
+    // guard backstops the same contract.
+    val timeout =
+      if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     src
       .groupByKey(_.userId)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+      .mapGroupsWithState(timeout)(fn)
   }
 }

@@ -474,6 +474,23 @@ class StatefulSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("streaming funnel (watermarked) drops events later than the delay") {
+    def ev(u: Long, t: Long, e: Int) = Stateful.FunnelEv(u, t, e.toByte)
+    val M = 60000000L // one minute in µs
+    val got = runFunnel(Seq(
+      // batch 1: u1 converts fully; u99's far-future view advances the
+      // watermark to ~998 min
+      Seq(ev(1, 10 * M, 0), ev(1, 20 * M, 1), ev(1, 30 * M, 2), ev(99, 1000 * M, 0)),
+      // batch 2: ALL of u1's arrivals are now later than the 2-min delay —
+      // the earlier view@5 + click@6 would rewrite the frozen chain to
+      // (5, 6, 30) if the late-row contract were broken
+      Seq(ev(1, 5 * M, 0), ev(1, 6 * M, 1), ev(1, 31 * M, 2))),
+      watermarkDelay = Some("2 minutes"))
+    assert(got == Map(
+      1L -> ((Some(10 * M), Some(20 * M), Some(30 * M))),
+      99L -> ((Some(1000 * M), None, None))))
+  }
+
   test("streaming funnel randomized parity (RocksDB state store)") {
     // FunnelStV1 round-trips through the production state backend too
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
