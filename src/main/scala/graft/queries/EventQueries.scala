@@ -586,6 +586,56 @@ object EventQueries extends QueryModule {
              |  CAST(COUNT(bar_m) AS BIGINT) AS n_covered,
              |  CAST(COUNT(CASE WHEN bar_m = m THEN 1 END) AS BIGINT) AS n_own_bars,
              |  CAST(ROUND(SUM(level), 6) AS DECIMAL(18,6)) AS sum_level
-             |FROM f GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
+             |FROM f GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)),
+
+    // q99 — COHORT RETENTION: users grouped by first-seen day (the cohort),
+    // activity counted per (cohort, day-offset) — the product-analytics
+    // staple over an event store. Both aggregations and the join share ONE
+    // hash partitioning on user_id (cohort assignment is a per-user min;
+    // exchange reuse keeps the chain to one shuffle of each leg), then the
+    // final matrix is cohorts × offsets — calendar-sized, not fact-sized.
+    Declared("q99_cohort_retention",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("c0"), (col("d") - col("c0")).as("day_offset"))
+          .agg(big(countDistinct(col("user_id"))).as("n_users"),
+            big(count(lit(1))).as("n_events"))
+          .orderBy(col("c0"), col("day_offset"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+             |c AS (SELECT user_id, MIN(d) AS c0 FROM e GROUP BY 1)
+             |SELECT c0, d - c0 AS day_offset,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM e JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY c0, day_offset""".stripMargin)),
+
+    // q100 — EVENT TRANSITION MATRIX (first-order Markov counts): for each
+    // user's time-ordered event sequence, count (type → next type) pairs —
+    // the behavioral-model / anomaly-baseline builder. One window pass
+    // partitioned on user_id (deterministic tiebreak by event_id), then a
+    // types×types aggregate — 25 rows out regardless of corpus size.
+    Declared("q100_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(big(count(lit(1))).as("n"))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      Some("""SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM (
+             |  SELECT event_type,
+             |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events)
+             |WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin))
   )
 }
