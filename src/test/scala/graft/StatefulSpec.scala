@@ -474,6 +474,43 @@ class StatefulSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("streaming funnel state survives a query kill + checkpoint restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(u: Long, t: Long, e: Int) = Stateful.FunnelEv(u, t, e.toByte)
+    val ck = java.nio.file.Files.createTempDirectory("funnel_ck").toString
+    val acc = scala.collection.concurrent.TrieMap
+      .empty[Long, (Option[Long], Option[Long], Option[Long])]
+    val ms = MemoryStream[(Long, Long, Byte)]
+    def startQuery() = Stateful.funnelStream(
+        ms.toDS().map { case (u, t, e) => Stateful.FunnelEv(u, t, e) })
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Stateful.FunnelRow], _: Long) =>
+          b.collect().foreach(r => acc(r.userId) = (r.vTsUs, r.cTsUs, r.pTsUs))
+      }
+      .start()
+    // batch 1: establish partial state (view only), then KILL the query
+    val q1 = startQuery()
+    try {
+      ms.addData(Seq(ev(1, 100, 0), ev(2, 10, 0)).map(e => (e.userId, e.tsUs, e.etype)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(acc(1L) == ((Some(100L), None, None)))
+    // restart from the SAME checkpoint: the recovered state must still hold
+    // user 1's view anchor, so the click+purchase complete the chain —
+    // a lost state store would yield (None/None) for the c/p stages
+    val q2 = startQuery()
+    try {
+      ms.addData(Seq(ev(1, 150, 1), ev(1, 200, 2), ev(2, 20, 1))
+        .map(e => (e.userId, e.tsUs, e.etype)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(acc(1L) == ((Some(100L), Some(150L), Some(200L))))
+    assert(acc(2L) == ((Some(10L), Some(20L), None)))
+  }
+
   test("streaming funnel (watermarked) drops events later than the delay") {
     def ev(u: Long, t: Long, e: Int) = Stateful.FunnelEv(u, t, e.toByte)
     val M = 60000000L // one minute in µs
