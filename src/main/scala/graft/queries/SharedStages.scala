@@ -67,8 +67,12 @@ object SharedStages {
   def latestRowMergeSink(out: String, keys: Seq[String])
       : (DataFrame, Long) => Unit = { (batch, _) =>
     val sp = batch.sparkSession
-    val cur =
-      try Some(sp.read.parquet(out)) catch { case _: Throwable => None }
+    // existence check, not try/catch: a swallowed transient read failure
+    // would be indistinguishable from "first batch" and the overwrite below
+    // would silently wipe the merged table; a real read error must throw
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val cur = if (fs.exists(outPath)) Some(sp.read.parquet(out)) else None
     val merged = cur match {
       case None => batch
       case Some(c) => c

@@ -392,13 +392,16 @@ object Stateful extends Serializable {
     var vMin = prev.vMinUs
     var clicks = prev.clicks
     var purchases = prev.purchases
-    // late-event guard (watermarked mode): the engine already filters rows
-    // older than the watermark before the handler sees them, but only under
-    // EventTimeTimeout — this applies the same contract unconditionally, so
-    // a late event can never unfreeze a pruned chain even if the operator's
-    // timeout conf changes
+    // late-event guard (watermarked mode). NOTE the clock: the engine's own
+    // late filter (active under EventTimeTimeout) uses the PREVIOUS batch's
+    // watermark; this guard uses the CURRENT one — deliberately ONE BATCH
+    // STRICTER, because the freeze/prune decisions below are taken against
+    // the current watermark and a frozen stage must never see an older
+    // event (the same previous-vs-current split Spark itself applies to
+    // late filtering vs state eviction). Boundary matches the engine's:
+    // ts <= wm is dropped.
     val live = wmUs match {
-      case Some(wm) => arrivals.filter(_.tsUs >= wm)
+      case Some(wm) => arrivals.filter(_.tsUs > wm)
       case None => arrivals
     }
     live.foreach { e =>
@@ -436,12 +439,14 @@ object Stateful extends Serializable {
   }
 
   /** See [[funnelAdvance]] for the state machine. `watermarkDelay = Some(d)`
-    * turns on the production shape: the input gets an event-time watermark
-    * (events later than `d` behind the stream head are dropped — the same
-    * contract as Spark's built-in stateful operators) and per-user state is
-    * pruned as the watermark freezes each funnel stage. `None` (the gate's
-    * replay mode) keeps every event so parity with the batch oracle is
-    * exact under ANY arrival order.
+    * turns on the production shape: the input gets an event-time watermark,
+    * events at-or-before the CURRENT watermark are dropped (one batch
+    * stricter than Spark's built-in late filter, which uses the previous
+    * batch's watermark — the extra strictness is required so a frozen
+    * funnel stage never sees an older event), and per-user state is pruned
+    * as the watermark freezes each stage. `None` (the gate's replay mode)
+    * keeps every event so parity with the batch oracle is exact under ANY
+    * arrival order.
     */
   def funnelStream(events: Dataset[FunnelEv],
       watermarkDelay: Option[String] = None): Dataset[FunnelRow] = {
