@@ -95,6 +95,36 @@ object AnnIvf {
       table: String, buckets: Int = 8): Unit =
     BucketedTables.writeBucketed(assign(emb, centroids), table, "cluster", buckets)
 
+  /** INCREMENTAL index maintenance: assign a batch of NEW vectors to their
+    * centroids and APPEND into the existing bucketed index table (the
+    * bucket spec must match buildIndex's — Spark validates it). Per-batch
+    * cost is the batch's own assignment plus one bucketed write; the
+    * resident corpus is never re-read, re-assigned, or re-shuffled, and the
+    * index stays queryable throughout. Centroid drift is handled by a
+    * periodic full `buildIndex` — the standard IVF split between cheap
+    * append maintenance and occasional re-clustering.
+    */
+  def appendToIndex(batch: DataFrame, centroids: Array[Array[Double]],
+      table: String, buckets: Int = 8): Unit =
+    assign(batch, centroids).write.mode("append").format("parquet")
+      .bucketBy(buckets, "cluster").saveAsTable(table)
+
+  /** Streaming twin of [[appendToIndex]]: maintain the index from an
+    * unbounded stream of (vec_id, e) — each micro-batch lands as one
+    * bucketed append (exactly-once via the checkpoint: a replayed batch
+    * re-appends, so production sinks pair this with a vec_id dedup or an
+    * idempotent table format; the spec pins the replay-free path).
+    */
+  def maintainIndexStream(stream: DataFrame, centroids: Array[Array[Double]],
+      table: String, checkpoint: String, buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        appendToIndex(b, centroids, table, buckets)
+      }
+      .start()
+
   /** Search a prebuilt index: a pure equi-join of the (bounded, broadcast)
     * probe batch onto the stored lists — the corpus side streams with NO
     * shuffle exchange because the probe side broadcasts (pinned by
