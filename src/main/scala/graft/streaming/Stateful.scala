@@ -168,6 +168,44 @@ object Stateful extends Serializable {
       .drop("_h")
   }
 
+  /** STREAMING CORPUS CURATION — the batch curation rules (q82) applied
+    * incrementally to a live document feed, one composed operator:
+    *
+    *   1. exact dedup against the resident corpus (static md5-key anti-join)
+    *      AND within the stream (`dropDuplicatesWithinWatermark`), via
+    *      [[dedupAgainstCorpus]];
+    *   2. quality gate — the integer-exact q82 thresholds (min tokens;
+    *      repetition: duplicate-shingle mass below 2/5 of all shingles);
+    *   3. decontamination — shared-shingle count against the BOUNDED eval
+    *      set as a broadcast array literal (`array_intersect` is map-side
+    *      codegen; no per-batch explode/aggregate, so the filter composes
+    *      with any output mode).
+    *
+    * Everything is per-row or anti-join work: at 100 TB the corpus side is
+    * a compact hash-only table and the eval set stays bounded by design, so
+    * per-batch cost scales with the BATCH, never the resident corpus. The
+    * near-dup (MinHash) stage intentionally stays batch-side: candidate
+    * banding needs the corpus signature store — run it as the periodic
+    * compaction pass over what this gate admits (the lambda-architecture
+    * split).
+    */
+  def curateStream(docs: DataFrame, corpus: DataFrame, evalShingles: Seq[String],
+      contaminationThreshold: Int = 10, minTokens: Int = 12,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions.{shingles3, shingles3Distinct, tokens}
+    require(evalShingles.nonEmpty, "empty eval set: decontamination would be a no-op")
+    dedupAgainstCorpus(docs, corpus, "text", watermark)
+      .withColumn("_nt", size(tokens(col("text"))).cast("long"))
+      .withColumn("_nsh", size(shingles3(col("text"))))
+      .withColumn("_nd", size(shingles3Distinct(col("text"))))
+      .withColumn("_hits",
+        size(array_intersect(shingles3Distinct(col("text")), typedlit(evalShingles))))
+      .filter(col("_nt") >= minTokens &&
+        lit(5) * (col("_nsh") - col("_nd")) < lit(2) * col("_nsh") &&
+        col("_hits") < contaminationThreshold)
+      .drop("_nt", "_nsh", "_nd", "_hits")
+  }
+
   // ---- stream-stream event-time AS-OF join -------------------------------
 
   /** One event on either side of the streaming as-of (side 1 = probe/left,

@@ -474,6 +474,39 @@ class StatefulSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("streaming curation gate: dedup + quality + decontamination compose incrementally") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpusText = "already in the corpus text body here ok fine"
+    val clean1 = "the quick brown fox jumps over the lazy dog again and again ok"
+    val clean2 = "another perfectly sized document with unique words flowing nicely along here today"
+    val short = "too short text"
+    val repetitive = ("spam ham " * 10).trim
+    val contaminated = "a b c d e plus other words to reach twelve tokens total here"
+    val corpus = Seq(corpusText).toDF("text")
+    val evalShingles = Seq("a b c", "b c d", "c d e")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = ts("2024-01-01 10:00:00")
+    val gated = Stateful.curateStream(
+      ms.toDF().toDF("doc_id", "ts", "text"), corpus, evalShingles,
+      contaminationThreshold = 2)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("curated").start()
+    try {
+      ms.addData((1L, t0, clean2), (2L, t0, corpusText), (3L, t0, short))
+      q.processAllAvailable()
+      // batch 2: clean2 again (cross-batch stream dup), plus one doc per
+      // failure mode — only clean1 may pass
+      ms.addData((4L, t0, clean2), (5L, t0, clean1),
+        (6L, t0, repetitive), (7L, t0, contaminated))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM curated")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 5L),
+        s"curation gate kept $kept — expected the two clean docs only")
+    } finally q.stop()
+  }
+
   test("streaming funnel state survives a query kill + checkpoint restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
