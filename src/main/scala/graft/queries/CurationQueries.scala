@@ -462,9 +462,13 @@ object CurationQueries extends QueryModule {
             size(tokens(col("text"))).cast("long").as("n"),
             size(array_distinct(tokens(col("text")))).cast("long").as("n_types"))
           .withColumn("q_ppm", idiv(col("n_types") * lit(1000000L), col("n")))
-        val budget = t.agg(idiv(sum(col("n")) * lit(6L), lit(10L)).as("budget"))
-        graft.operators.GlobalCumSum
+        val ranked = graft.operators.GlobalCumSum
           .withCumSum(t, Seq(col("q_ppm").desc, col("doc_id")), col("n"), "cum")
+        // budget = 60% of total tokens, derived from the LAST running total
+        // (max cum) — reads GlobalCumSum's persisted pass instead of paying
+        // the tokenize-and-score scan a second time
+        val budget = ranked.agg(idiv(max(col("cum")) * lit(6L), lit(10L)).as("budget"))
+        ranked
           .crossJoin(broadcast(budget))
           .filter(col("cum") <= col("budget"))
           .groupBy(col("source"))

@@ -297,9 +297,10 @@ object ScaleQueries extends QueryModule {
 
     // q97 — Z-ORDER LAYOUT semantics under the gate: the Morton key of
     // (customer, order-day) — operators.ZOrderLayout's interleaved-bit
-    // arithmetic, pure codegen'd shifts/masks — bucketed into 64 curve
-    // segments with per-segment count + the min/max BOX of both original
-    // dimensions. Tight per-segment boxes are exactly what makes z-ordered
+    // arithmetic, pure codegen'd shifts/masks — bucketed into 2^22-wide
+    // curve segments (up to 1024 over full 16-bit dims; the fixture's
+    // sub-2^14 dimension values land in a handful) with per-segment count
+    // + the min/max BOX of both original dimensions. Tight per-segment boxes are exactly what makes z-ordered
     // files prunable on either dimension at 100 TB (ScaleOpsSpec measures
     // the file-level effect; this pins the key arithmetic bit-for-bit
     // against DuckDB's `<<`/`&` reproduction).

@@ -67,12 +67,17 @@ object SharedStages {
   def latestRowMergeSink(out: String, keys: Seq[String])
       : (DataFrame, Long) => Unit = { (batch, _) =>
     val sp = batch.sparkSession
-    // existence check, not try/catch: a swallowed transient read failure
+    // data-file check, not try/catch: a swallowed transient read failure
     // would be indistinguishable from "first batch" and the overwrite below
-    // would silently wipe the merged table; a real read error must throw
+    // would silently wipe the merged table — while a bare fs.exists would
+    // wedge on a dir a crashed committer left without data files. "First
+    // batch" = no part-* files present; anything else must read (and a real
+    // read error must throw).
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    val cur = if (fs.exists(outPath)) Some(sp.read.parquet(out)) else None
+    val hasData = fs.exists(outPath) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$out/part-*")).nonEmpty
+    val cur = if (hasData) Some(sp.read.parquet(out)) else None
     val merged = cur match {
       case None => batch
       case Some(c) => c

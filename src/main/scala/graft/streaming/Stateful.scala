@@ -194,6 +194,10 @@ object Stateful extends Serializable {
       watermark: String = "1 hour"): DataFrame = {
     import graft.functions.TextFunctions.{shingles3, shingles3Distinct, tokens}
     require(evalShingles.nonEmpty, "empty eval set: decontamination would be a no-op")
+    // the within-stream dedup state needs an event-time column named `ts`
+    // (dedupAgainstCorpus watermarks it) alongside `text`
+    require(docs.columns.contains("ts") && docs.columns.contains("text"),
+      s"curateStream input needs (ts, text) columns, got: ${docs.columns.mkString(", ")}")
     dedupAgainstCorpus(docs, corpus, "text", watermark)
       .withColumn("_nt", size(tokens(col("text"))).cast("long"))
       .withColumn("_nsh", size(shingles3(col("text"))))
@@ -394,29 +398,19 @@ object Stateful extends Serializable {
     */
   final case class FunnelStV1(version: Int, vMinUs: Long,
       clicks: List[Long], purchases: List[Long],
-      fixedV: Boolean = false, fixedC: Boolean = false, fixedP: Boolean = false)
+      fixedV: Boolean = false, fixedC: Boolean = false, fixedP: Boolean = false,
+      wmAppliedUs: Long = 0L)
 
   /** Current funnel position of one user (None = stage not reached yet). */
   final case class FunnelRow(userId: Long,
       vTsUs: Option[Long], cTsUs: Option[Long], pTsUs: Option[Long])
 
-  /** STREAMING SEQUENTIAL-CONVERSION FUNNEL (the incremental twin of batch
-    * q75): per user, the first view, the first click strictly after it, the
-    * first purchase strictly after that — maintained across micro-batches
-    * with mapGroupsWithState and CORRECT under arbitrary arrival order,
-    * because the derived chain (v→c→p) is recomputed from the kept events
-    * whenever the view anchor moves earlier. Emits the user's CURRENT
-    * funnel row each time their state changes (Update output mode); a
-    * latest-row-wins sink holds the live funnel table.
-    *
-    * State bound: one long for the view anchor plus the user's click and
-    * purchase times. At 100 TB deployment the input carries a watermark and
-    * the handler freezes the chain once the watermark passes the purchase
-    * time (no earlier view can then arrive on time), dropping the lists —
-    * the fixture replay keeps every event so parity with the batch oracle
-    * is exact regardless of replay order.
-    */
-  /** Pure per-trigger state transition of the funnel (unit-tested directly).
+  /** Pure per-trigger state transition of the funnel — the STREAMING
+    * SEQUENTIAL-CONVERSION FUNNEL (incremental twin of batch q75): per
+    * user, the first view, the first click strictly after it, the first
+    * purchase strictly after that, correct under arbitrary arrival order
+    * because the derived v→c→p chain is recomputed from the kept events
+    * whenever the view anchor moves earlier.
     * Folds `arrivals` into `prev`, derives the current v→c→p chain, and —
     * when `wmUs` is given — FREEZES stages the watermark has passed and
     * prunes the state behind them: once wm ≥ v no earlier view can arrive
@@ -430,27 +424,31 @@ object Stateful extends Serializable {
     var vMin = prev.vMinUs
     var clicks = prev.clicks
     var purchases = prev.purchases
-    // late-event guard (watermarked mode). NOTE the clock: the engine's own
-    // late filter (active under EventTimeTimeout) uses the PREVIOUS batch's
-    // watermark; this guard uses the CURRENT one — deliberately ONE BATCH
-    // STRICTER, because the freeze/prune decisions below are taken against
-    // the current watermark and a frozen stage must never see an older
-    // event (the same previous-vs-current split Spark itself applies to
-    // late filtering vs state eviction). Boundary matches the engine's:
-    // ts <= wm is dropped.
+    // late-event guard (watermarked mode): drop arrivals at-or-before the
+    // watermark that the PREVIOUS advance applied its freeze decisions
+    // with (`wmAppliedUs`). This is EXACTLY the engine's own late filter
+    // (which uses the previous batch's watermark, not the current one), so
+    // nothing the engine admits is lost — and it independently guarantees
+    // a frozen stage never sees an older event: every prior freeze
+    // threshold is ≤ wmAppliedUs. Arrivals are folded BEFORE this batch's
+    // freeze flags are computed, so an event between the previous and
+    // current watermark still counts, as in batch semantics.
     val live = wmUs match {
-      case Some(wm) => arrivals.filter(_.tsUs > wm)
+      case Some(_) => arrivals.filter(_.tsUs > prev.wmAppliedUs)
       case None => arrivals
     }
+    var newClicks = List.empty[Long]
+    var newPurchases = List.empty[Long]
     live.foreach { e =>
       e.etype match {
         case 0 => if (e.tsUs < vMin) vMin = e.tsUs
-        case 1 => clicks = e.tsUs :: clicks
-        case _ => purchases = e.tsUs :: purchases
+        case 1 => newClicks = e.tsUs :: newClicks
+        case _ => newPurchases = e.tsUs :: newPurchases
       }
     }
-    clicks = clicks.sorted
-    purchases = purchases.sorted
+    // prev lists are already sorted; pay the sort only on new arrivals
+    if (newClicks.nonEmpty) clicks = (clicks ++ newClicks).sorted
+    if (newPurchases.nonEmpty) purchases = (purchases ++ newPurchases).sorted
     val vTs = if (vMin == Long.MaxValue) None else Some(vMin)
     val cTs = vTs.flatMap(v => clicks.find(_ > v))
     val pTs = cTs.flatMap(c => purchases.find(_ > c))
@@ -471,20 +469,39 @@ object Stateful extends Serializable {
         val pu = if (fP) pTs.toList
           else if (fC) purchases.filter(_ > cTs.get)
           else purchases.filter(_ > wm)
-        FunnelStV1(1, vMin, ck, pu, fV, fC, fP)
+        FunnelStV1(1, vMin, ck, pu, fV, fC, fP, math.max(prev.wmAppliedUs, wm))
     }
     (next, (vTs, cTs, pTs))
   }
 
+  /** The next event-time boundary at which the watermark can advance this
+    * state's freeze/prune cascade — None when the state is SETTLED (fully
+    * frozen, or nothing prunable left). Drives the idle-user timers: a user
+    * who stops sending events still gets freeze-advance callbacks until
+    * their state reaches its minimal form.
+    */
+  private[graft] def funnelWakeUs(st: FunnelStV1): Option[Long] = {
+    val vTs = if (st.vMinUs == Long.MaxValue) None else Some(st.vMinUs)
+    val cTs = vTs.flatMap(v => st.clicks.find(_ > v))
+    val pTs = cTs.flatMap(c => st.purchases.find(_ > c))
+    if (vTs.isEmpty) (st.clicks ++ st.purchases).minOption
+    else if (!st.fixedV) vTs
+    else if (!st.fixedC) cTs.orElse(st.purchases.minOption)
+    else if (!st.fixedP) pTs
+    else None
+  }
+
   /** See [[funnelAdvance]] for the state machine. `watermarkDelay = Some(d)`
-    * turns on the production shape: the input gets an event-time watermark,
-    * events at-or-before the CURRENT watermark are dropped (one batch
-    * stricter than Spark's built-in late filter, which uses the previous
-    * batch's watermark — the extra strictness is required so a frozen
-    * funnel stage never sees an older event), and per-user state is pruned
-    * as the watermark freezes each stage. `None` (the gate's replay mode)
-    * keeps every event so parity with the batch oracle is exact under ANY
-    * arrival order.
+    * turns on the production shape: the input gets an event-time watermark;
+    * late arrivals are dropped with EXACTLY the engine's contract (at or
+    * before the previous advance's watermark — see the guard in
+    * funnelAdvance); per-user state is pruned as the watermark freezes each
+    * stage; and IDLE users are driven to their minimal state by event-time
+    * timers (a churned user's lists still collapse — the state bound does
+    * not depend on the user returning). A user whose pruned state is empty
+    * is removed entirely; a completed chain keeps its three longs. `None`
+    * (the gate's replay mode) keeps every event so parity with the batch
+    * oracle is exact under ANY arrival order.
     */
   def funnelStream(events: Dataset[FunnelEv],
       watermarkDelay: Option[String] = None): Dataset[FunnelRow] = {
@@ -503,15 +520,29 @@ object Stateful extends Serializable {
       val prev = state.getOption.getOrElse(FunnelStV1(1, Long.MaxValue, Nil, Nil))
       val wm = watermarkDelay.map(_ => state.getCurrentWatermarkMs() * 1000L)
       val (next, (vTs, cTs, pTs)) = funnelAdvance(prev, it, wm)
-      state.update(next)
+      if (wm.isDefined && next.vMinUs == Long.MaxValue &&
+          next.clicks.isEmpty && next.purchases.isEmpty) {
+        // nothing survived pruning and no anchor: indistinguishable from a
+        // brand-new user, so drop the state entirely
+        state.remove()
+      } else {
+        state.update(next)
+        // idle-user drive (watermarked mode): while the state is not yet
+        // minimal, arm an event-time timer at the next freeze/prune
+        // boundary so the cascade advances even if the user never returns
+        if (wm.isDefined) funnelWakeUs(next).foreach { wakeUs =>
+          state.setTimeoutTimestamp(
+            math.max(wakeUs / 1000L + 1, wm.get / 1000L + 1))
+        }
+      }
       FunnelRow(userId, vTs, cTs, pTs)
     }
 
-    // EventTimeTimeout in watermarked mode is NOT about timers (none are
-    // set): it is the switch that makes the exec drop rows older than the
-    // watermark before fn sees them (FlatMapGroupsWithStateExec applies its
-    // late-row filter only under EventTimeTimeout). funnelAdvance's own
-    // guard backstops the same contract.
+    // EventTimeTimeout in watermarked mode does double duty: it switches ON
+    // the exec's late-row filter (applied only under this conf, with the
+    // previous batch's watermark — funnelAdvance's guard mirrors the same
+    // clock), and it delivers the idle-user freeze-advance timers set
+    // above (a timed-out key re-enters fn with an empty iterator).
     val timeout =
       if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()

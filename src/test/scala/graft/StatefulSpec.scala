@@ -435,20 +435,21 @@ class StatefulSpec extends AnyFunSuite {
     assert(s1 == FunnelStV1(1, 100, List(50, 150), List(200)))
     // wm=120 (past the view): anchor frozen, clicks ≤ anchor dropped
     val (s2, _) = Stateful.funnelAdvance(s1, Iterator.empty, Some(120L))
-    assert(s2 == FunnelStV1(1, 100, List(150), List(200), fixedV = true))
+    assert(s2 == FunnelStV1(1, 100, List(150), List(200), fixedV = true, wmAppliedUs = 120L))
     // wm=160 (past the click): click list collapses to the chosen click
     val (s3, _) = Stateful.funnelAdvance(s2, Iterator.empty, Some(160L))
-    assert(s3 == FunnelStV1(1, 100, List(150), List(200), fixedV = true, fixedC = true))
+    assert(s3 == FunnelStV1(1, 100, List(150), List(200), fixedV = true, fixedC = true,
+      wmAppliedUs = 160L))
     // wm=300 (past the purchase): fully frozen — three longs of state
     val (s4, r4) = Stateful.funnelAdvance(s3, Iterator.empty, Some(300L))
     assert(s4 == FunnelStV1(1, 100, List(150), List(200),
-      fixedV = true, fixedC = true, fixedP = true))
+      fixedV = true, fixedC = true, fixedP = true, wmAppliedUs = 300L))
     assert(r4 == ((Some(100L), Some(150L), Some(200L))))
     // no view yet: clicks/purchases at-or-before the watermark can never
     // qualify against a future (on-time, ≥ wm) anchor — dropped
     val (s5, r5) = Stateful.funnelAdvance(empty,
       Iterator(ev(10, 1), ev(20, 2), ev(500, 1)), Some(400L))
-    assert(s5 == FunnelStV1(1, Long.MaxValue, List(500), Nil))
+    assert(s5 == FunnelStV1(1, Long.MaxValue, List(500), Nil, wmAppliedUs = 400L))
     assert(r5 == ((None, None, None)))
   }
 
