@@ -562,6 +562,42 @@ class StatefulSpec extends AnyFunSuite {
       99L -> ((Some(1000 * M), None, None))))
   }
 
+  test("streaming funnel (watermarked) prunes idle users' state via timers") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(u: Long, t: Long, e: Int) = (u, t, e.toByte)
+    val M = 60000000L
+    val ms = MemoryStream[(Long, Long, Byte)]
+    val q = Stateful.funnelStream(
+        ms.toDS().map { case (u, t, e) => Stateful.FunnelEv(u, t, e) },
+        watermarkDelay = Some("1 minute"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        // the batch must be fully consumed or the state stores never commit
+        (b: org.apache.spark.sql.Dataset[Stateful.FunnelRow], _: Long) => b.count(); ()
+      }
+      .start()
+    try {
+      // user 1: clicks only (no view); user 2: full chain — both churn now
+      ms.addData(Seq(ev(1, 1 * M, 1), ev(1, 2 * M, 1),
+        ev(2, 1 * M, 0), ev(2, 2 * M, 1), ev(2, 3 * M, 2)))
+      q.processAllAvailable()
+      // far-future activity from OTHER users advances the watermark; the
+      // idle users' timers must fire and collapse/remove their state
+      ms.addData(Seq(ev(99, 1000 * M, 0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(99, 1001 * M, 0)))
+      q.processAllAvailable()
+      val rows = q.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.headOption)
+        .headOption.map(_.numRowsTotal)
+      // user 1 (clicks below the watermark, no anchor) is REMOVED;
+      // user 2 (frozen chain) and user 99 remain -> 2 state rows
+      assert(rows.contains(2L),
+        s"expected 2 state rows after idle pruning, got $rows")
+    } finally q.stop()
+  }
+
   test("streaming funnel randomized parity (RocksDB state store)") {
     // FunnelStV1 round-trips through the production state backend too
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
