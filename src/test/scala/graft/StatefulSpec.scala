@@ -508,6 +508,61 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gate: randomized parity with the batch rules") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(31337)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    def doc(): String = {
+      val n = rnd.nextInt(20) + 4 // 4..23 tokens: some fail the >=12 gate
+      val rep = rnd.nextBoolean() // some docs highly repetitive
+      val words = if (rep) Seq.fill(n)(vocab(rnd.nextInt(3)))
+        else Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      words.mkString(" ")
+    }
+    val texts = Seq.fill(60)(doc()) ++ Seq.fill(10)(doc()).flatMap(t => Seq(t, t))
+    val corpusTexts = texts.take(8)
+    val evalShingles = Seq("alpha beta gamma", "beta gamma delta")
+    val arrivals = rnd.shuffle(texts).zipWithIndex
+      .map { case (t, i) => (i.toLong, ts("2024-01-01 10:00:00"), t) }
+    // batch reference: first stream occurrence of each text not in the
+    // corpus, passing the same integer quality/repetition/decon rules
+    def shingles(t: String): Seq[String] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq.distinct
+    def passes(t: String): Boolean = {
+      val toks = t.split(" ").toSeq
+      val sh = t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val nd = sh.distinct.size
+      toks.size >= 12 && 5 * (sh.size - nd) < 2 * sh.size &&
+        shingles(t).count(evalShingles.contains) < 2
+    }
+    val expected = arrivals
+      .groupBy(_._3).map { case (_, as) => as.minBy(_._1) }.toSeq // first per text
+      .filterNot(a => corpusTexts.contains(a._3))
+      .filter(a => passes(a._3))
+      .map(_._1).toSet
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val gated = Stateful.curateStream(
+      ms.toDF().toDF("doc_id", "ts", "text"), corpusTexts.toDF("text"),
+      evalShingles, contaminationThreshold = 2)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("curated_rnd").start()
+    try {
+      // NOTE: within one micro-batch dropDuplicatesWithinWatermark keeps an
+      // arbitrary member of a duplicate group, so replay batches in arrival
+      // order with duplicates split across batches — the FIRST arrival is
+      // then the survivor deterministically
+      arrivals.grouped(25).foreach { b => ms.addData(b); q.processAllAvailable() }
+      val kept = spark.sql("SELECT doc_id FROM curated_rnd")
+        .collect().map(_.getLong(0)).toSet
+      val keptTexts = arrivals.filter(a => kept(a._1)).map(_._3).toSet
+      val expTexts = arrivals.filter(a => expected(a._1)).map(_._3).toSet
+      assert(keptTexts == expTexts,
+        s"curation parity broke: extra=${keptTexts -- expTexts} missing=${expTexts -- keptTexts}")
+    } finally q.stop()
+  }
+
   test("streaming funnel state survives a query kill + checkpoint restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
