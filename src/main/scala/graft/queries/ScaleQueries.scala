@@ -337,6 +337,60 @@ object ScaleQueries extends QueryModule {
              |  CAST(MIN(zkey) AS BIGINT) AS min_z, CAST(MAX(zkey) AS BIGINT) AS max_z,
              |  CAST(MIN(a) AS BIGINT) AS min_cust, CAST(MAX(a) AS BIGINT) AS max_cust,
              |  CAST(MIN(b) AS BIGINT) AS min_day, CAST(MAX(b) AS BIGINT) AS max_day
-             |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // q101 — STATIC PARTITION PRUNING over a date-partitioned fact layout:
+    // events written `partitionBy(d)` (Hive-style d=YYYY-MM-DD dirs, the
+    // standard 100 TB fact layout), read back with a literal date-range
+    // predicate. Catalyst resolves the predicate against the partition
+    // DIRECTORY listing — the 27 out-of-range days are never opened, no
+    // footer reads, no tasks. PartitionPruneSpec pins PartitionFilters in
+    // the scan and `number of partitions read` == 3; this entry pins the
+    // semantics against the oracle's full-scan-with-filter equivalent.
+    // (The reference's only pruning lever is a key prefix filter,
+    // start_all_pipeline.py:448-450 — this is that idea promoted to the
+    // analytic store's directory layout.)
+    Declared("q101_partition_prune",
+      (s, dir) => {
+        s.read.parquet(SharedStages.partitionedEventsPath(s, dir))
+          .filter(col("d").between(lit("2024-01-10"), lit("2024-01-12")))
+          .groupBy(col("event_type"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("value")))).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // q102 — DYNAMIC PARTITION PRUNING: the partitioned fact joined on its
+    // partition column to a tiny calendar dim filtered on a NON-join
+    // attribute (dow = Monday). The pruning predicate is only known at
+    // runtime — Catalyst inserts a dynamicpruning subquery that reuses the
+    // dim's broadcast to enumerate surviving `d` values, and the fact scan
+    // opens only the Monday directories (5 of 30; PartitionPruneSpec pins
+    // the dynamicpruning filter + partitions-read metric). This is THE
+    // star-join scan lever at 100 TB: fact×calendar with a selective dim
+    // slice must never list, open, or schedule the other partitions.
+    Declared("q102_dpp_join",
+      (s, dir) => {
+        val ev = s.read.parquet(SharedStages.partitionedEventsPath(s, dir))
+        val dim = s.read.parquet(SharedStages.dateDimPath(s, dir))
+          .filter(col("dow") === 2) // Mondays
+        ev.join(dim, Seq("d"))
+          .groupBy(col("d"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("value"))) / count(lit(1))).as("avg_value"))
+          .orderBy(col("d"))
+          .select(tdate(col("d")).as("d"), col("n"), col("avg_value"))
+      },
+      Some("""SELECT strftime(d, '%Y-%m-%d') AS d, n, avg_value FROM (
+             |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+             |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_value
+             |  FROM events
+             |  WHERE isodow(CAST(ts AS DATE)) = 1
+             |  GROUP BY 1 ORDER BY d)""".stripMargin))
   )
 }

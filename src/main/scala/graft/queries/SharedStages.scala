@@ -99,22 +99,64 @@ object SharedStages {
     }
   }
 
-  /** Compute `build` once per (app, dir, stage), write it to a temp parquet
-    * dir, and hand every caller the read-back frame. Synchronized on the
-    * object (reentrant: building pairs re-enters for shingles/sigs).
+  /** Run `write(out)` once per (app, dir, stage) into a fresh temp dir and
+    * return that dir — the path-returning core of `materialize`, used
+    * directly by stages whose LAYOUT matters (partitioned/bucketed writes
+    * that a reader must open by path to see the layout). Synchronized on
+    * the object (reentrant: building pairs re-enters for shingles/sigs).
     */
-  private def materialize(s: SparkSession, dir: String, stage: String)
-      (build: => DataFrame): DataFrame = {
+  private[graft] def materializePath(s: SparkSession, dir: String,
+      stage: String)(write: String => Unit): String = {
     val key = s"${s.sparkContext.applicationId}|$dir|$stage"
-    val path = synchronized {
+    synchronized {
       built.getOrElseUpdate(key, {
         val out = Files.createTempDirectory(s"graft-stage-$stage-").toString
-        build.write.mode("overwrite").parquet(out)
+        write(out)
         out
       })
     }
-    s.read.parquet(path)
   }
+
+  /** Compute `build` once per (app, dir, stage), write it to a temp parquet
+    * dir, and hand every caller the read-back frame.
+    */
+  private def materialize(s: SparkSession, dir: String, stage: String)
+      (build: => DataFrame): DataFrame =
+    s.read.parquet(materializePath(s, dir, stage)(out =>
+      build.write.mode("overwrite").parquet(out)))
+
+  /** Hive-style DATE-PARTITIONED copy of `events` (`d=YYYY-MM-DD/` dirs,
+    * `d` = event date): the most common 100 TB fact layout, and the input
+    * for the partition-pruning gates (q101 static, q102 dynamic). One
+    * hash shuffle on `d` before the write puts each day in exactly one
+    * task → exactly one file per partition dir (a 100 TB deployment sizes
+    * files per day with a composite repartition key instead; one file per
+    * day at fixture scale keeps the pruning arithmetic exact for the spec's
+    * file-count pins).
+    */
+  def partitionedEventsPath(s: SparkSession, dir: String): String =
+    materializePath(s, dir, "events-by-day") { out =>
+      Tables.load(s, dir, "events")
+        .withColumn("d", to_date(col("ts")))
+        .repartition(col("d"))
+        .write.mode("overwrite").partitionBy("d").parquet(out)
+    }
+
+  /** Tiny calendar dimension over the event-date domain (one row per
+    * distinct day, with day-of-week attributes) — the broadcastable dim
+    * side whose FILTERED join against the partitioned fact must trigger
+    * dynamic partition pruning (q102). Written as one file: it is a
+    * model-sized object (≤ number of distinct days).
+    */
+  def dateDimPath(s: SparkSession, dir: String): String =
+    materializePath(s, dir, "date-dim") { out =>
+      Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("d")).distinct()
+        .withColumn("dow", dayofweek(col("d"))) // 1=Sunday .. 7=Saturday
+        .withColumn("is_weekend", col("dow").isin(1, 7))
+        .repartition(1)
+        .write.mode("overwrite").parquet(out)
+    }
 
   /** (doc_id, lang, source, sh): first-occurrence-distinct token 3-gram
     * shingles per document — one exploded row per (doc, shingle). Map-only
