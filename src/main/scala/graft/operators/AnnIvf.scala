@@ -103,25 +103,43 @@ object AnnIvf {
     * index stays queryable throughout. Centroid drift is handled by a
     * periodic full `buildIndex` — the standard IVF split between cheap
     * append maintenance and occasional re-clustering.
+    *
+    * A bare append is NOT idempotent: re-appending a batch (an at-least-once
+    * replay, an operator retry) duplicates its vec_ids, and duplicates
+    * surface verbatim in topKIndexed results. `dedupVecIds = true` makes the
+    * append idempotent via a left-anti join of the batch against the stored
+    * vec_ids — per-batch cost is one scan of the index's id column (a few
+    * bytes/row; at 100 TB an id-only column scan, not a corpus read) against
+    * the batch's hash side. Keep it off only when the caller already
+    * guarantees uniqueness (e.g. an upstream exactly-once source).
     */
   def appendToIndex(batch: DataFrame, centroids: Array[Array[Double]],
-      table: String, buckets: Int = 8): Unit =
-    assign(batch, centroids).write.mode("append").format("parquet")
+      table: String, buckets: Int = 8, dedupVecIds: Boolean = false): Unit = {
+    val assigned = assign(batch, centroids)
+    val toWrite =
+      if (dedupVecIds)
+        assigned.join(batch.sparkSession.table(table).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      else assigned
+    toWrite.write.mode("append").format("parquet")
       .bucketBy(buckets, "cluster").saveAsTable(table)
+  }
 
   /** Streaming twin of [[appendToIndex]]: maintain the index from an
-    * unbounded stream of (vec_id, e) — each micro-batch lands as one
-    * bucketed append (exactly-once via the checkpoint: a replayed batch
-    * re-appends, so production sinks pair this with a vec_id dedup or an
-    * idempotent table format; the spec pins the replay-free path).
+    * unbounded stream of (vec_id, e). foreachBatch is AT-LEAST-ONCE — a
+    * batch replayed after a failure re-runs its append — so the default
+    * here guards the sink with `dedupVecIds = true`: a replayed batch's ids
+    * anti-join away and the append becomes idempotent without a
+    * transactional table format.
     */
   def maintainIndexStream(stream: DataFrame, centroids: Array[Array[Double]],
-      table: String, checkpoint: String, buckets: Int = 8)
+      table: String, checkpoint: String, buckets: Int = 8,
+      dedupVecIds: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        appendToIndex(b, centroids, table, buckets)
+        appendToIndex(b, centroids, table, buckets, dedupVecIds)
       }
       .start()
 

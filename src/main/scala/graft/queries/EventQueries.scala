@@ -347,7 +347,7 @@ object EventQueries extends QueryModule {
             .start()
           q.awaitTermination()
         }
-        s.read.parquet(out)
+        graft.streaming.VersionedView.read(s, out).get
           .select(col("w"), col("event_type"), col("n"), col("sum_value"))
           .orderBy(col("w"), col("event_type"))
       },
@@ -512,7 +512,7 @@ object EventQueries extends QueryModule {
             .start()
           q.awaitTermination()
         }
-        val fin = s.read.parquet(out)
+        val fin = graft.streaming.VersionedView.read(s, out).get
         def stage(c: String, name: String) =
           fin.filter(col(c).isNotNull)
             .agg(big(count(lit(1))).as("n_users"))

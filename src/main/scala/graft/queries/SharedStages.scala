@@ -48,6 +48,13 @@ object SharedStages {
     * cluster deployment sizes it to cores as usual. Only the streaming
     * section runs under the scope: the returned read-back DataFrame
     * executes later at session settings.
+    *
+    * NOT concurrency-safe: this mutates the SESSION-global conf, so it
+    * assumes the declared queries run sequentially on the session (they do —
+    * Verify/Bench are sequential by construction). Concurrent callers on one
+    * session would race the set/restore and could leak the scoped value into
+    * unrelated plans; a harness that ever parallelizes queries must give
+    * each its own `spark.newSession()` (per-session conf view) instead.
     */
   def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -56,36 +63,17 @@ object SharedStages {
     try body finally s.conf.set(key, saved)
   }
 
-  /** foreachBatch body for a LATEST-ROW-WINS merge sink: each batch's rows
-    * replace the same-key rows of the parquet dir `out` (the incremental
-    * materialized-view shape shared by q92's rollup and q94's funnel). The
-    * merge reads the files the write replaces, so the merged frame is
-    * materialized first (localCheckpoint: stored blocks, lineage cut). The
-    * sink table is keyed/bounded (a view, not a fact log); on a real
-    * warehouse this body is one MERGE INTO.
+  /** LATEST-ROW-WINS merge sink for the incremental materialized-view shape
+    * shared by q92's rollup and q94's funnel — now the write-audit-publish
+    * implementation in [[graft.streaming.VersionedView]]: each batch merges
+    * into a NEW immutable version dir and publishes via atomic renames, so
+    * a crash mid-batch can never lose the view (the old in-place
+    * `mode("overwrite")` deleted the live files before committing new
+    * ones). Read the view back with [[graft.streaming.VersionedView.read]].
     */
   def latestRowMergeSink(out: String, keys: Seq[String])
-      : (DataFrame, Long) => Unit = { (batch, _) =>
-    val sp = batch.sparkSession
-    // data-file check, not try/catch: a swallowed transient read failure
-    // would be indistinguishable from "first batch" and the overwrite below
-    // would silently wipe the merged table — while a bare fs.exists would
-    // wedge on a dir a crashed committer left without data files. "First
-    // batch" = no part-* files present; anything else must read (and a real
-    // read error must throw).
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val fs = outPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(outPath) &&
-      fs.globStatus(new org.apache.hadoop.fs.Path(s"$out/part-*")).nonEmpty
-    val cur = if (hasData) Some(sp.read.parquet(out)) else None
-    val merged = cur match {
-      case None => batch
-      case Some(c) => c
-        .join(batch.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
-    }
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(out)
-  }
+      : (DataFrame, Long) => Unit =
+    graft.streaming.VersionedView.mergeSink(out, keys)
 
   sys.addShutdownHook {
     (built.values ++ scratch).foreach { dir =>

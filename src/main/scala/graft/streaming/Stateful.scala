@@ -188,6 +188,13 @@ object Stateful extends Serializable {
     * banding needs the corpus signature store — run it as the periodic
     * compaction pass over what this gate admits (the lambda-architecture
     * split).
+    *
+    * Duplicate-survivor semantics: within one micro-batch,
+    * `dropDuplicatesWithinWatermark` keeps an ARBITRARY one of the
+    * duplicates (arrival order, not quality) — unlike q82's batch curation,
+    * which picks the quality-maximal representative per cluster. Streams
+    * that need the quality-aware survivor must route duplicates through the
+    * batch compaction pass above.
     */
   def curateStream(docs: DataFrame, corpus: DataFrame, evalShingles: Seq[String],
       contaminationThreshold: Int = 10, minTokens: Int = 12,
@@ -195,9 +202,14 @@ object Stateful extends Serializable {
     import graft.functions.TextFunctions.{shingles3, shingles3Distinct, tokens}
     require(evalShingles.nonEmpty, "empty eval set: decontamination would be a no-op")
     // the within-stream dedup state needs an event-time column named `ts`
-    // (dedupAgainstCorpus watermarks it) alongside `text`
+    // (dedupAgainstCorpus watermarks it) alongside `text`; check the TYPE
+    // here too — a string ts would otherwise surface much later as an
+    // unhelpful withWatermark analysis error
     require(docs.columns.contains("ts") && docs.columns.contains("text"),
       s"curateStream input needs (ts, text) columns, got: ${docs.columns.mkString(", ")}")
+    require(docs.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"curateStream ts must be an event-time TIMESTAMP column, got: ${docs.schema("ts").dataType.sql}")
     dedupAgainstCorpus(docs, corpus, "text", watermark)
       .withColumn("_nt", size(tokens(col("text"))).cast("long"))
       .withColumn("_nsh", size(shingles3(col("text"))))

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Write-audit-publish storage for an incrementally maintained VIEW (the
+  * q92 rollup / q94 funnel merge sink) on a plain filesystem — the
+  * transactional-table-format discipline (Delta/Iceberg snapshot +
+  * pointer swap) reduced to what HDFS/posix primitives guarantee:
+  *
+  *   layout   out/v=<batchId>/part-*.parquet   immutable version dirs
+  *            out/_CURRENT                      one-line pointer "v=<id>"
+  *
+  *  - WRITE: each micro-batch merges into a NEW version dir (never the one
+  *    readers are on), first under a `_tmp_` name invisible to the publish
+  *    protocol;
+  *  - AUDIT: the written files are read back and row-counted against the
+  *    merged frame before anything becomes visible — a torn or partial
+  *    write can never publish;
+  *  - PUBLISH: directory rename (atomic) then pointer swap via
+  *    FileContext.rename(OVERWRITE) (atomic on posix/HDFS). A crash at ANY
+  *    point leaves `_CURRENT` on the previous complete version — the view
+  *    is never lost and never observably partial, fixing the
+  *    overwrite-in-place sink's at-most-once window (old
+  *    latestRowMergeSink: delete-before-commit).
+  *  - READERS resolve `_CURRENT` once and then read an immutable dir; the
+  *    previous version is retained one publish cycle so an in-flight
+  *    reader that resolved just before a swap still finds its files.
+  *  - REPLAY (at-least-once foreachBatch): versions are named by batchId.
+  *    A replayed batch whose version is already current is a no-op; a
+  *    version dir left by a crash mid-publish is torn down and rebuilt.
+  *    Either way the merge result is byte-identical (idempotent upsert).
+  *
+  * At warehouse scale the same body is one MERGE INTO on a transactional
+  * table; this object exists so the durability story doesn't depend on
+  * having one.
+  */
+object VersionedView {
+
+  private val Current = "_CURRENT"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live version name ("v=<id>"), if any publish has completed. */
+  def currentVersion(spark: SparkSession, out: String): Option[String] = {
+    val fs = fsOf(spark, out)
+    val ptr = new Path(out, Current)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+  }
+
+  /** Read the view as of its latest published version (empty-schema-less
+    * None is the caller's "first batch" signal — see mergeSink).
+    */
+  def read(spark: SparkSession, out: String): Option[DataFrame] =
+    currentVersion(spark, out).map(v => spark.read.parquet(s"$out/$v"))
+
+  /** foreachBatch body: LATEST-ROW-WINS merge of each micro-batch into the
+    * view keyed by `keys`, published write-audit-publish. The merge reads
+    * the CURRENT version and writes a NEW one, so (unlike an in-place
+    * overwrite) no materialization barrier is needed between read and
+    * write, and a crash anywhere leaves the previous version live.
+    */
+  def mergeSink(out: String, keys: Seq[String]): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val sp = batch.sparkSession
+      val fs = fsOf(sp, out)
+      val outPath = new Path(out)
+      fs.mkdirs(outPath)
+      val versionName = s"v=$batchId"
+      val cur = currentVersion(sp, out)
+      if (cur.contains(versionName)) ()  // replay of a fully published batch
+      else {
+        val finalDir = new Path(out, versionName)
+        // crash between dir-rename and pointer-swap leaves an unpublished
+        // complete dir; rebuild it (cheap: view-sized) rather than trust it
+        if (fs.exists(finalDir)) fs.delete(finalDir, true)
+        val merged = cur.map(v => sp.read.parquet(s"$out/$v")) match {
+          case None => batch
+          case Some(c) => c
+            .join(batch.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+        }
+        val tmp = new Path(out, s"_tmp_$versionName")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        merged.write.parquet(tmp.toString)
+        // AUDIT: the files about to publish must re-read to the same count
+        val expect = merged.count()
+        val got = sp.read.parquet(tmp.toString).count()
+        require(got == expect,
+          s"merge audit failed for $versionName: wrote $expect rows, read back $got")
+        // PUBLISH: atomic dir rename, then atomic pointer swap
+        require(fs.rename(tmp, finalDir), s"publish rename failed: $tmp -> $finalDir")
+        val fc = FileContext.getFileContext(outPath.toUri,
+          sp.sparkContext.hadoopConfiguration)
+        val ptrTmp = new Path(out, s"$Current.tmp")
+        val os = fs.create(ptrTmp, true)
+        try os.write(versionName.getBytes("UTF-8")) finally os.close()
+        fc.rename(ptrTmp, new Path(out, Current), Options.Rename.OVERWRITE)
+        // RETENTION: keep current + previous (in-flight readers), drop older
+        val keep = Set(versionName) ++ cur
+        fs.listStatus(outPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+          .filterNot(st => keep(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+  }
+}

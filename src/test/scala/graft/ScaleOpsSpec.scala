@@ -347,6 +347,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       b.numBuckets == 4 && b.bucketColumnNames == Seq("cluster")))
   }
 
+  test("IVF append with dedupVecIds: a replayed batch is idempotent") {
+    val e = graft.model.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val centroids = graft.operators.AnnIvf.trainCentroids(e, k = 4, iters = 1, dim = 64)
+    val base = e.filter(col("vec_id") % 3 === 0)
+    val batch = e.filter(col("vec_id") % 3 === 1)
+    graft.operators.AnnIvf.buildIndex(base, centroids, "ivf_idx_dedup", buckets = 4)
+    val want = base.count() + batch.count()
+    // the same batch lands twice — an at-least-once foreachBatch replay —
+    // and the anti-join guard must make the second append a no-op
+    graft.operators.AnnIvf.appendToIndex(batch, centroids, "ivf_idx_dedup",
+      buckets = 4, dedupVecIds = true)
+    graft.operators.AnnIvf.appendToIndex(batch, centroids, "ivf_idx_dedup",
+      buckets = 4, dedupVecIds = true)
+    assert(spark.table("ivf_idx_dedup").count() == want)
+    assert(spark.table("ivf_idx_dedup").groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("ZOrderLayout: zKey2 column matches the bit-interleave reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
