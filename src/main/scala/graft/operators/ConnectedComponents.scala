@@ -43,32 +43,58 @@ object ConnectedComponents {
     *                 covers any plausible corpus (2^25 pointer depth)
     * @param hotLabelThreshold pointer-double probe keys with at least this
     *                 many rows are resolved via broadcast instead of shuffle
+    * @param reliableDir when Some(dir), per-round materialization goes to
+    *                 PARQUET under dir (durable spill on the cluster's
+    *                 distributed FS) instead of localCheckpoint blocks —
+    *                 the executor-loss-tolerant mode for long multi-round
+    *                 runs over a 100 TB corpus, where losing one executor
+    *                 mid-round must not restart the whole iteration (a lost
+    *                 localCheckpoint block has NO lineage to recompute
+    *                 from; a parquet round file re-reads). Costs one
+    *                 write+read per round; default None keeps the
+    *                 block-store fast path for short-lived jobs.
     * @return (node, rep) — rep is the minimum node id reachable from node;
     *         every node that appears in `pairs` gets a row
     */
   def apply(pairs: DataFrame, maxIters: Int = 25,
-      hotLabelThreshold: Long = 100000L): DataFrame = {
+      hotLabelThreshold: Long = 100000L,
+      reliableDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs.toDF("u", "v")
-    val edges = e0.union(e0.select(col("v"), col("u")))
+    val edgesPlan = e0.union(e0.select(col("v"), col("u")))
       .toDF("src", "dst")
       .distinct()
-      .persist()
-    // Each round's result is localCheckpoint'ed (eager): the pointer-double
+    // reliable mode spills the deduplicated edge list too: each round's
+    // neighbor-min re-reads it, and persist() blocks are exactly as
+    // executor-loss-fragile as localCheckpoint's
+    val edges = reliableDir match {
+      case None => edgesPlan.persist()
+      case Some(dir) =>
+        edgesPlan.write.mode("overwrite").parquet(s"$dir/cc_edges")
+        spark.read.parquet(s"$dir/cc_edges")
+    }
+    // Each round's result is materialized (eager): the pointer-double
     // join references l₁ TWICE, so without materialization the neighbor-min
     // subplan runs twice per round and the logical plan doubles per round
     // (planning itself goes exponential). localCheckpoint materializes the
-    // round and restarts lineage from the stored blocks; on a real cluster
-    // with executor loss in play, swap in reliable checkpoint() to a
-    // distributed FS — same call shape, fault-tolerant blocks.
+    // round and restarts lineage from the stored blocks; `reliableDir`
+    // swaps in a parquet write+read per round — same shape, durable files.
+    // The convergence probe rides the materialization job either way (one
+    // action per round, no extra pass).
     // Seed with round 1's neighbor-min already applied: label₀(n) =
     // min(n, min neighbor) — one aggregation instead of a distinct plus a
     // full propagate round (every node appears as src of the bidirectional
     // edge list, so the groupBy also enumerates the node set).
     def checkpointObserved(df: DataFrame, name: String): (DataFrame, Long, Long) = {
       val obs = Observation(name)
-      val out = df
+      val observed = df
         .observe(obs, sum(col("label")).as("s"), count(lit(1)).as("n"))
-        .localCheckpoint(true)
+      val out = reliableDir match {
+        case None => observed.localCheckpoint(true)
+        case Some(dir) =>
+          observed.write.mode("overwrite").parquet(s"$dir/$name")
+          spark.read.parquet(s"$dir/$name")
+      }
       val m = obs.get
       // sum() over an empty frame is NULL — treat as 0 (degenerate empty graph)
       val s = Option(m("s")).fold(0L)(_.asInstanceOf[Long])
