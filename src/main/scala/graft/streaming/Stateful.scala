@@ -248,6 +248,29 @@ object Stateful extends Serializable {
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Merge two individually sorted lists (stable: ties keep `a`'s element
+    * first). The as-of buffers re-enter every trigger already sorted, so
+    * inserting a trigger's arrivals is O(arrivals·log(arrivals) + buffer)
+    * — re-sorting the whole buffer each trigger would pay
+    * O(buffer·log(buffer)) per key-trigger, which a hot key with a large
+    * in-window buffer turns into the dominant cost (StateScaleSpec drives
+    * that shape).
+    */
+  private[streaming] def mergeSorted[T](a: List[T], b: List[T])
+      (implicit ord: Ordering[T]): List[T] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[T]
+    @annotation.tailrec
+    def go(x: List[T], y: List[T]): Unit = (x, y) match {
+      case (Nil, r) => buf ++= r
+      case (l, Nil) => buf ++= l
+      case (lh :: lt, rh :: rt) =>
+        if (ord.lteq(lh, rh)) { buf += lh; go(lt, y) }
+        else { buf += rh; go(x, rt) }
+    }
+    go(a, b)
+    buf.toList
+  }
+
   /** STREAM-STREAM event-time AS-OF join — the quote/trade lookup Spark's
     * built-in stream-stream joins cannot express (equi + interval only):
     * every left event is matched to the LATEST right event of the same key
@@ -303,10 +326,14 @@ object Stateful extends Serializable {
       // arrive — the watermark starts at 0); this filter is the same
       // contract applied to whatever does get through.
       val arrivals = it.toSeq.filter(e => micros(e.ts) >= wmUs)
-      val lefts = (prev.lefts ++ arrivals.filter(_.side == 1)
-        .map(e => (micros(e.ts), e.id))).sorted
-      val rights = (prev.rights ++ arrivals.filter(_.side == 0)
-        .map(e => (micros(e.ts), e.id, e.v))).sortBy(r => (r._1, r._2))
+      // buffers are sorted invariants of the state: sort only the ARRIVALS
+      // and merge — never re-sort the whole buffer per trigger
+      val lefts = mergeSorted(prev.lefts,
+        arrivals.filter(_.side == 1).map(e => (micros(e.ts), e.id))
+          .sorted.toList)
+      val rights = mergeSorted(prev.rights,
+        arrivals.filter(_.side == 0).map(e => (micros(e.ts), e.id, e.v))
+          .sortBy(r => (r._1, r._2)).toList)(Ordering.by(r => (r._1, r._2)))
       val (out, next) = emit(AsOfBufV1(1, lefts, rights), wmUs)
       if (next.lefts.isEmpty && (next.rights.isEmpty || state.hasTimedOut)) {
         state.remove()

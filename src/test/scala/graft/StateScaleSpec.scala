@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Stateful
+
+/** Adversarial STATE-SCALE pins for the custom stateful streaming
+  * operators: thousands of keys plus one hot key, asserting the state
+  * store tracks the WATERMARK-WINDOW bound, never the stream length. A
+  * stateful operator whose state grows with history is the classic
+  * streaming OOM at 100 TB — these specs make the bound a regression
+  * test, not a scaladoc claim.
+  */
+class StateScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val M = 60000000L // one minute in µs
+
+  private def ts(us: Long) = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  test("as-of join: 2000 keys + hot key — one state row per key, retention-bounded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val nKeys = 2000
+    val hotRights = 3000
+
+    val ms = MemoryStream[Stateful.AsOfEv]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Stateful.AsOfOut]
+    val q = Stateful.asOfJoinStream(ms.toDS(), delay = "1 minute",
+        retentionMs = 60000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Stateful.AsOfOut], _: Long) =>
+        out.synchronized { out ++= b.collect() }; ()
+      }
+      .start()
+    def lastStateRows: Long = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.headOption)
+      .headOption.map(_.numRowsTotal).getOrElse(-1L)
+    try {
+      // trigger 1: every key gets one reference row; the hot key gets 3000
+      // (all inside the watermark window — nothing prunable yet)
+      val coldRights = (1 to nKeys).map(k =>
+        Stateful.AsOfEv(s"k$k", ts(1 * M), 0, 0L, k.toDouble))
+      val hot = (1 to hotRights).map(i =>
+        Stateful.AsOfEv("hot", ts(1 * M + i * 100L), 0, i.toLong, i.toDouble))
+      ms.addData(coldRights ++ hot)
+      q.processAllAvailable()
+      // ONE state row per distinct key regardless of the hot key's 3000
+      // buffered rights (the buffer is inside the row, bounded by the
+      // window; rows = keys is the store-level invariant)
+      assert(lastStateRows == nKeys + 1,
+        s"state rows after trigger 1 = $lastStateRows, want ${nKeys + 1}")
+
+      // trigger 2: one probe per key + 50 hot probes, then a far-future
+      // pusher advances the watermark past everything -> all probes flush
+      val probes = (1 to nKeys).map(k =>
+        Stateful.AsOfEv(s"k$k", ts(2 * M), 1, (10000 + k).toLong, 0.0))
+      val hotProbes = (1 to 50).map(j =>
+        Stateful.AsOfEv("hot", ts(1 * M + j * 5000L + 50L), 1, (50000 + j).toLong, 0.0))
+      ms.addData(probes ++ hotProbes)
+      q.processAllAvailable()
+      ms.addData(Seq(Stateful.AsOfEv("pusher", ts(1000 * M), 0, 0L, 0.0)))
+      q.processAllAvailable()
+      val flushed = out.synchronized(out.toVector)
+      assert(flushed.count(_.key.startsWith("k")) == nKeys)
+      assert(flushed.count(_.key == "hot") == 50)
+      // hot-key correctness under the merged buffers: each probe at
+      // 1min + j·5000 + 50 µs matches the latest right ≤ it, i.e. the
+      // right at 1min + (j·50)·100 (id j·50)
+      flushed.filter(_.key == "hot").foreach { o =>
+        val j = (o.id - 50000).toInt
+        assert(o.mTsUs.contains(1 * M + (j * 50).toLong * 100L),
+          s"hot probe $j matched ${o.mTsUs}")
+      }
+      // cold keys: each probe matches its key's single right
+      flushed.filter(_.key.startsWith("k")).foreach { o =>
+        assert(o.mTsUs.contains(1 * M) && o.mV.contains(o.key.drop(1).toDouble))
+      }
+
+      // trigger 3: watermark far past every key's retention window — the
+      // timers expire idle keys; state collapses to ~the pusher key, NOT
+      // the 2001-key (let alone 5000-event) history
+      ms.addData(Seq(Stateful.AsOfEv("pusher", ts(2000 * M), 0, 1L, 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Stateful.AsOfEv("pusher", ts(3000 * M), 0, 2L, 0.0)))
+      q.processAllAvailable()
+      assert(lastStateRows <= 2,
+        s"state rows after retention expiry = $lastStateRows, want <= 2")
+    } finally q.stop()
+  }
+
+  test("funnel (watermarked): 2000 users — state holds frozen chains + active only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val nUsers = 2000
+    val ms = MemoryStream[(Long, Long, Byte)]
+    val q = Stateful.funnelStream(
+        ms.toDS().map { case (u, t, e) => Stateful.FunnelEv(u, t, e) },
+        watermarkDelay = Some("1 minute"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Stateful.FunnelRow], _: Long) => b.count(); ()
+      }
+      .start()
+    def lastStateRows: Long = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.headOption)
+      .headOption.map(_.numRowsTotal).getOrElse(-1L)
+    try {
+      // even users convert fully (their chains freeze to three longs and
+      // are retained by design); odd users only click (no anchor — their
+      // state must be REMOVED once the watermark passes)
+      val evs = (1 to nUsers).flatMap { u =>
+        if (u % 2 == 0)
+          Seq((u.toLong, 1 * M, 0.toByte), (u.toLong, 2 * M, 1.toByte),
+            (u.toLong, 3 * M, 2.toByte))
+        else
+          Seq((u.toLong, 1 * M, 1.toByte), (u.toLong, 2 * M, 1.toByte))
+      }
+      ms.addData(evs)
+      q.processAllAvailable()
+      // watermark pushes: idle users' timers fire, the cascade collapses
+      ms.addData(Seq((999999L, 1000 * M, 0.toByte)))
+      q.processAllAvailable()
+      ms.addData(Seq((999999L, 1001 * M, 0.toByte)))
+      q.processAllAvailable()
+      val rows = lastStateRows
+      // retained: nUsers/2 frozen chains + the pusher user
+      assert(rows == nUsers / 2 + 1,
+        s"state rows after idle pruning = $rows, want ${nUsers / 2 + 1}")
+    } finally q.stop()
+  }
+}
