@@ -157,6 +157,44 @@ object AsOfJoin {
       rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
     native(left, right, keys, tsCol, rightVals, prefix, graft.plans.AsOfNearest)
 
+  /** SKEW-PROOF backward as-of through the native operator. AQE's
+    * OptimizeSkewedJoin rewrites only the stock shuffled joins
+    * (SortMergeJoinExec / ShuffledHashJoinExec) — it does NOT know how to
+    * split a custom exec node, so a pathologically hot key funnels into
+    * one AsOfJoinExec partition no matter what AQE is configured to do
+    * (SkewAsOfSpec pins exactly that). The structural fix is salting with
+    * REFERENCE REPLICATION:
+    *
+    *   - every probe row gets a deterministic salt in [0, salts) hashed
+    *     from `saltBy` (default: the ts column — any column that spreads
+    *     the hot key's rows works);
+    *   - every reference row is replicated to ALL salts;
+    *   - the native as-of runs on keys :+ salt: each (key, salt) bucket
+    *     holds the key's FULL reference history and ~1/salts of its
+    *     probes, so per-bucket semantics are exact and the hot partition
+    *     splits `salts` ways.
+    *
+    * Cost: salts× the reference side's shuffle volume — the right trade
+    * whenever references are much smaller than probes (ticks vs quotes,
+    * events vs dimension versions). Forward/nearest compose identically;
+    * start from this method if they ever need the same treatment.
+    */
+  def backwardNativeSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, rightVals: Seq[String], prefix: String = "asof_",
+      salts: Int = 8, saltBy: Option[Column] = None): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    val saltCol = "_asof_salt"
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"column $saltCol already exists on an input")
+    val saltedLeft = left.withColumn(saltCol,
+      pmod(hash(saltBy.getOrElse(col(tsCol))), lit(salts)))
+    val replicatedRight = right.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salts - 1))))
+    native(saltedLeft, replicatedRight, keys :+ saltCol, tsCol, rightVals,
+      prefix, graft.plans.AsOfBackward)
+      .drop(saltCol)
+  }
+
   private def native(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       rightVals: Seq[String], prefix: String,
       direction: graft.plans.AsOfDirection): DataFrame = {
