@@ -53,7 +53,14 @@ private[sources] class TickSocketTable(options: CaseInsensitiveStringMap)
   private val maxPerTrigger = options.getLong("maxPerTrigger", 10000L)
   private val slices = options.getInt("numPartitions", 4)
   private val maxBuffered = options.getInt("maxBuffered", 200000)
+  // transport=ws upgrades the connection to RFC-6455 WebSocket framing
+  // (the reference feed's actual edge, main.py:30-35): HTTP handshake,
+  // masked client frames, one tick per text message. Default stays raw
+  // line-framed TCP.
+  private val transport = options.getOrDefault("transport", "tcp").toLowerCase
   require(port > 0, "TickSocketProvider requires a `port` option")
+  require(transport == "tcp" || transport == "ws",
+    s"transport must be tcp or ws, got '$transport'")
 
   override def name(): String = s"ticksocket($host:$port)"
   override def schema(): StructType = graft.streaming.Ingest.tickSchema
@@ -65,7 +72,8 @@ private[sources] class TickSocketTable(options: CaseInsensitiveStringMap)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TickSocketStream(host, port, maxPerTrigger, slices, maxBuffered)
+          new TickSocketStream(host, port, maxPerTrigger, slices, maxBuffered,
+            ws = transport == "ws")
       }
     }
 }
@@ -74,7 +82,8 @@ private[sources] class TickSocketTable(options: CaseInsensitiveStringMap)
 private[sources] case class TickLineSlice(lines: Array[String]) extends InputPartition
 
 private[sources] class TickSocketStream(
-    host: String, port: Int, maxPerTrigger: Long, slices: Int, maxBuffered: Int)
+    host: String, port: Int, maxPerTrigger: Long, slices: Int, maxBuffered: Int,
+    ws: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // All mutable state guarded by `this`. `base` is the sequence number of
@@ -109,15 +118,30 @@ private[sources] class TickSocketStream(
     }
     lastEnd = math.max(lastEnd, from)
     socket = new java.net.Socket(host, port)
-    val out = new java.io.PrintWriter(socket.getOutputStream, true)
-    out.println(s"RESUME $from")
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(socket.getInputStream,
-        java.nio.charset.StandardCharsets.UTF_8))
+    // transport seam: `ws` upgrades to RFC-6455 framing (handshake, masked
+    // RESUME text message, one tick per server text frame, transparent
+    // ping→pong); plain mode keeps newline framing. Everything above this
+    // seam — RESUME recovery, admission control, flow control — is
+    // transport-agnostic.
+    val readLine: () => String =
+      if (ws) {
+        val rawIn = socket.getInputStream
+        val rawOut = socket.getOutputStream
+        WebSocketIO.clientHandshake(rawIn, rawOut, s"$host:$port")
+        WebSocketIO.writeMaskedText(rawOut, s"RESUME $from")
+        () => WebSocketIO.readText(rawIn, rawOut, maskReplies = true).orNull
+      } else {
+        val out = new java.io.PrintWriter(socket.getOutputStream, true)
+        out.println(s"RESUME $from")
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(socket.getInputStream,
+            java.nio.charset.StandardCharsets.UTF_8))
+        () => in.readLine()
+      }
     val readerThread = new Thread(() => {
       var failure: Throwable = null
       try {
-        var line = in.readLine()
+        var line = readLine()
         var live = line != null
         while (live) {
           TickSocketStream.this.synchronized {
@@ -128,7 +152,7 @@ private[sources] class TickSocketStream(
             }
             if (epoch == myEpoch && !stopped) buffer += line else live = false
           }
-          if (live) { line = in.readLine(); live = line != null }
+          if (live) { line = readLine(); live = line != null }
         }
       } catch {
         case _: InterruptedException =>

@@ -16,7 +16,8 @@ final class TickSocketServer(
     msPerTick: Long = 10L,
     throttleEveryN: Int = 500,
     throttleMs: Long = 1L,
-    fixedPort: Int = 0) extends AutoCloseable {
+    fixedPort: Int = 0,
+    ws: Boolean = false) extends AutoCloseable {
 
   private val server = new java.net.ServerSocket()
   server.setReuseAddress(true) // restart-on-same-port (upstream-failure specs)
@@ -39,21 +40,42 @@ final class TickSocketServer(
         val conn = server.accept()
         val t = new Thread(() => {
           try {
-            val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-              conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-            val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-              new java.io.OutputStreamWriter(conn.getOutputStream,
-                java.nio.charset.StandardCharsets.UTF_8)), false)
-            val req = in.readLine()
-            var seq = if (req != null && req.startsWith("RESUME "))
-              req.substring("RESUME ".length).trim.toLong else 0L
-            lastResume = seq
-            while (!closed && !out.checkError()) {
-              out.println(tsv(seq))
-              seq += 1
-              if (throttleEveryN > 0 && seq % throttleEveryN == 0) {
-                out.flush()
-                Thread.sleep(throttleMs)
+            if (ws) {
+              // RFC-6455 mode: HTTP upgrade, masked RESUME text message in,
+              // one unmasked text frame per tick out — the reference
+              // transport (main.py:30-35) end to end, minus TLS
+              val rawIn = conn.getInputStream
+              val rawOut = new java.io.BufferedOutputStream(conn.getOutputStream)
+              graft.sources.WebSocketIO.serverHandshake(rawIn, rawOut)
+              val req = graft.sources.WebSocketIO.readText(rawIn, rawOut).orNull
+              var seq = if (req != null && req.startsWith("RESUME "))
+                req.substring("RESUME ".length).trim.toLong else 0L
+              lastResume = seq
+              while (!closed) {
+                graft.sources.WebSocketIO.writeText(rawOut, tsv(seq))
+                seq += 1
+                if (throttleEveryN > 0 && seq % throttleEveryN == 0) {
+                  rawOut.flush()
+                  Thread.sleep(throttleMs)
+                }
+              }
+            } else {
+              val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+                conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+              val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+                new java.io.OutputStreamWriter(conn.getOutputStream,
+                  java.nio.charset.StandardCharsets.UTF_8)), false)
+              val req = in.readLine()
+              var seq = if (req != null && req.startsWith("RESUME "))
+                req.substring("RESUME ".length).trim.toLong else 0L
+              lastResume = seq
+              while (!closed && !out.checkError()) {
+                out.println(tsv(seq))
+                seq += 1
+                if (throttleEveryN > 0 && seq % throttleEveryN == 0) {
+                  out.flush()
+                  Thread.sleep(throttleMs)
+                }
               }
             }
           } catch {
