@@ -636,6 +636,66 @@ object EventQueries extends QueryModule {
              |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
              |  FROM events)
              |WHERE next_type IS NOT NULL
-             |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin)),
+
+    // q104 — BROKER-SHAPED INGEST under the gate: the events table produced
+    // into a Kafka-shaped log topic (sources.LogTopic — 3 partitions,
+    // multiple immutable segments each), consumed back through the
+    // LogTopicProvider micro-batch stream (per-partition offsets, admission
+    // cap forcing multiple triggers, executor-side segment reads), records
+    // parsed and windowed to the SAME tumbling rollup and DuckDB oracle as
+    // q22/q66. Pins the full produce→seek→consume→parse path bit-exactly:
+    // the broker route must be indistinguishable from reading the table.
+    // Doubles survive the text hop because Double.toString round-trips.
+    // The driver-side produce loop is harness scaffolding (same sanction as
+    // the replay-source writes): a deployment's producer is the upstream
+    // system, not the query.
+    Declared("q104_logtopic_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val base = SharedStages.scratchDir("q104")
+        val (topic, out, ck) = (s"$base/topic", s"$base/out", s"$base/ck")
+        val rows = Tables.load(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"), col("value"))
+          .collect()
+        rows.groupBy(r => (r.getLong(0) % 3).toInt).foreach { case (p, rs) =>
+          rs.sortBy(_.getLong(0))
+            .map(r => s"${r.getLong(1)}\t${r.getString(2)}\t${r.getDouble(3)}")
+            .grouped(1500)
+            .foreach(chunk => graft.sources.LogTopic.append(topic, p, chunk.toSeq))
+        }
+        val stream = s.readStream.format("graft.sources.LogTopicProvider")
+          .option("path", topic)
+          .option("maxPerTrigger", "4000")
+          .load()
+        val parsed = stream
+          .select(split(col("value"), "\t").as("f"))
+          .select(
+            timestamp_micros(element_at(col("f"), 1).cast("long")).as("ts"),
+            element_at(col("f"), 2).as("event_type"),
+            element_at(col("f"), 3).cast("double").as("value"))
+        val agg = parsed
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n"), out6(sum(dec(col("value")))).as("sum_value"))
+          .select(tsec(col("window").getField("start")).as("w"),
+            col("event_type"), col("n"), col("sum_value"))
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(out).orderBy(col("w"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

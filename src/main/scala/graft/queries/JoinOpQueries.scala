@@ -202,6 +202,38 @@ object JoinOpQueries extends QueryModule {
              |                WHEN b.ts - b.m_ts <= f.m_ts - b.ts THEN b.m_value
              |                ELSE f.m_value END AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
              |FROM b JOIN f USING (event_id)
-             |ORDER BY b.event_id""".stripMargin))
+             |ORDER BY b.event_id""".stripMargin)),
+
+    // q103 — q74's backward as-of through the SKEW-PROOF SALTED recipe
+    // (AsOfJoin.backwardNativeSalted: deterministic probe salt + reference
+    // replication over (user_id, salt)) against the SAME DuckDB ASOF
+    // oracle. Salting must be a pure physical rewrite — identical hash to
+    // the unsalted plan, forever. SkewAsOfSpec pins the skew mechanics;
+    // this pins the semantics under the gate.
+    Declared("q103_asof_salted",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("v_value"))
+        AsOfJoin.backwardNativeSalted(clicks, views, Seq("user_id"), "ts",
+            Seq("v_value"), "view_", salts = 8)
+          .select(col("event_id"), col("user_id"),
+            tmicro(col("ts")).as("ts"),
+            tmicro(col("view_ts")).as("view_ts"),
+            out6(dec(col("view_v_value"))).as("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, max_by(value, event_id) AS v_value
+             |          FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+             |SELECT c.event_id, c.user_id,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+             |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+             |  CAST(ROUND(CAST(v.v_value AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+             |ORDER BY c.event_id""".stripMargin))
   )
 }
