@@ -113,6 +113,26 @@ object LogTopic {
     require(tmp.renameTo(fin), s"segment publish failed: $fin")
   }
 
+  /** RETENTION: delete segments lying ENTIRELY below each partition's
+    * floor (typically the committed consumer floor, minus any replay
+    * safety window). A segment straddling the floor is kept whole —
+    * truncation is segment-granular, like Kafka's. Consumers seeking
+    * below the new earliest offset start at the first retained segment
+    * (initialOffset already resolves to it). Returns segments deleted.
+    */
+  def truncate(dir: String, floors: Map[Int, Long]): Int = {
+    var deleted = 0
+    floors.foreach { case (p, floor) =>
+      // the newest segment is always retained (Kafka's active segment):
+      // it anchors the partition's end offset so producer numbering and
+      // consumer seeks stay monotone even at floor == head
+      segments(dir, p).dropRight(1)
+        .takeWhile { case (s, n, _) => s + n <= floor }
+        .foreach { case (_, _, f) => if (f.delete()) deleted += 1 }
+    }
+    deleted
+  }
+
   /** Consumer-group-style committed offsets (observability marker). */
   def committed(dir: String): Map[Int, Long] = {
     val f = new java.io.File(dir, "_committed.json")

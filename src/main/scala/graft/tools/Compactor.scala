@@ -38,8 +38,21 @@ object Compactor {
     require(got == expected,
       s"compaction row mismatch: $expected before, $got after — source untouched")
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(path, true)
-    fs.rename(tmpPath, path)
+    // publish via PARK-then-swap, not delete-then-rename: the original is
+    // renamed aside first (atomic), the compacted dir renamed in (atomic),
+    // and only then is the parked original deleted. A crash between the two
+    // renames leaves the data recoverable at `dir + ".pre-compact"`; the
+    // old delete-first sequence had a window where the data existed ONLY
+    // under the temp name — invisible to readers of `dir` and gone entirely
+    // if the temp dir was ever cleaned.
+    val parked = new org.apache.hadoop.fs.Path(s"$dir.pre-compact")
+    if (fs.exists(parked)) fs.delete(parked, true) // stale park from a crash
+    require(fs.rename(path, parked), s"compaction park failed: $path -> $parked")
+    if (!fs.rename(tmpPath, path)) {
+      fs.rename(parked, path) // roll back: restore the original
+      throw new IllegalStateException(s"compaction publish failed: $tmpPath -> $path")
+    }
+    fs.delete(parked, true)
     expected
   }
 }

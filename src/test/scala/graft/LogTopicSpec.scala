@@ -54,6 +54,30 @@ class LogTopicSpec extends AnyFunSuite {
       == Seq((0L, 100L), (100L, 50L)))
   }
 
+  test("retention truncation: prefix segments below the floor go, reads start at first retained") {
+    import org.apache.spark.sql.functions.{col, min => smin, max => smax, count => scount, lit}
+    val topic = tmpDir("logtopic-trunc")
+    (0 until 4).foreach(i =>
+      LogTopic.append(topic, 0, (0 until 100).map(j => s"s$i-$j")))
+    // floor 250: segments [0,100) and [100,200) deleted; [200,300) straddles — kept
+    assert(LogTopic.truncate(topic, Map(0 -> 250L)) == 2)
+    assert(LogTopic.segments(topic, 0).map(_._1) == Seq(200L, 300L))
+    assert(LogTopic.endOffset(topic, 0) == 400L)
+    // floor at the head: the active (newest) segment is still retained
+    assert(LogTopic.truncate(topic, Map(0 -> 400L)) == 1)
+    assert(LogTopic.segments(topic, 0).map(_._1) == Seq(300L))
+    // a fresh consumer starts at the first RETAINED offset, not 0
+    val base = tmpDir("logtopic-trunc-read")
+    val q = startQuery(topic, s"$base/out", s"$base/ck")
+    try waitFor(q, s"$base/out", 100) finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .agg(scount(lit(1)), smin(col("offset")), smax(col("offset"))).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((100L, 300L, 399L)))
+    // producer numbering stays monotone after truncation
+    LogTopic.append(topic, 0, Seq("tail"))
+    assert(LogTopic.endOffset(topic, 0) == 401L)
+  }
+
   test("stream: exactly-once with bounded triggers; kill/restart seeks from checkpoint") {
     val base = tmpDir("logtopic-recover")
     val (topic, out, ck) = (s"$base/topic", s"$base/out", s"$base/ck")

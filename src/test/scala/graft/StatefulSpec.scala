@@ -69,6 +69,13 @@ class StatefulSpec extends AnyFunSuite {
     val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(after < before, s"$after files after vs $before before")
     assert(spark.read.parquet(dir).count() == rows) // readable post-rename
+    // park-then-swap cleanup: no stale .pre-compact left behind, and a
+    // stale park from a simulated earlier crash is reclaimed on re-run
+    val parked = new java.io.File(dir + ".pre-compact")
+    assert(!parked.exists(), "pre-compact park not cleaned up")
+    parked.mkdirs()
+    val rows2 = graft.tools.Compactor.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(rows2 == rows && !parked.exists())
   }
 
   test("stream-stream interval join matches within tolerance, both sides watermarked") {
