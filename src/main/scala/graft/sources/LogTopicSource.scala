@@ -100,17 +100,39 @@ object LogTopic {
   /** Producer API: append `records` to partition `p` as one new immutable
     * segment (write temp + atomic rename, so a concurrently listing
     * consumer never sees a partial segment).
+    *
+    * `expectedStart` is the IDEMPOTENT-PRODUCER guard (Kafka's sequence
+    * number): pass the offset this batch believes it starts at, and a
+    * RETRY of an already-published append becomes a no-op (returns false)
+    * instead of a duplicate segment — while a genuine gap (expected ahead
+    * of the head: a lost segment) still fails loudly. None keeps fire-and-
+    * forget semantics for callers with their own dedup.
+    *
+    * @return true if a segment was written, false for an idempotent-retry
+    *         no-op
     */
-  def append(dir: String, p: Int, records: Seq[String]): Unit = if (records.nonEmpty) {
-    records.foreach(r => require(!r.contains('\n'), "record may not contain newline"))
-    val pd = new java.io.File(dir, s"p=$p")
-    pd.mkdirs()
-    val start = endOffset(dir, p)
-    val tmp = new java.io.File(pd, s".seg-$start-${records.size}.log.tmp")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try records.foreach(w.println) finally w.close()
-    val fin = new java.io.File(pd, s"seg-$start-${records.size}.log")
-    require(tmp.renameTo(fin), s"segment publish failed: $fin")
+  def append(dir: String, p: Int, records: Seq[String],
+      expectedStart: Option[Long] = None): Boolean = {
+    if (records.isEmpty) false
+    else {
+      records.foreach(r => require(!r.contains('\n'), "record may not contain newline"))
+      val pd = new java.io.File(dir, s"p=$p")
+      pd.mkdirs()
+      val start = endOffset(dir, p)
+      expectedStart match {
+        case Some(e) if e < start => return false // retry of a published batch
+        case Some(e) if e > start =>
+          throw new IllegalStateException(
+            s"producer gap on p=$p: expected to append at $e but head is $start")
+        case _ =>
+      }
+      val tmp = new java.io.File(pd, s".seg-$start-${records.size}.log.tmp")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try records.foreach(w.println) finally w.close()
+      val fin = new java.io.File(pd, s"seg-$start-${records.size}.log")
+      require(tmp.renameTo(fin), s"segment publish failed: $fin")
+      true
+    }
   }
 
   /** RETENTION: delete segments lying ENTIRELY below each partition's

@@ -63,6 +63,30 @@ object VersionedView {
   def read(spark: SparkSession, out: String): Option[DataFrame] =
     currentVersion(spark, out).map(v => spark.read.parquet(s"$out/$v"))
 
+  /** Retained version names, oldest first (current + one predecessor under
+    * the default retention) — the snapshot list a time-travel read picks
+    * from.
+    */
+  def versions(spark: SparkSession, out: String): Seq[String] = {
+    val fs = fsOf(spark, out)
+    val p = new Path(out)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName).sortBy(_.drop(2).toLong).toSeq
+  }
+
+  /** TIME-TRAVEL read of a specific retained snapshot (version dirs are
+    * immutable, so the frame is stable no matter what publishes next).
+    * Throws if the version has been retention-dropped — the same contract
+    * as a transactional format's expired snapshot.
+    */
+  def readVersion(spark: SparkSession, out: String, version: String): DataFrame = {
+    require(versions(spark, out).contains(version),
+      s"version $version not retained (have: ${versions(spark, out).mkString(", ")})")
+    spark.read.parquet(s"$out/$version")
+  }
+
   /** foreachBatch body: LATEST-ROW-WINS merge of each micro-batch into the
     * view keyed by `keys`, published write-audit-publish. The merge reads
     * the CURRENT version and writes a NEW one, so (unlike an in-place

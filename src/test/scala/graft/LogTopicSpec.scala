@@ -54,6 +54,21 @@ class LogTopicSpec extends AnyFunSuite {
       == Seq((0L, 100L), (100L, 50L)))
   }
 
+  test("idempotent producer: retry with expectedStart is a no-op; gaps fail loudly") {
+    val topic = tmpDir("logtopic-idem")
+    assert(LogTopic.append(topic, 0, Seq("a", "b"), expectedStart = Some(0L)))
+    // retry of the same batch (producer crash after publish): no-op
+    assert(!LogTopic.append(topic, 0, Seq("a", "b"), expectedStart = Some(0L)))
+    assert(LogTopic.endOffset(topic, 0) == 2L)
+    // next batch proceeds
+    assert(LogTopic.append(topic, 0, Seq("c"), expectedStart = Some(2L)))
+    assert(LogTopic.endOffset(topic, 0) == 3L)
+    // a producer that thinks it is ahead of the head = lost segment: loud
+    intercept[IllegalStateException] {
+      LogTopic.append(topic, 0, Seq("x"), expectedStart = Some(10L))
+    }
+  }
+
   test("retention truncation: prefix segments below the floor go, reads start at first retained") {
     import org.apache.spark.sql.functions.{col, min => smin, max => smax, count => scount, lit}
     val topic = tmpDir("logtopic-trunc")

@@ -62,6 +62,22 @@ class VersionedViewSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(out, "v=1/junk")))
   }
 
+  test("time travel: retained snapshots readable by name, expired ones refuse") {
+    val out = tmpDir("vview-travel")
+    val sink = VersionedView.mergeSink(out, Seq("k"))
+    sink(df("a" -> 1L), 0L)
+    sink(df("b" -> 2L), 1L)
+    assert(VersionedView.versions(spark, out) == Seq("v=0", "v=1"))
+    // the OLD snapshot still reads exactly as published (immutable dirs)
+    assert(VersionedView.readVersion(spark, out, "v=0")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 1L))
+    sink(df("c" -> 3L), 2L) // v=0 retention-dropped
+    assert(VersionedView.versions(spark, out) == Seq("v=1", "v=2"))
+    intercept[IllegalArgumentException] {
+      VersionedView.readVersion(spark, out, "v=0")
+    }
+  }
+
   test("retention: previous version stays readable through the next publish") {
     val out = tmpDir("vview-retain")
     val sink = VersionedView.mergeSink(out, Seq("k"))
