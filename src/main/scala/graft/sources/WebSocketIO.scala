@@ -87,6 +87,13 @@ object WebSocketIO {
     out.flush()
   }
 
+  /** Bounds against a broken/hostile peer: a handshake header block or a
+    * single frame larger than these is a protocol violation for a tick
+    * feed, and failing fast beats buffering it into driver heap.
+    */
+  private val MaxHeaderBytes = 64 * 1024
+  private val MaxFrameBytes = 16 * 1024 * 1024
+
   private def readHttpHeaders(in: InputStream): Seq[String] = {
     // header section is ISO-8859-1 per HTTP; byte-at-a-time until CRLFCRLF
     // (no BufferedReader: it would read-ahead past the header block and
@@ -96,6 +103,7 @@ object WebSocketIO {
     var b = in.read()
     while (b != -1 && last4 != 0x0d0a0d0a) {
       buf += b.toByte
+      require(buf.size <= MaxHeaderBytes, "HTTP header block exceeds 64 KiB")
       last4 = ((last4 << 8) | b) & 0xffffffff
       if (last4 != 0x0d0a0d0a) b = in.read()
     }
@@ -177,7 +185,7 @@ object WebSocketIO {
         case 127 => din.readLong()
         case n => n.toLong
       }
-      require(len <= Int.MaxValue, s"frame too large: $len")
+      require(len <= MaxFrameBytes, s"frame too large: $len (cap $MaxFrameBytes)")
       val maskKey = if (masked) {
         val k = new Array[Byte](4); din.readFully(k); k
       } else null

@@ -54,6 +54,18 @@ class WebSocketSpec extends AnyFunSuite {
     assert(replies.toByteArray.toSeq == Seq(0x8A.toByte, 0x01.toByte, 'p'.toByte))
   }
 
+  test("oversized frame is rejected instead of buffered into heap") {
+    // 64-bit length header claiming 1 GiB — must refuse before allocating
+    val buf = new ByteArrayOutputStream()
+    buf.write(0x81); buf.write(127)
+    val len = 1L << 30
+    (56 to 0 by -8).foreach(i => buf.write(((len >>> i) & 0xff).toInt))
+    intercept[IllegalArgumentException] {
+      WebSocketIO.readText(
+        new ByteArrayInputStream(buf.toByteArray), new ByteArrayOutputStream())
+    }
+  }
+
   test("close frame surfaces as end-of-stream and is answered with close") {
     val buf = new ByteArrayOutputStream()
     buf.write(0x88); buf.write(0x00) // CLOSE, empty
