@@ -115,9 +115,15 @@ object VersionedView {
         }
         val tmp = new Path(out, s"_tmp_$versionName")
         if (fs.exists(tmp)) fs.delete(tmp, true)
-        merged.write.parquet(tmp.toString)
+        // the expected count rides the WRITE job as an observe() metric —
+        // a separate merged.count() would recompute the whole merge plan
+        // a second time per batch
+        val obs = org.apache.spark.sql.Observation(s"vview_audit_$versionName")
+        merged.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.parquet(tmp.toString)
+        val expect = obs.get("n").asInstanceOf[Long]
         // AUDIT: the files about to publish must re-read to the same count
-        val expect = merged.count()
         val got = sp.read.parquet(tmp.toString).count()
         require(got == expect,
           s"merge audit failed for $versionName: wrote $expect rows, read back $got")
