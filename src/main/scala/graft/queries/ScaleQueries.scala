@@ -391,6 +391,50 @@ object ScaleQueries extends QueryModule {
              |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_value
              |  FROM events
              |  WHERE isodow(CAST(ts AS DATE)) = 1
-             |  GROUP BY 1 ORDER BY d)""".stripMargin))
+             |  GROUP BY 1 ORDER BY d)""".stripMargin)),
+
+    // q105 — HEAVY-HITTER (hot-key) detection: per event type, the top-5
+    // users by event count with their share in ppm (integer — engine-
+    // portable where a double share would not be). This is the OPERATIONAL
+    // input to every skew lever in the repo (AQE thresholds, SaltedJoin,
+    // AsOfJoin.backwardNativeSalted): you salt the keys this query
+    // surfaces. Plan shape: one two-key partial agg (map-side combine),
+    // groupedTopK's per-partition pre-rank so ≤ k·partitions rows reach
+    // the per-type exchange, and a broadcast 1-row-per-type total for the
+    // share — counter-sized all the way, no fact-sized shuffle after the
+    // first agg. ScaleOpsSpec bound-checks Spark's count_min_sketch
+    // estimate against these exact counts (the sketch is what you run
+    // FIRST at 100 TB: one pass, fixed memory, then exact-count only the
+    // suspects).
+    Declared("q105_heavy_hitters",
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("total"))
+        groupedTopK(counts, "event_type", 5,
+            Seq(col("cnt").desc, col("user_id")))
+          .join(broadcast(totals), Seq("event_type"))
+          .select(col("event_type"), col("rn"), col("user_id"),
+            big(col("cnt")).as("cnt"),
+            idiv(col("cnt") * 1000000L, col("total")).as("share_ppm"))
+          .orderBy(col("event_type"), col("rn"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT event_type, user_id, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |totals AS (
+             |  SELECT event_type, COUNT(*) AS total FROM events GROUP BY 1),
+             |ranked AS (
+             |  SELECT event_type, user_id, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY cnt DESC, user_id) AS rn
+             |  FROM counts)
+             |SELECT r.event_type, r.rn, r.user_id, CAST(r.cnt AS BIGINT) AS cnt,
+             |  CAST(r.cnt * 1000000 // t.total AS BIGINT) AS share_ppm
+             |FROM ranked r JOIN totals t USING (event_type)
+             |WHERE r.rn <= 5 ORDER BY r.event_type, r.rn""".stripMargin))
   )
 }

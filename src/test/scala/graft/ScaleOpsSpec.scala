@@ -253,6 +253,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bar.volume == ticks.map(_._3).sum)
   }
 
+  test("count_min_sketch heavy-hitter estimates bound the exact q105 counts") {
+    // the 100 TB workflow: one CMS pass (fixed memory) surfaces suspects,
+    // exact counts confirm — the sketch must never UNDER-estimate (CMS
+    // guarantee) and over-estimation stays within eps·N at the given
+    // confidence. Pinned against the same exact counts q105 declares.
+    val ev = graft.model.Tables.load(spark, sf0001, "events")
+    val n = ev.count()
+    val eps = 0.001
+    val sketchBytes = ev.selectExpr(
+      s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").collect().head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val exact = ev.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    exact.foreach { case (uid, cnt) =>
+      val est = cms.estimateCount(uid)
+      assert(est >= cnt, s"CMS under-estimated user $uid: $est < $cnt")
+      assert(est <= cnt + (eps * n).ceil.toLong * 2,
+        s"CMS over-estimate out of band for user $uid: $est vs $cnt (n=$n)")
+    }
+  }
+
   test("approx_percentile tracks the exact distributed percentiles") {
     // q52's gate checks the EXACT percentiles against DuckDB; here the
     // sketch path (what you'd actually run at 100 TB) is bound against
