@@ -196,6 +196,43 @@ object VectorQueries extends QueryModule {
              |rk AS (SELECT qid, vec_id, cos,
              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
              |  FROM sc)
-             |SELECT qid, vec_id AS neg_id, cos FROM rk WHERE rn = 1 ORDER BY qid""".stripMargin))
+             |SELECT qid, vec_id AS neg_id, cos FROM rk WHERE rn = 1 ORDER BY qid""".stripMargin)),
+
+    // q106 — INT8 QUANTIZATION arithmetic under the gate: the symmetric
+    // per-vector quantization (scale = max|x|/127, q_i = round(x_i/scale)
+    // as tinyint — functions.VectorFunctions.quantizeInt8, the 8× memory
+    // cut for ANN candidate sets) summarized per label with INTEGER-ONLY
+    // aggregates (Σ q_i and Σ|q_i| per label, exact and order-insensitive
+    // in any engine) — so the oracle pins the quantized VALUES bit-for-bit,
+    // upgrading quantization from spec-only (recall bound in ScaleOpsSpec)
+    // to hash-gated. Both engines round half-away-from-zero on doubles and
+    // share IEEE division, so the tinyints agree exactly; float→double
+    // widening is exact on both sides.
+    Declared("q106_int8_quant",
+      (s, dir) => {
+        import graft.functions.VectorFunctions.quantizeInt8
+        emb(s, dir)
+          .withColumn("qv", quantizeInt8(col("e")).getField("q"))
+          .select(col("label"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("qabs"))
+          .groupBy(col("label"))
+          .agg(big(count(lit(1))).as("n"),
+            big(sum(col("qsum"))).as("sum_q"),
+            big(sum(col("qabs"))).as("sum_abs_q"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH base AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT label,
+             |    greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |             2.2250738585072014e-308) AS scale, e
+             |  FROM base),
+             |qq AS (SELECT label,
+             |    list_transform(e, x -> CAST(round(x / scale) AS TINYINT)) AS qv
+             |  FROM q)
+             |SELECT label, COUNT(*) AS n,
+             |  CAST(SUM(list_sum(list_transform(qv, x -> CAST(x AS BIGINT)))) AS BIGINT) AS sum_q,
+             |  CAST(SUM(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT)))) AS BIGINT) AS sum_abs_q
+             |FROM qq GROUP BY label ORDER BY label""".stripMargin))
   )
 }
