@@ -55,12 +55,16 @@ private[sources] class TickSocketTable(options: CaseInsensitiveStringMap)
   private val maxBuffered = options.getInt("maxBuffered", 200000)
   // transport=ws upgrades the connection to RFC-6455 WebSocket framing
   // (the reference feed's actual edge, main.py:30-35): HTTP handshake,
-  // masked client frames, one tick per text message. Default stays raw
-  // line-framed TCP.
+  // masked client frames, one tick per text message. transport=wss is the
+  // same framing over TLS (the reference URL scheme) — trust anchors come
+  // from `trustStore`/`trustStorePassword` or the JVM defaults; hostname
+  // verification is always on (see Tls). Default stays raw line-framed TCP.
   private val transport = options.getOrDefault("transport", "tcp").toLowerCase
+  private val trustStore = Option(options.get("trustStore"))
+  private val trustStorePassword = options.getOrDefault("trustStorePassword", "changeit")
   require(port > 0, "TickSocketProvider requires a `port` option")
-  require(transport == "tcp" || transport == "ws",
-    s"transport must be tcp or ws, got '$transport'")
+  require(Set("tcp", "ws", "wss")(transport),
+    s"transport must be tcp, ws or wss, got '$transport'")
 
   override def name(): String = s"ticksocket($host:$port)"
   override def schema(): StructType = graft.streaming.Ingest.tickSchema
@@ -73,7 +77,8 @@ private[sources] class TickSocketTable(options: CaseInsensitiveStringMap)
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new TickSocketStream(host, port, maxPerTrigger, slices, maxBuffered,
-            ws = transport == "ws")
+            ws = transport != "tcp", tls = transport == "wss",
+            trustStore = trustStore, trustStorePassword = trustStorePassword)
       }
     }
 }
@@ -83,7 +88,8 @@ private[sources] case class TickLineSlice(lines: Array[String]) extends InputPar
 
 private[sources] class TickSocketStream(
     host: String, port: Int, maxPerTrigger: Long, slices: Int, maxBuffered: Int,
-    ws: Boolean = false)
+    ws: Boolean = false, tls: Boolean = false,
+    trustStore: Option[String] = None, trustStorePassword: String = "changeit")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // All mutable state guarded by `this`. `base` is the sequence number of
@@ -117,7 +123,12 @@ private[sources] class TickSocketStream(
       base = from
     }
     lastEnd = math.max(lastEnd, from)
-    socket = new java.net.Socket(host, port)
+    // `wss`: the TLS handshake (chain validation + hostname check) completes
+    // inside clientSocket BEFORE the WS upgrade bytes move — recovery
+    // reconnects re-verify every time.
+    socket =
+      if (tls) Tls.clientSocket(host, port, trustStore, trustStorePassword)
+      else new java.net.Socket(host, port)
     // transport seam: `ws` upgrades to RFC-6455 framing (handshake, masked
     // RESUME text message, one tick per server text frame, transparent
     // ping→pong); plain mode keeps newline framing. Everything above this

@@ -17,12 +17,22 @@ final class TickSocketServer(
     throttleEveryN: Int = 500,
     throttleMs: Long = 1L,
     fixedPort: Int = 0,
-    ws: Boolean = false) extends AutoCloseable {
+    ws: Boolean = false,
+    // (keystorePath, password): serve `wss` — WS framing over TLS. The
+    // TLS handshake happens lazily on the accepted SSLSocket's first IO,
+    // inside the per-connection thread, so a failed handshake (untrusting
+    // client) never wedges the acceptor.
+    tlsKeyStore: Option[(String, String)] = None) extends AutoCloseable {
 
-  private val server = new java.net.ServerSocket()
-  server.setReuseAddress(true) // restart-on-same-port (upstream-failure specs)
-  server.bind(new java.net.InetSocketAddress(
-    java.net.InetAddress.getLoopbackAddress, fixedPort), 8)
+  private val server = tlsKeyStore match {
+    case Some((path, password)) => graft.sources.Tls.serverSocket(path, password, fixedPort)
+    case None =>
+      val s = new java.net.ServerSocket()
+      s.setReuseAddress(true) // restart-on-same-port (upstream-failure specs)
+      s.bind(new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, fixedPort), 8)
+      s
+  }
   @volatile private var closed = false
   /** Last RESUME sequence any client requested (observability for specs). */
   @volatile var lastResume: Long = -1L
@@ -43,7 +53,8 @@ final class TickSocketServer(
             if (ws) {
               // RFC-6455 mode: HTTP upgrade, masked RESUME text message in,
               // one unmasked text frame per tick out — the reference
-              // transport (main.py:30-35) end to end, minus TLS
+              // transport (main.py:30-35) end to end (with tlsKeyStore set
+              // this is full `wss`: the streams below are TLS streams)
               val rawIn = conn.getInputStream
               val rawOut = new java.io.BufferedOutputStream(conn.getOutputStream)
               graft.sources.WebSocketIO.serverHandshake(rawIn, rawOut)
