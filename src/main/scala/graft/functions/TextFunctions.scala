@@ -28,6 +28,14 @@ object TextFunctions {
   def wordpieceCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** Unicode NFC canonical composition (codegen'd [[NfcNormalize]]) — the
+    * corpus-cleanup step that makes byte-level dedup/fingerprints robust to
+    * producers emitting decomposed combining sequences.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      NfcNormalize(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   /** Token 3-gram shingles; documents shorter than 3 tokens degrade to a
     * single whole-text shingle. Dispatches to the codegen'd ShingleArray
     * expression — the HOF formulation (shingles3Hof) evaluates interpreted,

@@ -483,6 +483,37 @@ object CurationQueries extends QueryModule {
              |  SUM(n) OVER (ORDER BY q_ppm DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              |  FROM t)
              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS sel_tokens
-             |FROM c, b WHERE cum <= budget GROUP BY source ORDER BY source""".stripMargin))
+             |FROM c, b WHERE cum <= budget GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q108 — Unicode NFC cleanup (codegen'd NfcNormalize expression): web
+    // corpora mix precomposed and combining-sequence encodings of the same
+    // visible text, which silently defeats byte-level dedup/fingerprints.
+    // The fixture text is ASCII, so each doc is prefixed with a fixed
+    // decomposed sample (e + U+0301, A/i + U+0308) that NFC must compose —
+    // char counts shrink by exactly 3 and the md5 pins the composed bytes
+    // against DuckDB's nfc_normalize. Pure per-row scan work (one codegen
+    // call, no shuffle); at 100 TB this rides the ingest scan for free.
+    Declared("q108_unicode_nfc",
+      (s, dir) => {
+        // decomposed on purpose (combining acute/diaeresis as separate
+        // codepoints), written as escapes so a source-encoding pass can't
+        // silently recompose them
+        val raw = concat(lit("Cafe\u0301 A\u0308pfel nai\u0308ve "), col("text"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            big(length(col("raw"))).as("raw_chars"),
+            big(length(nfc(col("raw")))).as("nfc_chars"),
+            md5(nfc(col("raw"))).as("nfc_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(raw) AS BIGINT) AS raw_chars,
+             |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+             |  md5(nfc_normalize(raw)) AS nfc_md5
+             |FROM (SELECT doc_id,
+             |        'Cafe' || chr(769) || ' A' || chr(776) || 'pfel nai' || chr(776) || 've ' || text AS raw
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -295,6 +295,34 @@ object ScaleQueries extends QueryModule {
              |  MIN(md5(text)) AS min_text_md5
              |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
 
+    // q109 -- XML roundtrip (Spark 4's built-in xml source): write customer
+    // as element-per-row XML, read back with an explicit schema (decimal
+    // acctbal so the text roundtrip is exact), aggregate -- the oracle runs
+    // the same aggregate on the original parquet, so any write/read
+    // divergence breaks the hash. Explicit schema on read keeps it one scan
+    // (schema inference would read the files twice); like ORC/JSON this is
+    // interchange-format coverage, not an analytic-store recommendation.
+    Declared("q109_xml_roundtrip",
+      (s, dir) => {
+        val base = SharedStages.scratchDir("q109")
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), dec(col("c_acctbal")).as("c_acctbal"))
+          .write.mode("overwrite")
+          .option("rootTag", "customers").option("rowTag", "customer")
+          .format("xml").save(s"$base/cust_xml")
+        s.read
+          .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DECIMAL(18,6)")
+          .option("rowTag", "customer")
+          .format("xml").load(s"$base/cust_xml")
+          .groupBy(col("c_mktsegment"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(col("c_acctbal"))).as("sum_acctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_acctbal
+             |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
     // q97 — Z-ORDER LAYOUT semantics under the gate: the Morton key of
     // (customer, order-day) — operators.ZOrderLayout's interleaved-bit
     // arithmetic, pure codegen'd shifts/masks — bucketed into 2^22-wide

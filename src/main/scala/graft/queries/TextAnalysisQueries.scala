@@ -291,6 +291,40 @@ object TextAnalysisQueries extends QueryModule {
              |SELECT b.term, CAST(b.df AS BIGINT) AS df,
              |  array_to_string(list_transform(list_sort(list(p.doc_id))[1:20], x -> CAST(x AS VARCHAR)), ',') AS posting_head
              |FROM p JOIN b USING (term)
-             |GROUP BY b.term, b.df ORDER BY b.term""".stripMargin))
+             |GROUP BY b.term, b.df ORDER BY b.term""".stripMargin)),
+
+    // q107 — context-window chunking with overlap: every document exploded
+    // into token windows of width W=50 at stride S=40 (10-token overlap),
+    // the standard prep for fixed-context training/embedding. Chunks whose
+    // tokens are fully covered by the previous window (trailing slivers
+    // shorter than W−S) are dropped — they add no new content. Narrow
+    // per-row generate (explode of an in-row sequence): at 100 TB this is a
+    // single scan with no shuffle except the gate's final ORDER BY; chunk
+    // identity travels as md5 so downstream chunk-level dedup is an
+    // equi-join, never a text comparison.
+    Declared("q107_chunk_overlap",
+      (s, dir) => {
+        val W = 50
+        val S = 40
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0), size(col("t")) - 1, lit(S))).as("start"))
+          .withColumn("chunk", slice(col("t"), col("start") + 1, lit(W)))
+          .filter(col("start") === 0 || size(col("chunk")) > W - S)
+          .select(col("doc_id"),
+            big(idiv(col("start"), lit(S))).as("chunk_idx"),
+            big(size(col("chunk"))).as("n_tok"),
+            md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |starts AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 40)) AS start FROM toks),
+             |chunks AS (SELECT doc_id, start, list_slice(t, start + 1, start + 50) AS chunk FROM starts)
+             |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_idx,
+             |  CAST(len(chunk) AS BIGINT) AS n_tok,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+             |FROM chunks WHERE start = 0 OR len(chunk) > 10
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }
