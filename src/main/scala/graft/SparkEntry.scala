@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     CoreQueries, EventQueries, TextQueries, VectorQueries,
     TextAnalysisQueries, DedupQueries, JoinOpQueries, MiscQueries,
-    CoverageQueries, ScaleQueries, CurationQueries, MultimodalQueries)
+    CoverageQueries, ScaleQueries, CurationQueries, MultimodalQueries,
+    DecorrelationQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference-mirror tumbling window (Q22) — the reference's core

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan pins for the TPC-H-shaped correlated queries (q110-q113): the point
+  * of declaring them is that Catalyst rewrites every correlated subquery
+  * into a join — the only shape that survives at scale — so the pins assert
+  * the REWRITE, not just the result (the oracle gate already owns results).
+  */
+class DecorrelationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plans(name: String): (String, String) = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    (df.queryExecution.optimizedPlan.toString, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q110: both correlated scalar aggregates decorrelate to aggregate+join") {
+    val (opt, phys) = plans("q110_corr_scalar_agg")
+    // no scalar-subquery expression survives optimization — the per-part
+    // count/sum become grouped aggregates joined back on l_partkey
+    assert(!opt.contains("scalar-subquery"), s"correlated scalar survived:\n$opt")
+    assert(phys.contains("HashAggregate"), "expected grouped aggregate for the per-part stats")
+    // three joins: lineitem-part plus the two decorrelated aggregates
+    assert("(?i)join".r.findAllIn(opt).size >= 3, s"expected >=3 joins:\n$opt")
+  }
+
+  test("q111: EXISTS/NOT-EXISTS pair becomes one semi and one anti join") {
+    val (opt, phys) = plans("q111_double_exists")
+    assert(!opt.contains("exists#"), s"predicate subquery survived optimization:\n$opt")
+    assert(phys.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$phys")
+    assert(phys.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$phys")
+  }
+
+  test("q112: uncorrelated scalars stay one-shot subqueries; NOT EXISTS is an anti join") {
+    val (_, phys) = plans("q112_avg_gate_anti")
+    // the global avg gate is legitimately a (reused) scalar subquery — a
+    // one-row broadcast, not per-row work
+    assert(phys.contains("Subquery"), s"expected one-shot scalar subqueries:\n$phys")
+    assert(phys.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$phys")
+  }
+
+  test("q113: non-key predicate stays in the LEFT OUTER join; zero-order customers survive") {
+    val (opt, _) = plans("q113_outer_count_dist")
+    assert(opt.contains("LeftOuter"), s"outer join lost:\n$opt")
+    // the priority filter must remain a join predicate — pushing it to the
+    // orders scan is fine, turning the join inner is not
+    assert(!opt.contains("Join Inner, (c_custkey"), s"outer join degraded to inner:\n$opt")
+    // outer-join preservation: every customer lands in exactly one c_count
+    // bucket, including any with zero non-urgent orders
+    val rows = graft.SparkEntry.queries("q113_outer_count_dist")(spark, dir).collect()
+    val nCust = graft.model.Tables.load(spark, dir, "customer").count()
+    assert(rows.map(_.getLong(1)).sum == nCust,
+      "sum of custdist must equal the customer count (outer join preserved)")
+    // and the non-key predicate actually filtered: the distribution must
+    // differ from the unfiltered twin
+    graft.model.Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    graft.model.Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    val unfiltered = spark.sql(
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey) per_cust
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin).collect()
+    assert(!rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sameElements(unfiltered.map(r => (r.getLong(0), r.getLong(1))).toSeq),
+      "priority predicate had no effect on the distribution")
+  }
+}
