@@ -323,6 +323,39 @@ object ScaleQueries extends QueryModule {
              |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_acctbal
              |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
 
+    // q114 -- parquet schema evolution: generation 1 of a table has
+    // (doc_id, text), generation 2 adds (lang, n_chars); mergeSchema reads
+    // both generations as one table with NULLs where the old files lack the
+    // new columns -- how a 100 TB analytic store actually evolves (no
+    // rewrite of old data). The aggregate exercises the NULL semantics the
+    // merged read must produce (COUNT counts all rows, SUM skips the
+    // pre-evolution NULLs); the oracle derives the same result from the
+    // original table, so a wrong merge breaks the hash. mergeSchema's
+    // footer merge is a one-time planning cost -- production pins the
+    // merged schema explicitly after evolution, which .schema() supports.
+    Declared("q114_schema_evolution",
+      (s, dir) => {
+        val base = SharedStages.scratchDir("q114")
+        val docs = Tables.load(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+          .groupBy(coalesce(col("lang"), lit("pre_evolution")).as("lang"))
+          .agg(big(count(lit(1))).as("n"),
+            big(sum(col("n_chars"))).as("sum_chars"),
+            min(md5(col("text"))).as("min_text_md5"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 2 = 0 THEN 'pre_evolution' ELSE lang END AS lang,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars,
+             |  MIN(md5(text)) AS min_text_md5
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     // q97 — Z-ORDER LAYOUT semantics under the gate: the Morton key of
     // (customer, order-day) — operators.ZOrderLayout's interleaved-bit
     // arithmetic, pure codegen'd shifts/masks — bucketed into 2^22-wide
