@@ -90,9 +90,34 @@ object DecorrelationQueries extends QueryModule {
       |  GROUP BY c.c_custkey) per_cust
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** The hand-optimized 100 TB twin of q110: ONE grouped aggregate computes
+    * (count, sum) per part and joins back once, so lineitem is scanned
+    * twice, not three times — Spark's MergeScalarSubqueries only merges
+    * UNcorrelated twins, so this merge is the query author's job (PLANS.md
+    * documents the q110 cost). Same oracle SQL as q110: the gate proves the
+    * rewrite is result-identical.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(s, dir, "lineitem")
+    val part = Tables.load(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    val stats = li.groupBy(col("l_partkey").as("sp_partkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .join(stats, col("l_partkey") === col("sp_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt") < col("qty_sum"))
+      .groupBy(col("p_brand"))
+      .agg(Protocol.big(count(lit(1))).as("n_small"),
+        Protocol.out6(sum(Protocol.dec(col("l_extendedprice")))).as("small_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   override val declared: Seq[Declared] = Seq(
     Declared("q110_corr_scalar_agg",
       (s, dir) => run(s, dir, Seq("lineitem", "part"), q110), Some(q110)),
+    Declared("q115_corr_scalar_merged", (s, dir) => q115(s, dir), Some(q110)),
     Declared("q111_double_exists",
       (s, dir) => run(s, dir, Seq("supplier", "lineitem", "orders", "nation"), q111), Some(q111)),
     Declared("q112_avg_gate_anti",
