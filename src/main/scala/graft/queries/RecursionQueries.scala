@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.IterativeFixpoint
+
+/** Recursive-query surface: a recursive CTE (Spark 4's `WITH RECURSIVE` /
+  * `UnionLoop`) and the engine's hand-rolled [[IterativeFixpoint]] twin.
+  *
+  * The workload walks each customer's order chain in date order (the
+  * hierarchy-walk shape recursive CTEs exist for): frontier row =
+  * (customer, position, depth, running decimal total), one hop per round.
+  * The SAME SQL text runs on Spark and DuckDB for q116 (oracle can't
+  * drift); q117 computes the identical result through IterativeFixpoint —
+  * sharing q116's oracle proves the library loop is result-identical to
+  * the built-in recursion.
+  *
+  * Scale story: each hop is an equi-join on (o_custkey, rn) — partitioned,
+  * never all-pairs; the fixpoint twin adds per-round lineage truncation and
+  * a durable parquet spill mode (executor-loss-tolerant) that the built-in
+  * UnionLoop lacks. RecursionSpec pins the UnionLoop physical node for
+  * q116, block/reliable parity for the operator, and the step-schema guard.
+  */
+object RecursionQueries extends QueryModule {
+
+  private val q116 =
+    """WITH RECURSIVE ord AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(o_totalprice AS DECIMAL(18,6)) AS price,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders
+      |),
+      |chain AS (
+      |  SELECT o_custkey, rn, CAST(0 AS BIGINT) AS depth, price AS cum
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.o_custkey, o.rn, c.depth + 1, CAST(c.cum + o.price AS DECIMAL(18,6))
+      |  FROM chain c JOIN ord o ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1
+      |)
+      |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_chains,
+      |  CAST(ROUND(SUM(cum), 6) AS DECIMAL(18,6)) AS cum_price
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+
+  private def runQ116(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q116)
+  }
+
+  /** IterativeFixpoint twin of q116. `ord` is window-numbered once and
+    * localCheckpointed — every round's hop join re-reads the stored blocks
+    * instead of recomputing the window (the one subplan shared by all
+    * rounds). Depth bound 30 covers the fixture's ≤25-order chains; a
+    * violation fails loudly rather than truncating silently.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"),
+        Protocol.dec(col("o_totalprice")).as("price"),
+        row_number().over(w).cast("long").as("rn"))
+      .localCheckpoint(true)
+    val anchor = ord.filter(col("rn") === 1)
+      .select(col("o_custkey"), col("rn"),
+        lit(0L).as("depth"), col("price").as("cum"))
+    // the frontier descends from `ord` (anchor = ord rows; localCheckpoint
+    // keeps attribute ids), so each hop is formally a self-join — alias the
+    // two sides and use qualified names
+    val chain = IterativeFixpoint.iterate(
+      anchor,
+      f => f.as("f").join(ord.as("o"),
+          col("f.o_custkey") === col("o.o_custkey") &&
+            col("o.rn") === col("f.rn") + 1)
+        .select(col("o.o_custkey").as("o_custkey"), col("o.rn").as("rn"),
+          (col("f.depth") + lit(1L)).as("depth"),
+          (col("f.cum") + col("o.price")).cast(Protocol.D).as("cum")),
+      maxRounds = 30)
+    chain.groupBy(col("depth"))
+      .agg(Protocol.big(count(lit(1))).as("n_chains"),
+        Protocol.out6(sum(col("cum"))).as("cum_price"))
+      .orderBy(col("depth"))
+  }
+
+  override val declared: Seq[Declared] = Seq(
+    Declared("q116_recursive_chain", runQ116, Some(q116)),
+    Declared("q117_fixpoint_chain", (s, dir) => q117(s, dir), Some(q116))
+  )
+}
