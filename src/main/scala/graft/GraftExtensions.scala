@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, ShingleArray, ShingleExplode}
+import graft.functions.{CosineSimilarity, DotProduct, JaroWinklerSimilarity, ShingleArray, ShingleExplode}
 
 /** Session extensions: install with
   * `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // planner: native as-of join (AsOfJoinPlan -> AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+      {
+        case Seq(a, b) => JaroWinklerSimilarity(a, b)
+        case other => throw new IllegalArgumentException(
+          s"jaro_winkler requires exactly 2 arguments, got ${other.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("shingle_array"),
       new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),

@@ -36,6 +36,17 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(
       NfcNormalize(org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
+  /** Jaro-Winkler similarity (codegen'd [[JaroWinklerSimilarity]]) —
+    * DuckDB-`jaro_winkler_similarity`-pinned semantics (0.7 boost
+    * threshold, empty → 0). The O(len·window) fuzzy verifier for
+    * LSH-proposed candidate pairs (q118).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      JaroWinklerSimilarity(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** Token 3-gram shingles; documents shorter than 3 tokens degrade to a
     * single whole-text shingle. Dispatches to the codegen'd ShingleArray
     * expression — the HOF formulation (shingles3Hof) evaluates interpreted,

@@ -258,6 +258,33 @@ object DedupQueries extends QueryModule {
           |    CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist,
           |    length(pa.p) AS len_a, length(pb.p) AS len_b
           |  FROM pairs pr JOIN p pa ON pa.doc_id = pr.id_a JOIN p pb ON pb.doc_id = pr.id_b)
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // q118 — Jaro-Winkler verification of the same LSH candidates: the
+    // prefix-weighted O(len·window) fuzzy metric (vs q57's O(len²)
+    // levenshtein) on 200-char prefixes. The codegen'd JaroWinklerSimilarity
+    // expression is semantics-pinned to DuckDB's jaro_winkler_similarity
+    // (0.7 boost threshold, empty → 0), so the oracle checks the custom
+    // expression itself bit-for-bit. Like q57, the expensive step runs ONLY
+    // on sketch-proposed pairs — never all-pairs.
+    Declared("q118_jaro_winkler_verify",
+      (s, dir) => {
+        val prefix = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("p"))
+        lshNearPairs(s, dir).select(col("id_a"), col("id_b"))
+          .join(prefix.select(col("doc_id").as("id_a"), col("p").as("pa")), "id_a")
+          .join(prefix.select(col("doc_id").as("id_b"), col("p").as("pb")), "id_b")
+          .withColumn("jw_sim", out6(jaroWinkler(col("pa"), col("pb"))))
+          .select(col("id_a"), col("id_b"), col("jw_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(duckSig +
+        s""",
+          |pairs AS ($duckPairsSelect),
+          |p AS (SELECT doc_id, substr(text, 1, 200) AS p FROM documents)
+          |SELECT pr.id_a, pr.id_b,
+          |  CAST(ROUND(jaro_winkler_similarity(pa.p, pb.p), 6) AS DECIMAL(18,6)) AS jw_sim
+          |FROM pairs pr JOIN p pa ON pa.doc_id = pr.id_a JOIN p pb ON pb.doc_id = pr.id_b
           |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -105,6 +105,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(d.toSeq == Seq(0L, 3L, 63L))
   }
 
+  test("jaro_winkler: textbook values, boost threshold, empties, code points") {
+    import spark.implicits._
+    val cases = Seq(
+      ("MARTHA", "MARHTA"),       // classic: 2 transposed chars
+      ("DIXON", "DICKSONX"),
+      ("abcdef", "abczzz"),       // jaro 2/3 <= 0.7: NO prefix boost
+      ("ab", "abcdefghij"),       // jaro > 0.7: prefix boost applies
+      ("", ""), ("", "abc"),      // DuckDB: empty side -> 0, even both
+      ("same", "same"),
+      ("a😀b", "a😀b"), // supplementary plane: 3 code points, equal
+      ("😀x", "x😀"))   // 2 code points swapped, window 0 -> no match
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.TextFunctions.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect()
+    val want = Seq(0.9611111111111111, 0.8133333333333332, 2.0 / 3,
+      0.7866666666666667, 0.0, 0.0, 1.0, 1.0, 0.0)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-12, s"case $i: got $g want $w")
+    }
+    // SQL registration through GraftExtensions
+    val viaSql = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA')")
+      .as[Double].head()
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-12)
+  }
+
   test("property: window bucket id = floor(T/60000) for any epoch-ms") {
     import graft.streaming.Ingest
     import spark.implicits._
