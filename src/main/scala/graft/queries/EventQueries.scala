@@ -696,6 +696,77 @@ object EventQueries extends QueryModule {
       Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
              |  COUNT(*) AS n,
              |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q119 — SWEEP-LINE INTERVAL CONCURRENCY: how much wall-time the system
+    // spends at each level of concurrent sessions. Sessions (30-min gap
+    // rule, as q23) become [start, end] intervals; each contributes a +1
+    // delta at start and a -1 at end+1µs; the running sum of deltas over
+    // the GLOBAL time order is the concurrency level, and each level holds
+    // from its delta until the next one.
+    //
+    // Scale shape: the naive formulation is TWO no-partition windows
+    // (running sum + LEAD) — each funnels the whole delta stream into one
+    // task. Here the running sum is GlobalCumSum (range-partitioned prefix
+    // sums), the successor timestamp comes from GlobalRank + an equi
+    // self-join on rank+1 (shuffle on a unique key), so no single-partition
+    // stage exists at any size. The delta ordering (t_us, delta, user_id)
+    // is total by construction — same-user boundaries are gap-separated —
+    // and -1 sorts before +1 at a shared instant, making the level
+    // well-defined at touching intervals on both engines.
+    Declared("q119_interval_concurrency",
+      (s, dir) => {
+        import graft.operators.{GlobalCumSum, GlobalRank}
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+        val lagT = lag(col("t_us"), 1).over(w)
+        val iv = ev
+          .withColumn("new_sess",
+            when(lagT.isNull || col("t_us") - lagT > 1800000000L, 1).otherwise(0))
+          .withColumn("sess", sum(col("new_sess")).over(w))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(col("t_us")).as("start_us"), max(col("t_us")).as("end_us"))
+        val deltas = iv.select(col("start_us").as("t_us"), lit(1).as("delta"), col("user_id"))
+          .unionByName(iv.select((col("end_us") + 1).as("t_us"), lit(-1).as("delta"), col("user_id")))
+        val order = Seq(col("t_us"), col("delta"), col("user_id"))
+        val swept = GlobalRank.withRankColumns(
+            GlobalCumSum.withCumSum(deltas, order, col("delta"), "conc"), order)
+          .select(col("rank"), col("t_us"), col("conc"))
+        val next = swept.select((col("rank") - 1).as("rank"), col("t_us").as("next_us"))
+        swept.join(next, "rank")
+          .groupBy(col("conc").as("conc_level"))
+          .agg(big(count(lit(1))).as("n_segments"),
+            sum(col("next_us") - col("t_us")).cast("long").as("total_us"))
+          .orderBy(col("conc_level"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+             |marked AS (
+             |  SELECT user_id, event_id, t_us,
+             |    CASE WHEN LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+             |           OR t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |s AS (
+             |  SELECT user_id, t_us,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM marked),
+             |iv AS (SELECT user_id, sess, MIN(t_us) AS start_us, MAX(t_us) AS end_us
+             |       FROM s GROUP BY user_id, sess),
+             |d AS (
+             |  SELECT start_us AS t_us, 1 AS delta, user_id FROM iv
+             |  UNION ALL SELECT end_us + 1, -1, user_id FROM iv),
+             |sw AS (
+             |  SELECT t_us, delta,
+             |    SUM(delta) OVER (ORDER BY t_us, delta, user_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
+             |    LEAD(t_us) OVER (ORDER BY t_us, delta, user_id) AS next_us
+             |  FROM d)
+             |SELECT CAST(conc AS BIGINT) AS conc_level, CAST(COUNT(*) AS BIGINT) AS n_segments,
+             |  CAST(SUM(next_us - t_us) AS BIGINT) AS total_us
+             |FROM sw WHERE next_us IS NOT NULL
+             |GROUP BY conc ORDER BY conc_level""".stripMargin))
   )
 }

@@ -157,6 +157,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // GlobalCumSum's cached pass is caller-owned
   }
 
+  test("q119 sweep-line: no partition-less window anywhere in the plan") {
+    // the naive sweep is two global windows (running sum + LEAD); the
+    // declared query must contain ONLY user_id-partitioned windows — the
+    // global passes go through GlobalCumSum/GlobalRank + a rank self-join
+    val df = graft.SparkEntry.queries("q119_interval_concurrency")(spark, sf0001)
+    val phys = df.queryExecution.executedPlan.toString
+    // the upstream sessionization (user-partitioned windows) is hidden
+    // behind GlobalCumSum's imperative-pass boundary; the visible plan must
+    // show that boundary and contain NO window operator at all — global
+    // running sum and successor lookup are cumsum/rank arithmetic + an equi
+    // self-join, never a partition-less Window
+    assert(phys.contains("ExistingRDD"), s"expected the cumsum pass boundary:\n$phys")
+    assert(!phys.contains("Window"), s"window leaked into the sweep:\n$phys")
+    assert(df.collect().nonEmpty)
+    spark.catalog.clearCache() // GlobalCumSum/GlobalRank caches are caller-owned
+  }
+
   test("persisted IVF index: search joins the bucketed lists with no corpus shuffle") {
     import graft.operators.AnnIvf
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
