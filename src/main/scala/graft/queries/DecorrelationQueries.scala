@@ -114,6 +114,25 @@ object DecorrelationQueries extends QueryModule {
       .orderBy(col("p_brand"))
   }
 
+  /** Q20 shape: suppliers holding an outsized share (>20%) of any single
+    * part's total shipped quantity — an IN subquery whose HAVING contains a
+    * correlated scalar aggregate over the subquery's own GROUPING column.
+    * The deepest decorrelation in the set: Catalyst must rewrite the inner
+    * per-part total into its own grouped aggregate joined on l_partkey,
+    * evaluate the HAVING against it, and lower the IN into a semi join —
+    * three nested rewrites in one query. Integral quantities keep the share
+    * comparison exact (multiply-through, no division).
+    */
+  private val q120 =
+    """SELECT s_name, CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1
+      |  GROUP BY l1.l_suppkey, l1.l_partkey
+      |  HAVING SUM(CAST(l1.l_quantity AS BIGINT)) * 5 > (
+      |    SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey))
+      |ORDER BY s_name""".stripMargin
+
   override val declared: Seq[Declared] = Seq(
     Declared("q110_corr_scalar_agg",
       (s, dir) => run(s, dir, Seq("lineitem", "part"), q110), Some(q110)),
@@ -123,6 +142,8 @@ object DecorrelationQueries extends QueryModule {
     Declared("q112_avg_gate_anti",
       (s, dir) => run(s, dir, Seq("customer", "orders"), q112), Some(q112)),
     Declared("q113_outer_count_dist",
-      (s, dir) => run(s, dir, Seq("customer", "orders"), q113), Some(q113))
+      (s, dir) => run(s, dir, Seq("customer", "orders"), q113), Some(q113)),
+    Declared("q120_nested_having_corr",
+      (s, dir) => run(s, dir, Seq("supplier", "lineitem"), q120), Some(q120))
   )
 }

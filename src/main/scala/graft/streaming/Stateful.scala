@@ -400,15 +400,23 @@ object Stateful extends Serializable {
     * twin of RangeJoin.backwardWindow). BOTH sides carry a watermark and the
     * join condition bounds event time in both directions, so Spark can
     * derive state-eviction watermarks for each side — without the time
-    * bound, stream-stream state grows forever. Inner only (outer
-    * stream-stream joins need the same bounds plus result-emission delay).
+    * bound, stream-stream state grows forever.
+    *
+    * `joinType` "left_outer" additionally emits null-padded left rows, but
+    * only AFTER the watermark has passed the point where a match could
+    * still arrive (Spark's outer-result emission delay — the unmatched
+    * verdict is provisional until then, so outer rows trail the inner ones
+    * by up to watermark + tolerance; StatefulSpec pins it).
     *
     * Input frames must expose (key, ts [timestamp], payload...); the right
     * timestamp is emitted as `r_ts`, right payload columns keep their names
     * (they must not collide with left's).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      tolerance: String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+      tolerance: String = "10 minutes", watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"intervalJoin supports inner/left_outer, got '$joinType'")
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right
       .withColumnRenamed("ts", "r_ts")
@@ -417,7 +425,7 @@ object Stateful extends Serializable {
       col(s"l.$key") === col(s"r.$key") &&
         col("r.r_ts") >= col("l.ts") - expr(s"INTERVAL $tolerance") &&
         col("r.r_ts") <= col("l.ts"),
-      "inner")
+      joinType)
       .drop(col(s"r.$key"))
   }
 

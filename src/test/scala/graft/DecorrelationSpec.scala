@@ -54,6 +54,17 @@ class DecorrelationSpec extends AnyFunSuite {
     assert(phys.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$phys")
   }
 
+  test("q120: HAVING-correlated scalar decorrelates; IN lowers to semi join") {
+    val (opt, phys) = plans("q120_nested_having_corr")
+    assert(!opt.contains("scalar-subquery"), s"correlated scalar survived:\n$opt")
+    assert(!opt.contains("list#"), s"IN-subquery survived optimization:\n$opt")
+    assert(phys.contains("LeftSemi"), s"IN did not become a semi join:\n$phys")
+    // the decorrelated per-part total is a grouped aggregate on l_partkey
+    assert(phys.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("l_partkey")),
+      s"expected a per-part grouped aggregate:\n$phys")
+  }
+
   test("q112: uncorrelated scalars stay one-shot subqueries; NOT EXISTS is an anti join") {
     val (_, phys) = plans("q112_avg_gate_anti")
     // the global avg gate is legitimately a (reused) scalar subquery — a

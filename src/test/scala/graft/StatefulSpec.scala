@@ -102,6 +102,47 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows null-pad after the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Stateful.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      views.toDF().toDF("user_id", "ts"),
+      key = "user_id", tolerance = "10 minutes", watermark = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.select(col("user_id"), col("ts"), col("r_ts"))
+      .writeStream.outputMode("append").format("memory").queryName("ssoj").start()
+    try {
+      views.addData((1L, ts("2024-01-01 10:00:00")))   // matches user 1's click
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00")),               // matched inner
+        (2L, ts("2024-01-01 10:05:00")))               // NO view: outer row
+      q.processAllAvailable()
+      // inner result is out immediately; the unmatched verdict for user 2 is
+      // still provisional (a view could arrive until wm passes 10:05)
+      val early = spark.sql("SELECT user_id FROM ssoj WHERE r_ts IS NULL").count()
+      assert(early == 0L, "outer row emitted before the watermark allowed it")
+      // advance BOTH watermarks far past 10:05 + tolerance
+      views.addData((9L, ts("2024-01-01 11:00:00")))
+      clicks.addData((9L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      views.addData((8L, ts("2024-01-01 12:00:00")))
+      clicks.addData((8L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, r_ts FROM ssoj ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toList
+      assert(rows.contains((1L, Some(ts("2024-01-01 10:00:00")))), s"inner row lost: $rows")
+      assert(rows.contains((2L, None)), s"outer null-padded row missing: $rows")
+      // rejects unsupported types loudly
+      intercept[IllegalArgumentException] {
+        Stateful.intervalJoin(clicks.toDF().toDF("user_id", "ts"),
+          views.toDF().toDF("user_id", "ts"), key = "user_id", joinType = "full_outer")
+      }
+    } finally q.stop()
+  }
+
   test("watermarked tumbling aggregation drops late rows past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
