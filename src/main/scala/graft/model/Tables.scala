@@ -61,7 +61,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
     expect(name, df)
-    df
+    normalizeTimestamps(spark, df)
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
@@ -76,6 +76,29 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case _ => raw
+    }
+  }
+
+  /** Fixture timestamps are parquet µs with isAdjustedToUTC=false (naive
+    * wall time, exactly what the DuckDB oracle reads), which Spark 4 infers
+    * as TIMESTAMP_NTZ. The engine's typed surface — collected
+    * `java.sql.Timestamp`s, the native as-of distance, windowed gates — is
+    * built on session-zoned TimestampType, so every NTZ column is cast to
+    * TimestampType here, at the one load chokepoint. The cast interprets
+    * the wall time in the session time zone; every entry point pins the
+    * session to UTC (guarded below), so the resulting instants are the
+    * naive values read as UTC — bit-identical to the oracle's rendering and
+    * to the pre-regeneration TIMESTAMP(NANOS)→µs path.
+    */
+  private def normalizeTimestamps(spark: SparkSession, df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else {
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "fixture load requires spark.sql.session.timeZone=UTC: the NTZ->TZ " +
+          "cast reads naive parquet timestamps as session-zone wall time")
+      ntz.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, d.col(f.name).cast(TimestampType)))
     }
   }
 

@@ -44,8 +44,10 @@ case class AsOfJoinPlan(
     require(leftTs.dataType == rightTs.dataType,
       s"as-of join ts types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
     if (direction == AsOfNearest) {
-      import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
-      require(Seq(TimestampType, LongType, IntegerType).contains(leftTs.dataType),
+      import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
+      // TimestampNTZ is physically long micros, same as TimestampType — the
+      // exec's distance reads both through getLong.
+      require(Seq(TimestampType, TimestampNTZType, LongType, IntegerType).contains(leftTs.dataType),
         s"nearest as-of needs a timestamp or integral ts for the distance; got ${leftTs.dataType}")
     }
   }
