@@ -767,6 +767,80 @@ object EventQueries extends QueryModule {
              |SELECT CAST(conc AS BIGINT) AS conc_level, CAST(COUNT(*) AS BIGINT) AS n_segments,
              |  CAST(SUM(next_us - t_us) AS BIGINT) AS total_us
              |FROM sw WHERE next_us IS NOT NULL
-             |GROUP BY conc ORDER BY conc_level""".stripMargin))
+             |GROUP BY conc ORDER BY conc_level""".stripMargin)),
+
+    // q136 — ROLLING 7-DAY ACTIVE USERS (the DAU/WAU staple). A distinct
+    // count over a sliding range frame is NOT a supported window aggregate
+    // in either engine's distributed path — the scalable shape is the
+    // CONTRIBUTION EXPLODE: each distinct (day, user) pair fans out to the
+    // ≤7 target days it contributes to (fixed 7× multiplier, equi-shuffled
+    // on target day), then one distinct-count per day. The oracle states
+    // the same set directly as a BETWEEN range join — tiny at oracle SF,
+    // quadratic-prone at 100 TB, which is exactly why the engine side
+    // doesn't use it. Day index is epoch_us div 86 400 000 000 (identical
+    // on both engines; q99's idiom).
+    Declared("q136_rolling_actives",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .select(idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"), col("user_id"))
+          .distinct()
+        val grid = daily.select(col("d")).distinct()
+        daily
+          .select(explode(sequence(col("d"), col("d") + lit(6L))).as("day_idx"), col("user_id"))
+          .join(grid.select(col("d").as("day_idx")), Seq("day_idx"), "left_semi")
+          .groupBy(col("day_idx"))
+          .agg(big(countDistinct(col("user_id"))).as("active_users"))
+          .orderBy(col("day_idx"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+             |g AS (SELECT DISTINCT d FROM e)
+             |SELECT g.d AS day_idx, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+             |FROM g JOIN e ON e.d BETWEEN g.d - 6 AND g.d
+             |GROUP BY g.d ORDER BY day_idx""".stripMargin)),
+
+    // q137 — CAPPED SESSIONIZATION: the 30-min-gap rule of q23 PLUS a hard
+    // 2-hour session-duration cap (the web-analytics "session timeout +
+    // max length" pair). The cap cannot be a window frame — it depends on
+    // the running session START — but it CAN be layered determinately:
+    // gap-sessions first (cumsum of break flags), then each gap-session is
+    // sliced into fixed 2-hour lanes from its own start
+    // (sub = (t - session_start) div 2h). Two window passes, both
+    // partitioned by user — no global window, no iteration. Output keys
+    // are micro-epochs (BIGINT) so rendering can't diverge.
+    Declared("q137_capped_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        val lagUs = lag(col("us"), 1).over(w)
+        val sess = ev
+          .withColumn("brk",
+            when(lagUs.isNull || col("us") - lagUs > 1800000000L, 1L).otherwise(0L))
+          .withColumn("gs", sum(col("brk")).over(wRun))
+        val wSess = Window.partitionBy(col("user_id"), col("gs"))
+        sess
+          .withColumn("sub", idiv(col("us") - min(col("us")).over(wSess), lit(7200000000L)))
+          .groupBy(col("user_id"), col("gs"), col("sub"))
+          .agg(min(col("us")).as("start_us"), count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+          .select(col("user_id"), big(col("start_us")).as("start_us"),
+            big(col("n_events")).as("n_events"), big(col("dur_us")).as("dur_us"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |                       OR us - lag(us) OVER w > 1800000000
+             |                     THEN 1 ELSE 0 END AS brk
+             |      FROM a WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |c AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                               ROWS UNBOUNDED PRECEDING) AS gs FROM b),
+             |d AS (SELECT *, (us - MIN(us) OVER (PARTITION BY user_id, gs)) // 7200000000 AS sub
+             |      FROM c)
+             |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+             |FROM d GROUP BY user_id, gs, sub
+             |ORDER BY user_id, start_us""".stripMargin))
   )
 }

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps.idiv
+import graft.functions.TextFunctions.tokens
+import graft.model.Tables
+import graft.operators.PageRank
+import Protocol._
+
+/** Retrieval-and-relevance operators ([EXT], SURVEY §2.2): BM25 ranked
+  * search over the document corpus, collocation mining (PMI-ranked
+  * bigrams), and weighted PageRank over the customer→supplier trade graph.
+  * All three follow the q72 integer-micro discipline — every division is an
+  * integral floor-division on BIGINTs, so sums are order-insensitive and the
+  * DuckDB oracle is bit-exact with no float in sight.
+  */
+object RetrievalQueries extends QueryModule {
+
+  /** The fixed keyword query for q134 (terms present across the corpus). */
+  private val bmTerms = Seq("spark", "join", "stream")
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q134 — BM25 top-10 (k1=1.2, b=0.75): the classic lexical ranking an
+    // inverted-index search serves. Rational rearrangement keeps the whole
+    // score in BIGINT micro-units:
+    //   tf-part  = tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    //            = 22·c·T div (10·c·T + 3·T + 9·dl·N)      [avgdl = T/N]
+    //   idf      = (N-df+½)/(df+½) = (2N-2df+1) div' (2df+1)  (×10⁶, floored)
+    // Term scores floor-multiply then SUM per doc — order-free. ln() of the
+    // rational idf is monotone, so the ranking equals textbook BM25 whenever
+    // df's are distinct. Width: 22·c·T·10⁶ < 2⁶³ ⇔ c·T < 4.2e11 — lift to
+    // DECIMAL(38,0)/HUGEINT past ~10¹¹ corpus tokens (q72's same bound).
+    //
+    // Shape at 100 TB: tc is one explode with the term filter applied
+    // BEFORE the aggregate (map-side, postings-sized); df and corpus stats
+    // are term-count- and 1-row-sized broadcasts; the final top-10 is
+    // TakeOrderedAndProject, never a global sort.
+    Declared("q134_bm25",
+      (s, dir) => {
+        val withDl = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
+        val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+        val tc = withDl.select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
+          .where(col("t").isin(bmTerms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("t")).agg(count(lit(1)).as("c"))
+        val dft = tc.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        tc.join(broadcast(dft), "t").crossJoin(broadcast(stats))
+          .withColumn("idf2",
+            idiv((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) * lit(1000000L),
+              lit(2L) * col("df") + lit(1L)))
+          .withColumn("tfpart",
+            idiv(lit(22L) * col("c") * col("t_tokens") * lit(1000000L),
+              lit(10L) * col("c") * col("t_tokens") + lit(3L) * col("t_tokens")
+                + lit(9L) * col("dl") * col("n_docs")))
+          .groupBy(col("doc_id"))
+          .agg(sum(idiv(col("idf2") * col("tfpart"), lit(1000000L))).as("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), big(col("score_micro")).as("score_micro"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+              |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM d),
+              |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+              |tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+              |       FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+              |       WHERE t IN (${bmTerms.map(t => s"'$t'").mkString(", ")})
+              |       GROUP BY doc_id, t),
+              |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY t),
+              |sc AS (SELECT tc.doc_id,
+              |   ((2*st.n_docs - 2*dft.df + 1)*1000000) // (2*dft.df + 1) AS idf2,
+              |   (22*tc.c*st.t_tokens*1000000) // (10*tc.c*st.t_tokens + 3*st.t_tokens + 9*dl.dl*st.n_docs) AS tfpart
+              |   FROM tc JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN st)
+              |SELECT doc_id, CAST(SUM((idf2*tfpart) // 1000000) AS BIGINT) AS score_micro
+              |FROM sc GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // q135 — collocation mining: adjacent-bigram lift, the PMI workhorse of
+    // phrase induction ("new york"-finding) in LLM-data tokenizer prep.
+    // lift = p(ab)/(p(a)p(b)); corpus constants (Nb, Nu²) are dropped so
+    // score_micro = c_ab·10¹² div (c_a·c_b) — ln-monotone in PMI up to the
+    // shared constant ⇒ identical ranking, zero floats. Support floor
+    // c_ab ≥ 5 (the standard PMI rare-pair guard). Width: c_ab < 9.2e6
+    // before the 10¹² scale overflows — DECIMAL(38,0) lift past that.
+    //
+    // Shape at 100 TB: bigrams come from ONE pass (arrays_zip of the token
+    // array with itself shifted — no self-join); both count maps are
+    // map-side partial aggs; the unigram join keys are term-sized.
+    Declared("q135_collocation",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select(tokens(col("text")).as("tk"))
+        val uni = d.select(explode(col("tk")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val bi = d.select(explode(arrays_zip(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+          .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+          .where(col("cab") >= 5)
+        val ua = uni.select(col("t").as("a"), col("c").as("ca"))
+        val ub = uni.select(col("t").as("b"), col("c").as("cb"))
+        bi.join(ua, "a").join(ub, "b")
+          .select(col("a"), col("b"), big(col("cab")).as("cab"),
+            idiv(col("cab") * lit(1000000000000L), col("ca") * col("cb")).as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("a"), col("b"))
+          .limit(20)
+          .select(col("a"), col("b"), col("cab"), big(col("lift_micro")).as("lift_micro"))
+      },
+      Some("""WITH d AS (SELECT string_split(text,' ') AS tk FROM documents),
+             |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(tk) AS t FROM d) GROUP BY t),
+             |bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM
+             |  (SELECT tk[i] AS a, tk[i+1] AS b
+             |   FROM d CROSS JOIN UNNEST(range(1, len(tk))) AS t(i))
+             |  GROUP BY a, b HAVING COUNT(*) >= 5)
+             |SELECT bi.a, bi.b, bi.cab,
+             |  CAST((bi.cab * 1000000000000) // (ua.c * ub.c) AS BIGINT) AS lift_micro
+             |FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b
+             |ORDER BY lift_micro DESC, a, b LIMIT 20""".stripMargin)),
+
+    // q138 — weighted PageRank (3 rounds, d=0.85) over the nation-level
+    // trade graph: edge (customer nation → supplier nation) weighted by
+    // line-item count. The link-authority scorer of web-corpus curation,
+    // here exercised end-to-end: graph extraction (3-way fact join) →
+    // operators.PageRank (exact integer-micro recurrence, floor-then-sum —
+    // see the operator scaladoc for the order-insensitivity argument) →
+    // dimension join for names. The oracle unrolls the identical recurrence
+    // three times in SQL.
+    Declared("q138_pagerank",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val su = Tables.load(s, dir, "supplier")
+        val edges = l
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val pr = PageRank.run(edges, iters = 3)
+        val nation = Tables.load(s, dir, "nation")
+        pr.join(broadcast(nation), pr("v") === nation("n_nationkey"))
+          .select(col("n_name"), big(col("pr")).as("pr_micro"))
+          .orderBy(col("pr_micro").desc, col("n_name"))
+      },
+      Some {
+        def it(prev: String, cur: String): String =
+          s"""$cur AS (SELECT nd.v, (150000 // n.n_nodes) + COALESCE(c.s, 0) AS pr
+             |  FROM nd CROSS JOIN n LEFT JOIN (
+             |    SELECT e.dst AS v, CAST(SUM((17 * $prev.pr * e.w) // (20 * ow.ow)) AS BIGINT) AS s
+             |    FROM $prev JOIN e ON $prev.v = e.src JOIN ow ON ow.src = e.src
+             |    GROUP BY 1) c ON nd.v = c.v)""".stripMargin
+        s"""WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, CAST(COUNT(*) AS BIGINT) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  GROUP BY 1, 2),
+           |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+           |nd AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e),
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nd),
+           |pr0 AS (SELECT v, 1000000 // n_nodes AS pr FROM nd CROSS JOIN n),
+           |${it("pr0", "pr1")},
+           |${it("pr1", "pr2")},
+           |${it("pr2", "pr3")}
+           |SELECT na.n_name, CAST(pr3.pr AS BIGINT) AS pr_micro
+           |FROM pr3 JOIN nation na ON na.n_nationkey = pr3.v
+           |ORDER BY pr_micro DESC, n_name""".stripMargin
+      }))
+}
