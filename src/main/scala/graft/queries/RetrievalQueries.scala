@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnOps.idiv
@@ -46,8 +47,12 @@ object RetrievalQueries extends QueryModule {
         val tc = withDl.select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
           .where(col("t").isin(bmTerms: _*))
           .groupBy(col("doc_id"), col("dl"), col("t")).agg(count(lit(1)).as("c"))
-        val dft = tc.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        tc.join(broadcast(dft), "t").crossJoin(broadcast(stats))
+        // df from the postings via an unordered window (q72's rule: never a
+        // join-back — that would re-run the text scan). Partition count =
+        // |query terms|, row bound = docs-per-term: postings-sized, and the
+        // whole corpus scan happens exactly twice (postings + corpus stats).
+        val withDf = tc.withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
+        withDf.crossJoin(broadcast(stats))
           .withColumn("idf2",
             idiv((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) * lit(1000000L),
               lit(2L) * col("df") + lit(1L)))
@@ -98,9 +103,17 @@ object RetrievalQueries extends QueryModule {
           .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
           .where(col("cab") >= 5)
-        val ua = uni.select(col("t").as("a"), col("c").as("ca"))
-        val ub = uni.select(col("t").as("b"), col("c").as("cb"))
-        bi.join(ua, "a").join(ub, "b")
+        // melt-join-pivot: each bigram contributes one row per role, joined
+        // against ONE unigram aggregate — two counter-sized shuffles instead
+        // of a second full text scan for a duplicated uni subplan. min(when)
+        // is safe for a==b bigrams (both roles resolve to the same count).
+        val melted = bi.select(col("a"), col("b"), col("cab"),
+          explode(array(col("a"), col("b"))).as("t"))
+        val counted = melted.join(uni, "t")
+          .groupBy(col("a"), col("b"), col("cab"))
+          .agg(min(when(col("t") === col("a"), col("c"))).as("ca"),
+            min(when(col("t") === col("b"), col("c"))).as("cb"))
+        counted
           .select(col("a"), col("b"), big(col("cab")).as("cab"),
             idiv(col("cab") * lit(1000000000000L), col("ca") * col("cb")).as("lift_micro"))
           .orderBy(col("lift_micro").desc, col("a"), col("b"))

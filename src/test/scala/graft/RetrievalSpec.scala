@@ -28,6 +28,17 @@ class RetrievalSpec extends AnyFunSuite {
       s"df/corpus stats not broadcast:\n$p")
   }
 
+  test("q134/q135: the text corpus is scanned exactly twice (df via window, melt-join uni)") {
+    // q72's rule generalized: df/unigram attachment must not re-run the
+    // corpus scan as a duplicated subplan. Postings + corpus-stats (q134)
+    // and bigrams + unigrams (q135) are the two irreducible passes.
+    Seq("q134_bm25", "q135_collocation").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans == 2, s"$q: expected exactly 2 corpus scans, found $scans:\n$p")
+    }
+  }
+
   test("q135 collocation: support floor holds and lift is positive") {
     val rows = SparkEntry.queries("q135_collocation")(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
