@@ -133,6 +133,63 @@ object CoverageQueries extends QueryModule {
              |  SELECT date_trunc('minute', ts) - to_minutes(k) AS w_start, event_type
              |  FROM events CROSS JOIN (SELECT unnest(range(0, 10)) AS k) offs
              |)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q140 — NTILE decile statistics: equal-frequency bucketing of the
+    // value distribution per event type (feature binning / percentile
+    // banding). The tie-break on event_id makes the NTILE assignment a
+    // total order — bit-identical bucket membership on both engines (an
+    // ORDER BY value alone would leave tied rows engine-dependent).
+    // min/max carry no arithmetic, so doubles are hash-safe as-is.
+    // Scale shape: one window per event_type partition (bounded fan-in),
+    // then a (type, decile)-keyed counter aggregate — 10·|types| rows out.
+    Declared("q140_ntile_deciles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy(col("event_type"), col("decile"))
+          .agg(big(count(lit(1))).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+          .select(col("event_type"), big(col("decile")).as("decile"), col("n"), col("lo"), col("hi"))
+          .orderBy(col("event_type"), col("decile"))
+      },
+      Some("""WITH t AS (SELECT event_type, value,
+             |  NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS dec
+             |  FROM events)
+             |SELECT event_type, CAST(dec AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+             |  MIN(value) AS lo, MAX(value) AS hi
+             |FROM t GROUP BY 1,2 ORDER BY event_type, decile""".stripMargin)),
+
+    // q141 — ordered string aggregation (LISTAGG ... WITHIN GROUP, the
+    // SQL:2016 surface; Spark 4's ListAgg vs DuckDB's ordered string_agg):
+    // per-nation roster of top-balance customers. The inner top-3 keeps the
+    // concatenated payload bounded — the pattern a report/export layer uses
+    // so the aggregate string can never grow fact-sized; the WITHIN GROUP
+    // order makes the concatenation deterministic on both engines.
+    Declared("q141_listagg_roster",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_name"))
+        val top = c.select(col("c_nationkey"), col("c_name"), col("c_acctbal"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+        top.join(broadcast(n), top("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(expr("listagg(c_name, ',') within group (order by c_name)").as("roster"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH top AS (SELECT c_nationkey, c_name,
+             |  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |                     ORDER BY c_acctbal DESC, c_name) AS rk
+             |  FROM customer)
+             |SELECT n.n_name, string_agg(t.c_name, ',' ORDER BY t.c_name) AS roster
+             |FROM top t JOIN nation n ON t.c_nationkey = n.n_nationkey
+             |WHERE t.rk <= 3
+             |GROUP BY n.n_name ORDER BY n_name""".stripMargin))
   )
 }

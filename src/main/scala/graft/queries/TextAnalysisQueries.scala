@@ -325,6 +325,40 @@ object TextAnalysisQueries extends QueryModule {
              |  CAST(len(chunk) AS BIGINT) AS n_tok,
              |  md5(array_to_string(chunk, ' ')) AS chunk_md5
              |FROM chunks WHERE start = 0 OR len(chunk) > 10
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // q139 — TOKEN-RARITY scoring (unigram-LM surprisal proxy): per-doc
+    // mean corpus rarity, rarity(w) = 10⁹ div c_w. The cheap "is this doc
+    // full of rare junk or common prose" curation signal — the integer
+    // stand-in for mean unigram log-prob (ln is monotone in 1/c_w, and the
+    // MEAN of per-token scores ranks near-identically for filtering).
+    //
+    // ONE corpus scan total: (doc,term) counts once; corpus frequency c_w
+    // is an unordered window over the counts (q72's df idiom — never a
+    // join-back, which would duplicate the scan subplan); doc length is
+    // Σc per doc on the same rows. Floor-div per token class, then the
+    // per-doc mean as one final integer division — order-insensitive.
+    Declared("q139_rarity_score",
+      (s, dir) => {
+        val tc = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        tc.withColumn("cw", sum(col("c")).over(Window.partitionBy(col("t"))))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c") * idiv(lit(1000000000L), col("cw"))).as("contrib"),
+            sum(col("c")).as("dl"))
+          .select(col("doc_id"), idiv(col("contrib"), col("dl")).as("rarity_micro"))
+          .orderBy(col("rarity_micro").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), big(col("rarity_micro")).as("rarity_micro"))
+      },
+      Some("""WITH tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+             |  GROUP BY 1,2),
+             |uni AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cw FROM tc GROUP BY t),
+             |sc AS (SELECT tc.doc_id, tc.c * (1000000000 // uni.cw) AS contrib, tc.c
+             |       FROM tc JOIN uni USING (t))
+             |SELECT doc_id, CAST(SUM(contrib) // SUM(c) AS BIGINT) AS rarity_micro
+             |FROM sc GROUP BY doc_id ORDER BY rarity_micro DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

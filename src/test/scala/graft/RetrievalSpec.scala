@@ -81,6 +81,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(mass >= 990000L, s"mass lost beyond flooring bounds: $mass")
   }
 
+  test("q139 rarity: ONE corpus scan (counts once, corpus freq via window)") {
+    val df = SparkEntry.queries("q139_rarity_score")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, found $scans:\n$p")
+    assert(df.count() == 20)
+  }
+
+  test("q140 NTILE: every event type gets 10 deciles with balanced counts") {
+    val rows = SparkEntry.queries("q140_ntile_deciles")(spark, dir).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      assert(rs.length == 10, s"$t: expected 10 deciles, got ${rs.length}")
+      val counts = rs.map(r => r.getLong(r.fieldIndex("n")))
+      assert(counts.max - counts.min <= 1, s"$t: NTILE counts unbalanced: ${counts.toSeq}")
+    }
+  }
+
+  test("q141 listagg: rosters are capped at 3 ordered names") {
+    val rows = SparkEntry.queries("q141_listagg_roster")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val names = r.getString(r.fieldIndex("roster")).split(",").toSeq
+      assert(names.length <= 3 && names == names.sorted, s"bad roster: $names")
+    }
+  }
+
   test("q138 PageRank plan: per-round contribution joins are equi-joins, no cartesian") {
     val p = SparkEntry.queries("q138_pagerank")(spark, dir)
       .queryExecution.executedPlan.toString
