@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
 import Protocol._
@@ -190,6 +191,58 @@ object CoverageQueries extends QueryModule {
              |SELECT n.n_name, string_agg(t.c_name, ',' ORDER BY t.c_name) AS roster
              |FROM top t JOIN nation n ON t.c_nationkey = n.n_nationkey
              |WHERE t.rk <= 3
-             |GROUP BY n.n_name ORDER BY n_name""".stripMargin))
+             |GROUP BY n.n_name ORDER BY n_name""".stripMargin)),
+
+    // q142 — ISO-8601 calendar aggregation: order volume per ISO
+    // (year-of-week, week). The cross-engine trap this pins: calendar
+    // weeks straddle year boundaries, so YEAR(ts) + WEEKOFYEAR(ts) is
+    // WRONG at the edges (a Dec-29 order can belong to week 1 of the NEXT
+    // ISO year) — Spark's extract(YEAROFWEEK) and DuckDB's isoyear() agree
+    // on the ISO semantics, and the oracle match proves it over every
+    // boundary in the data. One scan, one counter-sized aggregate.
+    Declared("q142_iso_calendar",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(
+            expr("extract(YEAROFWEEK FROM o_orderdate)").cast("long").as("iso_year"),
+            weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+          .agg(big(count(lit(1))).as("n_orders"),
+            out6(sum(dec(col("o_totalprice")))).as("total"))
+          .orderBy(col("iso_year"), col("iso_week"))
+      },
+      Some("""SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+             |  CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+             |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY iso_year, iso_week""".stripMargin)),
+
+    // q143 — higher-order array lambdas over the embedding column
+    // (filter / transform / aggregate / array_max vs DuckDB's list_filter /
+    // list_transform / list_sum / list_max): positive-component count, L1
+    // norm, and max |x| per vector. All three run INSIDE the row — no
+    // explode, no shuffle, codegen'd lambda evaluation over the raw array;
+    // the decimal leaf cast keeps the reductions exact and order-free.
+    // CAST PARITY TRAP (found the hard way): DuckDB casts REAL→DECIMAL via
+    // the float's SHORTEST decimal repr — a 7-digit repr like "0.0577865"
+    // is an exact 6-dp halfway and rounds half-even DOWN, while Spark
+    // rounds the widened double (…501944…) UP. Routing the oracle cast
+    // through DOUBLE first makes both engines round the same 17-digit
+    // value, where a 6-dp halfway cannot occur for generic data.
+    Declared("q143_array_lambdas",
+      (s, dir) => {
+        val absDec = transform(col("embedding"), x => abs(x.cast(D)))
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
+            out6(aggregate(absDec, lit(0).cast(DecimalType(38, 6)),
+              (acc, x) => acc + x)).as("l1"),
+            out6(array_max(absDec)).as("max_abs"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+             |  CAST(ROUND(list_sum(list_transform(embedding, x -> ABS(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))))), 6) AS DECIMAL(18,6)) AS l1,
+             |  CAST(ROUND(list_max(list_transform(embedding, x -> ABS(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))))), 6) AS DECIMAL(18,6)) AS max_abs
+             |FROM embeddings ORDER BY vec_id""".stripMargin))
   )
 }
