@@ -402,11 +402,14 @@ object Stateful extends Serializable {
     * derive state-eviction watermarks for each side — without the time
     * bound, stream-stream state grows forever.
     *
-    * `joinType` "left_outer" additionally emits null-padded left rows, but
-    * only AFTER the watermark has passed the point where a match could
-    * still arrive (Spark's outer-result emission delay — the unmatched
-    * verdict is provisional until then, so outer rows trail the inner ones
-    * by up to watermark + tolerance; StatefulSpec pins it).
+    * `joinType` "left_outer" / "right_outer" / "full_outer" additionally
+    * emit null-padded rows for the unmatched side(s), but only AFTER the
+    * watermark has passed the point where a match could still arrive
+    * (Spark's outer-result emission delay — the unmatched verdict is
+    * provisional until then, so outer rows trail the inner ones by up to
+    * watermark + tolerance; StatefulSpec pins both directions). The output
+    * key column coalesces across sides so full_outer's right-only rows
+    * keep their key.
     *
     * Input frames must expose (key, ts [timestamp], payload...); the right
     * timestamp is emitted as `r_ts`, right payload columns keep their names
@@ -415,18 +418,28 @@ object Stateful extends Serializable {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       tolerance: String = "10 minutes", watermark: String = "30 minutes",
       joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer")(joinType),
-      s"intervalJoin supports inner/left_outer, got '$joinType'")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+      s"intervalJoin supports inner/left_outer/right_outer/full_outer, got '$joinType'")
     val l = left.withWatermark("ts", watermark).alias("l")
-    val r = right
-      .withColumnRenamed("ts", "r_ts")
-      .withWatermark("r_ts", watermark).alias("r")
-    l.join(r,
+    val renamed = right.withColumnRenamed("ts", "r_ts")
+    val r = renamed.withWatermark("r_ts", watermark).alias("r")
+    val joined = l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col("r.r_ts") >= col("l.ts") - expr(s"INTERVAL $tolerance") &&
         col("r.r_ts") <= col("l.ts"),
       joinType)
-      .drop(col(s"r.$key"))
+    // one surviving key column: for full_outer an unmatched RIGHT row has a
+    // null left key, so the output key must coalesce across sides — dropping
+    // r.key (the pre-round-6 behavior) would erase the key of exactly the
+    // rows the outer mode exists to surface
+    val keyOut = joinType match {
+      case "right_outer" => col(s"r.$key")
+      case "full_outer"  => coalesce(col(s"l.$key"), col(s"r.$key"))
+      case _             => col(s"l.$key")
+    }
+    val lCols = left.columns.filterNot(_ == key).map(c => col(s"l.$c"))
+    val rCols = renamed.columns.filterNot(_ == key).map(c => col(s"r.$c"))
+    joined.select((keyOut.as(key) +: (lCols ++ rCols)).toIndexedSeq: _*)
   }
 
   /** Funnel input event (event time in micros; etype: 0=view 1=click

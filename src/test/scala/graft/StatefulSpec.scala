@@ -138,8 +138,47 @@ class StatefulSpec extends AnyFunSuite {
       // rejects unsupported types loudly
       intercept[IllegalArgumentException] {
         Stateful.intervalJoin(clicks.toDF().toDF("user_id", "ts"),
-          views.toDF().toDF("user_id", "ts"), key = "user_id", joinType = "full_outer")
+          views.toDF().toDF("user_id", "ts"), key = "user_id", joinType = "cross")
       }
+    } finally q.stop()
+  }
+
+  test("stream-stream FULL OUTER interval join: both sides null-pad, keys survive") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Stateful.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      views.toDF().toDF("user_id", "ts"),
+      key = "user_id", tolerance = "10 minutes", watermark = "10 minutes",
+      joinType = "full_outer")
+    val q = joined.select(col("user_id"), col("ts"), col("r_ts"))
+      .writeStream.outputMode("append").format("memory").queryName("ssfj").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00")),  // matches user 1's click
+        (3L, ts("2024-01-01 10:02:00")))  // NO click: right-outer row
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00")),  // matched inner
+        (2L, ts("2024-01-01 10:05:00")))  // NO view: left-outer row
+      q.processAllAvailable()
+      // advance BOTH watermarks far enough for both unmatched verdicts
+      Seq("11:00:00", "12:00:00").foreach { t =>
+        views.addData((9L, ts(s"2024-01-01 $t")))
+        clicks.addData((9L, ts(s"2024-01-01 $t")))
+        q.processAllAvailable()
+      }
+      val rows = spark.sql("SELECT user_id, ts, r_ts FROM ssfj WHERE user_id < 9 ORDER BY user_id")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.getTimestamp(2)))).toList
+      assert(rows.contains((1L, Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:00:00")))),
+        s"inner row lost: $rows")
+      assert(rows.contains((2L, Some(ts("2024-01-01 10:05:00")), None)),
+        s"left-outer row missing: $rows")
+      // the right-only row must keep its key (coalesced), left ts null
+      assert(rows.contains((3L, None, Some(ts("2024-01-01 10:02:00")))),
+        s"right-outer row missing or key lost: $rows")
     } finally q.stop()
   }
 
