@@ -2,6 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.model.TradeTick
 import graft.streaming.Ingest
@@ -55,5 +56,95 @@ class PropertySpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("bid"))
       .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
     ticks.foreach(t => assert(rows(t.tradeId) == t.tradeTimeMs / 1000))
+  }
+  test("spark law: PageRank equals a driver-side exact simulation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 5 + rnd.nextInt(8)
+      val edges = (for {
+        s <- 0 until n; d <- 0 until n
+        if s != d && rnd.nextInt(3) == 0
+      } yield (s.toLong, d.toLong, 1L + rnd.nextInt(9).toLong))
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst", "w")
+        val got = graft.operators.PageRank.run(df, iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // exact reference: same floor-then-sum recurrence, plain Scala
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+        val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val nn = nodes.size.toLong
+        var pr = nodes.map(v => v -> 1000000L / nn).toMap
+        (1 to 3).foreach { _ =>
+          val contrib = edges.groupBy(_._2).view.mapValues(
+            _.map { case (s, _, w) => 17L * pr(s) * w / (20L * outw(s)) }.sum).toMap
+          pr = nodes.map(v => v -> (150000L / nn + contrib.getOrElse(v, 0L))).toMap
+        }
+        assert(got == pr, s"trial $trial: spark=$got ref=$pr")
+      }
+    }
+  }
+
+  test("spark law: capped sessions match a per-user brute-force replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // adversarial micro-times: dense bursts around the 30-min and 2-h edges
+    val rows = (for {
+      u <- 0 until 8
+      i <- 0 until 40
+    } yield {
+      val stepUs = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(1000)                    // sub-ms burst
+        case 1 => 1800000000L + rnd.nextInt(3) - 1     // at the gap edge
+        case 2 => rnd.nextInt(1200) * 1000000L         // inside the session
+        case _ => 7200000000L + rnd.nextInt(3) - 1     // at the cap edge
+      }
+      (u.toLong, i.toLong, stepUs)
+    }).groupBy(_._1).toSeq.flatMap { case (u, steps) =>
+      var t = 1700000000000000L
+      steps.sortBy(_._2).map { case (_, i, d) => t += d; (u, i, t) }
+    }
+    val df = rows.toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(us)").as("ts"), col("us"))
+    df.createOrReplaceTempView("prop_events")
+    // run the q137 logic inline over the synthetic frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val lagUs = lag(col("us"), 1).over(w)
+    val sess = df
+      .withColumn("brk", when(lagUs.isNull || col("us") - lagUs > 1800000000L, 1L).otherwise(0L))
+      .withColumn("gs", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"), col("gs"))
+    val got = sess
+      .withColumn("sub", graft.functions.ColumnOps.idiv(
+        col("us") - min(col("us")).over(wS), lit(7200000000L)))
+      .groupBy(col("user_id"), col("gs"), col("sub"))
+      .agg(min(col("us")).as("start_us"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // brute force: walk each user's sorted events, split on gap>30min from
+    // the PREVIOUS event or lane change from the gap-session start
+    val ref = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      var out = List.empty[(Long, Long, Long)] // (user, start, n)
+      var gapStart = -1L; var prev = -1L; var lane = -1L
+      var curStart = -1L; var curN = 0L
+      sorted.foreach { case (_, _, t) =>
+        val newGap = prev < 0 || t - prev > 1800000000L
+        val newLane = if (newGap) 0L else (t - gapStart) / 7200000000L
+        if (newGap || newLane != lane) {
+          if (curN > 0) out ::= ((u, curStart, curN))
+          curStart = t; curN = 0
+          if (newGap) gapStart = t
+          lane = newLane
+        }
+        curN += 1; prev = t
+      }
+      if (curN > 0) out ::= ((u, curStart, curN))
+      out
+    }.toSet
+    assert(got == ref, s"mismatch:\n got=${got.toList.sorted.take(10)}\n ref=${ref.toList.sorted.take(10)}")
   }
 }
