@@ -42,11 +42,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object GlobalCumSum {
 
+  /** The long monoid the running pass folds with. `combineCol` is the SAME
+    * combine expressed over Columns, used to merge the broadcast partition
+    * offset into the local accumulator in codegen.
+    */
+  private final case class LongMonoid(
+      zero: Long,
+      combine: (Long, Long) => Long,
+      combineCol: (Column, Column) => Column,
+      aggOf: Column => Column)
+
+  private val SumM = LongMonoid(0L, _ + _, _ + _, sum)
+  private val MaxM = LongMonoid(Long.MinValue, math.max, greatest(_, _), max)
+
   /** Appends `out` = running total of `value` over the global `order`,
     * inclusive of the current row.
     */
   def withCumSum(df: DataFrame, order: Seq[Column], value: Column, out: String,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None): DataFrame =
+    withCumAgg(df, order, value, out, SumM, numPartitions)
+
+  /** Appends `out` = running MAXIMUM of `value` over the global `order`,
+    * inclusive of the current row — the prefix-max primitive behind
+    * sweep-style dominance queries (skyline q144): same one-shuffle recipe,
+    * max monoid. For the exclusive variant, lag(out) over the same order —
+    * or, as q144 does, collapse to group-level rows first and lag there.
+    */
+  def withCumMax(df: DataFrame, order: Seq[Column], value: Column, out: String,
+      numPartitions: Option[Int] = None): DataFrame =
+    withCumAgg(df, order, value, out, MaxM, numPartitions)
+
+  private def withCumAgg(df: DataFrame, order: Seq[Column], value: Column, out: String,
+      m: LongMonoid, numPartitions: Option[Int]): DataFrame = {
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val withV = df.withColumn("_v", value)
@@ -58,13 +85,14 @@ object GlobalCumSum {
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
 
-    // One imperative pass per sorted partition: local running sum + the
+    // One imperative pass per sorted partition: local running fold + the
     // partition id the row was ranged into.
     val vIdx = ranged.schema.fieldIndex("_v")
+    val (zero, combine) = (m.zero, m.combine)
     val augmentedRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = 0L
+      var acc = zero
       it.map { r =>
-        acc += r.getLong(vIdx)
+        acc = combine(acc, r.getLong(vIdx))
         Row.fromSeq(r.toSeq :+ pid :+ acc)
       }
     }
@@ -74,16 +102,17 @@ object GlobalCumSum {
 
     // Bounded driver-side model: one (pid, total) pair per partition.
     val totals: Array[(Int, Long)] = augmented
-      .groupBy(col("_pid")).agg(sum(col("_v")).as("_s"))
+      .groupBy(col("_pid")).agg(m.aggOf(col("_v")).as("_s"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets: Map[Int, Long] = {
-      var acc = 0L
-      totals.sortBy(_._1).map { case (pid, s) => val off = acc; acc += s; pid -> off }.toMap
+      var acc = m.zero
+      totals.sortBy(_._1).map { case (pid, s) => val off = acc; acc = m.combine(acc, s); pid -> off }.toMap
     }
 
     augmented
       .withColumn(out,
-        coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)) + col("_local"))
+        m.combineCol(coalesce(element_at(typedlit(offsets), col("_pid")), lit(m.zero)),
+          col("_local")))
       .drop("_v", "_pid", "_local")
   }
 }

@@ -496,6 +496,42 @@ object ScaleQueries extends QueryModule {
              |SELECT r.event_type, r.rn, r.user_id, CAST(r.cnt AS BIGINT) AS cnt,
              |  CAST(r.cnt * 1000000 // t.total AS BIGINT) AS share_ppm
              |FROM ranked r JOIN totals t USING (event_type)
-             |WHERE r.rn <= 5 ORDER BY r.event_type, r.rn""".stripMargin))
+             |WHERE r.rn <= 5 ORDER BY r.event_type, r.rn""".stripMargin)),
+
+    // q144 — 2-D SKYLINE (Pareto frontier): parts no other part beats on
+    // BOTH (cheaper-or-equal price, bigger-or-equal size, one strict). The
+    // canonical formulation is the NOT EXISTS self-join the oracle runs —
+    // quadratic, and Spark would plan it as a nested-loop. The engine
+    // instead runs the sort-sweep: collapse to per-price best size, global
+    // running max over price order (GlobalCumSum.withCumMax — the
+    // one-shuffle prefix-max primitive, no partition-less window), make it
+    // EXCLUSIVE with GlobalRank + a rank+1 self-join (q119's successor
+    // recipe), keep price groups whose best size beats every cheaper
+    // group, then one equi join back tags the surviving parts. Every stage
+    // is linear or group-sized; nothing is all-pairs.
+    Declared("q144_skyline",
+      (s, dir) => {
+        import graft.operators.{GlobalCumSum, GlobalRank}
+        val p = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        val grp = p.groupBy(col("p_retailprice").as("price"))
+          .agg(max(col("p_size")).cast("long").as("gmax"))
+        val order = Seq(col("price"))
+        val swept = GlobalRank.withRankColumns(
+          GlobalCumSum.withCumMax(grp, order, col("gmax"), "runmax"), order)
+        val prev = swept.select((col("rank") + 1).as("rank"), col("runmax").as("prevmax"))
+        val sky = swept.join(prev, Seq("rank"), "left")
+          .filter(col("gmax") > coalesce(col("prevmax"), lit(Long.MinValue)))
+          .select(col("price"), col("gmax"))
+        p.join(sky, p("p_retailprice") === sky("price")
+            && p("p_size").cast("long") === sky("gmax"))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy(col("p_retailprice"), col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+             |ORDER BY p_retailprice, p_partkey""".stripMargin))
   )
 }

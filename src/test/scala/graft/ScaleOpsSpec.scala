@@ -174,6 +174,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // GlobalCumSum/GlobalRank caches are caller-owned
   }
 
+  test("q144 skyline: sort-sweep plan — no nested loop, no partition-less window") {
+    // the canonical NOT EXISTS formulation is quadratic (nested loop); the
+    // engine's sweep must be prefix-max (GlobalCumSum.withCumMax pass
+    // boundary) + rank successor join + one equi join back — all linear
+    val df = graft.SparkEntry.queries("q144_skyline")(spark, sf0001)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"all-pairs operator leaked into the skyline:\n$phys")
+    assert(!phys.contains("Window"), s"window leaked into the sweep:\n$phys")
+    assert(phys.contains("ExistingRDD"), s"expected the prefix-max pass boundary:\n$phys")
+    assert(df.collect().nonEmpty)
+    spark.catalog.clearCache() // GlobalCumSum/GlobalRank caches are caller-owned
+  }
+
+  test("GlobalCumSum.withCumMax equals the single-partition window running max") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong - 500L))
+    val df = rows.toDF("k", "v")
+    val got = graft.operators.GlobalCumSum
+      .withCumMax(df, Seq(col("k")), col("v"), "rm", numPartitions = Some(7))
+      .select(col("k"), col("rm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("rm",
+        max(col("v")).over(Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("persisted IVF index: search joins the bucketed lists with no corpus shuffle") {
     import graft.operators.AnnIvf
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
