@@ -532,6 +532,40 @@ object ScaleQueries extends QueryModule {
              |WHERE NOT EXISTS (SELECT 1 FROM part q
              |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
              |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-             |ORDER BY p_retailprice, p_partkey""".stripMargin))
+             |ORDER BY p_retailprice, p_partkey""".stripMargin)),
+
+    // q145 — GLOBAL WEIGHTED MEDIAN (quantity-weighted median line price):
+    // the smallest price whose cumulative weight reaches half the total.
+    // The oracle's natural form is a partition-less window cumsum — the
+    // exact shape that funnels 100 TB into one task — so the engine runs
+    // GlobalCumSum over the total order (price, orderkey, linenumber)
+    // instead: one range shuffle, per-partition imperative fold, broadcast
+    // offsets. The half-total threshold is a 1-row broadcast and the
+    // crossing row is TakeOrdered(1). Weights are integral quantities
+    // (cast-checked by GlobalCumSum), so the crossing test 2·cum ≥ total
+    // is exact integer arithmetic on both engines.
+    Declared("q145_weighted_median",
+      (s, dir) => {
+        import graft.operators.GlobalCumSum
+        val w = Tables.load(s, dir, "lineitem")
+          .select(col("l_extendedprice").as("p"), col("l_quantity").cast("long").as("q"),
+            col("l_orderkey"), col("l_linenumber"))
+        val order = Seq(col("p"), col("l_orderkey"), col("l_linenumber"))
+        val cum = GlobalCumSum.withCumSum(w, order, col("q"), "cw")
+        val tot = broadcast(w.agg(sum(col("q")).as("tw")))
+        cum.crossJoin(tot)
+          .filter(lit(2L) * col("cw") >= col("tw"))
+          .orderBy(col("p"))
+          .limit(1)
+          .select(col("p").as("median_price"), big(col("tw")).as("total_weight"))
+      },
+      Some("""WITH w AS (SELECT l_extendedprice AS p, CAST(l_quantity AS BIGINT) AS q,
+             |                  l_orderkey, l_linenumber FROM lineitem),
+             |c AS (SELECT p, q, SUM(q) OVER (ORDER BY p, l_orderkey, l_linenumber
+             |                                ROWS UNBOUNDED PRECEDING) AS cw FROM w),
+             |t AS (SELECT CAST(SUM(q) AS BIGINT) AS tw FROM w)
+             |SELECT c.p AS median_price, t.tw AS total_weight
+             |FROM c CROSS JOIN t WHERE 2*c.cw >= t.tw
+             |ORDER BY c.p LIMIT 1""".stripMargin))
   )
 }

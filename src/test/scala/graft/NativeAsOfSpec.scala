@@ -355,4 +355,34 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(!plan.contains("WindowExec"), "window encoding leaked into native plan")
     assert(!plan.contains("BroadcastNestedLoop"), "nested-loop fallback in native plan")
   }
+
+  test("native as-of accepts TIMESTAMP_NTZ end-to-end, all three directions") {
+    // NTZ is physically long micros like TimestampType; since the fixture
+    // regeneration made NTZ a type users actually hit, pin that raw NTZ
+    // frames (no normalization) flow through backward/forward/nearest and
+    // produce the same matches as their session-zoned twins
+    import spark.implicits._
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "c1"),
+      (1L, ts("2024-01-01 10:00:10"), "c2"),
+      (2L, ts("2024-01-01 10:00:01"), "c3")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:03"), 3.0),
+      (1L, ts("2024-01-01 10:00:12"), 12.0),
+      (2L, ts("2024-01-01 10:00:02"), 2.0)).toDF("user_id", "ts", "v")
+    Seq[(String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame)](
+      ("backward", AsOfJoin.backwardNative(_, _, Seq("user_id"), "ts", Seq("v"), "m_")),
+      ("forward", AsOfJoin.forwardNative(_, _, Seq("user_id"), "ts", Seq("v"), "m_")),
+      ("nearest", AsOfJoin.nearestNative(_, _, Seq("user_id"), "ts", Seq("v"), "m_"))
+    ).foreach { case (name, join) =>
+      val tz = join(left, right)
+        .select("tag", "m_v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      val nz = join(ntz(left), ntz(right))
+        .select("tag", "m_v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+      assert(nz == tz, s"$name: NTZ result diverged: ntz=$nz tz=$tz")
+    }
+  }
 }
