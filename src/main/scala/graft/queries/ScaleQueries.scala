@@ -566,6 +566,65 @@ object ScaleQueries extends QueryModule {
              |t AS (SELECT CAST(SUM(q) AS BIGINT) AS tw FROM w)
              |SELECT c.p AS median_price, t.tw AS total_weight
              |FROM c CROSS JOIN t WHERE 2*c.cw >= t.tw
-             |ORDER BY c.p LIMIT 1""".stripMargin))
+             |ORDER BY c.p LIMIT 1""".stripMargin)),
+
+    // q146 — GROUPED weighted percentile (p90 of line price weighted by
+    // quantity, per return flag): q145's crossing-row rule under a
+    // partitioned window — per-group cumsums are scale-fine (the partition
+    // bounds the sort), so no GlobalCumSum needed here; the group totals
+    // attach as a group-count-sized broadcast and the crossing price is
+    // MIN(p) over qualifying rows (the cumsum is nondecreasing within the
+    // group, so the first crosser has the minimal price). 10·cum ≥ 9·total
+    // keeps the 0.9 threshold in exact integers.
+    Declared("q146_weighted_p90",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("p"),
+            col("l_quantity").cast("long").as("q"), col("l_orderkey"), col("l_linenumber"))
+        val win = Window.partitionBy(col("g"))
+          .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = w.groupBy(col("g")).agg(sum(col("q")).as("tw"))
+        w.withColumn("cw", sum(col("q")).over(win))
+          .join(broadcast(tot), "g")
+          .filter(lit(10L) * col("cw") >= lit(9L) * col("tw"))
+          .groupBy(col("g"))
+          .agg(min(col("p")).as("p90_price"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH w AS (SELECT l_returnflag AS g, l_extendedprice AS p,
+             |                  CAST(l_quantity AS BIGINT) AS q, l_orderkey, l_linenumber
+             |           FROM lineitem),
+             |c AS (SELECT g, p, q, SUM(q) OVER (PARTITION BY g ORDER BY p, l_orderkey, l_linenumber
+             |                                   ROWS UNBOUNDED PRECEDING) AS cw FROM w),
+             |t AS (SELECT g, CAST(SUM(q) AS BIGINT) AS tw FROM w GROUP BY g)
+             |SELECT c.g, MIN(c.p) AS p90_price
+             |FROM c JOIN t USING (g) WHERE 10*c.cw >= 9*t.tw
+             |GROUP BY c.g ORDER BY g""".stripMargin)),
+
+    // q147 — CUMULATIVE ADOPTION CURVE: per day, newly-seen users and the
+    // running total of distinct users ever seen. First-seen day is one
+    // user-keyed aggregate; the running total is GlobalCumSum over the
+    // DAY-aggregated table (calendar-sized, but the primitive keeps the
+    // recipe uniform — no partition-less window anywhere in the engine).
+    Declared("q147_adoption_curve",
+      (s, dir) => {
+        import graft.operators.GlobalCumSum
+        val f = Tables.load(s, dir, "events")
+          .select(col("user_id"), idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"))
+          .groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        val daily = f.groupBy(col("d0").as("d")).agg(count(lit(1)).as("new_users"))
+        GlobalCumSum.withCumSum(daily, Seq(col("d")), col("new_users"), "cum_users")
+          .select(col("d"), big(col("new_users")).as("new_users"),
+            big(col("cum_users")).as("cum_users"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+             |           FROM events GROUP BY 1),
+             |n AS (SELECT d0 AS d, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+             |SELECT d, new_users,
+             |  CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+             |FROM n ORDER BY d""".stripMargin))
   )
 }
