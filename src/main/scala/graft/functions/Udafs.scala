@@ -85,6 +85,57 @@ object Udafs {
     override def outputEncoder: Encoder[WSumParts] = Encoders.product[WSumParts]
   }
 
+  /** Bounded grouped top-k as an AGGREGATE — the aggregation alternative to
+    * window ranking. A window top-k sorts every group in full; this buffer
+    * never holds more than k rows, the map-side partial combines locally,
+    * and the shuffle carries ≤ k rows PER PARTITION per group — at 100 TB
+    * with millions of rows per group and k=3, that is the difference
+    * between shuffling the table and shuffling k·P counter rows.
+    *
+    * Ordering is the total (score DESC, k1 ASC, k2 ASC), so equal scores
+    * resolve deterministically and the result is bit-identical to the
+    * ROW_NUMBER formulation on any partitioning. Buffer arrays stay in
+    * Tungsten rows (Encoders.product with Array fields) — no Kryo opacity.
+    */
+  final case class TopKBuf(score: Array[Double], k1: Array[Long], k2: Array[Long])
+
+  final class BoundedTopK(k: Int)
+      extends Aggregator[(Double, Long, Long), TopKBuf, TopKBuf] {
+    require(k > 0, s"BoundedTopK needs k > 0, got $k")
+    private def beats(p: Double, a: Long, b: Long, buf: TopKBuf, i: Int): Boolean = {
+      val c = java.lang.Double.compare(p, buf.score(i))
+      c > 0 || (c == 0 && (a < buf.k1(i) || (a == buf.k1(i) && b < buf.k2(i))))
+    }
+    private def insert(buf: TopKBuf, p: Double, a: Long, b: Long): TopKBuf = {
+      val n = buf.score.length
+      if (n == k && !beats(p, a, b, buf, n - 1)) return buf
+      var pos = 0
+      while (pos < n && !beats(p, a, b, buf, pos)) pos += 1
+      val m = math.min(n + 1, k)
+      val (ps, as_, bs) = (new Array[Double](m), new Array[Long](m), new Array[Long](m))
+      var i = 0
+      while (i < m) {
+        if (i < pos) { ps(i) = buf.score(i); as_(i) = buf.k1(i); bs(i) = buf.k2(i) }
+        else if (i == pos) { ps(i) = p; as_(i) = a; bs(i) = b }
+        else { ps(i) = buf.score(i - 1); as_(i) = buf.k1(i - 1); bs(i) = buf.k2(i - 1) }
+        i += 1
+      }
+      TopKBuf(ps, as_, bs)
+    }
+    override def zero: TopKBuf =
+      TopKBuf(Array.empty[Double], Array.empty[Long], Array.empty[Long])
+    override def reduce(b: TopKBuf, a: (Double, Long, Long)): TopKBuf =
+      insert(b, a._1, a._2, a._3)
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      var acc = x; var i = 0
+      while (i < y.score.length) { acc = insert(acc, y.score(i), y.k1(i), y.k2(i)); i += 1 }
+      acc
+    }
+    override def finish(r: TopKBuf): TopKBuf = r
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
   /** Register the UDAFs (and a sample scalar UDF) on a session for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("weighted_mean", org.apache.spark.sql.functions.udaf(WeightedMean))

@@ -232,6 +232,37 @@ object MiscQueries extends QueryModule {
              |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_qty,
              |  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
              |       / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS DECIMAL(18,6)) AS vwap
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // q148 — BOUNDED TOP-K AS AN AGGREGATE: per return flag, the 3 most
+    // expensive line items via `Udafs.BoundedTopK` — the aggregation
+    // alternative to q16's window-rank shape. The buffer never exceeds k
+    // rows and combines map-side, so the shuffle carries ≤ k rows per
+    // partition per group instead of the whole group reaching a sort —
+    // the scale-right form when groups are huge and k is small. Result is
+    // bit-identical to the ROW_NUMBER oracle on any partitioning (total
+    // order: price DESC, orderkey ASC, linenumber ASC).
+    Declared("q148_topk_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.Encoders
+        val top3 = udaf(new graft.functions.Udafs.BoundedTopK(3),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong))
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(top3(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).as("t"))
+          .select(col("l_returnflag"),
+            posexplode(arrays_zip(col("t.score"), col("t.k1"), col("t.k2"))))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.score").as("price"), col("col.k1").as("l_orderkey"),
+            big(col("col.k2")).as("l_linenumber"))
+          .orderBy(col("l_returnflag"), col("rk"))
+      },
+      Some("""SELECT l_returnflag, CAST(rk AS BIGINT) AS rk, price, l_orderkey,
+             |  CAST(l_linenumber AS BIGINT) AS l_linenumber
+             |FROM (SELECT l_returnflag, l_extendedprice AS price, l_orderkey, l_linenumber,
+             |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+             |      FROM lineitem)
+             |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin))
   )
 }

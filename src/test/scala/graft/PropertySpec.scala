@@ -147,4 +147,31 @@ class PropertySpec extends AnyFunSuite {
     }.toSet
     assert(got == ref, s"mismatch:\n got=${got.toList.sorted.take(10)}\n ref=${ref.toList.sorted.take(10)}")
   }
+  test("spark law: BoundedTopK equals sort-take on adversarial duplicates, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    // few distinct scores -> dense ties; tie-break must carry the result
+    val rows = (1 to 400).map(i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(5).toDouble, rnd.nextInt(50).toLong, i.toLong))
+    val df = rows.toDF("g", "p", "a", "b").repartition(13)
+    val top3 = udaf(new graft.functions.Udafs.BoundedTopK(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val got = df.groupBy(col("g")).agg(top3(col("p"), col("a"), col("b")).as("t"))
+      .select(col("g"), col("t.score"), col("t.k1"), col("t.k2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getSeq[Long](2), r.getSeq[Long](3))).toMap
+    val ref = rows.groupBy(_._1).view.mapValues { g =>
+      val s = g.map(t => (t._2, t._3, t._4)).sortBy(t => (-t._1, t._2, t._3)).take(3)
+      (s.map(_._1), s.map(_._2), s.map(_._3))
+    }.toMap
+    ref.foreach { case (g, (ps, as_, bs)) =>
+      val (gp, ga, gb) = got(g)
+      assert(gp == ps && ga == as_ && gb == bs,
+        s"group $g: got ($gp,$ga,$gb) want ($ps,$as_,$bs)")
+    }
+  }
 }
