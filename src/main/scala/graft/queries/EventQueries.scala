@@ -841,6 +841,53 @@ object EventQueries extends QueryModule {
              |  CAST(COUNT(*) AS BIGINT) AS n_events,
              |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
              |FROM d GROUP BY user_id, gs, sub
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // q149 — STREAMING twin of the adoption curve (q147): events replayed
+    // as micro-batches; first-seen day per user is a STREAMING stateful
+    // aggregate (groupBy(user).min(day), complete mode) — an event-TIME
+    // property, so the result is deterministic under any replay order,
+    // unlike a dropDuplicates-based first-ROW dedup. The day-level rollup
+    // and running total happen on the read-back (GlobalCumSum — the
+    // engine-wide no-partition-less-window invariant holds on the batch
+    // tail too), and the hash must equal q147's batch oracle VERBATIM:
+    // the streaming route is indistinguishable from reading the table.
+    Declared("q149_stream_adoption",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.operators.GlobalCumSum
+        val events = Tables.load(s, dir, "events").select(col("user_id"), col("ts"))
+        val base = SharedStages.scratchDir("q149")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        val stream = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val firstSeen = stream
+          .select(col("user_id"), idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"))
+          .groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = firstSeen.writeStream
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val daily = s.read.parquet(out)
+          .groupBy(col("d0").as("d")).agg(count(lit(1)).as("new_users"))
+        GlobalCumSum.withCumSum(daily, Seq(col("d")), col("new_users"), "cum_users")
+          .select(col("d"), big(col("new_users")).as("new_users"),
+            big(col("cum_users")).as("cum_users"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+             |           FROM events GROUP BY 1),
+             |n AS (SELECT d0 AS d, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+             |SELECT d, new_users,
+             |  CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+             |FROM n ORDER BY d""".stripMargin))
   )
 }
