@@ -843,6 +843,57 @@ object EventQueries extends QueryModule {
              |FROM d GROUP BY user_id, gs, sub
              |ORDER BY user_id, start_us""".stripMargin)),
 
+    // q150 — FUNNEL TIME-TO-CONVERT: q75's conversion chain extended with
+    // the latency distribution per transition (n, min, exact median, max of
+    // the µs gap) — the "how fast do converters convert" half of funnel
+    // analytics. The median is the crossing-row rule on integer µs gaps
+    // (2·rank ≥ n over the total order (dt, user_id)), windows partitioned
+    // by transition (2 partitions, user-count-bounded rows). Everything is
+    // BIGINT; no floats anywhere.
+    Declared("q150_funnel_latency",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("us") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("us") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("p_ts"))
+        val d = c.join(v, "user_id")
+          .select(lit("view_to_click").as("tr"), col("user_id"),
+            (col("c_ts") - col("v_ts")).as("dt"))
+          .unionByName(p.join(c, "user_id")
+            .select(lit("click_to_purchase").as("tr"), col("user_id"),
+              (col("p_ts") - col("c_ts")).as("dt")))
+        val w = Window.partitionBy(col("tr")).orderBy(col("dt"), col("user_id"))
+        val wAll = Window.partitionBy(col("tr"))
+        d.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy(col("tr"))
+          .agg(big(max(col("n"))).as("n_users"), big(min(col("dt"))).as("min_us"),
+            big(min(when(lit(2L) * col("rn") >= col("n"), col("dt")))).as("med_us"),
+            big(max(col("dt"))).as("max_us"))
+          .orderBy(col("tr"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v_ts FROM events
+             |           WHERE event_type='view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_ts FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type='click' AND epoch_us(e.ts) > v.v_ts GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type='purchase' AND epoch_us(e.ts) > c.c_ts GROUP BY 1),
+             |d AS (SELECT 'view_to_click' AS tr, c.user_id, c.c_ts - v.v_ts AS dt FROM c JOIN v USING (user_id)
+             |      UNION ALL
+             |      SELECT 'click_to_purchase', p.user_id, p.p_ts - c.c_ts FROM p JOIN c USING (user_id)),
+             |rk AS (SELECT tr, dt, ROW_NUMBER() OVER (PARTITION BY tr ORDER BY dt, user_id) AS rn,
+             |              COUNT(*) OVER (PARTITION BY tr) AS n FROM d)
+             |SELECT tr, CAST(MAX(n) AS BIGINT) AS n_users, CAST(MIN(dt) AS BIGINT) AS min_us,
+             |  CAST(MIN(CASE WHEN 2*rn >= n THEN dt END) AS BIGINT) AS med_us,
+             |  CAST(MAX(dt) AS BIGINT) AS max_us
+             |FROM rk GROUP BY tr ORDER BY tr""".stripMargin)),
+
     // q149 — STREAMING twin of the adoption curve (q147): events replayed
     // as micro-batches; first-seen day per user is a STREAMING stateful
     // aggregate (groupBy(user).min(day), complete mode) — an event-TIME
