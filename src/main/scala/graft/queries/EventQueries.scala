@@ -843,6 +843,37 @@ object EventQueries extends QueryModule {
              |FROM d GROUP BY user_id, gs, sub
              |ORDER BY user_id, start_us""".stripMargin)),
 
+    // q151 — NORMALIZED RETENTION MATRIX: q99's cohort counts divided by
+    // cohort size as exact ppm (n_active·10⁶ div cohort_n) — the percent
+    // view a retention dashboard actually renders. Cohort sizes are a
+    // cohort-count-sized broadcast; everything else is q99's one-shuffle
+    // shape plus one integer floor-division. No floats.
+    Declared("q151_retention_ppm",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"))
+        val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+        val sz = cohort.groupBy(col("c0")).agg(count(lit(1)).as("cohort_n"))
+        e.join(cohort, "user_id")
+          .groupBy(col("c0"), (col("d") - col("c0")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sz), "c0")
+          .select(col("c0"), col("day_offset"), big(col("n_active")).as("n_active"),
+            big(col("cohort_n")).as("cohort_n"),
+            big(idiv(col("n_active") * lit(1000000L), col("cohort_n"))).as("retained_ppm"))
+          .orderBy(col("c0"), col("day_offset"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+             |c AS (SELECT user_id, MIN(d) AS c0 FROM e GROUP BY 1),
+             |sz AS (SELECT c0, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM c GROUP BY 1),
+             |act AS (SELECT c.c0, e.d - c.c0 AS day_offset,
+             |               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+             |        FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+             |SELECT a.c0, a.day_offset, a.n_active, sz.cohort_n,
+             |  CAST((a.n_active * 1000000) // sz.cohort_n AS BIGINT) AS retained_ppm
+             |FROM act a JOIN sz USING (c0)
+             |ORDER BY c0, day_offset""".stripMargin)),
+
     // q150 — FUNNEL TIME-TO-CONVERT: q75's conversion chain extended with
     // the latency distribution per transition (n, min, exact median, max of
     // the µs gap) — the "how fast do converters convert" half of funnel
