@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries, EventQueries, TextQueries, VectorQueries,
     TextAnalysisQueries, DedupQueries, JoinOpQueries, MiscQueries,
     CoverageQueries, ScaleQueries, CurationQueries, MultimodalQueries,
-    DecorrelationQueries, RecursionQueries, TpchQueries, RetrievalQueries)
+    DecorrelationQueries, RecursionQueries, TpchQueries, RetrievalQueries,
+    AnalyticsQueries, OptimizerQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference-mirror tumbling window (Q22) — the reference's core

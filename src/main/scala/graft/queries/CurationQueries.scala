@@ -514,6 +514,39 @@ object CurationQueries extends QueryModule {
              |FROM (SELECT doc_id,
              |        'Cafe' || chr(769) || ' A' || chr(776) || 'pfel nai' || chr(776) || 've ' || text AS raw
              |      FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // q161 — DETERMINISTIC FIXED-SIZE STRATIFIED SAMPLE: exactly
+    // min(5, |stratum|) documents per (source, lang) stratum, chosen by
+    // md5(source|lang|doc_id) order — a seedless, engine-independent,
+    // re-runnable sample (same corpus → same sample, on any engine), the
+    // eval-set / human-review draw q64's RATE-based domain mixing cannot
+    // give (rates keep ~p·n docs, this keeps exactly n).
+    //
+    // Shape at 100 TB: one shuffle on the stratum key; the per-stratum
+    // window sorts only within strata. For heavy strata the window's full
+    // sort upgrades to Udafs.BoundedTopK (q148) — ≤5 rows per partition per
+    // stratum cross the exchange instead of the stratum's full sort run.
+    Declared("q161_strat_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"), col("lang"))
+          .orderBy(col("h"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("lang"), col("doc_id"),
+            md5(concat_ws("|", col("source"), col("lang"), col("doc_id"))).as("h"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select(col("source"), col("lang"), big(col("rk")).as("rk"),
+            col("doc_id"), col("h"))
+          .orderBy(col("source"), col("lang"), col("rk"))
+      },
+      Some("""SELECT source, lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+             |FROM (SELECT source, lang, doc_id, h,
+             |        ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY h, doc_id) AS rk
+             |      FROM (SELECT source, lang, doc_id,
+             |              md5(source || '|' || lang || '|' || doc_id) AS h
+             |            FROM documents))
+             |WHERE rk <= 5 ORDER BY source, lang, rk""".stripMargin))
   )
 }

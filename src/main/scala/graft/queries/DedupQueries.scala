@@ -285,6 +285,33 @@ object DedupQueries extends QueryModule {
           |SELECT pr.id_a, pr.id_b,
           |  CAST(ROUND(jaro_winkler_similarity(pa.p, pb.p), 6) AS DECIMAL(18,6)) AS jw_sim
           |FROM pairs pr JOIN p pa ON pa.doc_id = pr.id_a JOIN p pb ON pb.doc_id = pr.id_b
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // q158 — PREFIX-FILTERED EXACT SET-SIMILARITY JOIN (SSJoin/PPJoin
+    // family): the deterministic alternative to LSH for token-set Jaccard —
+    // zero false negatives by the pigeonhole prefix bound, so the output IS
+    // the complete Jaccard ≥ 19/20 pair set. The oracle is brute force
+    // (list_intersect over all id1<id2 pairs — 125 k pairs at sf0.01), which
+    // makes the gate a PROOF that prefix filtering dropped nothing; the
+    // Spark side only ever equi-joins on prefix tokens. See
+    // operators.SetSimJoin for the 100 TB shape.
+    Declared("q158_setsim_join",
+      (s, dir) => {
+        val recs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        graft.operators.SetSimJoin.selfJoin(recs, "doc_id", "tk", 19, 20)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |    len(list_intersect(a.tk, b.tk)) AS inter, len(a.tk) AS s1, len(b.tk) AS s2
+             |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+             |SELECT id1, id2, CAST(inter AS BIGINT) AS inter,
+             |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+             |  CAST(inter AS BIGINT) * 1000000 // (s1 + s2 - inter) AS jac_ppm
+             |FROM p WHERE 20 * inter >= 19 * (s1 + s2 - inter)
+             |ORDER BY id1, id2""".stripMargin))
   )
 }

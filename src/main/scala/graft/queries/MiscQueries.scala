@@ -263,6 +263,44 @@ object MiscQueries extends QueryModule {
              |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
              |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
              |      FROM lineitem)
-             |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin))
+             |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin)),
+
+    // q160 — VARIANT semi-structured type (Spark 4): parse_json lifts
+    // events.props into the open-schema binary VARIANT encoding and
+    // variant_get path-extracts with a target type — the schema-on-read
+    // answer for payloads whose shape drifts (vs q38's closed MapType cast,
+    // which silently nulls any non-conforming document). try_variant_get
+    // covers the missing-path arm so evolution is explicit, not a crash.
+    //
+    // Shape at 100 TB: VARIANT's binary encoding skips per-row JSON
+    // re-parsing in every downstream expression (parse once at ingest,
+    // path-extract many times), and columnar shredding of hot paths is the
+    // engine-side upgrade this query's plan is already shaped for.
+    Declared("q160_variant_props",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), parse_json(col("props")).as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'long')").as("k"),
+            expr("try_variant_get(v, '$.missing', 'long')").as("miss"))
+          .groupBy(col("event_type"))
+          .agg(
+            big(count(lit(1))).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            big(countDistinct(col("k"))).as("nd_k"),
+            big(count(col("miss"))).as("n_missing_path"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+             |  CAST(COUNT(DISTINCT k) AS BIGINT) AS nd_k,
+             |  CAST(COUNT(m) AS BIGINT) AS n_missing_path
+             |FROM (SELECT event_type,
+             |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |        CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

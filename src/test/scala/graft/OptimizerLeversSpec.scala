@@ -86,6 +86,35 @@ class OptimizerLeversSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS cbo_customer")
   }
 
+  test("q152's gate build executes the bloom-pruned plan; results conf-independent") {
+    import graft.queries.OptimizerQueries
+    val default = OptimizerQueries.bloomJoinPlan(spark, sf0001)
+    // default session (10 GB application floor): no bloom on a fixture scan
+    assert(!default.queryExecution.optimizedPlan.toString.contains("might_contain"))
+    val defaultRows = default.collect()
+    OptimizerQueries.withConfs(spark, OptimizerQueries.bloomConfs: _*) {
+      val scoped = OptimizerQueries.bloomJoinPlan(spark, sf0001)
+      val opt = scoped.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), s"no bloom filter under q152's confs:\n$opt")
+      assert(opt.linesIterator.exists(l =>
+          l.contains("might_contain") && l.contains("l_orderkey")),
+        s"bloom not keyed on the fact join key:\n$opt")
+      assert(scoped.collect().sameElements(defaultRows))
+    }
+  }
+
+  test("q153's correlated LATERAL decorrelates; exact per-group cap") {
+    val df = SparkEntry.queries("q153_lateral_topn")(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("LateralJoin"),
+      s"lateral subquery not decorrelated (per-outer-row re-execution):\n$opt")
+    // inner lateral: nations keep min(2, customers) rows, empty nations drop
+    val expected = graft.model.Tables.load(spark, sf0001, "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("c"))
+      .select(sum(least(col("c"), lit(2L)))).collect()(0).getLong(0)
+    assert(df.count() == expected)
+  }
+
   test("struct subfield projection prunes the parquet ReadSchema") {
     val docs = graft.model.Tables.load(spark, sf0001, "documents")
     val dir = tmpDir("nested")

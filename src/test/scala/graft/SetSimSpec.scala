@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the prefix-filtered exact set-similarity join (operators.
+  * SetSimJoin, q158): completeness vs brute force (the pigeonhole prefix
+  * bound admits NO false negatives — at any θ, not just q158's 19/20), and
+  * the plan shape that makes it scale (equi-joins only, no nested loop over
+  * the corpus).
+  */
+class SetSimSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def recs = graft.model.Tables.load(spark, sf0001, "documents")
+    .select(col("doc_id"), split(col("text"), " ").as("tk"))
+
+  private def brute(thetaNum: Int, thetaDen: Int): Set[(Long, Long, Long)] = {
+    val sets = recs.select(col("doc_id"), array_distinct(col("tk")).as("tk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toLong
+      if thetaDen * inter >= thetaNum.toLong * (sa.size + sb.size - inter)
+    } yield (ia, ib, inter)).toSet
+  }
+
+  private def run(thetaNum: Int, thetaDen: Int): Set[(Long, Long, Long)] =
+    graft.operators.SetSimJoin.selfJoin(recs, "doc_id", "tk", thetaNum, thetaDen)
+      .select(col("id1"), col("id2"), col("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("prefix filtering is exact: operator == brute force at three thetas") {
+    // high (q158's), mid, and low θ — low θ stresses long prefixes
+    for ((n, d) <- Seq((19, 20), (9, 10), (4, 5)))
+      assert(run(n, d) == brute(n, d), s"mismatch at theta=$n/$d")
+  }
+
+  test("the candidate path is equi-join only (no nested-loop over the corpus)") {
+    val plan = graft.operators.SetSimJoin.selfJoin(recs, "doc_id", "tk", 19, 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
