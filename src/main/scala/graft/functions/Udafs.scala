@@ -136,6 +136,77 @@ object Udafs {
     override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
+  /** Misra-Gries heavy-hitter candidate buffer: parallel key/count arrays,
+    * ≤ k-1 live entries (kept sorted by key for deterministic encoding).
+    */
+  final case class MgBuf(keys: Array[String], counts: Array[Long])
+
+  /** MISRA-GRIES heavy-hitter SUMMARY (Misra & Gries '82; mergeable form
+    * per Agarwal et al., "Mergeable Summaries", PODS'12): a ≤(k-1)-entry
+    * candidate set guaranteed to contain EVERY item with true frequency
+    * > n/k, maintained with map-side partial aggregation — the candidate
+    * pruning that lets a heavy-hitter query shuffle ≤(k-1) keys per
+    * partition instead of the full distinct-key set.
+    *
+    * reduce: increment a present key; insert while < k-1 entries; else
+    * decrement ALL entries (dropping zeros) — the classic counter trade.
+    * merge: sum counters pairwise, then if > k-1 entries survive, subtract
+    * the k-th largest count from every entry and drop non-positives. Both
+    * preserve the deficit bound (true_count - count̂ ≤ n/k), so the
+    * guarantee holds across ANY partitioning/merge order.
+    *
+    * The candidates are order-dependent (different merges keep different
+    * sub-threshold keys) — so a DETERMINISTIC query must verify candidates
+    * against exact counts (q162 does; its final output is merge-order-free).
+    */
+  final class MisraGries(k: Int) extends Aggregator[String, MgBuf, MgBuf] {
+    require(k >= 2, s"MisraGries needs k >= 2, got $k")
+
+    private def toMap(b: MgBuf): scala.collection.mutable.LinkedHashMap[String, Long] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var i = 0
+      while (i < b.keys.length) { m.update(b.keys(i), b.counts(i)); i += 1 }
+      m
+    }
+    private def toBuf(m: scala.collection.mutable.LinkedHashMap[String, Long]): MgBuf = {
+      val sorted = m.toArray.sortBy(_._1)
+      MgBuf(sorted.map(_._1), sorted.map(_._2))
+    }
+
+    override def zero: MgBuf = MgBuf(Array.empty, Array.empty)
+
+    override def reduce(b: MgBuf, key: String): MgBuf = {
+      val m = toMap(b)
+      if (m.contains(key)) m.update(key, m(key) + 1L)
+      else if (m.size < k - 1) m.update(key, 1L)
+      else {
+        val dead = m.iterator.filter(_._2 == 1L).map(_._1).toList
+        m.mapValuesInPlace((_, c) => c - 1L)
+        dead.foreach(m.remove)
+      }
+      toBuf(m)
+    }
+
+    override def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      val m = toMap(x)
+      var i = 0
+      while (i < y.keys.length) {
+        m.update(y.keys(i), m.getOrElse(y.keys(i), 0L) + y.counts(i)); i += 1
+      }
+      if (m.size > k - 1) {
+        val kth = m.values.toArray.sorted(Ordering[Long].reverse).apply(k - 1)
+        val dead = m.iterator.filter(_._2 <= kth).map(_._1).toList
+        m.mapValuesInPlace((_, c) => c - kth)
+        dead.foreach(m.remove)
+      }
+      toBuf(m)
+    }
+
+    override def finish(r: MgBuf): MgBuf = r
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+  }
+
   /** Register the UDAFs (and a sample scalar UDF) on a session for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("weighted_mean", org.apache.spark.sql.functions.udaf(WeightedMean))

@@ -250,6 +250,47 @@ object AnalyticsQueries extends QueryModule {
               |FROM st
               |WHERE (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
               |      > 4 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
-              |ORDER BY event_type, d""".stripMargin))
+              |ORDER BY event_type, d""".stripMargin)),
+
+    // q163 — EXACT LEAST-SQUARES TREND per event_type: the OLS slope of
+    // daily value sums over the day index, from the closed form
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — every moment an exact
+    // BIGINT (x ≤ days, y in micro-units; n·Σxy tops out ~10¹⁷). Both
+    // engines truncate the final division TOWARD ZERO explicitly (sign
+    // split), because Spark's `div` truncates while DuckDB's `//` floors —
+    // they differ on negative slopes, which real trends produce.
+    //
+    // Shape at 100 TB: daily is a counter-sized rollup; the moments are one
+    // tiny re-aggregation — regression over a 100 TB tape costs one scan.
+    Declared("q163_trend_slope",
+      (s, dir) => {
+        val daily = tape(s, dir)
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v_micro")).as("y"))
+          .withColumn("x", col("d") - min(col("d")).over(
+            Window.partitionBy(col("event_type"))))
+        val m = daily.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        m.where(col("n") >= 2)
+          .select(col("event_type"), big(col("n")).as("n_days"),
+            idiv(col("sy"), col("n")).as("mean_micro"),
+            (signum(num).cast("long") * idiv(abs(num), den)).as("slope_micro_per_day"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |daily AS (SELECT event_type, d, SUM(v_micro) AS y FROM e GROUP BY event_type, d),
+              |dx AS (SELECT event_type, d - MIN(d) OVER (PARTITION BY event_type) AS x, y FROM daily),
+              |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+              |        SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              |      FROM dx GROUP BY event_type)
+              |SELECT event_type, CAST(n AS BIGINT) AS n_days, sy // n AS mean_micro,
+              |  CASE WHEN n * sxy - sx * sy < 0
+              |       THEN -((-(n * sxy - sx * sy)) // (n * sxx - sx * sx))
+              |       ELSE (n * sxy - sx * sy) // (n * sxx - sx * sx) END
+              |    AS slope_micro_per_day
+              |FROM m WHERE n >= 2 ORDER BY event_type""".stripMargin))
   )
 }

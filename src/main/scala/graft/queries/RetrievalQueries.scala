@@ -181,5 +181,69 @@ object RetrievalQueries extends QueryModule {
            |SELECT na.n_name, CAST(pr3.pr AS BIGINT) AS pr_micro
            |FROM pr3 JOIN nation na ON na.n_nationkey = pr3.v
            |ORDER BY pr_micro DESC, n_name""".stripMargin
-      }))
+      }),
+
+    // q164 — TRIANGLE COUNT + global clustering coefficient over the
+    // co-purchase graph (parts sharing an order), via DEGREE-BASED
+    // ORIENTATION (Suri & Vassilvitskii, WWW'11): direct every undirected
+    // edge from its lower-(degree,id) endpoint to the higher, enumerate
+    // wedges only at each edge's TAIL, and close them with one semi join.
+    // Orientation bounds per-vertex out-degree by O(√m) on any graph, so
+    // wedge generation is O(m^1.5) worst case instead of Σdeg² — the
+    // difference between a hub vertex emitting deg² wedge rows and √m.
+    // Every count is exact; clustering_ppm = 3·Δ·10⁶ div Σ C(deg,2).
+    Declared("q164_triangles",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = l.as("x").join(l.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        // unique, order-consistent orientation key: deg ⊕ vertex id
+        val ew = e
+          .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+          .select(col("a"), col("b"),
+            (col("da") * lit(10000000L) + col("a")).as("oa"),
+            (col("db") * lit(10000000L) + col("b")).as("ob"))
+        val oriented = ew.select(
+          when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("u"),
+          when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("v"),
+          greatest(col("oa"), col("ob")).as("ov"))
+        val wedges = oriented.as("p").join(oriented.as("q"),
+            col("p.u") === col("q.u") && col("p.ov") < col("q.ov"))
+          .select(col("p.v").as("u"), col("q.v").as("v"))
+        val tri = wedges
+          .join(oriented.select(col("u"), col("v")), Seq("u", "v"), "left_semi")
+          .agg(count(lit(1)).as("t"))
+        val stats = deg.agg(
+          count(lit(1)).as("n_vertices"),
+          sum(col("dg")).as("deg_sum"),
+          idiv(sum(col("dg") * (col("dg") - 1L)), lit(2L)).as("n_wedges"))
+        tri.crossJoin(broadcast(stats))
+          .select(
+            big(col("n_vertices")).as("n_vertices"),
+            idiv(col("deg_sum"), lit(2L)).as("n_edges"),
+            big(col("n_wedges")).as("n_wedges"),
+            big(col("t")).as("n_triangles"),
+            idiv(lit(3L) * col("t") * lit(1000000L), col("n_wedges")).as("clustering_ppm"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+             |deg AS (SELECT v, COUNT(*) AS dg
+             |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+             |tri AS (SELECT COUNT(*) AS t
+             |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+             |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             |         CAST(SUM(dg) AS BIGINT) AS deg_sum,
+             |         CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+             |SELECT st.n_vertices, st.deg_sum // 2 AS n_edges, st.n_wedges,
+             |  CAST(tri.t AS BIGINT) AS n_triangles,
+             |  3 * CAST(tri.t AS BIGINT) * 1000000 // st.n_wedges AS clustering_ppm
+             |FROM st, tri""".stripMargin)))
 }

@@ -359,6 +359,41 @@ object TextAnalysisQueries extends QueryModule {
              |sc AS (SELECT tc.doc_id, tc.c * (1000000000 // uni.cw) AS contrib, tc.c
              |       FROM tc JOIN uni USING (t))
              |SELECT doc_id, CAST(SUM(contrib) // SUM(c) AS BIGINT) AS rarity_micro
-             |FROM sc GROUP BY doc_id ORDER BY rarity_micro DESC, doc_id LIMIT 20""".stripMargin))
+             |FROM sc GROUP BY doc_id ORDER BY rarity_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // q162 — HEAVY HITTERS via MISRA-GRIES candidates + exact verification:
+    // tokens with true frequency > n/50, computed WITHOUT shuffling the full
+    // distinct-token set. Stage 1: the mergeable MG sketch (Udafs.MisraGries,
+    // k=50) reduces map-side to a ≤49-entry candidate buffer per partition —
+    // guaranteed to contain every >n/50 token at ANY merge order. Stage 2:
+    // a broadcast semi-filter on the candidates, then exact counts of ONLY
+    // those tokens (≤49 keys × partitions cross the exchange), kept when
+    // 50·cnt > n (integer cross-multiply, no division). The MG candidate
+    // set is merge-order-dependent; the verified OUTPUT is deterministic —
+    // which is why the oracle (plain GROUP BY … HAVING) can hash-match it.
+    //
+    // Shape at 100 TB: a vocabulary-scale groupBy shuffles |V| keys; this
+    // shuffles ≤(k-1)·P partial counts. THE pattern for "top tokens of a
+    // web-scale corpus" where |V| is hundreds of millions.
+    Declared("q162_heavy_hitters",
+      (s, dir) => {
+        val mg = udaf(new graft.functions.Udafs.MisraGries(50))
+        val tk = Tables.load(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("t"))
+        val cand = tk.agg(mg(col("t")).as("buf"))
+          .select(explode(col("buf.keys")).as("t"))
+        val total = tk.agg(count(lit(1)).as("n"))
+        tk.join(broadcast(cand), Seq("t"), "left_semi")
+          .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .where(lit(50L) * col("cnt") > col("n"))
+          .select(col("t"), big(col("cnt")).as("cnt"), big(col("n")).as("n_tokens"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |n AS (SELECT COUNT(*) AS n FROM tk)
+             |SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(n.n) AS BIGINT) AS n_tokens
+             |FROM tk, n GROUP BY t HAVING 50 * COUNT(*) > MIN(n.n)
+             |ORDER BY t""".stripMargin))
   )
 }
