@@ -291,6 +291,48 @@ object AnalyticsQueries extends QueryModule {
               |       THEN -((-(n * sxy - sx * sy)) // (n * sxx - sx * sx))
               |       ELSE (n * sxy - sx * sy) // (n * sxx - sx * sx) END
               |    AS slope_micro_per_day
-              |FROM m WHERE n >= 2 ORDER BY event_type""".stripMargin))
+              |FROM m WHERE n >= 2 ORDER BY event_type""".stripMargin)),
+
+    // q166 — EXACT GINI SKEW DIAGNOSTIC for a join key: how unevenly orders
+    // distribute over customers, as the exact Gini coefficient of the
+    // per-key count distribution — THE pre-flight skew probe before sizing
+    // a shuffle join (Gini→1 ⇒ salt or skew-split; q55 is the cure, this is
+    // the diagnosis). Sorted-form identity, all integers:
+    //   gini_ppm = 10⁶·(2·Σ i·x₍ᵢ₎ − (n+1)·S) div (n·S),  x₍ᵢ₎ asc, S = Σx.
+    // Tie order among equal counts cannot change Σ i·x₍ᵢ₎ (swap-invariant),
+    // so any total tie-break gives the same value on both engines. The
+    // global rank comes from operators.GlobalRank (range-partitioned
+    // offsets — no single-partition window anywhere); alongside: the top
+    // key's share and the share of the top 1 % of keys, both exact ppm.
+    Declared("q166_skew_gini",
+      (s, dir) => {
+        val perKey = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+        val ranked = graft.operators.GlobalRank.withRankColumns(
+          perKey, Seq(col("x"), col("o_custkey")))
+        val m = ranked.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("rank") * col("x")).as("rx"), max(col("x")).as("mx"))
+        // top-1%-of-keys share: keys with rank > n - ceil(n/100)
+        val top = ranked.crossJoin(broadcast(m.select(col("n"))))
+          .where(col("rank") > col("n") - idiv(col("n") + lit(99L), lit(100L)))
+          .agg(sum(col("x")).as("top1_sum"))
+        m.crossJoin(broadcast(top))
+          .select(
+            big(col("n")).as("n_keys"), big(col("s")).as("n_rows"),
+            idiv(lit(1000000L) * (lit(2L) * col("rx") - (col("n") + 1L) * col("s")),
+              col("n") * col("s")).as("gini_ppm"),
+            idiv(lit(1000000L) * col("mx"), col("s")).as("max_share_ppm"),
+            idiv(lit(1000000L) * col("top1_sum"), col("s")).as("top1pct_share_ppm"))
+      },
+      Some("""WITH pk AS (SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY o_custkey),
+             |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rank FROM pk),
+             |m AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(rank * x) AS rx, MAX(x) AS mx FROM r),
+             |t AS (SELECT SUM(x) AS top1_sum FROM r, m WHERE rank > n - (n + 99) // 100)
+             |SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS n_rows,
+             |  CAST(1000000 * (2 * rx - (n + 1) * s) // (n * s) AS BIGINT) AS gini_ppm,
+             |  CAST(1000000 * mx // s AS BIGINT) AS max_share_ppm,
+             |  CAST(1000000 * top1_sum // s AS BIGINT) AS top1pct_share_ppm
+             |FROM m, t""".stripMargin))
   )
 }

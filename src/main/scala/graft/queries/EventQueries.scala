@@ -970,6 +970,52 @@ object EventQueries extends QueryModule {
              |n AS (SELECT d0 AS d, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
              |SELECT d, new_users,
              |  CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-             |FROM n ORDER BY d""".stripMargin))
+             |FROM n ORDER BY d""".stripMargin)),
+
+    // q165 — CHAINED STATEFUL OPERATORS in ONE streaming query (Spark 4
+    // multi-stateful support): stateful dedup feeding a windowed streaming
+    // aggregation, end-to-end under the DuckDB gate. The source replays
+    // events with every 7th event INJECTED TWICE (shuffled across the 4
+    // trigger files, so duplicates land in DIFFERENT micro-batches);
+    // dropDuplicates("event_id") must suppress them ACROSS batches before
+    // the tumbling aggregation counts — the sink hash-matches the batch
+    // oracle over the CLEAN table, so one leaked duplicate anywhere breaks
+    // the gate. q66's bounded-replay notes (complete mode + idempotent
+    // overwrite) apply; the unbounded twin is dropDuplicatesWithinWatermark
+    // + append (Stateful, spec-covered), where BOTH operators' state is
+    // watermark-bounded.
+    Declared("q165_stream_dedup_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val events = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val withDups = events.unionByName(events.where(col("event_id") % 7 === 0))
+        val base = SharedStages.scratchDir("q165")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        withDups.repartition(4).write.mode("overwrite").parquet(src)
+        val agg = s.readStream.schema(withDups.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .dropDuplicates("event_id")
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n"), out6(sum(dec(col("value")))).as("sum_value"))
+          .select(tsec(col("window").getField("start")).as("w"),
+            col("event_type"), col("n"), col("sum_value"))
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(out).orderBy(col("w"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
