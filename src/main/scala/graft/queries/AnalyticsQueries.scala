@@ -333,6 +333,45 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(1000000 * (2 * rx - (n + 1) * s) // (n * s) AS BIGINT) AS gini_ppm,
              |  CAST(1000000 * mx // s AS BIGINT) AS max_share_ppm,
              |  CAST(1000000 * top1_sum // s AS BIGINT) AS top1pct_share_ppm
-             |FROM m, t""".stripMargin))
+             |FROM m, t""".stripMargin)),
+
+    // q167 — EXACT JOIN-CARDINALITY PREDICTION: |A ⋈ₖ B| = Σₖ aₖ·bₖ from
+    // per-key counts alone — the shuffle-sizing pre-flight that tells you a
+    // join's output volume (and its hottest key's share) for the cost of
+    // two counter-sized aggregates, WITHOUT running the join. Here on the
+    // (user_id, day) self-join of events (co-activity pairs): the query
+    // outputs the prediction AND the executed join's actual count in one
+    // row — the gate proves predicted == actual. At 100 TB you run only
+    // the left half; a hot_share_ppm near 10⁶ says salt before joining.
+    Declared("q167_join_cardinality",
+      (s, dir) => {
+        val keyed = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"))
+        val c = keyed.groupBy(col("user_id"), col("d")).agg(count(lit(1)).as("c"))
+        val pred = c.agg(
+          big(count(lit(1))).as("n_groups"),
+          sum(col("c") * col("c")).as("predicted_rows"),
+          max(col("c") * col("c")).as("hot_pairs"))
+        val actual = keyed.as("a")
+          .join(keyed.as("b"),
+            col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d"))
+          .agg(count(lit(1)).as("actual_rows"))
+        pred.crossJoin(broadcast(actual))
+          .select(col("n_groups"), col("predicted_rows"), col("actual_rows"),
+            col("hot_pairs"),
+            idiv(lit(1000000L) * col("hot_pairs"), col("predicted_rows"))
+              .as("hot_share_ppm"))
+      },
+      Some("""WITH k AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+              |c AS (SELECT user_id, d, COUNT(*) AS c FROM k GROUP BY user_id, d),
+              |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+              |        CAST(SUM(c*c) AS BIGINT) AS predicted_rows,
+              |        CAST(MAX(c*c) AS BIGINT) AS hot_pairs FROM c),
+              |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+              |      FROM k x JOIN k y ON x.user_id = y.user_id AND x.d = y.d)
+              |SELECT n_groups, predicted_rows, actual_rows, hot_pairs,
+              |  1000000 * hot_pairs // predicted_rows AS hot_share_ppm
+              |FROM p, a""".stripMargin))
   )
 }

@@ -21,6 +21,49 @@ object RetrievalQueries extends QueryModule {
   /** The fixed keyword query for q134 (terms present across the corpus). */
   private val bmTerms = Seq("spark", "join", "stream")
 
+  /** BM25 score_micro per matching doc (shared by q134 top-k and q168 RRF).
+    * One postings-sized explode with the term filter applied map-side, df
+    * via an unordered window over the postings (never a join-back — that
+    * would re-run the text scan), corpus stats a 1-row broadcast.
+    */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val withDl = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val tc = withDl.select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
+      .where(col("t").isin(bmTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t")).agg(count(lit(1)).as("c"))
+    val withDf = tc.withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
+    withDf.crossJoin(broadcast(stats))
+      .withColumn("idf2",
+        idiv((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) * lit(1000000L),
+          lit(2L) * col("df") + lit(1L)))
+      .withColumn("tfpart",
+        idiv(lit(22L) * col("c") * col("t_tokens") * lit(1000000L),
+          lit(10L) * col("c") * col("t_tokens") + lit(3L) * col("t_tokens")
+            + lit(9L) * col("dl") * col("n_docs")))
+      .groupBy(col("doc_id"))
+      .agg(sum(idiv(col("idf2") * col("tfpart"), lit(1000000L))).as("score_micro"))
+  }
+
+  /** Oracle twin of [[bm25Scores]]: CTE chain ending in `bm(doc_id, score_micro)`. */
+  private val bmScoreSql =
+    s"""d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+       |tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+       |       WHERE t IN (${bmTerms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY doc_id, t),
+       |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY t),
+       |sc AS (SELECT tc.doc_id,
+       |   ((2*st.n_docs - 2*dft.df + 1)*1000000) // (2*dft.df + 1) AS idf2,
+       |   (22*tc.c*st.t_tokens*1000000) // (10*tc.c*st.t_tokens + 3*st.t_tokens + 9*dl.dl*st.n_docs) AS tfpart
+       |   FROM tc JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN st),
+       |bm AS (SELECT doc_id, CAST(SUM((idf2*tfpart) // 1000000) AS BIGINT) AS score_micro
+       |       FROM sc GROUP BY doc_id)""".stripMargin
+
   override val declared: Seq[Declared] = Seq(
 
     // q134 — BM25 top-10 (k1=1.2, b=0.75): the classic lexical ranking an
@@ -40,46 +83,14 @@ object RetrievalQueries extends QueryModule {
     // TakeOrderedAndProject, never a global sort.
     Declared("q134_bm25",
       (s, dir) => {
-        val withDl = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("tk"))
-          .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
-        val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
-        val tc = withDl.select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
-          .where(col("t").isin(bmTerms: _*))
-          .groupBy(col("doc_id"), col("dl"), col("t")).agg(count(lit(1)).as("c"))
-        // df from the postings via an unordered window (q72's rule: never a
-        // join-back — that would re-run the text scan). Partition count =
-        // |query terms|, row bound = docs-per-term: postings-sized, and the
-        // whole corpus scan happens exactly twice (postings + corpus stats).
-        val withDf = tc.withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
-        withDf.crossJoin(broadcast(stats))
-          .withColumn("idf2",
-            idiv((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) * lit(1000000L),
-              lit(2L) * col("df") + lit(1L)))
-          .withColumn("tfpart",
-            idiv(lit(22L) * col("c") * col("t_tokens") * lit(1000000L),
-              lit(10L) * col("c") * col("t_tokens") + lit(3L) * col("t_tokens")
-                + lit(9L) * col("dl") * col("n_docs")))
-          .groupBy(col("doc_id"))
-          .agg(sum(idiv(col("idf2") * col("tfpart"), lit(1000000L))).as("score_micro"))
+        bm25Scores(s, dir)
           .orderBy(col("score_micro").desc, col("doc_id"))
           .limit(10)
           .select(col("doc_id"), big(col("score_micro")).as("score_micro"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-              |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM d),
-              |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
-              |tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
-              |       FROM (SELECT doc_id, unnest(tk) AS t FROM d)
-              |       WHERE t IN (${bmTerms.map(t => s"'$t'").mkString(", ")})
-              |       GROUP BY doc_id, t),
-              |dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY t),
-              |sc AS (SELECT tc.doc_id,
-              |   ((2*st.n_docs - 2*dft.df + 1)*1000000) // (2*dft.df + 1) AS idf2,
-              |   (22*tc.c*st.t_tokens*1000000) // (10*tc.c*st.t_tokens + 3*st.t_tokens + 9*dl.dl*st.n_docs) AS tfpart
-              |   FROM tc JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN st)
-              |SELECT doc_id, CAST(SUM((idf2*tfpart) // 1000000) AS BIGINT) AS score_micro
-              |FROM sc GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+      Some(s"""WITH $bmScoreSql
+              |SELECT doc_id, score_micro
+              |FROM bm ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
     // q135 — collocation mining: adjacent-bigram lift, the PMI workhorse of
     // phrase induction ("new york"-finding) in LLM-data tokenizer prep.
@@ -245,5 +256,49 @@ object RetrievalQueries extends QueryModule {
              |SELECT st.n_vertices, st.deg_sum // 2 AS n_edges, st.n_wedges,
              |  CAST(tri.t AS BIGINT) AS n_triangles,
              |  3 * CAST(tri.t AS BIGINT) * 1000000 // st.n_wedges AS clustering_ppm
-             |FROM st, tri""".stripMargin)))
+             |FROM st, tri""".stripMargin)),
+
+    // q168 — RECIPROCAL RANK FUSION (Cormack-Clarke-Buettcher SIGIR'09):
+    // fuse two retrievers' top-20 lists — BM25 (lexical, shared scorer with
+    // q134) and a length prior (n_chars desc; the score-free second ranker
+    // every hybrid-search stack has) — by RRF(d) = Σ 10⁶ div (60 + rank).
+    // Classic rational RRF with the standard k=60, floor-division exact, so
+    // the fusion is engine-identical with zero floats. Ranks are dense
+    // row_numbers with total-order tie-breaks; docs outside a list simply
+    // contribute nothing (FULL OUTER + null-armed contribution).
+    //
+    // Shape at 100 TB: each retriever's top-k is TakeOrderedAndProject
+    // (never a global sort); ranking the two 20-row lists and fusing is
+    // driver-trivial by construction (bounded by k, not corpus size).
+    Declared("q168_rrf_fusion",
+      (s, dir) => {
+        val w20 = Window.orderBy(col("score_micro").desc, col("doc_id"))
+        val wln = Window.orderBy(col("n_chars").desc, col("doc_id"))
+        // rank-within-20: the limit(20) bounds the window's single
+        // partition at 20 rows — sanctioned (k-sized, not corpus-sized).
+        val aTop = bm25Scores(s, dir)
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+          .withColumn("ra", row_number().over(w20)).select(col("doc_id"), col("ra"))
+        val bTop = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+          .withColumn("rb", row_number().over(wln)).select(col("doc_id"), col("rb"))
+        aTop.join(bTop, Seq("doc_id"), "full_outer")
+          .withColumn("fused_micro",
+            coalesce(idiv(lit(1000000L), col("ra") + lit(60L)), lit(0L)) +
+              coalesce(idiv(lit(1000000L), col("rb") + lit(60L)), lit(0L)))
+          .orderBy(col("fused_micro").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), big(col("ra")).as("ra"), big(col("rb")).as("rb"),
+            col("fused_micro"))
+      },
+      Some(s"""WITH $bmScoreSql,
+              |ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS ra
+              |       FROM bm ORDER BY score_micro DESC, doc_id LIMIT 20),
+              |rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rb
+              |       FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20)
+              |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra, rb,
+              |  COALESCE(1000000 // (ra + 60), 0) + COALESCE(1000000 // (rb + 60), 0) AS fused_micro
+              |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+              |ORDER BY fused_micro DESC, doc_id LIMIT 10""".stripMargin)))
 }
