@@ -372,6 +372,45 @@ object AnalyticsQueries extends QueryModule {
               |      FROM k x JOIN k y ON x.user_id = y.user_id AND x.d = y.d)
               |SELECT n_groups, predicted_rows, actual_rows, hot_pairs,
               |  1000000 * hot_pairs // predicted_rows AS hot_share_ppm
-              |FROM p, a""".stripMargin))
+              |FROM p, a""".stripMargin)),
+
+    // q169 — EXACT EXPONENTIAL MOVING AVERAGE (α=1/2, window-16
+    // truncation): the recursive EMA is not parallelizable as stated
+    // (EMAₜ = α·xₜ + (1-α)·EMAₜ₋₁ is a sequential dependency), but
+    // truncating the geometric tail at 16 terms makes it a FIXED-WEIGHT
+    // windowed sum — associative, order-free, exact:
+    //   ema_µ = Σⱼ₌₀..₁₅ v₍ₜ₋ⱼ₎·2¹⁵⁻ʲ div 65535    (Σ2ʲ = 2¹⁶−1)
+    // The dropped tail is < 2⁻¹⁶ of the signal — below the µ-unit
+    // resolution. Only full windows emit (a null lag nulls the chain).
+    //
+    // Shape at 100 TB: one partitioned window per series — the sequential
+    // recurrence becomes 16 in-row multiply-adds after ONE sort, instead of
+    // a driver-side sequential scan. THE pattern for making "recursive"
+    // smoothers distribute.
+    Declared("q169_ema",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val num = (0 to 15)
+          .map(j => lag(col("v_micro"), j).over(w) * lit(1L << (15 - j)))
+          .reduce(_ + _)
+        tape(s, dir)
+          .withColumn("num", num)
+          .where(col("num").isNotNull)
+          .select(col("event_type"), col("us"),
+            idiv(col("num"), lit(65535L)).as("ema_micro"))
+          .orderBy(col("event_type"), col("us"))
+      },
+      Some {
+        val terms = (0 to 15)
+          .map(j => s"LAG(v_micro, $j) OVER w * ${1L << (15 - j)}")
+          .mkString(" + ")
+        s"""WITH e AS ($tapeSql),
+           |x AS (SELECT event_type, us, $terms AS num
+           |      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id))
+           |SELECT event_type, us, num // 65535 AS ema_micro
+           |FROM x WHERE num IS NOT NULL
+           |ORDER BY event_type, us""".stripMargin
+      })
   )
 }

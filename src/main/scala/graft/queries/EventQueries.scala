@@ -1016,6 +1016,56 @@ object EventQueries extends QueryModule {
       Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
              |  COUNT(*) AS n,
              |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q172 — CDC COMPACTION → SCD-2 VALIDITY INTERVALS: collapse each
+    // user's change stream (tracked attribute: props.k) into runs of
+    // constant value — gaps-and-islands with a NULL-SAFE change flag
+    // (<=> / IS DISTINCT FROM, so a leading NULL starts an island and
+    // NULL→NULL does not) — then [valid_from, valid_to) intervals via
+    // lead() of each island's start; the open current version carries
+    // valid_to NULL. This BUILDS the SCD-2 shape that Stateful.asOfEnrich
+    // consumes, from raw change events — change-data-capture compaction.
+    //
+    // Shape at 100 TB: both windows and the island aggregate share ONE
+    // user_id partitioning (single shuffle); output is change-sized, not
+    // event-sized.
+    Declared("q172_scd2_compact",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wi = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+        val ch = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .withColumn("chg",
+            when(col("k") <=> lag(col("k"), 1).over(w), lit(0)).otherwise(lit(1)))
+          .withColumn("island", sum(col("chg")).over(w))
+        ch.groupBy(col("user_id"), col("island"))
+          .agg(min(col("k")).as("k"), min(col("us")).as("valid_from"),
+            big(count(lit(1))).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
+          .select(col("user_id"), col("k"), col("valid_from"), col("valid_to"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events),
+             |f AS (SELECT user_id, us, event_id, k,
+             |        CASE WHEN k IS NOT DISTINCT FROM
+             |          LAG(k) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |        THEN 0 ELSE 1 END AS chg
+             |      FROM c),
+             |i AS (SELECT user_id, k, us,
+             |        SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id) AS island
+             |      FROM f),
+             |g AS (SELECT user_id, island, MIN(k) AS k, MIN(us) AS valid_from,
+             |        CAST(COUNT(*) AS BIGINT) AS n_events
+             |      FROM i GROUP BY user_id, island)
+             |SELECT user_id, k, valid_from,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+             |  n_events
+             |FROM g ORDER BY user_id, valid_from""".stripMargin))
   )
 }

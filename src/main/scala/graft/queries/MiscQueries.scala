@@ -301,6 +301,66 @@ object MiscQueries extends QueryModule {
              |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              |        CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m
              |      FROM events)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q171 — TABLE DIFF / RECONCILIATION: symmetric difference between a
+    // table and its next "publication" (deterministically derived here:
+    // every 101st event deleted, every 97th value bumped, every 103rd
+    // re-inserted shifted), classified per event_type into deleted /
+    // inserted / modified. Diff = EXCEPT ALL in both directions over the
+    // compared projection; ids present on both diff sides are
+    // modifications, id-only-in-A deletions, id-only-in-B insertions — the
+    // audit every warehouse publish pipeline runs before a swap
+    // (VersionedView's audit hook is where this plugs in).
+    //
+    // Shape at 100 TB: EXCEPT ALL lowers to one hash aggregation over the
+    // union (count-matching), partitioned by the compared row — one
+    // shuffle, no all-pairs anything; the classification join runs on the
+    // (small) diff, not the tables.
+    Declared("q171_table_diff",
+      (s, dir) => {
+        val a = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            (dec(col("value")) * lit(1000000)).cast("long").as("v"))
+        val b = a.where(col("event_id") % 101 =!= 0)
+          .select(col("event_id"), col("event_type"),
+            when(col("event_id") % 97 === 0, col("v") + lit(1000000L))
+              .otherwise(col("v")).as("v"))
+          .unionByName(a.where(col("event_id") % 103 === 0)
+            .select((col("event_id") + lit(1000000000L)).as("event_id"),
+              col("event_type"), col("v")))
+        val rem = a.exceptAll(b)   // rows gone or changed
+        val add = b.exceptAll(a)   // rows new or changed
+        val remK = rem.select(col("event_id"), col("event_type"))
+        val addK = add.select(col("event_id"), col("event_type"))
+        val modified = remK.join(addK, Seq("event_id", "event_type"), "left_semi")
+          .select(col("event_type"), lit("modified").as("kind"))
+        val deleted = remK.join(addK, Seq("event_id", "event_type"), "left_anti")
+          .select(col("event_type"), lit("deleted").as("kind"))
+        val inserted = addK.join(remK, Seq("event_id", "event_type"), "left_anti")
+          .select(col("event_type"), lit("inserted").as("kind"))
+        modified.unionByName(deleted).unionByName(inserted)
+          .groupBy(col("event_type"), col("kind"))
+          .agg(big(count(lit(1))).as("n"))
+          .orderBy(col("event_type"), col("kind"))
+      },
+      Some("""WITH a AS (SELECT event_id, event_type,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v FROM events),
+             |b AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 97 = 0 THEN v + 1000000 ELSE v END AS v
+             |  FROM a WHERE event_id % 101 <> 0
+             |  UNION ALL
+             |  SELECT event_id + 1000000000, event_type, v FROM a WHERE event_id % 103 = 0),
+             |rem AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+             |add_ AS (SELECT * FROM b EXCEPT ALL SELECT * FROM a),
+             |cls AS (
+             |  SELECT event_type, CASE WHEN event_id IN (SELECT event_id FROM add_)
+             |    THEN 'modified' ELSE 'deleted' END AS kind FROM rem
+             |  UNION ALL
+             |  SELECT event_type, 'inserted' FROM add_
+             |  WHERE event_id NOT IN (SELECT event_id FROM rem))
+             |SELECT event_type, kind, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM cls GROUP BY event_type, kind ORDER BY event_type, kind""".stripMargin))
   )
 }
