@@ -41,9 +41,15 @@ object SetSimJoin {
   def selfJoin(recs: DataFrame, idCol: String, toksCol: String,
       thetaNum: Int, thetaDen: Int): DataFrame = {
     require(thetaNum > 0 && thetaNum <= thetaDen, s"bad theta $thetaNum/$thetaDen")
+    // base and pref both feed SELF-joins below: without materialization each
+    // join branch would re-execute the whole prep subplan (tokenize + df
+    // join + per-record sort) — 6 corpus scans instead of 2. persist() makes
+    // every branch read the one computed copy (MEMORY_AND_DISK: spills, no
+    // recompute-on-eviction surprises at scale).
     val base = recs
       .select(col(idCol).cast("long").as("sid"), array_distinct(col(toksCol)).as("tk"))
       .withColumn("s", size(col("tk")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Global token order: (df asc, tok asc), attached by one equi-join on
     // the token — postings-sized, the same shuffle LSH banding pays.
@@ -60,6 +66,7 @@ object SetSimJoin {
       .withColumn("plen",
         col("s") - idiv(lit(thetaNum.toLong) * col("s") + lit(thetaDen - 1L), lit(thetaDen.toLong)) + lit(1L))
       .select(col("sid"), col("s"), explode(expr("slice(ord, 1, int(plen))")).as("ptok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Candidates: equi-join on a shared prefix token + the length filter.
     val cand = pref.as("a").join(pref.as("b"),

@@ -207,9 +207,13 @@ object RetrievalQueries extends QueryModule {
       (s, dir) => {
         val l = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        // e feeds degree, orientation AND the closing semi join; oriented
+        // feeds both wedge branches — persist both so the lineitem self-join
+        // runs ONCE, not once per downstream branch (3× at scale otherwise).
         val e = l.as("x").join(l.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("dg"))
         // unique, order-consistent orientation key: deg ⊕ vertex id
@@ -223,6 +227,7 @@ object RetrievalQueries extends QueryModule {
           when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("u"),
           when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("v"),
           greatest(col("oa"), col("ob")).as("ov"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wedges = oriented.as("p").join(oriented.as("q"),
             col("p.u") === col("q.u") && col("p.ov") < col("q.ov"))
           .select(col("p.v").as("u"), col("q.v").as("v"))

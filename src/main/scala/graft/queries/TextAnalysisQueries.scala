@@ -380,9 +380,12 @@ object TextAnalysisQueries extends QueryModule {
         val mg = udaf(new graft.functions.Udafs.MisraGries(50))
         val tk = Tables.load(s, dir, "documents")
           .select(explode(tokens(col("text"))).as("t"))
-        val cand = tk.agg(mg(col("t")).as("buf"))
-          .select(explode(col("buf.keys")).as("t"))
-        val total = tk.agg(count(lit(1)).as("n"))
+        // ONE first pass computes the sketch AND the token total (fused
+        // aggregates — not two scans); the second pass counts candidates.
+        val pass1 = tk.agg(mg(col("t")).as("buf"), count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = pass1.select(explode(col("buf.keys")).as("t"))
+        val total = pass1.select(col("n"))
         tk.join(broadcast(cand), Seq("t"), "left_semi")
           .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
           .crossJoin(broadcast(total))
