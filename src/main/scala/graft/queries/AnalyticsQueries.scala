@@ -411,6 +411,51 @@ object AnalyticsQueries extends QueryModule {
            |SELECT event_type, us, num // 65535 AS ema_micro
            |FROM x WHERE num IS NOT NULL
            |ORDER BY event_type, us""".stripMargin
-      })
+      }),
+
+    // q173 — SEASONAL DECOMPOSITION (weekly-naive): split each type's daily
+    // series into a 7-day cycle component (mean of its cycle slot, exact
+    // floor-µ) and a residual, then surface each type's top-3 anomalous
+    // days BY RESIDUAL — "unusual for a Saturday" rather than q159's
+    // "unusual overall". Cycle slot = d % 7 (epoch-day cycle — calendar-
+    // convention-free, identical on both engines). Residuals can be
+    // negative: ranking uses abs(), but the OUTPUT is the signed residual.
+    //
+    // Shape at 100 TB: daily rollup (counter-sized) → slot means via ONE
+    // partitioned window over it → per-type top-3 via a second partitioned
+    // window. Nothing touches raw rows twice.
+    Declared("q173_seasonality",
+      (s, dir) => {
+        val daily = tape(s, dir)
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v_micro")).as("y"))
+          .withColumn("slot", col("d") % 7)
+        val wSlot = Window.partitionBy(col("event_type"), col("slot"))
+        val wTop = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("resid")).desc, col("d"))
+        daily
+          .withColumn("slot_mean", idiv(sum(col("y")).over(wSlot),
+            count(lit(1)).over(wSlot)))
+          .withColumn("resid", col("y") - col("slot_mean"))
+          .withColumn("rk", row_number().over(wTop))
+          .where(col("rk") <= 3)
+          .select(col("event_type"), big(col("rk")).as("rk"), col("d"),
+            col("slot"), col("y").as("day_micro"), col("slot_mean"),
+            col("resid"))
+          .orderBy(col("event_type"), col("rk"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |daily AS (SELECT event_type, d, d % 7 AS slot, SUM(v_micro) AS y
+              |          FROM e GROUP BY event_type, d),
+              |sm AS (SELECT event_type, d, slot, y,
+              |         SUM(y) OVER w // COUNT(*) OVER w AS slot_mean
+              |       FROM daily WINDOW w AS (PARTITION BY event_type, slot)),
+              |r AS (SELECT event_type, d, slot, y, slot_mean, y - slot_mean AS resid,
+              |        ROW_NUMBER() OVER (PARTITION BY event_type
+              |          ORDER BY ABS(y - slot_mean) DESC, d) AS rk
+              |      FROM sm)
+              |SELECT event_type, CAST(rk AS BIGINT) AS rk, d, slot,
+              |  y AS day_micro, slot_mean, resid
+              |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin))
   )
 }

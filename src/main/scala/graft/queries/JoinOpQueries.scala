@@ -234,6 +234,44 @@ object JoinOpQueries extends QueryModule {
              |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
              |  CAST(ROUND(CAST(v.v_value AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS view_value
              |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
-             |ORDER BY c.event_id""".stripMargin))
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // q170 — INCREMENTAL JOIN-VIEW MAINTENANCE under the gate: orders ⋈
+    // customer materialized by operators.IncrementalJoinView across THREE
+    // delta batches that append to BOTH sides simultaneously (batch i
+    // carries orders with o_orderkey%3==i and customers with
+    // c_custkey%3==i), then the maintained view is aggregated and must
+    // hash-match the oracle's one-shot join — proving the three-term delta
+    // rule (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) produced every joined pair exactly
+    // once and never recomputed the full join. The cross-mod pairs (an
+    // order arriving before OR after its customer) are exactly the cases a
+    // naive ΔA⋈B-only maintenance loses.
+    Declared("q170_ivm_join",
+      (s, dir) => {
+        import graft.operators.IncrementalJoinView
+        val base = SharedStages.scratchDir("q170")
+        val st = IncrementalJoinView.State(s"$base/a", s"$base/b", s"$base/v")
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+            col("o_totalprice"))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        (0 to 2).foreach { i =>
+          IncrementalJoinView.applyDelta(s, st,
+            orders.where(col("o_orderkey") % 3 === i),
+            cust.where(col("custkey") % 3 === i),
+            Seq("custkey"))
+        }
+        val proto = orders.join(cust, Seq("custkey")).limit(0)
+        IncrementalJoinView.view(s, st, proto)
+          .groupBy(col("c_mktsegment"))
+          .agg(big(count(lit(1))).as("n_orders"),
+            out6(sum(dec(col("o_totalprice")))).as("total"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -397,6 +397,47 @@ object TextAnalysisQueries extends QueryModule {
              |n AS (SELECT COUNT(*) AS n FROM tk)
              |SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(n.n) AS BIGINT) AS n_tokens
              |FROM tk, n GROUP BY t HAVING 50 * COUNT(*) > MIN(n.n)
-             |ORDER BY t""".stripMargin))
+             |ORDER BY t""".stripMargin)),
+
+    // q174 — LEXICAL DIVERSITY via GINI IMPURITY: 1 − Σ(cᵢ/n)² per document
+    // = (n² − Σcᵢ²)·10⁶ div n² in ppm — the RATIONAL diversity metric
+    // (entropy needs logs; impurity ranks repetitive text the same way with
+    // zero floats — the q62 repetition family's principled cousin). Low
+    // impurity ⇒ dominated by few tokens ⇒ boilerplate/spam signal for the
+    // curation gate. Output: 10 most + 10 least diverse docs, labeled.
+    //
+    // Shape at 100 TB: one explode → (doc, token) partial agg → doc-keyed
+    // moments; both extremes come from TakeOrderedAndProject, no global
+    // sort.
+    Declared("q174_token_diversity",
+      (s, dir) => {
+        val tc = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        val m = tc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ssq"))
+          .withColumn("imp_ppm",
+            idiv((col("n") * col("n") - col("ssq")) * lit(1000000L),
+              col("n") * col("n")))
+        val hi = m.orderBy(col("imp_ppm").desc, col("doc_id")).limit(10)
+          .withColumn("side", lit("most_diverse"))
+        val lo = m.orderBy(col("imp_ppm").asc, col("doc_id")).limit(10)
+          .withColumn("side", lit("least_diverse"))
+        hi.unionByName(lo)
+          .select(col("side"), col("doc_id"), big(col("n")).as("n_tokens"),
+            col("imp_ppm"))
+          .orderBy(col("side"), col("imp_ppm").desc, col("doc_id"))
+      },
+      Some("""WITH tc AS (SELECT doc_id, t, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+             |  GROUP BY doc_id, t),
+             |m AS (SELECT doc_id, SUM(c) AS n, SUM(c*c) AS ssq FROM tc GROUP BY doc_id),
+             |i AS (SELECT doc_id, n, (n*n - ssq) * 1000000 // (n*n) AS imp_ppm FROM m),
+             |hi AS (SELECT 'most_diverse' AS side, doc_id, CAST(n AS BIGINT) AS n_tokens, imp_ppm
+             |       FROM i ORDER BY imp_ppm DESC, doc_id LIMIT 10),
+             |lo AS (SELECT 'least_diverse' AS side, doc_id, CAST(n AS BIGINT) AS n_tokens, imp_ppm
+             |       FROM i ORDER BY imp_ppm ASC, doc_id LIMIT 10)
+             |SELECT * FROM hi UNION ALL SELECT * FROM lo
+             |ORDER BY side, imp_ppm DESC, doc_id""".stripMargin))
   )
 }
