@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.ColumnOps.idiv
+import graft.model.Tables
+import graft.operators.GlobalCumSum
+import Protocol._
+
+/** Distribution-statistics operators ([EXT], SURVEY §2.2): the exact
+  * drawdown / autocorrelation / goodness-of-fit / classification /
+  * changepoint diagnostics an analyst runs over the reference's loaded
+  * trade table (`start_all_pipeline.py:509-510` ad-hoc SQL), generalized
+  * to the fixture tables under the integer-micro determinism protocol
+  * (Protocol scaladoc): exact BIGINT/DECIMAL(38,0) arithmetic, ppm
+  * outputs, floor division on non-negative operands with the signum/abs
+  * pattern where a quantity can be negative.
+  */
+object StatQueries extends QueryModule {
+
+  private val D38 = DecimalType(38, 0)
+
+  /** events → (event_type, day index, µs instant, exact µ-unit value). */
+  private def tape(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+      .select(
+        col("event_type"),
+        idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"),
+        unix_micros(col("ts")).as("us"),
+        (dec(col("value")) * lit(1000000)).cast("long").as("v_micro"),
+        col("event_id"))
+
+  private val tapeSql =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS d, epoch_us(ts) AS us,
+      |  CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro, event_id
+      |FROM events""".stripMargin
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q175 — MAX DRAWDOWN per event_type: running peak of the µ-value tape
+    // (RANGE-default frame over the unique (us, event_id) order), drawdown
+    // = peak − value, report the deepest one with its peak/trough and the
+    // instant it bottomed (earliest on ties: row_number over dd DESC,
+    // us ASC). All integers — peak/dd are exact µ-units.
+    //
+    // Shape at 100 TB: ONE Exchange hashpartitioning(event_type) feeds
+    // both window sorts (time order for the prefix-max, dd order for the
+    // argmax) and the final pick — per-type partitions sort locally; a
+    // symbol-partitioned tape would make both sorts partition-local. No
+    // partition-less window anywhere.
+    Declared("q175_max_drawdown",
+      (s, dir) => {
+        val wt = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val dd = tape(s, dir)
+          .withColumn("peak", max(col("v_micro")).over(wt))
+          .withColumn("dd", col("peak") - col("v_micro"))
+        val pick = Window.partitionBy(col("event_type"))
+          .orderBy(col("dd").desc, col("us"), col("event_id"))
+        dd.withColumn("rn", row_number().over(pick))
+          .where(col("rn") === 1)
+          .select(col("event_type"), col("dd").as("max_dd_micro"),
+            col("peak").as("peak_micro"), col("v_micro").as("trough_micro"),
+            col("us").as("trough_us"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |dd AS (
+              |  SELECT event_type, us, v_micro,
+              |    MAX(v_micro) OVER (PARTITION BY event_type ORDER BY us, event_id) AS peak,
+              |    MAX(v_micro) OVER (PARTITION BY event_type ORDER BY us, event_id) - v_micro AS dd,
+              |    event_id
+              |  FROM e),
+              |pick AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd DESC, us, event_id) AS rn
+              |  FROM dd)
+              |SELECT event_type, dd AS max_dd_micro, peak AS peak_micro,
+              |  v_micro AS trough_micro, us AS trough_us
+              |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // q176 — LAG-1 AUTOCORRELATION of the daily total series per
+    // event_type, exact to the stated definition: daily sums are floored
+    // to WHOLE units (y = Σv_µ div 10⁶) so every sufficient statistic
+    // (Σx, Σy, Σx², Σy², Σxy over consecutive-day pairs) stays in BIGINT
+    // at sf0.1 and DECIMAL(38,0) covers the squared-covariance products
+    // (num² ≈ 5e26 ≪ 1e38). Output is the SIGNED squared correlation in
+    // ppm: sign(cov)·10⁶·num² div (denx·deny) — sqrt-free, hence exact
+    // and engine-identical. At petabyte scale rescale y to a coarser unit
+    // (same div, bigger constant) to keep num² inside DECIMAL(38,0).
+    //
+    // Shape at 100 TB: daily rollup is ONE counter-sized aggregate; the
+    // lag window and final stats reuse the event_type partitioning —
+    // one big shuffle total (the daily groupBy), then counters.
+    Declared("q176_autocorr",
+      (s, dir) => {
+        val daily = tape(s, dir)
+          .groupBy(col("event_type"), col("d"))
+          .agg(idiv(sum(col("v_micro")), lit(1000000L)).as("y"))
+        val wl = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val pairs = daily
+          .withColumn("x", lag(col("y"), 1).over(wl))
+          .where(col("x").isNotNull)
+        val m = pairs.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(D38)
+        val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast(D38)
+        val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast(D38)
+        m.where(col("n") >= 2 &&
+            (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+          .select(col("event_type"), big(col("n")).as("n_pairs"),
+            (signum(num).cast("long") *
+              idiv(lit(1000000L).cast(D38) * num * num, denx * deny).cast("long"))
+              .as("acf1_r2_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |daily AS (SELECT event_type, d, SUM(v_micro) // 1000000 AS y
+              |          FROM e GROUP BY event_type, d),
+              |pr AS (SELECT event_type, y,
+              |         LAG(y) OVER (PARTITION BY event_type ORDER BY d) AS x
+              |       FROM daily),
+              |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+              |        SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+              |      FROM pr WHERE x IS NOT NULL GROUP BY event_type)
+              |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+              |  CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1
+              |            WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END
+              |    * ((1000000 * CAST(n * sxy - sx * sy AS HUGEINT) * (n * sxy - sx * sy))
+              |       // (CAST(n * sxx - sx * sx AS HUGEINT) * (n * syy - sy * sy)))
+              |    AS BIGINT) AS acf1_r2_ppm
+              |FROM m
+              |WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+              |ORDER BY event_type""".stripMargin)),
+
+    // q177 — BENFORD FIRST-DIGIT law over order totals: the classic
+    // fabricated-data / corrupted-feed screen. Leading digit comes from
+    // the BIGINT cent rendering (identical string form on both engines —
+    // no float formatting in the path); expectations are the exact
+    // round(log10(1+1/d)·10⁶) constants, which sum to exactly 10⁶.
+    // Deviation is |observed − expected| ppm, all integer.
+    //
+    // Shape at 100 TB: one 9-group hash aggregate + a 1-row broadcast
+    // total — counters only after the scan.
+    Declared("q177_benford",
+      (s, dir) => {
+        val exp = typedLit(Map(
+          1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+          6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L))
+        val digits = Tables.load(s, dir, "orders")
+          .select(((dec(col("o_totalprice")) * 100).cast("long")).as("cent"))
+          .select(substring(col("cent").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val total = digits.agg(sum(col("n")).as("total"))
+        digits.crossJoin(broadcast(total))
+          .select(col("digit"), big(col("n")).as("n"),
+            idiv(lit(1000000L) * col("n"), col("total")).as("obs_ppm"),
+            exp(col("digit")).as("exp_ppm"))
+          .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders),
+             |d AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit),
+             |t AS (SELECT SUM(n) AS total FROM d)
+             |SELECT digit, n, 1000000 * n // total AS obs_ppm,
+             |  CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+             |             WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+             |             WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS exp_ppm,
+             |  ABS(1000000 * n // total -
+             |  CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+             |             WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+             |             WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END) AS dev_ppm
+             |FROM d, t ORDER BY digit""".stripMargin)),
+
+    // q178 — EXACT two-sample KOLMOGOROV-SMIRNOV distance between the
+    // order-total distributions of urgent vs non-urgent orders. At every
+    // pooled distinct cent value the ECDF gap is the cross-multiplied
+    // integer |c1·n2 − c2·n1| (no fractions anywhere); the statistic is
+    // the max, reported in ppm of n1·n2 with the earliest achieving value.
+    // Cumulative counts come from GlobalCumSum over the distinct-value
+    // table — NO partition-less window; the top-1 is TakeOrdered.
+    //
+    // Shape at 100 TB: per-value aggregate (distinct-cents-sized), two
+    // range-partitioned prefix passes over that counter table, a 1-row
+    // broadcast of group totals, TakeOrdered(1). The raw scan feeds one
+    // hash aggregate; everything after is counters.
+    Declared("q178_ks_test",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select((dec(col("o_totalprice")) * 100).cast("long").as("cent"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"))
+        val perV = o.groupBy(col("cent")).agg(
+          sum(col("g1")).as("cnt1"), sum(lit(1L) - col("g1")).as("cnt2"))
+        val tot = perV.agg(sum(col("cnt1")).as("n1"), sum(col("cnt2")).as("n2"))
+        val c1 = GlobalCumSum.withCumSum(perV, Seq(col("cent")), col("cnt1"), "c1")
+        val c12 = GlobalCumSum.withCumSum(c1, Seq(col("cent")), col("cnt2"), "c2")
+        c12.crossJoin(broadcast(tot))
+          .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+          .orderBy(col("dnum").desc, col("cent"))
+          .limit(1)
+          .select(big(col("n1")).as("n1"), big(col("n2")).as("n2"),
+            idiv(lit(1000000L) * col("dnum"), col("n1") * col("n2")).as("ks_ppm"),
+            col("cent").as("ks_at_cent"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cent,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+             |  FROM orders),
+             |pv AS (SELECT cent, SUM(g1) AS cnt1, SUM(1 - g1) AS cnt2 FROM o GROUP BY cent),
+             |cum AS (SELECT cent,
+             |          SUM(cnt1) OVER (ORDER BY cent ROWS UNBOUNDED PRECEDING) AS c1,
+             |          SUM(cnt2) OVER (ORDER BY cent ROWS UNBOUNDED PRECEDING) AS c2
+             |        FROM pv),
+             |t AS (SELECT SUM(cnt1) AS n1, SUM(cnt2) AS n2 FROM pv)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  1000000 * ABS(c1 * n2 - c2 * n1) // (n1 * n2) AS ks_ppm,
+             |  cent AS ks_at_cent
+             |FROM cum, t
+             |ORDER BY ABS(c1 * n2 - c2 * n1) DESC, cent LIMIT 1""".stripMargin)),
+
+    // q179 — ABC CLASSIFICATION of parts by net revenue (the inventory
+    // 70/90 Pareto cut): per-part net revenue in exact cent units
+    // (cent·(10⁶−disc_ppm) products in DECIMAL(38,0), floored back to
+    // cents), globally ranked by (net DESC, partkey) through GlobalCumSum,
+    // classed by INCLUSIVE cumulative share (A ≤ 70 %, B ≤ 90 %, C rest)
+    // via cross-multiplied integers (cum·10 vs total·7 — no division
+    // before the final ppm report).
+    //
+    // Shape at 100 TB: part-keyed aggregate (one shuffle over the fact),
+    // then ONE range pass over the part-sized counter table + a 1-row
+    // broadcast total + a 3-group rollup. No partition-less window.
+    Declared("q179_abc_class",
+      (s, dir) => {
+        val perPart = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            ((dec(col("l_extendedprice")) * 100).cast("long").cast(D38) *
+              (lit(1000000L) - (dec(col("l_discount")) * 1000000).cast("long")))
+              .as("net_u"))
+          .groupBy(col("l_partkey"))
+          .agg(idiv(sum(col("net_u")), lit(1000000L).cast(D38)).cast("long").as("net_cent"))
+        val tot = perPart.agg(sum(col("net_cent")).as("total"))
+        val cum = GlobalCumSum.withCumSum(perPart,
+          Seq(col("net_cent").desc, col("l_partkey")), col("net_cent"), "cum")
+        cum.crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when(col("cum") * 10 <= col("total") * 7, "A")
+              .when(col("cum") * 10 <= col("total") * 9, "B")
+              .otherwise("C"))
+          .groupBy(col("cls"))
+          .agg(big(count(lit(1))).as("n_parts"), sum(col("net_cent")).as("cls_net_cent"),
+            max(col("total")).as("total"))
+          .select(col("cls"), col("n_parts"), col("cls_net_cent"),
+            idiv(lit(1000000L) * col("cls_net_cent"), col("total")).as("share_ppm"))
+          .orderBy(col("cls"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey,
+             |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS HUGEINT) *
+             |      (1000000 - CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS net_u
+             |  FROM lineitem),
+             |pp AS (SELECT l_partkey, CAST(SUM(net_u) // 1000000 AS BIGINT) AS net_cent
+             |       FROM li GROUP BY l_partkey),
+             |cum AS (SELECT l_partkey, net_cent,
+             |          SUM(net_cent) OVER (ORDER BY net_cent DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum
+             |        FROM pp),
+             |t AS (SELECT SUM(net_cent) AS total FROM pp),
+             |cls AS (SELECT CASE WHEN cum * 10 <= total * 7 THEN 'A'
+             |                    WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS cls,
+             |          net_cent, total
+             |        FROM cum, t)
+             |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts, SUM(net_cent) AS cls_net_cent,
+             |  1000000 * SUM(net_cent) // MAX(total) AS share_ppm
+             |FROM cls GROUP BY cls ORDER BY cls""".stripMargin)),
+
+    // q180 — CUSUM CHANGEPOINT per event_type: the day where the running
+    // deviation of daily totals from the series mean peaks. Fraction-free:
+    // n·cusum_k = n·Σ_{i≤k}y_i − k·S is an exact BIGINT (n ≤ days,
+    // cum ≤ series total), argmax by |dev| with earliest-day tie-break,
+    // reported as signed µ-units via signum·(|dev| div n).
+    //
+    // Shape at 100 TB: daily rollup (one counter-sized shuffle), then
+    // every window — running sum, row index, series totals, argmax pick —
+    // shares the single hashpartitioning(event_type) exchange.
+    Declared("q180_cusum_shift",
+      (s, dir) => {
+        val daily = tape(s, dir)
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v_micro")).as("y"))
+        val wo = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val wa = Window.partitionBy(col("event_type"))
+        val dev = daily
+          .withColumn("cum", sum(col("y")).over(wo))
+          .withColumn("k", row_number().over(wo).cast("long"))
+          .withColumn("s", sum(col("y")).over(wa))
+          .withColumn("n", count(lit(1)).over(wa))
+          .withColumn("dev", col("n") * col("cum") - col("k") * col("s"))
+        val pick = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("dev")).desc, col("d"))
+        dev.withColumn("rn", row_number().over(pick))
+          .where(col("rn") === 1)
+          .select(col("event_type"), col("d").as("shift_d"), big(col("n")).as("n_days"),
+            (signum(col("dev")).cast("long") * idiv(abs(col("dev")), col("n")))
+              .as("cusum_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |daily AS (SELECT event_type, d, SUM(v_micro) AS y FROM e GROUP BY event_type, d),
+              |dev AS (
+              |  SELECT event_type, d,
+              |    COUNT(*) OVER (PARTITION BY event_type) *
+              |      SUM(y) OVER (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING)
+              |    - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) *
+              |      SUM(y) OVER (PARTITION BY event_type) AS dev,
+              |    COUNT(*) OVER (PARTITION BY event_type) AS n
+              |  FROM daily),
+              |pick AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(dev) DESC, d) AS rn
+              |  FROM dev)
+              |SELECT event_type, d AS shift_d, CAST(n AS BIGINT) AS n_days,
+              |  CAST(CASE WHEN dev < 0 THEN -((-dev) // n) ELSE dev // n END AS BIGINT) AS cusum_micro
+              |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin))
+  )
+}
