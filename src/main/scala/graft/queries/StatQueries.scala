@@ -324,6 +324,200 @@ object StatQueries extends QueryModule {
               |  FROM dev)
               |SELECT event_type, d AS shift_d, CAST(n AS BIGINT) AS n_days,
               |  CAST(CASE WHEN dev < 0 THEN -((-dev) // n) ELSE dev // n END AS BIGINT) AS cusum_micro
-              |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin))
+              |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // q181 — LAST-TOUCH ATTRIBUTION: each purchase event's value is
+    // credited to the user's most recent PRIOR channel event (click /
+    // view / signup) within a 7-day horizon, else 'none'. The channel
+    // carry-forward is last(..., ignoreNulls) over the user-keyed time
+    // order — two last() calls over the SAME window spec pick fields of
+    // the same row by construction, so type and instant stay consistent.
+    // Value is exact µ-units; output is per-channel purchase count +
+    // attributed revenue.
+    //
+    // Shape at 100 TB: ONE Exchange hashpartitioning(user_id) feeds the
+    // carry-forward window; the channel rollup is counter-sized. The
+    // horizon check is row-local arithmetic — no as-of join needed when
+    // the streams are the same table (contrast q36/q74, which join two
+    // different tables).
+    Declared("q181_last_touch",
+      (s, dir) => {
+        val isCh = col("event_type").isin("click", "view", "signup")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"),
+            (dec(col("value")) * lit(1000000)).cast("long").as("v_micro"),
+            col("event_id"))
+        e.withColumn("ch", last(when(isCh, col("event_type")), ignoreNulls = true).over(w))
+          .withColumn("ch_us", last(when(isCh, col("us")), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .withColumn("channel",
+            when(col("ch").isNotNull && col("us") - col("ch_us") <= lit(604800000000L),
+              col("ch")).otherwise(lit("none")))
+          .groupBy(col("channel"))
+          .agg(big(count(lit(1))).as("n_purchases"),
+            sum(col("v_micro")).as("attr_value_micro"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_type,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro, event_id
+             |  FROM events),
+             |cf AS (
+             |  SELECT *,
+             |    LAST_VALUE(CASE WHEN event_type IN ('click','view','signup') THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS ch,
+             |    LAST_VALUE(CASE WHEN event_type IN ('click','view','signup') THEN us END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS ch_us
+             |  FROM e)
+             |SELECT CASE WHEN ch IS NOT NULL AND us - ch_us <= 604800000000 THEN ch ELSE 'none' END AS channel,
+             |  CAST(COUNT(*) AS BIGINT) AS n_purchases, SUM(v_micro) AS attr_value_micro
+             |FROM cf WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
+    // q182 — MARKET-BASKET pair co-occurrence with exact lift: distinct
+    // parts per order, ordered self-join (pa < pb) on the order key,
+    // pair support counts, and lift_ppm = 10⁶·n_pair·N div (n_a·n_b) via
+    // two counter-table joins. Top-20 by (support DESC, pa, pb).
+    //
+    // Shape at 100 TB: the self-join is EQUI on l_orderkey — both sides
+    // shuffle-partition together, fan-out is Σ k_o·(k_o−1)/2 bounded by
+    // basket size (~4), never cross-order. Pair counts and per-part
+    // order counts are hash aggregates; the singles attach by two joins
+    // on the part-keyed counter table (broadcast at test scale, equi at
+    // warehouse scale — both correct); N is a 1-row broadcast.
+    Declared("q182_basket_pairs",
+      (s, dir) => {
+        val items = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = items.as("a")
+          .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_pair"))
+        val singles = items.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
+        val total = items.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+        pairs
+          .join(singles.withColumnRenamed("pk", "pa").withColumnRenamed("n_one", "n_a"), "pa")
+          .join(singles.withColumnRenamed("pk", "pb").withColumnRenamed("n_one", "n_b"), "pb")
+          .crossJoin(broadcast(total))
+          .select(col("pa"), col("pb"), big(col("n_pair")).as("n_pair"),
+            big(col("n_a")).as("n_a"), big(col("n_b")).as("n_b"),
+            idiv(lit(1000000L) * col("n_pair") * col("n_orders"),
+              col("n_a") * col("n_b")).as("lift_ppm"))
+          .orderBy(col("n_pair").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |pr AS (
+             |  SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS n_pair
+             |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY a.pk, b.pk),
+             |sg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_one FROM it GROUP BY pk),
+             |t AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM it)
+             |SELECT pa, pb, n_pair, sa.n_one AS n_a, sb.n_one AS n_b,
+             |  1000000 * n_pair * n_orders // (sa.n_one * sb.n_one) AS lift_ppm
+             |FROM pr JOIN sg sa ON pr.pa = sa.pk JOIN sg sb ON pr.pb = sb.pk, t
+             |ORDER BY n_pair DESC, pa, pb LIMIT 20""".stripMargin)),
+
+    // q183 — DISTRIBUTION DRIFT as exact total-variation distance: the
+    // value distribution of each event_type in the first half of the
+    // timeline vs the second, over 10 fixed-width 50-unit bins.
+    // Fraction-free: TVD_ppm = 10⁶·Σ_bin|c_a·n_b − c_b·n_a| div (2·n_a·n_b)
+    // (the bin products run in DECIMAL(38,0) so petabyte counts can't
+    // overflow). The midpoint day is a 1-row broadcast of (min,max).
+    //
+    // Shape at 100 TB: one (event_type, bin, half) counter aggregate
+    // after the scan; everything downstream is ≤ types×bins rows. This
+    // is the scheduled parity check between a historical training corpus
+    // and this week's feed — the PSI-style gate without PSI's log.
+    Declared("q183_tvd_drift",
+      (s, dir) => {
+        val t = tape(s, dir)
+        val span = t.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        val binned = t.crossJoin(broadcast(span))
+          .withColumn("half",
+            when(col("d") < idiv(col("d0") + col("d1") + 1, lit(2L)), "a").otherwise("b"))
+          .withColumn("bin", least(idiv(col("v_micro"), lit(50000000L)), lit(9L)))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("c_a"),
+            sum(when(col("half") === "b", 1L).otherwise(0L)).as("c_b"))
+        val wt = Window.partitionBy(col("event_type"))
+        binned
+          .withColumn("n_a", sum(col("c_a")).over(wt))
+          .withColumn("n_b", sum(col("c_b")).over(wt))
+          .groupBy(col("event_type"))
+          .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+            sum(abs(col("c_a").cast(D38) * col("n_b") - col("c_b").cast(D38) * col("n_a")))
+              .as("tvd_num"))
+          .select(col("event_type"), big(col("n_a")).as("n_a"), big(col("n_b")).as("n_b"),
+            idiv(lit(1000000L).cast(D38) * col("tvd_num"),
+              lit(2L).cast(D38) * col("n_a") * col("n_b")).cast("long").as("tvd_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |sp AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+              |bn AS (
+              |  SELECT event_type, LEAST(v_micro // 50000000, 9) AS bin,
+              |    SUM(CASE WHEN d < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END) AS c_a,
+              |    SUM(CASE WHEN d < (d0 + d1 + 1) // 2 THEN 0 ELSE 1 END) AS c_b
+              |  FROM e, sp GROUP BY 1, 2),
+              |wt AS (
+              |  SELECT event_type, c_a, c_b,
+              |    SUM(c_a) OVER (PARTITION BY event_type) AS n_a,
+              |    SUM(c_b) OVER (PARTITION BY event_type) AS n_b
+              |  FROM bn)
+              |SELECT event_type, CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+              |  CAST((1000000 * SUM(ABS(CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)))
+              |    // (2 * CAST(MAX(n_a) AS HUGEINT) * MAX(n_b)) AS BIGINT) AS tvd_ppm
+              |FROM wt GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q184 — DISCRETE SURVIVAL CURVE over user activity spans: for every
+    // day-offset k on a DENSE grid (0..max span), the number of users
+    // still "alive" at k (span ≥ k, a reverse prefix sum via GlobalCumSum
+    // over k DESC), the deaths at exactly k, and the exact hazard and
+    // survival rates in ppm. The grid explodes from a 1-row (max_span)
+    // broadcast so gap days appear with deaths=0 — the Kaplan-Meier
+    // shape without its floating product.
+    //
+    // Shape at 100 TB: per-user span is ONE user-keyed aggregate; spans
+    // histogram and the grid are ≤ span_max rows — counters all the way
+    // after the first shuffle. No partition-less window (reverse cumsum
+    // is the ranged prefix pass).
+    Declared("q184_survival",
+      (s, dir) => {
+        val spans = Tables.load(s, dir, "events")
+          .select(col("user_id"), idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"))
+          .groupBy(col("user_id"))
+          .agg((max(col("d")) - min(col("d"))).as("span"))
+        val deaths = spans.groupBy(col("span")).agg(count(lit(1)).as("deaths"))
+        val grid = spans.agg(max(col("span")).as("ms"), count(lit(1)).as("n_users"))
+          .select(explode(sequence(lit(0L), col("ms"))).as("k"), col("n_users"))
+        val dense = grid.join(deaths, grid("k") === deaths("span"), "left")
+          .select(col("k"), col("n_users"), coalesce(col("deaths"), lit(0L)).as("deaths"))
+        GlobalCumSum.withCumSum(dense, Seq(col("k").desc), col("deaths"), "at_risk")
+          .select(col("k"), big(col("at_risk")).as("at_risk"), big(col("deaths")).as("deaths"),
+            idiv(lit(1000000L) * col("deaths"), col("at_risk")).as("hazard_ppm"),
+            idiv(lit(1000000L) * col("at_risk"), col("n_users")).as("surv_ppm"))
+          .orderBy(col("k"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+              |sp AS (SELECT user_id, MAX(d) - MIN(d) AS span FROM e GROUP BY user_id),
+              |dth AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS deaths FROM sp GROUP BY span),
+              |m AS (SELECT MAX(span) AS ms, CAST(COUNT(*) AS BIGINT) AS n_users FROM sp),
+              |grid AS (SELECT UNNEST(RANGE(0, ms + 1)) AS k, n_users FROM m),
+              |dense AS (
+              |  SELECT k, n_users, COALESCE(deaths, 0) AS deaths
+              |  FROM grid LEFT JOIN dth ON grid.k = dth.span),
+              |rc AS (
+              |  SELECT *, SUM(deaths) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS at_risk
+              |  FROM dense)
+              |SELECT k, CAST(at_risk AS BIGINT) AS at_risk, deaths,
+              |  1000000 * deaths // at_risk AS hazard_ppm,
+              |  1000000 * at_risk // n_users AS surv_ppm
+              |FROM rc ORDER BY k""".stripMargin))
   )
 }
