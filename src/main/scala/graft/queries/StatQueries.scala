@@ -391,9 +391,13 @@ object StatQueries extends QueryModule {
     // warehouse scale — both correct); N is a 1-row broadcast.
     Declared("q182_basket_pairs",
       (s, dir) => {
+        // items feeds BOTH self-join sides, the singles counts and the order
+        // total: persist so the distinct runs once, not once per branch
+        // (4 lineitem scans otherwise — scale-mode plan audit, round 6).
         val items = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = items.as("a")
           .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))

@@ -38,7 +38,8 @@ object PlanAudit {
       plan.linesIterator
         .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema")
           || l.contains("Exchange") || l.contains("Broadcast") || l.contains("Join")
-          || l.contains("TakeOrdered") || l.contains("HashAggregate") || l.contains("WholeStageCodegen"))
+          || l.contains("TakeOrdered") || l.contains("HashAggregate") || l.contains("WholeStageCodegen")
+          || l.contains("InMemoryTableScan"))
         .map(_.trim.take(220)).foreach(println)
     }
     sp.stop()
