@@ -1066,6 +1066,101 @@ object EventQueries extends QueryModule {
              |SELECT user_id, k, valid_from,
              |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
              |  n_events
-             |FROM g ORDER BY user_id, valid_from""".stripMargin))
+             |FROM g ORDER BY user_id, valid_from""".stripMargin)),
+
+    // q185 — STREAMING LAST-TOUCH ATTRIBUTION, byte-identical to q181's
+    // batch oracle: purchases are as-of PROBES (side=1) and channel events
+    // are REFERENCES (side=0, v encodes the channel: 1=click 2=view
+    // 3=signup) through the SAME `Stateful.asOfJoinStream` state machine
+    // that q93 gates — per-key state is pending probes + ONE frontier
+    // reference row, so attribution state never grows with stream length.
+    // The 7-day horizon and the channel decode are applied on the emitted
+    // matches (row-local, exactly q181's post-window rule); the purchase
+    // value re-attaches batch-side by event_id (the probe's own payload is
+    // not in AsOfOut). Same file-replay harness as q93 (4 micro-batch
+    // slices + watermark pusher). Tie semantics cannot diverge from the
+    // batch window: no (user, µs) collision exists at any SF, and both
+    // sides resolve equal-ts references to the max event_id.
+    Declared("q185_stream_attr",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.load(s, dir, "events")
+        val asofEv = ev
+          .filter(col("event_type").isin("purchase", "click", "view", "signup"))
+          .select(col("user_id").cast("string").as("key"), col("ts"),
+            when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+              .cast("byte").as("side"),
+            col("event_id").as("id"),
+            when(col("event_type") === "click", lit(1.0))
+              .when(col("event_type") === "view", lit(2.0))
+              .when(col("event_type") === "signup", lit(3.0))
+              .otherwise(lit(0.0)).as("v"))
+        val base = SharedStages.scratchDir("q185")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        val fs = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+            .head.getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+        }
+        (0 until 4).foreach(i => writeOne(asofEv.filter(pmod(col("id"), lit(4)) === i), s"data_$i"))
+        Thread.sleep(1200)
+        val maxTs = asofEv.agg(max(col("ts"))).head().getTimestamp(0)
+        val pusher = {
+          import s.implicits._
+          Seq(("zz~pusher", new java.sql.Timestamp(maxTs.getTime + 87601L * 3600 * 1000),
+            0.toByte, -1L, 0.0)).toDF("key", "ts", "side", "id", "v")
+        }
+        writeOne(pusher, "zz_pusher")
+        val stream = s.readStream.schema(asofEv.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .as[graft.streaming.Stateful.AsOfEv](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Stateful.AsOfEv])
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = graft.streaming.Stateful.asOfJoinStream(stream, delay = "87600 hours")
+            .toDF()
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val vmicro = ev.select(col("event_id").as("id"),
+          (dec(col("value")) * lit(1000000)).cast("long").as("v_micro"))
+        s.read.parquet(out)
+          .join(vmicro, "id")
+          .withColumn("channel",
+            when(col("mV").isNotNull && col("tsUs") - col("mTsUs") <= lit(604800000000L),
+              when(col("mV") === 1.0, "click").when(col("mV") === 2.0, "view")
+                .otherwise("signup"))
+              .otherwise(lit("none")))
+          .groupBy(col("channel"))
+          .agg(big(count(lit(1))).as("n_purchases"),
+            sum(col("v_micro")).as("attr_value_micro"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_type,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro, event_id
+             |  FROM events),
+             |cf AS (
+             |  SELECT *,
+             |    LAST_VALUE(CASE WHEN event_type IN ('click','view','signup') THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS ch,
+             |    LAST_VALUE(CASE WHEN event_type IN ('click','view','signup') THEN us END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS ch_us
+             |  FROM e)
+             |SELECT CASE WHEN ch IS NOT NULL AND us - ch_us <= 604800000000 THEN ch ELSE 'none' END AS channel,
+             |  CAST(COUNT(*) AS BIGINT) AS n_purchases, SUM(v_micro) AS attr_value_micro
+             |FROM cf WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY channel""".stripMargin))
   )
 }
