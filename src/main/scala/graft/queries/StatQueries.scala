@@ -522,6 +522,185 @@ object StatQueries extends QueryModule {
               |SELECT k, CAST(at_risk AS BIGINT) AS at_risk, deaths,
               |  1000000 * deaths // at_risk AS hazard_ppm,
               |  1000000 * at_risk // n_users AS surv_ppm
-              |FROM rc ORDER BY k""".stripMargin))
+              |FROM rc ORDER BY k""".stripMargin)),
+
+    // q186 — DATA-QUALITY CONSTRAINT SUITE (Deequ-style declarative
+    // checks): completeness, key uniqueness, domain membership, range,
+    // positivity, and referential integrity — as ONE report row per
+    // constraint with exact violation counts and a pass flag. All six
+    // checks fold into THREE jobs: one fused conditional-aggregate pass
+    // over orders (including the distinct-key count), one over lineitem,
+    // and one anti-join count for referential integrity; the report is a
+    // stack() melt of three 1-row broadcasts — never a scan per check.
+    //
+    // Shape at 100 TB: one fused wide scan per table plus a key-only
+    // pruned scan pair for the anti-join — never a scan per check. The
+    // reference's load pipeline assumes these invariants silently
+    // (lambda_function.py trusts the CSV); this makes them a gated query.
+    Declared("q186_dq_violations",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        val oAgg = o.agg(
+          count(lit(1)).as("o_n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null_cust"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup_key"),
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L)).as("v_status"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_price"))
+        val lAgg = l.agg(
+          count(lit(1)).as("l_n"),
+          sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L).otherwise(0L))
+            .as("v_disc"))
+        val orphan = l.join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v_orphan"))
+        oAgg.crossJoin(broadcast(lAgg)).crossJoin(broadcast(orphan))
+          .selectExpr(
+            """stack(6,
+              |'orders.custkey_complete', o_n, v_null_cust,
+              |'orders.orderkey_unique', o_n, v_dup_key,
+              |'orders.status_domain',   o_n, v_status,
+              |'orders.price_positive',  o_n, v_price,
+              |'lineitem.discount_range', l_n, v_disc,
+              |'lineitem.orderkey_refint', l_n, v_orphan
+              |) AS (check_name, checked, violations)""".stripMargin)
+          .select(col("check_name"), big(col("checked")).as("checked"),
+            big(col("violations")).as("violations"),
+            when(col("violations") === 0L, 1L).otherwise(0L).as("pass"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH oa AS (
+             |  SELECT COUNT(*) AS o_n,
+             |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null_cust,
+             |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup_key,
+             |    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS v_status,
+             |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price
+             |  FROM orders),
+             |la AS (
+             |  SELECT COUNT(*) AS l_n,
+             |    SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS v_disc
+             |  FROM lineitem),
+             |orph AS (
+             |  SELECT COUNT(*) AS v_orphan FROM lineitem
+             |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+             |rep AS (
+             |  SELECT 'orders.custkey_complete' AS check_name, o_n AS checked, v_null_cust AS violations FROM oa
+             |  UNION ALL SELECT 'orders.orderkey_unique', o_n, v_dup_key FROM oa
+             |  UNION ALL SELECT 'orders.status_domain', o_n, v_status FROM oa
+             |  UNION ALL SELECT 'orders.price_positive', o_n, v_price FROM oa
+             |  UNION ALL SELECT 'lineitem.discount_range', l_n, v_disc FROM la
+             |  UNION ALL SELECT 'lineitem.orderkey_refint', l_n, v_orphan FROM la, orph)
+             |SELECT check_name, CAST(checked AS BIGINT) AS checked,
+             |  CAST(violations AS BIGINT) AS violations,
+             |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+             |FROM rep ORDER BY check_name""".stripMargin)),
+
+    // q187 — BEHAVIORAL PATH MINING: the top-15 event-type TRIGRAMS over
+    // each user's time-ordered stream (two lag windows on one user_id
+    // exchange), with exact support share in ppm of all complete
+    // trigrams. The sequence analogue of q135's document collocations.
+    //
+    // Shape at 100 TB: one Exchange hashpartitioning(user_id) for both
+    // lags, one counter-sized trigram aggregate, a 1-row broadcast
+    // total, TakeOrdered(15).
+    Declared("q187_path_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val tri = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"), col("event_id"))
+          .withColumn("p1", lag(col("event_type"), 1).over(w))
+          .withColumn("p2", lag(col("event_type"), 2).over(w))
+          .where(col("p2").isNotNull)
+          .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          // tri feeds the report AND the total: persist so the window pass
+          // over the fact runs once (2 events scans otherwise — plan audit)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = tri.agg(sum(col("n")).as("total"))
+        tri.crossJoin(broadcast(tot))
+          .select(col("path"), big(col("n")).as("n"),
+            idiv(lit(1000000L) * col("n"), col("total")).as("share_ppm"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(15)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events),
+             |tg AS (
+             |  SELECT user_id,
+             |    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS p2,
+             |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS p1,
+             |    event_type AS p0
+             |  FROM e),
+             |tri AS (
+             |  SELECT p2 || '>' || p1 || '>' || p0 AS path, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM tg WHERE p2 IS NOT NULL GROUP BY 1),
+             |t AS (SELECT SUM(n) AS total FROM tri)
+             |SELECT path, n, 1000000 * n // total AS share_ppm
+             |FROM tri, t ORDER BY n DESC, path LIMIT 15""".stripMargin)),
+
+    // q188 — MAD ROBUST OUTLIER DAYS: days whose daily total deviates
+    // from the per-type MEDIAN by more than 3× the median absolute
+    // deviation — q159's 2σ screen made outlier-proof (one wild day
+    // shifts a mean and inflates σ; the median/MAD pair shrugs). Exact
+    // integer lower-medians via rank-at-⌈n/2⌉ over the type-partitioned
+    // order; the 3·MAD cut is a plain integer comparison. MAD=0
+    // degenerates to "any deviation" via strict >.
+    //
+    // Shape at 100 TB: daily rollup (the one fact shuffle), then four
+    // windows + a self-equi-join of counter-sized tables, all on the
+    // event_type partitioning.
+    Declared("q188_mad_outliers",
+      (s, dir) => {
+        // daily feeds the median pass, the deviation join and (via devs)
+        // the MAD pass; devs feeds the MAD pass and the output filter —
+        // persist both so the fact aggregates once (4 events scans
+        // otherwise — plan audit). Both are counter-sized (types×days).
+        val daily = tape(s, dir)
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v_micro")).as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wa = Window.partitionBy(col("event_type"))
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, v: String, out: String) = {
+          val wo = Window.partitionBy(col("event_type")).orderBy(col(v), col("d"))
+          df.withColumn("rn", row_number().over(wo))
+            .withColumn("n", count(lit(1)).over(wa))
+            .where(col("rn") === idiv(col("n") + 1L, lit(2L)))
+            .select(col("event_type"), col(v).as(out))
+        }
+        val med = lowerMedian(daily, "y", "med")
+        val devs = daily.join(med, "event_type")
+          .withColumn("dev", abs(col("y") - col("med")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mad = lowerMedian(devs.select(col("event_type"), col("d"), col("dev").as("y")),
+          "y", "mad")
+        devs.join(mad, "event_type")
+          .where(col("dev") > lit(3L) * col("mad"))
+          .select(col("event_type"), col("d"), col("y"), col("med"),
+            col("dev"), col("mad"))
+          .orderBy(col("event_type"), col("d"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |daily AS (SELECT event_type, d, SUM(v_micro) AS y FROM e GROUP BY event_type, d),
+              |medt AS (
+              |  SELECT event_type, y AS med FROM (
+              |    SELECT event_type, y, d,
+              |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, d) AS rn,
+              |      COUNT(*) OVER (PARTITION BY event_type) AS n
+              |    FROM daily) WHERE rn = (n + 1) // 2),
+              |devs AS (
+              |  SELECT daily.event_type, d, y, med, ABS(y - med) AS dev
+              |  FROM daily JOIN medt ON daily.event_type = medt.event_type),
+              |madt AS (
+              |  SELECT event_type, dev AS mad FROM (
+              |    SELECT event_type, dev, d,
+              |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, d) AS rn,
+              |      COUNT(*) OVER (PARTITION BY event_type) AS n
+              |    FROM devs) WHERE rn = (n + 1) // 2)
+              |SELECT devs.event_type, d, y, med, dev, mad
+              |FROM devs JOIN madt ON devs.event_type = madt.event_type
+              |WHERE dev > 3 * mad
+              |ORDER BY devs.event_type, d""".stripMargin))
   )
 }
