@@ -17,7 +17,7 @@ object SparkEntry {
     TextAnalysisQueries, DedupQueries, JoinOpQueries, MiscQueries,
     CoverageQueries, ScaleQueries, CurationQueries, MultimodalQueries,
     DecorrelationQueries, RecursionQueries, TpchQueries, RetrievalQueries,
-    AnalyticsQueries, OptimizerQueries, StatQueries)
+    AnalyticsQueries, OptimizerQueries, StatQueries, GraphStatQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference-mirror tumbling window (Q22) — the reference's core

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.ColumnOps.idiv
+import graft.model.Tables
+import Protocol._
+
+/** Graph-traversal and profile statistics ([EXT], SURVEY §2.2): BFS
+  * hop-distance over the co-purchase graph, exact box-plot profiling, and
+  * hierarchical contribution shares — the remaining classics of an
+  * analyst's toolkit, in the integer-exact determinism protocol.
+  */
+object GraphStatQueries extends QueryModule {
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q189 — BFS HOP DISTANCE from the minimum-id part over the
+    // co-purchase graph (parts sharing an order): per-hop reachable-node
+    // counts, plus an unreached bucket at hop -1 when non-empty. The
+    // frontier loop is the ConnectedComponents/PageRank recipe: each
+    // round is an EQUI join frontier⋈edges on the vertex key + an
+    // anti-join against the visited set, localCheckpointed so round N's
+    // plan never embeds rounds 0..N-1. The fixture graph's diameter is
+    // ≤3 at every SF; the oracle unrolls four hops and would mismatch
+    // loudly (not silently truncate) if data ever grew a longer path,
+    // and maxRounds=50 guards the engine loop the same way.
+    //
+    // Shape at 100 TB: edges persist once (MEMORY_AND_DISK) and every
+    // round reuses the same vertex-keyed partitioning; frontier and
+    // visited are node-sized, never edge-sized; no all-pairs anywhere.
+    Declared("q189_bfs_hops",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nodes = e.select(col("pa").as("pk")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // bounded driver scalar: the source vertex id (a model object,
+        // same sanction as IVF centroids)
+        val src = nodes.agg(min(col("pk"))).head().getLong(0)
+        var visited = Seq((src, 0L)).toDF("pk", "hop").localCheckpoint(true)
+        var frontier = visited.select(col("pk")).localCheckpoint(true)
+        var round = 0L
+        var n = 1L
+        while (n > 0 && round < 50) {
+          round += 1
+          val nxt = frontier.join(e, frontier("pk") === e("pa"))
+            .select(col("pb").as("pk")).distinct()
+            .join(visited, Seq("pk"), "left_anti")
+            .withColumn("hop", lit(round))
+            .localCheckpoint(true)
+          n = nxt.count()
+          if (n > 0) {
+            visited = visited.union(nxt).localCheckpoint(true)
+            frontier = nxt.select(col("pk"))
+          }
+        }
+        require(n == 0, s"q189: frontier still non-empty after $round rounds")
+        val perHop = visited.groupBy(col("hop")).agg(big(count(lit(1))).as("n_nodes"))
+        val unreached = nodes.join(visited, Seq("pk"), "left_anti")
+          .agg(lit(-1L).as("hop"), big(count(lit(1))).as("n_nodes"))
+          .where(col("n_nodes") > 0)
+        perHop.unionByName(unreached).orderBy(col("hop"))
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+             |      FROM it a JOIN it b ON a.ok = b.ok AND a.pk <> b.pk),
+             |nodes AS (SELECT DISTINCT pa AS pk FROM e),
+             |h0 AS (SELECT MIN(pk) AS pk FROM nodes),
+             |h1 AS (SELECT DISTINCT pb AS pk FROM e JOIN h0 ON e.pa = h0.pk
+             |       WHERE pb NOT IN (SELECT pk FROM h0)),
+             |h2 AS (SELECT DISTINCT pb AS pk FROM e JOIN h1 ON e.pa = h1.pk
+             |       WHERE pb NOT IN (SELECT pk FROM h0 UNION ALL SELECT pk FROM h1)),
+             |h3 AS (SELECT DISTINCT pb AS pk FROM e JOIN h2 ON e.pa = h2.pk
+             |       WHERE pb NOT IN (SELECT pk FROM h0 UNION ALL SELECT pk FROM h1
+             |                        UNION ALL SELECT pk FROM h2)),
+             |reach AS (
+             |  SELECT 0 AS hop, pk FROM h0 UNION ALL SELECT 1, pk FROM h1
+             |  UNION ALL SELECT 2, pk FROM h2 UNION ALL SELECT 3, pk FROM h3),
+             |rep AS (
+             |  SELECT CAST(hop AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             |  FROM reach GROUP BY hop
+             |  UNION ALL
+             |  SELECT -1, CAST(COUNT(*) AS BIGINT) FROM nodes
+             |  WHERE pk NOT IN (SELECT pk FROM reach))
+             |SELECT hop, n_nodes FROM rep WHERE n_nodes > 0 ORDER BY hop""".stripMargin)),
+
+    // q190 — EXACT BOX-PLOT PROFILE per event_type over daily totals:
+    // lower quartile / median / upper quartile by rank-at-⌈p·n⌉ over one
+    // (y, d)-ordered window, IQR, and the Tukey outlier count with the
+    // 1.5·IQR fences cross-multiplied to integers (2·y vs 2·q1−3·IQR) —
+    // the robust five-number profile with zero floats.
+    //
+    // Shape at 100 TB: one daily rollup (the only fact shuffle), one
+    // event_type-partitioned rank window, a 3-way quartile pick joined
+    // back on event_type (counter-sized SMJ), one final aggregate.
+    Declared("q190_boxplot",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"),
+            (dec(col("value")) * lit(1000000)).cast("long").as("v_micro"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v_micro")).as("y"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val wo = Window.partitionBy(col("event_type")).orderBy(col("y"), col("d"))
+        val wa = Window.partitionBy(col("event_type"))
+        val ranked = daily
+          .withColumn("rn", row_number().over(wo).cast("long"))
+          .withColumn("n", count(lit(1)).over(wa))
+        def pick(num: Int, den: Int, out: String) = ranked
+          .where(col("rn") === idiv(lit(num.toLong) * col("n") + lit(den - 1L), lit(den.toLong)))
+          .select(col("event_type"), col("y").as(out))
+        val q = pick(1, 4, "q1").join(pick(1, 2, "med"), "event_type")
+          .join(pick(3, 4, "q3"), "event_type")
+          .withColumn("iqr", col("q3") - col("q1"))
+        daily.join(q, "event_type")
+          .groupBy(col("event_type"))
+          .agg(big(count(lit(1))).as("n_days"),
+            max(col("q1")).as("q1_micro"), max(col("med")).as("med_micro"),
+            max(col("q3")).as("q3_micro"), max(col("iqr")).as("iqr_micro"),
+            sum(when(lit(2L) * col("y") < lit(2L) * col("q1") - lit(3L) * col("iqr") ||
+              lit(2L) * col("y") > lit(2L) * col("q3") + lit(3L) * col("iqr"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+             |  FROM events),
+             |daily AS (SELECT event_type, d, SUM(v_micro) AS y FROM e GROUP BY event_type, d),
+             |rk AS (
+             |  SELECT event_type, y,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, d) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM daily),
+             |qs AS (
+             |  SELECT a.event_type, a.y AS q1, b.y AS med, c.y AS q3, c.y - a.y AS iqr
+             |  FROM (SELECT event_type, y FROM rk WHERE rn = (1 * n + 3) // 4) a
+             |  JOIN (SELECT event_type, y FROM rk WHERE rn = (1 * n + 1) // 2) b USING (event_type)
+             |  JOIN (SELECT event_type, y FROM rk WHERE rn = (3 * n + 3) // 4) c USING (event_type))
+             |SELECT daily.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |  MAX(q1) AS q1_micro, MAX(med) AS med_micro, MAX(q3) AS q3_micro,
+             |  MAX(iqr) AS iqr_micro,
+             |  SUM(CASE WHEN 2 * y < 2 * q1 - 3 * iqr OR 2 * y > 2 * q3 + 3 * iqr
+             |           THEN 1 ELSE 0 END) AS n_outliers
+             |FROM daily JOIN qs ON daily.event_type = qs.event_type
+             |GROUP BY daily.event_type ORDER BY daily.event_type""".stripMargin)),
+
+    // q191 — HIERARCHICAL CONTRIBUTION SHARES: order revenue rolled to
+    // nations, each nation's exact ppm share of its REGION and each
+    // region's share of the TOTAL — the drill-path percent-of-parent
+    // readout. Cent-exact sums; region totals ride a region-partitioned
+    // window on the nation-sized rollup; the grand total is a 1-row
+    // broadcast.
+    //
+    // Shape at 100 TB: the fact shuffles ONCE (custkey join + nation
+    // rollup); dims broadcast; everything after is ≤ nations rows.
+    Declared("q191_share_of_parent",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), (dec(col("o_totalprice")) * 100).cast("long").as("cent"))
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val n = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val r = Tables.load(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))
+        val perNation = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(sum(col("cent")).as("nat_cent"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        val wr = Window.partitionBy(col("r_name"))
+        val tot = perNation.agg(sum(col("nat_cent")).as("total"))
+        perNation
+          .withColumn("reg_cent", sum(col("nat_cent")).over(wr))
+          .crossJoin(broadcast(tot))
+          .select(col("r_name"), col("n_name"), col("nat_cent"),
+            idiv(lit(1000000L) * col("nat_cent"), col("reg_cent")).as("share_of_region_ppm"),
+            idiv(lit(1000000L) * col("reg_cent"), col("total")).as("region_share_ppm"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cent
+             |  FROM orders),
+             |pn AS (
+             |  SELECT c_nationkey, SUM(cent) AS nat_cent
+             |  FROM o JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey),
+             |j AS (
+             |  SELECT r_name, n_name, nat_cent,
+             |    SUM(nat_cent) OVER (PARTITION BY r_name) AS reg_cent
+             |  FROM pn JOIN nation ON c_nationkey = n_nationkey
+             |          JOIN region ON n_regionkey = r_regionkey),
+             |t AS (SELECT SUM(nat_cent) AS total FROM pn)
+             |SELECT r_name, n_name, nat_cent,
+             |  1000000 * nat_cent // reg_cent AS share_of_region_ppm,
+             |  1000000 * reg_cent // total AS region_share_ppm
+             |FROM j, t ORDER BY r_name, n_name""".stripMargin))
+  )
+}
