@@ -206,6 +206,123 @@ object GraphStatQueries extends QueryModule {
              |SELECT r_name, n_name, nat_cent,
              |  1000000 * nat_cent // reg_cent AS share_of_region_ppm,
              |  1000000 * reg_cent // total AS region_share_ppm
-             |FROM j, t ORDER BY r_name, n_name""".stripMargin))
+             |FROM j, t ORDER BY r_name, n_name""".stripMargin)),
+
+    // q192 — DETERMINISTIC POISSON-STYLE BOOTSTRAP CI for the daily-mean
+    // statistic: 200 resamples whose per-day multiplicities (0..2, mean 1)
+    // derive from md5(type:day:resample) — a reproducible surrogate for
+    // Poisson weights that both engines compute bit-identically (the
+    // q25/q32 md5→BIGINT idiom). Each resample's mean is the exact floor
+    // ratio Σm·y div Σm; the 90 % CI is rank-at-⌈.05n⌉/⌈.95n⌉ selection
+    // over the 200 means. Uncertainty quantification with zero RNG state
+    // and zero floats — re-runs and retries can't shift the interval.
+    //
+    // Shape at 100 TB: the fact aggregates once to (type, day); the
+    // resample explode is counters ×B (type×day×200), the mean table is
+    // type×200, and the rank windows are type-partitioned. B scales the
+    // counter stage linearly and the fact stage not at all.
+    Declared("q192_bootstrap_ci",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"),
+            (dec(col("value")) * lit(1000000)).cast("long").as("v_micro"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v_micro")).as("y"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val point = daily.groupBy(col("event_type"))
+          .agg(idiv(sum(col("y")), count(lit(1))).as("mean_micro"))
+        val means = daily
+          .select(col("event_type"), col("d"), col("y"),
+            explode(sequence(lit(0L), lit(199L))).as("r"))
+          .withColumn("m",
+            conv(substring(md5(concat_ws(":", col("event_type"), col("d"), col("r"))), 1, 8),
+              16, 10).cast("long") % 3)
+          .groupBy(col("event_type"), col("r"))
+          .agg(sum(col("m") * col("y")).as("t"), sum(col("m")).as("w"))
+          .where(col("w") > 0)
+          .withColumn("mean_r", idiv(col("t"), col("w")))
+        val wo = Window.partitionBy(col("event_type")).orderBy(col("mean_r"), col("r"))
+        val wa = Window.partitionBy(col("event_type"))
+        val ranked = means
+          .withColumn("rn", row_number().over(wo).cast("long"))
+          .withColumn("n", count(lit(1)).over(wa))
+        val lo = ranked.where(col("rn") === idiv(col("n") + 19L, lit(20L)))
+          .select(col("event_type"), col("mean_r").as("lo_micro"), col("n").as("n_res"))
+        val hi = ranked.where(col("rn") === idiv(lit(19L) * col("n") + 19L, lit(20L)))
+          .select(col("event_type"), col("mean_r").as("hi_micro"))
+        point.join(lo, "event_type").join(hi, "event_type")
+          .select(col("event_type"), big(col("n_res")).as("n_res"),
+            col("mean_micro"), col("lo_micro"), col("hi_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+             |  FROM events),
+             |daily AS (SELECT event_type, d, SUM(v_micro) AS y FROM e GROUP BY event_type, d),
+             |pt AS (SELECT event_type, SUM(y) // COUNT(*) AS mean_micro FROM daily GROUP BY event_type),
+             |rs AS (
+             |  SELECT event_type, d, y, UNNEST(RANGE(0, 200)) AS r FROM daily),
+             |wt AS (
+             |  SELECT event_type, r,
+             |    CAST(('0x' || SUBSTR(md5(event_type || ':' || d || ':' || r), 1, 8)) AS BIGINT) % 3 AS m,
+             |    y
+             |  FROM rs),
+             |mn AS (
+             |  SELECT event_type, r, SUM(m * y) // SUM(m) AS mean_r
+             |  FROM wt GROUP BY event_type, r HAVING SUM(m) > 0),
+             |rk AS (
+             |  SELECT event_type, r, mean_r,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mean_r, r) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM mn)
+             |SELECT pt.event_type, CAST(MAX(n) AS BIGINT) AS n_res, MAX(mean_micro) AS mean_micro,
+             |  MAX(CASE WHEN rn = (n + 19) // 20 THEN mean_r END) AS lo_micro,
+             |  MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN mean_r END) AS hi_micro
+             |FROM rk JOIN pt ON rk.event_type = pt.event_type
+             |GROUP BY pt.event_type ORDER BY pt.event_type""".stripMargin)),
+
+    // q193 — SEASONAL-NAIVE FORECAST EVALUATION: predict each day's total
+    // by the SAME WEEKDAY a week earlier (an explicit equi self-join on
+    // (type, d−7) — not lag(7), which silently misreads gapped
+    // calendars), score with exact MAE and weighted-MAPE over the
+    // evaluable days. The baseline every real forecaster must beat,
+    // gated to the integer protocol.
+    //
+    // Shape at 100 TB: one fact rollup, one counter-sized self-join on
+    // the day key, one 5-row aggregate.
+    Declared("q193_seasonal_naive",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"),
+            (dec(col("value")) * lit(1000000)).cast("long").as("v_micro"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v_micro")).as("y"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pred = daily.select(col("event_type"), (col("d") + 7L).as("d"),
+          col("y").as("yhat"))
+        daily.join(pred, Seq("event_type", "d"))
+          .withColumn("err", abs(col("y") - col("yhat")))
+          .groupBy(col("event_type"))
+          .agg(big(count(lit(1))).as("n_eval"),
+            idiv(sum(col("err")), count(lit(1))).as("mae_micro"),
+            idiv(lit(1000000L) * sum(col("err")), sum(col("y"))).as("wmape_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+             |  FROM events),
+             |daily AS (SELECT event_type, d, SUM(v_micro) AS y FROM e GROUP BY event_type, d),
+             |j AS (
+             |  SELECT a.event_type, a.d, a.y, b.y AS yhat
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND b.d = a.d - 7)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+             |  SUM(ABS(y - yhat)) // COUNT(*) AS mae_micro,
+             |  1000000 * SUM(ABS(y - yhat)) // SUM(y) AS wmape_ppm
+             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
