@@ -323,6 +323,92 @@ object GraphStatQueries extends QueryModule {
              |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
              |  SUM(ABS(y - yhat)) // COUNT(*) AS mae_micro,
              |  1000000 * SUM(ABS(y - yhat)) // SUM(y) AS wmape_ppm
-             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q194 — COMPLEX-EVENT-PROCESSING pattern match (the MATCH_RECOGNIZE
+    // shape): each user's time-ordered event stream collapses to an
+    // initial-letter tape (listagg WITHIN GROUP — q141's surface), and
+    // regex patterns count real behavioral motifs in-row: browse-to-buy
+    // (`v{2,}p`: 2+ views then an immediate purchase), impulse buy (`cp`),
+    // error storm (`e{2,}`). Non-overlapping left-to-right match counts
+    // are engine-identical; output per pattern: users matched + total
+    // occurrences.
+    //
+    // Shape at 100 TB: one user_id exchange for the ordered tape, regex
+    // per-row in codegen, a 3-row rollup. The tape is bounded by per-user
+    // activity — at warehouse scale key by (user, session/day) to bound
+    // the string, same rule q141's roster documents.
+    Declared("q194_cep_pattern",
+      (s, dir) => {
+        val tapes = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            substring(col("event_type"), 1, 1).as("ch"), col("event_id"))
+          .groupBy(col("user_id"))
+          .agg(expr("listagg(ch, '') within group (order by us, event_id)").as("tape"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pats = Seq("v{2,}p" -> "browse_to_buy", "cp" -> "impulse_buy",
+          "e{2,}" -> "error_storm")
+        pats.map { case (re, name) =>
+          tapes.select(
+            lit(name).as("pattern"),
+            size(regexp_extract_all(col("tape"), lit(re), lit(0))).cast("long").as("k"))
+            .groupBy(col("pattern"))
+            .agg(big(sum(when(col("k") > 0, 1L).otherwise(0L))).as("n_users"),
+              big(sum(col("k"))).as("n_matches"))
+        }.reduce(_.unionByName(_)).orderBy(col("pattern"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |    string_agg(SUBSTR(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS tape
+             |  FROM events GROUP BY user_id),
+             |m AS (
+             |  SELECT 'browse_to_buy' AS pattern, LENGTH(regexp_extract_all(tape, 'v{2,}p')) AS k FROM t
+             |  UNION ALL SELECT 'impulse_buy', LENGTH(regexp_extract_all(tape, 'cp')) FROM t
+             |  UNION ALL SELECT 'error_storm', LENGTH(regexp_extract_all(tape, 'e{2,}')) FROM t)
+             |SELECT pattern, CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+             |  CAST(SUM(k) AS BIGINT) AS n_matches
+             |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin)),
+
+    // q195 — RFM FEATURE EXTRACTION + churn label: the training-table
+    // builder for a churn model. Per user: recency (days from last event
+    // to the corpus end), frequency (events), monetary (exact µ-total),
+    // tenure (first→last span), and the label `churned` = no activity in
+    // the final 7 days of the timeline. The corpus end rides a 1-row
+    // broadcast; every feature folds into ONE user-keyed aggregate.
+    //
+    // Shape at 100 TB: one shuffle on user_id, a 1-row broadcast — the
+    // canonical wide-feature extraction (contrast q82's curation gate,
+    // which filters; this one engineers).
+    Declared("q195_rfm_features",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            idiv(unix_micros(col("ts")), lit(86400000000L)).as("d"),
+            (dec(col("value")) * lit(1000000)).cast("long").as("v_micro"))
+        val end = e.agg(max(col("d")).as("d_end"))
+        e.groupBy(col("user_id"))
+          .agg(max(col("d")).as("last_d"), min(col("d")).as("first_d"),
+            big(count(lit(1))).as("frequency"), sum(col("v_micro")).as("monetary_micro"))
+          .crossJoin(broadcast(end))
+          .select(col("user_id"),
+            (col("d_end") - col("last_d")).as("recency_days"),
+            col("frequency"), col("monetary_micro"),
+            (col("last_d") - col("first_d")).as("tenure_days"),
+            when(col("d_end") - col("last_d") >= 7L, 1L).otherwise(0L).as("churned"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+             |  FROM events),
+             |t AS (SELECT MAX(d) AS d_end FROM e),
+             |u AS (
+             |  SELECT user_id, MAX(d) AS last_d, MIN(d) AS first_d,
+             |    CAST(COUNT(*) AS BIGINT) AS frequency, SUM(v_micro) AS monetary_micro
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, d_end - last_d AS recency_days, frequency, monetary_micro,
+             |  last_d - first_d AS tenure_days,
+             |  CAST(CASE WHEN d_end - last_d >= 7 THEN 1 ELSE 0 END AS BIGINT) AS churned
+             |FROM u, t ORDER BY user_id""".stripMargin))
   )
 }
