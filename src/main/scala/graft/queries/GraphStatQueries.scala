@@ -409,6 +409,95 @@ object GraphStatQueries extends QueryModule {
              |SELECT user_id, d_end - last_d AS recency_days, frequency, monetary_micro,
              |  last_d - first_d AS tenure_days,
              |  CAST(CASE WHEN d_end - last_d >= 7 THEN 1 ELSE 0 END AS BIGINT) AS churned
-             |FROM u, t ORDER BY user_id""".stripMargin))
+             |FROM u, t ORDER BY user_id""".stripMargin)),
+
+    // q196 — GROWTH ACCOUNTING: the canonical product-analytics ledger.
+    // Per epoch-week, every active user is exactly one of NEW (first-ever
+    // week), RETAINED (also active the prior week) or RESURRECTED (active
+    // before, idle last week); CHURNED counts prior-week actives who went
+    // idle. Derived from one distinct (user, week) table full-outer
+    // self-joined against its week-shifted copy plus a user-keyed
+    // first-week table — the identity new+retained+resurrected = WAU
+    // holds by construction and the oracle enforces it.
+    //
+    // Shape at 100 TB: the fact collapses to distinct (user, week) in one
+    // shuffle; the self-join and first-week join are user-keyed
+    // counter-sized SMJs; output is weeks-sized.
+    Declared("q196_growth_accounting",
+      (s, dir) => {
+        val aw = Tables.load(s, dir, "events")
+          .select(col("user_id").as("u"),
+            idiv(idiv(unix_micros(col("ts")), lit(86400000000L)), lit(7L)).as("w"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val first = aw.groupBy(col("u")).agg(min(col("w")).as("f"))
+        val prev = aw.select(col("u"), (col("w") + 1L).as("w"), lit(1L).as("was_prev"))
+        val maxw = aw.agg(max(col("w")).as("mw"))
+        aw.withColumn("is_cur", lit(1L))
+          .join(prev, Seq("u", "w"), "full_outer")
+          .join(first, Seq("u"))
+          .crossJoin(broadcast(maxw))
+          .where(col("w") <= col("mw"))
+          .groupBy(col("w"))
+          .agg(
+            big(sum(when(col("is_cur").isNotNull && col("f") === col("w"), 1L)
+              .otherwise(0L))).as("new_users"),
+            big(sum(when(col("is_cur").isNotNull && col("was_prev").isNotNull, 1L)
+              .otherwise(0L))).as("retained"),
+            big(sum(when(col("is_cur").isNotNull && col("was_prev").isNull &&
+              col("f") < col("w"), 1L).otherwise(0L))).as("resurrected"),
+            big(sum(when(col("is_cur").isNull && col("was_prev").isNotNull, 1L)
+              .otherwise(0L))).as("churned"))
+          .orderBy(col("w"))
+      },
+      Some("""WITH aw AS (
+             |  SELECT DISTINCT user_id AS u, (epoch_us(ts) // 86400000000) // 7 AS w
+             |  FROM events),
+             |f AS (SELECT u, MIN(w) AS f FROM aw GROUP BY u),
+             |pv AS (SELECT u, w + 1 AS w, 1 AS was_prev FROM aw),
+             |cur AS (SELECT u, w, 1 AS is_cur FROM aw),
+             |j AS (
+             |  SELECT COALESCE(cur.u, pv.u) AS u, COALESCE(cur.w, pv.w) AS w,
+             |    is_cur, was_prev
+             |  FROM cur FULL OUTER JOIN pv ON cur.u = pv.u AND cur.w = pv.w),
+             |t AS (SELECT MAX(w) AS mw FROM aw)
+             |SELECT w,
+             |  CAST(SUM(CASE WHEN is_cur IS NOT NULL AND f.f = w THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             |  CAST(SUM(CASE WHEN is_cur IS NOT NULL AND was_prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             |  CAST(SUM(CASE WHEN is_cur IS NOT NULL AND was_prev IS NULL AND f.f < w THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+             |  CAST(SUM(CASE WHEN is_cur IS NULL AND was_prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned
+             |FROM j JOIN f ON j.u = f.u, t
+             |WHERE w <= mw
+             |GROUP BY w ORDER BY w""".stripMargin)),
+
+    // q197 — ACTIVITY CONCENTRATION CURVE: users ranked by event count
+    // into global deciles (GlobalRank's range-partitioned NTILE — no
+    // partition-less window), each decile's exact share of all events in
+    // ppm. The "top 10 % of users produce X % of traffic" readout that
+    // pairs with q166's Gini scalar.
+    //
+    // Shape at 100 TB: one user-keyed count aggregate, ONE range shuffle
+    // for the global tiling, a 10-row rollup + 1-row broadcast total.
+    Declared("q197_decile_share",
+      (s, dir) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+        val tiled = graft.operators.GlobalRank.withRankColumns(
+          perUser, Seq(col("x").desc, col("user_id")), tiles = 10)
+        val tot = perUser.agg(sum(col("x")).as("total"))
+        tiled.groupBy(col("tile"))
+          .agg(big(count(lit(1))).as("n_users"), sum(col("x")).as("events"))
+          .crossJoin(broadcast(tot))
+          .select(col("tile").as("decile"), col("n_users"), col("events"),
+            idiv(lit(1000000L) * col("events"), col("total")).as("share_ppm"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY user_id),
+             |tl AS (
+             |  SELECT x, NTILE(10) OVER (ORDER BY x DESC, user_id) AS decile FROM pu),
+             |t AS (SELECT SUM(x) AS total FROM pu)
+             |SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |  SUM(x) AS events, 1000000 * SUM(x) // MAX(total) AS share_ppm
+             |FROM tl, t GROUP BY decile ORDER BY decile""".stripMargin))
   )
 }
