@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural and semantic pins for the q189-q197 family. */
+class GraphStatSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q189 BFS: no cartesian product; hop counts partition the node set") {
+    val df = SparkEntry.queries("q189_bfs_hops")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "BFS round leaked a cartesian")
+    val rows = df.collect().map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes"))
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1)), "ordered by hop")
+    assert(rows.head._2 == 1L, "hop 0 is the single source")
+    // all 200 sf0.001 co-purchase nodes are accounted for exactly once
+    assert(rows.map(_._2).sum == 200L)
+  }
+
+  test("q192 bootstrap: deterministic across runs and CI brackets the estimate") {
+    val build = SparkEntry.queries("q192_bootstrap_ci")
+    val a = build(spark, sf0001).collect()
+    val b = build(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq, "hash-derived resampling must be run-stable")
+    a.foreach { r =>
+      val (lo, mean, hi) = (r.getAs[Long]("lo_micro"), r.getAs[Long]("mean_micro"),
+        r.getAs[Long]("hi_micro"))
+      assert(lo <= hi, s"degenerate interval $lo > $hi")
+      assert(lo <= mean && mean <= hi,
+        s"90% bootstrap CI [$lo,$hi] should bracket the point mean $mean")
+      assert(r.getAs[Long]("n_res") == 200L)
+    }
+  }
+
+  test("q194 CEP: non-overlapping greedy counts on a hand tape") {
+    import spark.implicits._
+    // vvpvvvp -> v{2,}p matches twice; cpcp -> cp twice; eee -> e{2,} ONCE
+    val df = Seq("vvpvvvpcpcpeee").toDF("tape")
+      .select(
+        size(regexp_extract_all(col("tape"), lit("v{2,}p"), lit(0))).as("a"),
+        size(regexp_extract_all(col("tape"), lit("cp"), lit(0))).as("b"),
+        size(regexp_extract_all(col("tape"), lit("e{2,}"), lit(0))).as("c"))
+    assert(df.collect().head.toSeq == Seq(2, 2, 1))
+  }
+
+  test("q196 growth accounting: new+retained+resurrected equals WAU each week") {
+    val led = SparkEntry.queries("q196_growth_accounting")(spark, sf0001).collect()
+    val aw = graft.model.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+      .select(col("user_id"), (col("d") / 7L).cast("long").as("w"))
+      .distinct().groupBy("w").count()
+      .collect().map(r => r.getAs[Long]("w") -> r.getAs[Long]("count")).toMap
+    led.foreach { r =>
+      val w = r.getAs[Long]("w")
+      val sum = r.getAs[Long]("new_users") + r.getAs[Long]("retained") +
+        r.getAs[Long]("resurrected")
+      assert(sum == aw(w), s"week $w: ledger $sum != WAU ${aw(w)}")
+    }
+  }
+
+  test("q197 deciles: shares sum to ~1e6 and the curve is monotone") {
+    val rows = SparkEntry.queries("q197_decile_share")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val shares = rows.map(r => r.getAs[Long]("decile") -> r.getAs[Long]("share_ppm"))
+    // floor-div ppm: total within [1e6 - 10, 1e6]
+    val tot = shares.map(_._2).sum
+    assert(tot <= 1000000L && tot >= 999990L, s"ppm total $tot")
+    // ranked by activity DESC: decile 1 is the heaviest
+    assert(shares.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      s"non-monotone concentration curve: ${shares.toSeq}")
+  }
+}
