@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.binary("dot_product", DotProduct)))
     // optimizer: HOF dot-product idiom -> codegen'd DotProduct
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    // governance: opt-in fail-fast on partition-less windows (scale guard)
+    ext.injectOptimizerRule(_ => graft.plans.PartitionlessWindowGuard)
     // planner: native as-of join (AsOfJoinPlan -> AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((

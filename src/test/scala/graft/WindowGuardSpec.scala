@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PartitionlessWindowGuard
+
+/** The opt-in partition-less-window guard: global windows fail loudly when
+  * enabled; partitioned windows and the GlobalCumSum replacement pass; the
+  * default leaves stock behavior untouched.
+  */
+class WindowGuardSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def withGuard[A](on: Boolean)(body: => A): A = {
+    val prev = spark.conf.getOption(PartitionlessWindowGuard.ConfKey)
+    spark.conf.set(PartitionlessWindowGuard.ConfKey, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(PartitionlessWindowGuard.ConfKey, v)
+      case None => spark.conf.unset(PartitionlessWindowGuard.ConfKey)
+    }
+  }
+
+  private def df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+
+  test("guard ON: global window fails at plan time, naming the expression") {
+    withGuard(true) {
+      val bad = df.withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+      val e = intercept[Exception](bad.collect())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("partition-less window")),
+        s"unexpected failure: $e")
+    }
+  }
+
+  test("guard ON: partitioned windows and GlobalCumSum pass untouched") {
+    withGuard(true) {
+      val ok = df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("k") % 2).orderBy(col("k"))))
+      assert(ok.count() == 3)
+      val cum = graft.operators.GlobalCumSum.withCumSum(
+        df, Seq(col("k")), col("v"), "cv")
+      assert(cum.orderBy(col("k")).select(col("cv")).as[Long].collect()
+        .toSeq == Seq(10L, 30L, 60L))
+    }
+  }
+
+  test("guard OFF (default): global window keeps stock WARN-only behavior") {
+    withGuard(false) {
+      val rn = df.withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+      assert(rn.count() == 3)
+    }
+  }
+}
