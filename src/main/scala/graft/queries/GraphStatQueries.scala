@@ -498,6 +498,107 @@ object GraphStatQueries extends QueryModule {
              |t AS (SELECT SUM(x) AS total FROM pu)
              |SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_users,
              |  SUM(x) AS events, 1000000 * SUM(x) // MAX(total) AS share_ppm
-             |FROM tl, t GROUP BY decile ORDER BY decile""".stripMargin))
+             |FROM tl, t GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // q198 — CHI-SQUARE INDEPENDENCE CELLS for event_type × weekday: the
+    // contingency table with exact expected counts (10⁶·r·c div N µ-units)
+    // and the scaled absolute deviation |10⁶·(o·N − r·c)| div N per cell —
+    // the test-of-independence readout ("do error events cluster on
+    // specific weekdays?") without a single float. Row/column totals ride
+    // type-/dow-partitioned windows on the 35-cell table; N is a 1-row
+    // broadcast.
+    //
+    // Shape at 100 TB: ONE (type, dow) aggregate over the fact; the
+    // window/broadcast machinery runs on ≤ types×7 rows.
+    Declared("q198_chi2_cells",
+      (s, dir) => {
+        val cells = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            pmod(idiv(unix_micros(col("ts")), lit(86400000000L)), lit(7L)).as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("o"))
+        val wr = Window.partitionBy(col("event_type"))
+        val wc = Window.partitionBy(col("dow"))
+        val tot = cells.agg(sum(col("o")).as("n"))
+        cells
+          .withColumn("r", sum(col("o")).over(wr))
+          .withColumn("c", sum(col("o")).over(wc))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"), col("dow"), big(col("o")).as("o"),
+            idiv(lit(1000000L) * col("r") * col("c"), col("n")).as("exp_micro"),
+            idiv(abs(lit(1000000L) * (col("o") * col("n") - col("r") * col("c"))),
+              col("n")).as("dev_micro"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow FROM events),
+             |cells AS (
+             |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM e GROUP BY event_type, dow),
+             |wt AS (
+             |  SELECT event_type, dow, o,
+             |    SUM(o) OVER (PARTITION BY event_type) AS r,
+             |    SUM(o) OVER (PARTITION BY dow) AS c
+             |  FROM cells),
+             |t AS (SELECT SUM(o) AS n FROM cells)
+             |SELECT event_type, dow, o,
+             |  1000000 * r * c // n AS exp_micro,
+             |  ABS(1000000 * (o * n - r * c)) // n AS dev_micro
+             |FROM wt, t ORDER BY event_type, dow""".stripMargin)),
+
+    // q199 — WINSORIZED MEAN per event_type: clamp the value tape at the
+    // exact p5/p95 rank-selected cut points, then average — the standard
+    // outlier-robust preprocessing before model features (q188 flags
+    // outlier DAYS; this tames outlier VALUES). Cuts by rank-at-⌈p·n⌉
+    // over one type-partitioned window; the clamp and the final ratio are
+    // row-local integer ops.
+    //
+    // Shape at 100 TB: one type-partitioned rank window over the tape
+    // (the only big sort — day-partitioned input makes it partition-
+    // local), a counter-sized cut join, one aggregate.
+    Declared("q199_winsorized_mean",
+      (s, dir) => {
+        val vals = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            (dec(col("value")) * lit(1000000)).cast("long").as("v"),
+            col("event_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val wo = Window.partitionBy(col("event_type")).orderBy(col("v"), col("event_id"))
+        val wa = Window.partitionBy(col("event_type"))
+        val ranked = vals
+          .withColumn("rn", row_number().over(wo).cast("long"))
+          .withColumn("n", count(lit(1)).over(wa))
+        def cut(num: Int, den: Int, out: String) = ranked
+          .where(col("rn") === idiv(lit(num.toLong) * col("n") + lit(den - 1L), lit(den.toLong)))
+          .select(col("event_type"), col("v").as(out))
+        val cuts = cut(1, 20, "lo").join(cut(19, 20, "hi"), "event_type")
+        vals.join(cuts, "event_type")
+          .withColumn("w", greatest(least(col("v"), col("hi")), col("lo")))
+          .groupBy(col("event_type"))
+          .agg(big(count(lit(1))).as("n"),
+            idiv(sum(col("v")), count(lit(1))).as("raw_mean_micro"),
+            idiv(sum(col("w")), count(lit(1))).as("wins_mean_micro"),
+            max(col("lo")).as("p5_micro"), max(col("hi")).as("p95_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+             |    event_id
+             |  FROM events),
+             |rk AS (
+             |  SELECT event_type, v,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM v),
+             |cuts AS (
+             |  SELECT a.event_type, a.v AS lo, b.v AS hi
+             |  FROM (SELECT event_type, v FROM rk WHERE rn = (1 * n + 19) // 20) a
+             |  JOIN (SELECT event_type, v FROM rk WHERE rn = (19 * n + 19) // 20) b USING (event_type))
+             |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  SUM(v.v) // COUNT(*) AS raw_mean_micro,
+             |  SUM(GREATEST(LEAST(v.v, hi), lo)) // COUNT(*) AS wins_mean_micro,
+             |  MAX(lo) AS p5_micro, MAX(hi) AS p95_micro
+             |FROM v JOIN cuts ON v.event_type = cuts.event_type
+             |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin))
   )
 }
