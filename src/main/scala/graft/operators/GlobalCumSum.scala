@@ -55,12 +55,42 @@ object GlobalCumSum {
   private val SumM = LongMonoid(0L, _ + _, _ + _, sum)
   private val MaxM = LongMonoid(Long.MinValue, math.max, greatest(_, _), max)
 
+  /** Strips sort direction from an order column, yielding the groupable
+    * key expression — `col("x").desc` is a SortOrder wrapper that groupBy
+    * would reject.
+    */
+  private def keyOf(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.expression(c) match {
+      case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
+        org.apache.spark.sql.GraftSqlBridge.column(so.child)
+      case _ => c
+    }
+
+  /** Opt-in totality check for the `order` contract: one aggregate pass
+    * that fails LOUDLY on the first duplicate key instead of letting a
+    * non-total order silently make prefix values partition-placement-
+    * dependent. Costs one extra shuffle over `df` — debug/first-deploy
+    * tooling, not the hot path (same guard philosophy as
+    * PartitionlessWindowGuard).
+    */
+  def requireTotalOrder(df: DataFrame, order: Seq[Column], who: String): Unit = {
+    val dup = df.groupBy(order.map(keyOf): _*).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$who: order is not total — duplicate key ${dup.headOption.getOrElse("")} " +
+        "(prefix results would depend on partition placement; extend the " +
+        "order with a unique tie-break column)")
+  }
+
   /** Appends `out` = running total of `value` over the global `order`,
-    * inclusive of the current row.
+    * inclusive of the current row. `validateOrder=true` runs the
+    * [[requireTotalOrder]] duplicate check first.
     */
   def withCumSum(df: DataFrame, order: Seq[Column], value: Column, out: String,
-      numPartitions: Option[Int] = None): DataFrame =
+      numPartitions: Option[Int] = None, validateOrder: Boolean = false): DataFrame = {
+    if (validateOrder) requireTotalOrder(df, order, "GlobalCumSum")
     withCumAgg(df, order, value, out, SumM, numPartitions)
+  }
 
   /** Appends `out` = running MAXIMUM of `value` over the global `order`,
     * inclusive of the current row — the prefix-max primitive behind
@@ -69,8 +99,10 @@ object GlobalCumSum {
     * or, as q144 does, collapse to group-level rows first and lag there.
     */
   def withCumMax(df: DataFrame, order: Seq[Column], value: Column, out: String,
-      numPartitions: Option[Int] = None): DataFrame =
+      numPartitions: Option[Int] = None, validateOrder: Boolean = false): DataFrame = {
+    if (validateOrder) requireTotalOrder(df, order, "GlobalCumSum.max")
     withCumAgg(df, order, value, out, MaxM, numPartitions)
+  }
 
   private def withCumAgg(df: DataFrame, order: Seq[Column], value: Column, out: String,
       m: LongMonoid, numPartitions: Option[Int]): DataFrame = {

@@ -52,7 +52,8 @@ object GlobalRank {
     * stage. `order` MUST be a total (duplicate-free) ordering.
     */
   def withRankColumns(df: DataFrame, order: Seq[Column], tiles: Int = 0,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None, validateOrder: Boolean = false): DataFrame = {
+    if (validateOrder) GlobalCumSum.requireTotalOrder(df, order, "GlobalRank")
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
     val ranged = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)

@@ -60,6 +60,21 @@ class GraphStatSpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalCumSum/GlobalRank validateOrder: loud on duplicates, silent on total orders") {
+    import spark.implicits._
+    val dup = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.GlobalCumSum.withCumSum(
+        dup, Seq(col("k")), col("v"), "c", validateOrder = true)
+    }
+    assert(e.getMessage.contains("not total"), e.getMessage)
+    // a desc order with a unique tie-break passes (SortOrder unwrap works)
+    val ok = graft.operators.GlobalRank.withRankColumns(
+      dup, Seq(col("v").desc, col("k")), validateOrder = true)
+    assert(ok.orderBy(col("rank")).select(col("v")).as[Long].collect()
+      .toSeq == Seq(30L, 20L, 10L))
+  }
+
   test("q197 deciles: shares sum to ~1e6 and the curve is monotone") {
     val rows = SparkEntry.queries("q197_decile_share")(spark, sf0001).collect()
     assert(rows.length == 10)
