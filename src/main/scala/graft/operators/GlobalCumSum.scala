@@ -60,11 +60,7 @@ object GlobalCumSum {
     * would reject.
     */
   private def keyOf(c: Column): Column =
-    org.apache.spark.sql.GraftSqlBridge.expression(c) match {
-      case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
-        org.apache.spark.sql.GraftSqlBridge.column(so.child)
-      case _ => c
-    }
+    org.apache.spark.sql.GraftSqlBridge.stripSortOrder(c)
 
   /** Opt-in totality check for the `order` contract: one aggregate pass
     * that fails LOUDLY on the first duplicate key instead of letting a

@@ -11,6 +11,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Strips a sort-direction wrapper (`col("x").desc`) down to its key
+    * expression, at the COLUMN-NODE level — `expression(c)` returns a lazy
+    * `ColumnNodeExpression`, so a catalyst-side `case so: SortOrder` match
+    * never fires. Needed wherever an ordering column doubles as a grouping
+    * key (GlobalCumSum.requireTotalOrder).
+    */
+  def stripSortOrder(c: Column): Column = c.node match {
+    case so: internal.SortOrder => new Column(so.child)
+    case _ => c
+  }
+
   /** Analyzed logical plan of a Dataset (resolved attributes, stable
     * exprIds) — the child-plan input for custom logical nodes.
     */
