@@ -17,7 +17,8 @@ object SparkEntry {
     TextAnalysisQueries, DedupQueries, JoinOpQueries, MiscQueries,
     CoverageQueries, ScaleQueries, CurationQueries, MultimodalQueries,
     DecorrelationQueries, RecursionQueries, TpchQueries, RetrievalQueries,
-    AnalyticsQueries, OptimizerQueries, StatQueries, GraphStatQueries)
+    AnalyticsQueries, OptimizerQueries, StatQueries, GraphStatQueries,
+    IntervalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference-mirror tumbling window (Q22) — the reference's core

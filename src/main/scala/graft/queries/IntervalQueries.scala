@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps.idiv
+import graft.model.Tables
+import Protocol._
+
+/** Interval and sequence analytics ([EXT], SURVEY §2.2): the
+  * ordered-recurrence family — clamped running balances (the Lindley
+  * recursion, rewritten as two windows so it distributes), interval
+  * union/coverage, gaps-and-islands streaks, calendar-bucket interval
+  * splitting, and largest-remainder budget apportionment. All in the
+  * integer-micro determinism protocol (Protocol scaladoc): BIGINT
+  * arithmetic end to end, zero floats.
+  *
+  * The unifying scale story: every query here is per-key window work over
+  * ONE hash exchange on the key (user_id), or counter-sized aggregate
+  * arithmetic. The Lindley rewrite is the family's showpiece — the naive
+  * formulation of a floor-clamped balance is a sequential fold
+  * (B_t = max(0, B_{t-1} + δ_t), unexpressible as a window sum), but the
+  * closed form B_t = S_t − min(0, min_{τ≤t} S_τ) (Lindley 1952's reflected
+  * random walk) turns it into two running windows over the same
+  * (user, time) sort — no mapGroups, no state store, codegen end to end.
+  */
+object IntervalQueries extends QueryModule {
+
+  /** Half-hour activity horizon for the interval-union queries (µs). */
+  private val H = 1800000000L
+  /** One day in µs. */
+  private val Day = 86400000000L
+
+  /** events → (user_id, µs instant, event_id, signed µ-unit cash delta):
+    * purchase/signup credit the account, click/view/error debit it.
+    */
+  private def tape(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (when(col("event_type").isin("purchase", "signup"), lit(1L))
+          .otherwise(lit(-1L)) *
+          (dec(col("value")) * lit(1000000)).cast("long")).as("delta"))
+
+  private val tapeSql =
+    """SELECT user_id, epoch_us(ts) AS us, event_id,
+      |  (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE -1 END)
+      |    * CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS delta
+      |FROM events""".stripMargin
+
+  override val declared: Seq[Declared] = Seq(
+
+    // q200 — FLOOR-CLAMPED RUNNING BALANCE (Lindley recursion) per user:
+    // a wallet that credits purchases/signups and debits the rest but can
+    // never go negative. B_t = max(0, B_{t-1} + δ_t) is a sequential
+    // recurrence; its closed form B_t = S_t − min(0, min_{τ≤t} S_τ)
+    // (S = prefix sum) is two running windows over one (us, event_id)
+    // sort. Per user: closing balance, peak balance, and how many debit
+    // events hit the floor (B = 0 — values are strictly positive, so a
+    // zero balance can only be a clamped debit).
+    //
+    // Shape at 100 TB: ONE Exchange hashpartitioning(user_id); both
+    // running windows and the full-partition peak share the single
+    // per-user sort; everything after is codegen arithmetic. The window
+    // formulation is WHY this scales — the fold formulation would be a
+    // state-store scan per user.
+    Declared("q200_clamped_balance",
+      (s, dir) => {
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val wAll = Window.partitionBy(col("user_id"))
+        val wLast = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)
+        tape(s, dir)
+          .withColumn("sp", sum(col("delta")).over(wRun))
+          .withColumn("b", col("sp") - least(lit(0L), min(col("sp")).over(wRun)))
+          .withColumn("peak_micro", max(col("b")).over(wAll))
+          .withColumn("n_floor",
+            sum(when(col("b") === 0L, 1L).otherwise(0L)).over(wAll))
+          .withColumn("rn", row_number().over(wLast))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("b").as("final_micro"),
+            col("peak_micro"), big(col("n_floor")).as("n_floor"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |b0 AS (
+              |  SELECT user_id, us, event_id,
+              |    SUM(delta) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sp
+              |  FROM e),
+              |b AS (
+              |  SELECT user_id, us, event_id,
+              |    sp - LEAST(0, MIN(sp) OVER (PARTITION BY user_id ORDER BY us, event_id)) AS b
+              |  FROM b0),
+              |st AS (
+              |  SELECT user_id, b,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn,
+              |    MAX(b) OVER (PARTITION BY user_id) AS peak_micro,
+              |    SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS n_floor
+              |  FROM b)
+              |SELECT user_id, b AS final_micro, peak_micro, n_floor
+              |FROM st WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // q201 — INTERVAL UNION (merged activity coverage) per user: each
+    // event opens a 30-minute activity window [us, us+H); overlapping or
+    // abutting windows merge into islands (new island ⟺ start strictly
+    // after the running max of all previous ends — the classic
+    // gaps-and-islands sweep). Per user: island count, total covered µs
+    // (union measure, double-counting-free), longest island. The island
+    // id is a running sum of the new-island flag — same single per-user
+    // sort as q200.
+    //
+    // Shape at 100 TB: ONE Exchange hashpartitioning(user_id) feeds the
+    // running-max window, the island-sum window and the two aggregates
+    // (same key, Catalyst reuses the partitioning). Never materializes
+    // per-pair overlap — the sweep is linear in events.
+    Declared("q201_interval_union",
+      (s, dir) => {
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val iv = tape(s, dir)
+          .select(col("user_id"), col("us"), col("event_id"),
+            (col("us") + lit(H)).as("e"))
+          .withColumn("prev_max_e",
+            max(col("e")).over(wRun.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max_e").isNull || col("us") > col("prev_max_e"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(wRun))
+        iv.groupBy(col("user_id"), col("island"))
+          .agg((max(col("e")) - min(col("us"))).as("covered"))
+          .groupBy(col("user_id"))
+          .agg(big(count(lit(1))).as("n_islands"),
+            sum(col("covered")).as("covered_us"),
+            max(col("covered")).as("longest_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |iv AS (
+              |  SELECT user_id, us, event_id, us + $H AS e,
+              |    MAX(us + $H) OVER (PARTITION BY user_id ORDER BY us, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+              |  FROM e),
+              |isl AS (
+              |  SELECT user_id, us, e,
+              |    SUM(CASE WHEN prev_max_e IS NULL OR us > prev_max_e THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS island
+              |  FROM iv),
+              |cov AS (
+              |  SELECT user_id, island, MAX(e) - MIN(us) AS covered
+              |  FROM isl GROUP BY user_id, island)
+              |SELECT user_id, COUNT(*) AS n_islands, SUM(covered) AS covered_us,
+              |  MAX(covered) AS longest_us
+              |FROM cov GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q202 — LONGEST CONSECUTIVE-DAY STREAK per user (gaps-and-islands on
+    // the distinct active-day set): on consecutive days, day_index −
+    // row_number is constant — that difference IS the island key, no
+    // iteration needed. Per user: the longest streak length and its start
+    // day (earliest start wins ties).
+    //
+    // Shape at 100 TB: distinct (user, day) first — the tape collapses
+    // ~events/day-fold before any window runs; then one per-user sort.
+    Declared("q202_longest_streak",
+      (s, dir) => {
+        val days = tape(s, dir)
+          .select(col("user_id"), idiv(col("us"), lit(Day)).as("d"))
+          .distinct()
+        val wd = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        val isl = days
+          .withColumn("g", col("d") - row_number().over(wd))
+          .groupBy(col("user_id"), col("g"))
+          .agg(big(count(lit(1))).as("streak"), min(col("d")).as("start_d"))
+        val pick = Window.partitionBy(col("user_id"))
+          .orderBy(col("streak").desc, col("start_d"))
+        isl.withColumn("rn", row_number().over(pick))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("streak"), col("start_d"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |days AS (SELECT DISTINCT user_id, us // $Day AS d FROM e),
+              |isl AS (
+              |  SELECT user_id,
+              |    d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g, d
+              |  FROM days),
+              |st AS (
+              |  SELECT user_id, g, COUNT(*) AS streak, MIN(d) AS start_d
+              |  FROM isl GROUP BY user_id, g),
+              |pick AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              |    ORDER BY streak DESC, start_d) AS rn
+              |  FROM st)
+              |SELECT user_id, streak, start_d FROM pick WHERE rn = 1
+              |ORDER BY user_id""".stripMargin)),
+
+    // q203 — LARGEST-REMAINDER (Hamilton) BUDGET APPORTIONMENT: allocate
+    // an exact 1,000,000-token sampling budget across document sources
+    // proportional to corpus characters. base = ⌊N·chars/total⌋ per
+    // source; the leftover N − Σbase units (< #sources by construction)
+    // go to the largest remainders, ties to the lexicographically first
+    // source. Σalloc = N EXACTLY — the invariant that makes this the
+    // right tool for training-data mixing (q64's domain mix picks ratios;
+    // this turns ratios into an integer sample budget with zero drift).
+    //
+    // Shape at 100 TB: one counter-sized aggregate (bounded by the
+    // source domain), two 1-row broadcast scalars, and a broadcast theta
+    // self-join for the remainder rank — on a counter-sized frame that
+    // beats a global sort, and no partition-less window appears.
+    Declared("q203_apportion_budget",
+      (s, dir) => {
+        val N = 1000000L
+        val per = Tables.load(s, dir, "documents")
+          .groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
+        val tot = per.agg(sum(col("chars_s")).as("total"))
+        val based = per.crossJoin(broadcast(tot))
+          .withColumn("base", idiv(lit(N) * col("chars_s"), col("total")))
+          .withColumn("rem", (lit(N) * col("chars_s")) % col("total"))
+        val leftover = based.agg((lit(N) - sum(col("base"))).as("leftover"))
+        val ranked = based.as("a").join(broadcast(based.as("b")),
+            col("b.rem") > col("a.rem") ||
+              (col("b.rem") === col("a.rem") && col("b.source") < col("a.source")),
+            "left")
+          .groupBy(col("a.source").as("source"), col("a.chars_s").as("chars_s"),
+            col("a.base").as("base"), col("a.rem").as("rem"))
+          .agg((count(col("b.source")) + 1L).as("rank_rem"))
+        ranked.crossJoin(broadcast(leftover))
+          .select(col("source"), col("chars_s"), big(col("base")).as("base"),
+            big(when(col("rank_rem") <= col("leftover"), col("base") + 1L)
+              .otherwise(col("base"))).as("alloc"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source, SUM(n_chars) AS chars_s FROM documents GROUP BY source),
+             |tot AS (SELECT SUM(chars_s) AS total FROM per),
+             |based AS (
+             |  SELECT source, chars_s,
+             |    (1000000 * chars_s) // total AS base,
+             |    (1000000 * chars_s) % total AS rem
+             |  FROM per CROSS JOIN tot),
+             |lo AS (SELECT 1000000 - SUM(base) AS leftover FROM based),
+             |ranked AS (
+             |  SELECT a.source, a.chars_s, a.base, COUNT(b.source) + 1 AS rank_rem
+             |  FROM based a LEFT JOIN based b
+             |    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+             |  GROUP BY a.source, a.chars_s, a.base)
+             |SELECT source, chars_s, base,
+             |  CASE WHEN rank_rem <= leftover THEN base + 1 ELSE base END AS alloc
+             |FROM ranked CROSS JOIN lo ORDER BY source""".stripMargin)),
+
+    // q204 — CALENDAR-SPLIT UTILIZATION: the q201 activity islands, split
+    // at day boundaries (billing/utilization attribution: a session
+    // crossing midnight contributes to BOTH days, each day getting
+    // exactly its overlap). Explode each island over its day span
+    // (sequence/generate_series — bounded expansion: span/day rows per
+    // island), clamp to the day, aggregate per day. Σactive_us over days
+    // == Σcovered_us over users (the split is measure-preserving — pinned
+    // in IntervalSpec).
+    //
+    // Shape at 100 TB: islands as in q201 (one user-hash exchange), the
+    // explode is map-side (generator, no shuffle), final rollup is a
+    // day-keyed counter aggregate.
+    Declared("q204_daily_utilization",
+      (s, dir) => {
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val isl = tape(s, dir)
+          .select(col("user_id"), col("us"), col("event_id"),
+            (col("us") + lit(H)).as("e"))
+          .withColumn("prev_max_e",
+            max(col("e")).over(wRun.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max_e").isNull || col("us") > col("prev_max_e"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(wRun))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("us")).as("s0"), max(col("e")).as("e0"))
+        isl
+          .withColumn("d", explode(sequence(
+            idiv(col("s0"), lit(Day)), idiv(col("e0") - 1L, lit(Day)))))
+          .withColumn("ov",
+            least(col("e0"), (col("d") + 1L) * lit(Day)) -
+              greatest(col("s0"), col("d") * lit(Day)))
+          .groupBy(col("d"))
+          .agg(big(count(lit(1))).as("n_sessions"),
+            big(countDistinct(col("user_id"))).as("n_users"),
+            sum(col("ov")).as("active_us"))
+          .orderBy(col("d"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |iv AS (
+              |  SELECT user_id, us, event_id, us + $H AS e,
+              |    MAX(us + $H) OVER (PARTITION BY user_id ORDER BY us, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+              |  FROM e),
+              |isl0 AS (
+              |  SELECT user_id, us, e,
+              |    SUM(CASE WHEN prev_max_e IS NULL OR us > prev_max_e THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS island
+              |  FROM iv),
+              |isl AS (
+              |  SELECT user_id, island, MIN(us) AS s0, MAX(e) AS e0
+              |  FROM isl0 GROUP BY user_id, island),
+              |split AS (
+              |  SELECT user_id, s0, e0, UNNEST(generate_series(s0 // $Day, (e0 - 1) // $Day)) AS d
+              |  FROM isl)
+              |SELECT d, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users,
+              |  SUM(LEAST(e0, (d + 1) * $Day) - GREATEST(s0, d * $Day)) AS active_us
+              |FROM split GROUP BY d ORDER BY d""".stripMargin))
+  )
+}

@@ -1,0 +1,154 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the q200-q204 interval/sequence family, independent of
+  * the DuckDB oracle gate: the Lindley closed form vs a literal sequential
+  * fold, merge/abut/gap boundary rules, streak tie-breaks, the exact-budget
+  * apportionment law, and midnight splitting.
+  */
+class IntervalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  /** Mini events table in the fixture column order; et picks the delta sign
+    * (purchase/signup credit, click/view/error debit — IntervalQueries.tape).
+    */
+  private def writeEvents(dir: String, rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+    rows.map { case (id, sec, uid, et, v) => (id, ts(sec), uid, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("q200 clamped balance: hand-computed Lindley tape with two floor hits") {
+    val dir = tmpDir("ivl200")
+    // deltas +10 -4 -8 +5 -2 -4 +7 -> B: 10 6 0 5 3 0 7 (clamps at rows 3, 6)
+    writeEvents(dir, Seq(
+      (1L, 1L, 0L, "signup", 10.0), (2L, 2L, 0L, "click", 4.0),
+      (3L, 3L, 0L, "view", 8.0), (4L, 4L, 0L, "purchase", 5.0),
+      (5L, 5L, 0L, "error", 2.0), (6L, 6L, 0L, "click", 4.0),
+      (7L, 7L, 0L, "purchase", 7.0)))
+    val r = SparkEntry.queries("q200_clamped_balance")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("final_micro") == 7000000L)
+    assert(r.head.getAs[Long]("peak_micro") == 10000000L)
+    assert(r.head.getAs[Long]("n_floor") == 2L)
+  }
+
+  test("q200 window formulation == literal sequential fold (seeded multi-user tape)") {
+    val dir = tmpDir("ivl200f")
+    val rnd = new scala.util.Random(42)
+    val types = Vector("signup", "purchase", "click", "view", "error")
+    val rows = (0 until 600).map { i =>
+      (i.toLong, (rnd.nextInt(100000) + 1).toLong, (i % 3).toLong,
+        types(rnd.nextInt(5)), (rnd.nextInt(50000) + 1) / 100.0)
+    }
+    writeEvents(dir, rows)
+    // literal fold: B := max(0, B + delta), tracking peak and floor hits
+    val expected = rows
+      .map { case (id, sec, uid, et, v) =>
+        val sign = if (et == "signup" || et == "purchase") 1L else -1L
+        (uid, sec, id, sign * math.round(v * 1e6))
+      }
+      .groupBy(_._1)
+      .map { case (uid, evs) =>
+        var b, peak = 0L; var nFloor = 0L
+        evs.sortBy(e => (e._2, e._3)).foreach { e =>
+          b = math.max(0L, b + e._4)
+          peak = math.max(peak, b)
+          if (b == 0L) nFloor += 1
+        }
+        uid -> ((b, peak, nFloor))
+      }
+    val got = SparkEntry.queries("q200_clamped_balance")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("final_micro"), r.getAs[Long]("peak_micro"),
+          r.getAs[Long]("n_floor")))).toMap
+    assert(got == expected)
+  }
+
+  test("q201 interval union: abutting windows merge, gaps split") {
+    val dir = tmpDir("ivl201")
+    // H = 30 min. Events at 0s and 1800s abut exactly (s == prev end) ->
+    // ONE island [0, 3600s); event at 7200s is a second island [7200, 9000).
+    writeEvents(dir, Seq(
+      (1L, 0L, 0L, "view", 1.0), (2L, 1800L, 0L, "view", 1.0),
+      (3L, 7200L, 0L, "view", 1.0)))
+    val r = SparkEntry.queries("q201_interval_union")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_islands") == 2L)
+    assert(r.head.getAs[Long]("covered_us") == (3600L + 1800L) * 1000000L)
+    assert(r.head.getAs[Long]("longest_us") == 3600L * 1000000L)
+  }
+
+  test("q202 longest streak: consecutive-day islands, earliest start wins ties") {
+    val dir = tmpDir("ivl202")
+    val day = 86400L
+    // user 0: days 1,2,3 then 5,6 -> streak 3 starting day 1
+    // user 1: days 1,2 and 5,6 (both len 2) -> tie, earliest start (1) wins
+    writeEvents(dir,
+      Seq(1L, 2L, 3L, 5L, 6L).zipWithIndex.map { case (d, i) =>
+        ((i + 1).toLong, d * day + 10L, 0L, "view", 1.0)
+      } ++
+      Seq(1L, 2L, 5L, 6L).zipWithIndex.map { case (d, i) =>
+        ((i + 10).toLong, d * day + 10L, 1L, "view", 1.0)
+      })
+    val r = SparkEntry.queries("q202_longest_streak")(spark, dir).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("streak"), x.getAs[Long]("start_d")))).toMap
+    assert(r(0L) == ((3L, 1L)))
+    assert(r(1L) == ((2L, 1L)))
+  }
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String, Long)]): Unit =
+    rows.map { case (id, src, nc) => (id, "t", "en", src, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("q203 apportionment: exact quotas allocate exactly; remainder tie -> lexicographic") {
+    val dir = tmpDir("ivl203a")
+    // chars 5/3/2 of 10: quotas are exact -> base == alloc, zero leftover
+    writeDocs(dir, Seq((1L, "a", 5L), (2L, "b", 3L), (3L, "c", 2L)))
+    val r = SparkEntry.queries("q203_apportion_budget")(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("alloc")).toMap
+    assert(r == Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L))
+
+    val dir2 = tmpDir("ivl203b")
+    // three equal sources, N=10^6: base 333333 each, leftover 1, remainders
+    // all equal -> lexicographically first source gets the extra unit
+    writeDocs(dir2, Seq((1L, "x", 7L), (2L, "m", 7L), (3L, "a", 7L)))
+    val r2 = SparkEntry.queries("q203_apportion_budget")(spark, dir2).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("alloc")).toMap
+    assert(r2 == Map("a" -> 333334L, "m" -> 333333L, "x" -> 333333L))
+  }
+
+  test("q203 law on the fixture corpus: sum(alloc) == 1e6, alloc - base in {0,1}") {
+    val rows = SparkEntry.queries("q203_apportion_budget")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000000L)
+    assert(rows.forall { r =>
+      val d = r.getAs[Long]("alloc") - r.getAs[Long]("base"); d == 0L || d == 1L
+    })
+  }
+
+  test("q204 day split: a session crossing midnight bills each day its exact overlap") {
+    val dir = tmpDir("ivl204")
+    val day = 86400L
+    // single event at 23:45 day 0 -> island [23:45, 00:15 next day):
+    // day 0 gets 900 s, day 1 gets 900 s
+    writeEvents(dir, Seq((1L, day - 900L, 0L, "view", 1.0)))
+    val r = SparkEntry.queries("q204_daily_utilization")(spark, dir).collect()
+      .map(x => x.getAs[Long]("d") -> x.getAs[Long]("active_us")).toMap
+    assert(r == Map(0L -> 900L * 1000000L, 1L -> 900L * 1000000L))
+  }
+
+  test("q204 is measure-preserving vs q201 on the fixture") {
+    val covered = SparkEntry.queries("q201_interval_union")(spark, sf0001)
+      .collect().map(_.getAs[Long]("covered_us")).sum
+    val active = SparkEntry.queries("q204_daily_utilization")(spark, sf0001)
+      .collect().map(_.getAs[Long]("active_us")).sum
+    assert(covered == active)
+  }
+}
