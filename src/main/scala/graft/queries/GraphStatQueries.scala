@@ -599,6 +599,94 @@ object GraphStatQueries extends QueryModule {
              |  SUM(GREATEST(LEAST(v.v, hi), lo)) // COUNT(*) AS wins_mean_micro,
              |  MAX(lo) AS p5_micro, MAX(hi) AS p95_micro
              |FROM v JOIN cuts ON v.event_type = cuts.event_type
-             |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin))
+             |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),
+
+    // q205 — K-CORE DECOMPOSITION (k = 2) of the REPEATED-co-purchase
+    // graph (parts co-ordered in ≥ 2 distinct orders — the ≥2 support
+    // threshold keeps the graph sparse enough that peeling actually
+    // cascades; the raw co-purchase graph's min degree is ~40 and every
+    // k ≤ that is trivially the whole graph). Iteratively strip nodes
+    // with in-core degree < k to the fixpoint; output each surviving
+    // node with its core degree. The oracle unrolls 16 peel rounds as
+    // MATERIALIZED CTEs and carries a CONVERGENCE CANARY column
+    // (|r15| = |r16|): if data ever grew a peel chain longer than the
+    // unroll, the canary flips false and the gate fails LOUDLY (the
+    // q189 maxRounds discipline, applied to the oracle side); the
+    // engine loop independently guards rounds < 40.
+    //
+    // Shape at 100 TB: the support-2 edge build is the q189 equi-join;
+    // each peel round is two equi semi-joins frontier⋈edges + a
+    // counter aggregate, localCheckpointed so round N's plan never
+    // embeds rounds 0..N-1; node sets only shrink. Peel rounds for a
+    // power-law graph are O(degeneracy) — single digits in practice.
+    Declared("q205_kcore",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel
+        val k = 2
+        val it = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = it.as("a").join(it.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("supp"))
+          .where(col("supp") >= 2)
+          .select(col("pa"), col("pb"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var cur = e.select(col("pa").as("pk")).distinct().localCheckpoint(true)
+        var n = cur.count()
+        var changed = true
+        var rounds = 0
+        while (changed && rounds < 40) {
+          rounds += 1
+          val nxt = e
+            .join(cur, e("pa") === cur("pk")).select(col("pa"), col("pb"))
+            .join(cur.withColumnRenamed("pk", "pkb"), col("pb") === col("pkb"))
+            .groupBy(col("pa")).agg(count(lit(1)).as("d"))
+            .where(col("d") >= k)
+            .select(col("pa").as("pk"))
+            .localCheckpoint(true)
+          val m = nxt.count()
+          changed = m != n && m > 0
+          if (m != n) { cur = nxt; n = m }
+        }
+        require(rounds < 40, "q205: k-core peel did not converge in 40 rounds")
+        val core = cur
+        e.join(core, e("pa") === core("pk")).select(col("pa"), col("pb"))
+          .join(core.withColumnRenamed("pk", "pkb"), col("pb") === col("pkb"))
+          .groupBy(col("pa").as("pk"))
+          .agg(big(count(lit(1))).as("core_deg"))
+          .withColumn("converged", lit(true))
+          .orderBy(col("pk"))
+      },
+      Some(kcoreOracle(k = 2, unroll = 16)))
   )
+
+  /** Programmatically-unrolled k-core oracle: 16 MATERIALIZED peel rounds
+    * (DuckDB would otherwise inline each doubly-referenced CTE and the
+    * expansion would go exponential) + the convergence canary.
+    */
+  private def kcoreOracle(k: Int, unroll: Int): String = {
+    val head =
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.pk AS pa, b.pk AS pb FROM it a JOIN it b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+         |r0 AS MATERIALIZED (SELECT DISTINCT pa AS pk FROM e)""".stripMargin
+    val rounds = (1 to unroll).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT pa AS pk FROM e
+         |  WHERE pa IN (SELECT pk FROM r${i - 1}) AND pb IN (SELECT pk FROM r${i - 1})
+         |  GROUP BY pa HAVING COUNT(*) >= $k)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s""",
+         |deg AS (
+         |  SELECT pa AS pk, COUNT(*) AS core_deg FROM e
+         |  WHERE pa IN (SELECT pk FROM r$unroll) AND pb IN (SELECT pk FROM r$unroll)
+         |  GROUP BY pa)
+         |SELECT pk, core_deg,
+         |  (SELECT COUNT(*) FROM r${unroll - 1}) = (SELECT COUNT(*) FROM r$unroll) AS converged
+         |FROM deg ORDER BY pk""".stripMargin
+  }
 }

@@ -86,4 +86,27 @@ class GraphStatSpec extends AnyFunSuite {
     assert(shares.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) >= p(1)),
       s"non-monotone concentration curve: ${shares.toSeq}")
   }
+
+  test("q205 k-core: leaf chain peels away over multiple rounds, triangle survives") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = tmpDir("kcore")
+    // Graph A-B-C + triangle C-D-E. 2-core = {C,D,E}: round 1 peels A
+    // (degree 1), round 2 peels B (leaf after A leaves) — a genuine
+    // cascade, not a single-pass degree filter. Every edge needs
+    // co-purchase support >= 2 -> two orders per edge.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L)) // A=1..E=5
+    val rows = edges.zipWithIndex.flatMap { case ((x, y), i) =>
+      Seq(2 * i, 2 * i + 1).flatMap(ok => Seq((ok.toLong, x), (ok.toLong, y)))
+    }.map { case (ok, pk) =>
+      (ok, pk, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", new Timestamp(0L))
+    }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q205_kcore")(spark, dir).collect()
+      .map(x => x.getAs[Long]("pk") -> x.getAs[Long]("core_deg")).toMap
+    assert(r == Map(3L -> 2L, 4L -> 2L, 5L -> 2L), s"got $r")
+  }
 }
