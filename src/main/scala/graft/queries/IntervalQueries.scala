@@ -308,6 +308,41 @@ object IntervalQueries extends QueryModule {
               |  FROM isl)
               |SELECT d, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users,
               |  SUM(LEAST(e0, (d + 1) * $Day) - GREATEST(s0, d * $Day)) AS active_us
-              |FROM split GROUP BY d ORDER BY d""".stripMargin))
+              |FROM split GROUP BY d ORDER BY d""".stripMargin)),
+
+    // q206 — RENDEZVOUS (HRW) SHARD MAP of the corpus: every doc scores
+    // all 16 shards with md5(doc_id:shard) and lands on the argmax
+    // (operators.Rendezvous — scaladoc has the balance/minimal-remap
+    // properties and the IntervalSpec pins). Output is the shard
+    // manifest: size + doc-id range per shard.
+    //
+    // Shape at 100 TB: assignment is ONE map-side codegen projection
+    // (transform + array_max over a 16-literal array — no explode, no
+    // window, no shuffle); the only exchange is the 16-group manifest
+    // rollup. The oracle takes the explode+window road to the same
+    // argmax — result-identical, deliberately not shape-identical.
+    Declared("q206_rendezvous_shards",
+      (s, dir) => {
+        import graft.operators.Rendezvous
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        Rendezvous.assign(docs, col("doc_id"), 0 until 16)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(big(count(lit(1))).as("n_docs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, UNNEST(generate_series(0, 15)) AS sh FROM documents),
+             |k AS (
+             |  SELECT doc_id, sh,
+             |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(sh AS VARCHAR)) AS k
+             |  FROM a),
+             |w AS (
+             |  SELECT doc_id, sh,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k DESC, sh DESC) AS rn
+             |  FROM k)
+             |SELECT sh AS shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+             |  MAX(doc_id) AS max_doc
+             |FROM w WHERE rn = 1 GROUP BY sh ORDER BY sh""".stripMargin))
   )
 }

@@ -144,6 +144,33 @@ class IntervalSpec extends AnyFunSuite {
     assert(r == Map(0L -> 900L * 1000000L, 1L -> 900L * 1000000L))
   }
 
+  test("q206 rendezvous: minimal remap — dropping a shard moves ONLY its keys") {
+    import graft.operators.Rendezvous
+    val docs = graft.model.Tables.load(spark, sf0001, "documents").select("doc_id")
+    val full = Rendezvous.assign(docs, org.apache.spark.sql.functions.col("doc_id"),
+        0 until 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    val without7 = Rendezvous.assign(docs, org.apache.spark.sql.functions.col("doc_id"),
+        (0 until 16).filterNot(_ == 7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    full.foreach { case (id, sh) =>
+      if (sh == 7) assert(without7(id) != 7, s"doc $id still on removed shard")
+      else assert(without7(id) == sh,
+        s"doc $id moved $sh -> ${without7(id)} though shard 7's removal shouldn't touch it")
+    }
+    // balance: every shard non-empty, none above 3x the uniform share
+    val sizes = full.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 16 && sizes.forall(_ <= 3 * full.size / 16), s"skewed: $sizes")
+  }
+
+  test("q206 rendezvous assignment is shuffle-free (no Exchange before the rollup)") {
+    import graft.operators.Rendezvous
+    val docs = graft.model.Tables.load(spark, sf0001, "documents").select("doc_id")
+    val plan = Rendezvous.assign(docs, org.apache.spark.sql.functions.col("doc_id"),
+      0 until 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be map-side only:\n$plan")
+  }
+
   test("q204 is measure-preserving vs q201 on the fixture") {
     val covered = SparkEntry.queries("q201_interval_union")(spark, sf0001)
       .collect().map(_.getAs[Long]("covered_us")).sum
