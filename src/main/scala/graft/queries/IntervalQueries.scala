@@ -50,6 +50,28 @@ object IntervalQueries extends QueryModule {
       |    * CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS delta
       |FROM events""".stripMargin
 
+  /** Shared oracle for q200 and its streaming twin q207 — the Lindley
+    * closed form in SQL, per-user (final, peak, floor-hits).
+    */
+  private val clampedOracle =
+    s"""WITH e AS ($tapeSql),
+       |b0 AS (
+       |  SELECT user_id, us, event_id,
+       |    SUM(delta) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sp
+       |  FROM e),
+       |b AS (
+       |  SELECT user_id, us, event_id,
+       |    sp - LEAST(0, MIN(sp) OVER (PARTITION BY user_id ORDER BY us, event_id)) AS b
+       |  FROM b0),
+       |st AS (
+       |  SELECT user_id, b,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn,
+       |    MAX(b) OVER (PARTITION BY user_id) AS peak_micro,
+       |    SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS n_floor
+       |  FROM b)
+       |SELECT user_id, b AS final_micro, peak_micro, n_floor
+       |FROM st WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   override val declared: Seq[Declared] = Seq(
 
     // q200 — FLOOR-CLAMPED RUNNING BALANCE (Lindley recursion) per user:
@@ -85,23 +107,7 @@ object IntervalQueries extends QueryModule {
             col("peak_micro"), big(col("n_floor")).as("n_floor"))
           .orderBy(col("user_id"))
       },
-      Some(s"""WITH e AS ($tapeSql),
-              |b0 AS (
-              |  SELECT user_id, us, event_id,
-              |    SUM(delta) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sp
-              |  FROM e),
-              |b AS (
-              |  SELECT user_id, us, event_id,
-              |    sp - LEAST(0, MIN(sp) OVER (PARTITION BY user_id ORDER BY us, event_id)) AS b
-              |  FROM b0),
-              |st AS (
-              |  SELECT user_id, b,
-              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn,
-              |    MAX(b) OVER (PARTITION BY user_id) AS peak_micro,
-              |    SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS n_floor
-              |  FROM b)
-              |SELECT user_id, b AS final_micro, peak_micro, n_floor
-              |FROM st WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+      Some(clampedOracle)),
 
     // q201 — INTERVAL UNION (merged activity coverage) per user: each
     // event opens a 30-minute activity window [us, us+H); overlapping or
@@ -343,6 +349,82 @@ object IntervalQueries extends QueryModule {
              |  FROM k)
              |SELECT sh AS shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
              |  MAX(doc_id) AS max_doc
-             |FROM w WHERE rn = 1 GROUP BY sh ORDER BY sh""".stripMargin))
+             |FROM w WHERE rn = 1 GROUP BY sh ORDER BY sh""".stripMargin)),
+
+    // q207 — STREAMING CLAMPED BALANCE, byte-identical to q200's batch
+    // oracle: the same movement tape replayed through
+    // `Stateful.clampedFoldStream` — the order-sensitive Lindley fold as
+    // watermark-gated per-key state (movements buffer until the watermark
+    // passes them, then fold in (ts, id) order and emit that event's
+    // finalized balance). Same 4-slice out-of-event-time-order file
+    // replay + watermark pusher as q93/q185; per-user rollup
+    // (final/peak/floor-hits) happens batch-side over the emitted
+    // per-event balances, so the streaming path must reproduce EVERY
+    // intermediate balance — a far stronger gate than matching the final
+    // aggregate alone.
+    Declared("q207_stream_balance",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.streaming.Stateful
+        val balEv = tape(s, dir)
+          .select(col("user_id").cast("string").as("key"),
+            timestamp_micros(col("us")).as("ts"), col("event_id").as("id"),
+            col("delta"))
+        val base = SharedStages.scratchDir("q207")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        val fs = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+            .head.getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+        }
+        (0 until 4).foreach(i =>
+          writeOne(balEv.filter(pmod(col("id"), lit(4)) === i), s"data_$i"))
+        Thread.sleep(1200)
+        val maxTs = balEv.agg(max(col("ts"))).head().getTimestamp(0)
+        val pusher = {
+          import s.implicits._
+          Seq(("zz~pusher",
+            new java.sql.Timestamp(maxTs.getTime + 87601L * 3600 * 1000),
+            -1L, 0L)).toDF("key", "ts", "id", "delta")
+        }
+        writeOne(pusher, "zz_pusher")
+        val stream = s.readStream.schema(balEv.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .as[Stateful.BalEv](org.apache.spark.sql.Encoders.product[Stateful.BalEv])
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = Stateful.clampedFoldStream(stream, delay = "87600 hours")
+            .toDF()
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val wLast = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsUs").desc, col("id").desc)
+        s.read.parquet(out)
+          .filter(col("key") =!= "zz~pusher")
+          .withColumn("user_id", col("key").cast("long"))
+          .withColumn("peak_micro",
+            max(col("bal")).over(Window.partitionBy(col("user_id"))))
+          .withColumn("n_floor",
+            sum(when(col("bal") === 0L, 1L).otherwise(0L))
+              .over(Window.partitionBy(col("user_id"))))
+          .withColumn("rn", row_number().over(wLast))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("bal").as("final_micro"),
+            col("peak_micro"), big(col("n_floor")).as("n_floor"))
+          .orderBy(col("user_id"))
+      },
+      Some(clampedOracle))
   )
 }

@@ -355,6 +355,68 @@ object Stateful extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  // ---- streaming clamped running balance (Lindley fold) -----------------
+
+  /** One signed balance movement. */
+  final case class BalEv(key: String, ts: java.sql.Timestamp, id: Long,
+      delta: Long)
+
+  /** One finalized per-event balance (event time in µs). */
+  final case class BalOut(key: String, tsUs: Long, id: Long, bal: Long)
+
+  /** Versioned per-key state: the folded balance so far plus the pending
+    * (still inside the watermark window) movements, kept sorted.
+    */
+  final case class BalStateV1(version: Int, bal: Long,
+      buf: List[(Long, Long, Long)]) // (tsUs, id, delta)
+
+  /** STREAMING FLOOR-CLAMPED BALANCE — the stateful twin of q200's batch
+    * Lindley windows. The clamped fold B := max(0, B + δ) is
+    * ORDER-SENSITIVE and non-commutative, so unlike a windowed sum it
+    * cannot tolerate out-of-order application: movements buffer per key
+    * until the watermark passes STRICTLY beyond their event time (no
+    * earlier on-time movement can still arrive), then fold in (ts, id)
+    * order and emit that event's finalized balance. Append-mode output;
+    * late rows drop (the stock streaming contract).
+    *
+    * State per key is the WATERMARK-WINDOW movements plus ONE long — the
+    * folded balance. The balance is deliberately kept forever (an account
+    * is per-key O(1) resident state, the same footprint as any keyed
+    * running aggregate); the buffer drains on every watermark advance, and
+    * the arrivals merge into it sorted (mergeSorted — never a full
+    * re-sort per trigger). StatefulSpec pins multi-batch replay parity
+    * byte-identical to the batch q200 oracle.
+    */
+  def clampedFoldStream(events: Dataset[BalEv], delay: String = "10 minutes")
+      : Dataset[BalOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(key: String, it: Iterator[BalEv], state: GroupState[BalStateV1])
+        : Iterator[BalOut] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val prev = state.getOption.getOrElse(BalStateV1(1, 0L, Nil))
+      val arrivals = it.toSeq.filter(e => micros(e.ts) >= wmUs)
+        .map(e => (micros(e.ts), e.id, e.delta)).sortBy(r => (r._1, r._2)).toList
+      val buf = mergeSorted(prev.buf, arrivals)(Ordering.by(r => (r._1, r._2)))
+      val (due, pending) = buf.partition(_._1 < wmUs)
+      var bal = prev.bal
+      val out = due.map { case (ts, id, delta) =>
+        bal = math.max(0L, bal + delta)
+        BalOut(key, ts, id, bal)
+      }
+      state.update(BalStateV1(1, bal, pending))
+      // wake when the watermark can flush the oldest pending movement
+      pending.headOption.foreach(p =>
+        state.setTimeoutTimestamp(math.max(p._1 / 1000L + 1, wmUs / 1000L + 1)))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Column-level wrapper: left (key, ts, id) as-of right (key, ts, v). */
   def asOfEnrichStream(left: DataFrame, right: DataFrame,
       delay: String = "10 minutes"): Dataset[AsOfOut] = {

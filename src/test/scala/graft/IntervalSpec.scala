@@ -171,6 +171,37 @@ class IntervalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"assignment must be map-side only:\n$plan")
   }
 
+  test("clampedFoldStream: out-of-order arrivals fold in event-time order; late rows drop") {
+    import spark.implicits._
+    import graft.streaming.Stateful
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Stateful.BalEv]
+    val q = Stateful.clampedFoldStream(ms.toDS(), delay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("clamped").start()
+    def ev(sec: Long, id: Long, d: Long) =
+      Stateful.BalEv("u", new java.sql.Timestamp(sec * 1000L), id, d)
+    try {
+      // trigger 1: t=100 (+5) and t=300 (-8) arrive; t=200 (-3) is missing
+      ms.addData(ev(100, 1, 5), ev(300, 3, -8))
+      q.processAllAvailable()
+      // trigger 2: the gap event arrives BEFORE the watermark passes it
+      ms.addData(ev(200, 2, -3))
+      q.processAllAvailable()
+      // trigger 3: watermark pusher -> all three fold in (ts, id) order:
+      // 5 -> max(0,5-3)=2 -> max(0,2-8)=0
+      ms.addData(ev(100000, 99, 0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, bal FROM clamped WHERE key = 'u' ORDER BY tsUs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(rows == List((1L, 5L), (2L, 2L), (3L, 0L)), s"got $rows")
+      // a LATE row (below the pushed watermark) must be dropped, not folded
+      ms.addData(ev(150, 4, 1000))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT COUNT(*) FROM clamped WHERE key = 'u'").collect()(0).getLong(0)
+      assert(n == 3L, "late row leaked into the fold")
+    } finally q.stop()
+  }
+
   test("q204 is measure-preserving vs q201 on the fixture") {
     val covered = SparkEntry.queries("q201_interval_union")(spark, sf0001)
       .collect().map(_.getAs[Long]("covered_us")).sum
