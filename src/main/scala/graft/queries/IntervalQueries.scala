@@ -425,6 +425,76 @@ object IntervalQueries extends QueryModule {
             col("peak_micro"), big(col("n_floor")).as("n_floor"))
           .orderBy(col("user_id"))
       },
-      Some(clampedOracle))
+      Some(clampedOracle)),
+
+    // q208 — INTERVAL-OVERLAP JOIN (operators.IntervalOverlapJoin): the
+    // q201 activity islands joined to 2-hour POST-PURCHASE windows of the
+    // same user wherever the two intervals intersect — "how much of the
+    // post-purchase window was the user actually active". Both sides are
+    // intervals, so this is the interval-interval companion of q37's
+    // point-in-interval range join: day-bucketed equi join, pair kept
+    // only in the overlap-start bucket (map-side predicate instead of a
+    // distinct — operator scaladoc). Per user: matched pairs, total and
+    // max overlap µs. The oracle takes the naive theta-join road.
+    //
+    // Shape at 100 TB: explode is bounded (span/day + 1 per interval),
+    // the join is EQUI on (user_id, day bucket) — partitionable and
+    // AQE-skew-splittable; no distinct, no theta join, no cartesian.
+    Declared("q208_overlap_join",
+      (s, dir) => {
+        import graft.operators.IntervalOverlapJoin
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val t = tape(s, dir)
+        val isl = t
+          .select(col("user_id"), col("us"), col("event_id"),
+            (col("us") + lit(H)).as("e"))
+          .withColumn("prev_max_e",
+            max(col("e")).over(wRun.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max_e").isNull || col("us") > col("prev_max_e"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(wRun))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("us")).as("s0"), max(col("e")).as("e0"))
+        val pw = Tables.load(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("ps"),
+            (unix_micros(col("ts")) + lit(7200000000L)).as("pe"),
+            col("event_id").as("pid"))
+        IntervalOverlapJoin.join(isl, pw, Seq("user_id"),
+            "s0", "e0", "ps", "pe", Day)
+          .withColumn("ov", least(col("e0"), col("pe")) - greatest(col("s0"), col("ps")))
+          .groupBy(col("user_id"))
+          .agg(big(count(lit(1))).as("n_pairs"),
+            sum(col("ov")).as("overlap_us"),
+            max(col("ov")).as("max_overlap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |iv AS (
+              |  SELECT user_id, us, event_id, us + $H AS e,
+              |    MAX(us + $H) OVER (PARTITION BY user_id ORDER BY us, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+              |  FROM e),
+              |isl0 AS (
+              |  SELECT user_id, us, e,
+              |    SUM(CASE WHEN prev_max_e IS NULL OR us > prev_max_e THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS island
+              |  FROM iv),
+              |isl AS (
+              |  SELECT user_id, island, MIN(us) AS s0, MAX(e) AS e0
+              |  FROM isl0 GROUP BY user_id, island),
+              |pw AS (
+              |  SELECT user_id, epoch_us(ts) AS ps, epoch_us(ts) + 7200000000 AS pe
+              |  FROM events WHERE event_type = 'purchase'),
+              |pairs AS (
+              |  SELECT isl.user_id,
+              |    LEAST(e0, pe) - GREATEST(s0, ps) AS ov
+              |  FROM isl JOIN pw ON isl.user_id = pw.user_id
+              |    AND s0 < pe AND ps < e0)
+              |SELECT user_id, COUNT(*) AS n_pairs, SUM(ov) AS overlap_us,
+              |  MAX(ov) AS max_overlap_us
+              |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

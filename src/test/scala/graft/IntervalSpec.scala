@@ -202,6 +202,47 @@ class IntervalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IntervalOverlapJoin == naive theta join, incl. pairs spanning many buckets") {
+    import graft.operators.IntervalOverlapJoin
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val rnd = new scala.util.Random(7)
+    val day = 86400000000L
+    // intervals up to 3 days long -> many pairs share several day buckets;
+    // the overlap-start-bucket keeper must still emit each pair ONCE
+    val lrows = (0 until 120).map { i =>
+      val s = rnd.nextLong(10 * day); (i.toLong % 5, s, s + 1 + rnd.nextLong(3 * day), i.toLong)
+    }
+    val rrows = (0 until 120).map { i =>
+      val s = rnd.nextLong(10 * day); (i.toLong % 5, s, s + 1 + rnd.nextLong(3 * day), i.toLong)
+    }
+    import spark.implicits._
+    val l = lrows.toDF("k", "ls", "le", "lid")
+    val r = rrows.toDF("k", "rs", "re", "rid")
+    val got = IntervalOverlapJoin.join(l, r, Seq("k"), "ls", "le", "rs", "re", day)
+      .select("k", "lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val naive = l.join(r, l("k") === r("k") && l("ls") < r("re") && r("rs") < l("le"))
+      .select(l("k"), col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(got.length == naive.length && got.toSet == naive.toSet,
+      s"bucketed ${got.length} pairs vs naive ${naive.length}")
+    // the overlap measure agrees too
+    val govl = IntervalOverlapJoin.join(l, r, Seq("k"), "ls", "le", "rs", "re", day)
+      .select((least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("ov"))
+      .collect().map(_.getLong(0)).sum
+    val novl = l.join(r, l("k") === r("k") && l("ls") < r("re") && r("rs") < l("le"))
+      .select((least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("ov"))
+      .collect().map(_.getLong(0)).sum
+    assert(govl == novl)
+  }
+
+  test("q208 plan: equi join on (key, bucket), no cartesian, no dedup shuffle") {
+    val plan = SparkEntry.queries("q208_overlap_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "overlap join degenerated to a cartesian")
+    assert(!plan.contains("Deduplicate") && !plan.toLowerCase.contains("distinct"),
+      "the overlap-start-bucket keeper should replace the dedup shuffle")
+  }
+
   test("q204 is measure-preserving vs q201 on the fixture") {
     val covered = SparkEntry.queries("q201_interval_union")(spark, sf0001)
       .collect().map(_.getAs[Long]("covered_us")).sum
