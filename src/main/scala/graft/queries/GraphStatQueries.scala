@@ -659,7 +659,39 @@ object GraphStatQueries extends QueryModule {
           .withColumn("converged", lit(true))
           .orderBy(col("pk"))
       },
-      Some(kcoreOracle(k = 2, unroll = 16)))
+      Some(kcoreOracle(k = 2, unroll = 16))),
+
+    // q211 — DEGREE DISTRIBUTION of the co-purchase graph in power-of-two
+    // buckets: the first diagnostic anyone runs on a graph before picking
+    // join/skew strategy (is it power-law? where's the hub tail?).
+    // Bucket = ⌊log₂ deg⌋ + 1 computed EXACTLY as length(bin(deg)) — both
+    // engines render BIGINT binary identically, no float log anywhere.
+    //
+    // Shape at 100 TB: edge build as q189, then one degree aggregate
+    // (node-sized) and one ≤64-group histogram rollup — counters after
+    // the first aggregate.
+    Declared("q211_degree_histogram",
+      (s, dir) => {
+        val it = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val deg = it.as("a").join(it.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .distinct()
+          .groupBy(col("pa")).agg(count(lit(1)).as("deg"))
+        deg.groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+          .agg(big(count(lit(1))).as("n_nodes"),
+            min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+             |      FROM it a JOIN it b ON a.ok = b.ok AND a.pk <> b.pk),
+             |deg AS (SELECT pa, COUNT(*) AS deg FROM e GROUP BY pa)
+             |SELECT CAST(LENGTH(bin(deg)) AS BIGINT) AS bucket,
+             |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+             |FROM deg GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 
   /** Programmatically-unrolled k-core oracle: 16 MATERIALIZED peel rounds

@@ -495,6 +495,54 @@ object IntervalQueries extends QueryModule {
               |    AND s0 < pe AND ps < e0)
               |SELECT user_id, COUNT(*) AS n_pairs, SUM(ov) AS overlap_us,
               |  MAX(ov) AS max_overlap_us
-              |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin))
+              |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q209 — TIME-WEIGHTED AVERAGE BALANCE: integrate the q200 Lindley
+    // balance (piecewise constant between movements) over each user's
+    // active span and divide by the span — the interest-accrual /
+    // average-exposure readout. Products b·gap reach ~10²³ µunit·µs at
+    // sf0.1, so the sum runs in DECIMAL(38,0) (HUGEINT oracle-side) —
+    // the q154/q176 big-integer discipline. Users with a single movement
+    // (zero span) are excluded rather than divided by zero.
+    //
+    // Shape at 100 TB: the same single user-hash exchange as q200 serves
+    // the balance windows, the lead() segment window and the final
+    // aggregate; the D38 product is row-local codegen.
+    Declared("q209_twa_balance",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val D38 = DecimalType(38, 0)
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        tape(s, dir)
+          .withColumn("sp", sum(col("delta")).over(wRun))
+          .withColumn("b", col("sp") - least(lit(0L), min(col("sp")).over(wRun)))
+          .withColumn("w", lead(col("us"), 1).over(wRun) - col("us"))
+          .where(col("w").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(sum(col("w")).as("span_us"),
+            sum(col("b").cast(D38) * col("w").cast(D38)).as("area"))
+          .where(col("span_us") > 0)
+          .select(col("user_id"), col("span_us"),
+            idiv(col("area"), col("span_us").cast(D38)).cast("long").as("twa_micro"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |b0 AS (
+              |  SELECT user_id, us, event_id,
+              |    SUM(delta) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sp
+              |  FROM e),
+              |b AS (
+              |  SELECT user_id, us, event_id,
+              |    sp - LEAST(0, MIN(sp) OVER (PARTITION BY user_id ORDER BY us, event_id)) AS b
+              |  FROM b0),
+              |seg AS (
+              |  SELECT user_id, b,
+              |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS w
+              |  FROM b)
+              |SELECT user_id, SUM(w) AS span_us,
+              |  CAST(SUM(CAST(b AS HUGEINT) * w) // SUM(w) AS BIGINT) AS twa_micro
+              |FROM seg WHERE w IS NOT NULL
+              |GROUP BY user_id HAVING SUM(w) > 0 ORDER BY user_id""".stripMargin))
   )
 }

@@ -21,6 +21,8 @@ import Protocol._
 object StatQueries extends QueryModule {
 
   private val D38 = DecimalType(38, 0)
+  /** One day in µs. */
+  private val Day = 86400000000L
 
   /** events → (event_type, day index, µs instant, exact µ-unit value). */
   private def tape(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -701,6 +703,64 @@ object StatQueries extends QueryModule {
               |SELECT devs.event_type, d, y, med, dev, mad
               |FROM devs JOIN madt ON devs.event_type = madt.event_type
               |WHERE dev > 3 * mad
-              |ORDER BY devs.event_type, d""".stripMargin))
+              |ORDER BY devs.event_type, d""".stripMargin)),
+
+    // q210 — ORDER→FIRST-SHIP LATENCY SLA per priority: days from order
+    // date to the EARLIEST lineitem ship date, profiled as exact
+    // rank-selected p50/p90 (rank = ⌈p·n⌉, the q190/q199 selection rule
+    // — no interpolation, engine-identical) plus the max. The ops
+    // question every warehouse asks of its order pipeline.
+    //
+    // Shape at 100 TB: one orderkey-hash aggregate for first-ship, one
+    // broadcastable join back to orders (orders is the smaller side
+    // per-key), one priority-partitioned sort for the rank selection —
+    // 5 priority partitions, each sorted locally.
+    Declared("q210_ship_latency",
+      (s, dir) => {
+        val firstShip = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("ship0"))
+        val lat = Tables.load(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority").as("pri"),
+            // floorDiv, not idiv: latencies go NEGATIVE (the synthetic
+            // fixture draws ship dates independently of order dates) and
+            // DuckDB's // floors while Spark's div truncates — they only
+            // agree below zero on exact multiples. floorDiv matches the
+            // oracle for ANY µs difference, aligned or not.
+            graft.functions.ColumnOps.floorDiv(
+              unix_micros(col("ship0")) - unix_micros(col("o_orderdate")),
+              Day).as("lat_d"),
+            col("o_orderkey"))
+        val wr = Window.partitionBy(col("pri")).orderBy(col("lat_d"), col("o_orderkey"))
+        val ranked = lat
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+        ranked.groupBy(col("pri"))
+          .agg(big(max(col("n"))).as("n_orders"),
+            max(when(col("rn") === idiv(col("n") + 1L, lit(2L)), col("lat_d")))
+              .as("p50_d"),
+            max(when(col("rn") === idiv(lit(9L) * col("n") + 9L, lit(10L)), col("lat_d")))
+              .as("p90_d"),
+            max(col("lat_d")).as("max_d"))
+          .orderBy(col("pri"))
+      },
+      Some(s"""WITH fs AS (
+              |  SELECT l_orderkey, MIN(l_shipdate) AS ship0 FROM lineitem
+              |  GROUP BY l_orderkey),
+              |lat AS (
+              |  SELECT o_orderpriority AS pri,
+              |    (epoch_us(ship0) - epoch_us(o_orderdate)) // $Day AS lat_d,
+              |    o_orderkey
+              |  FROM orders JOIN fs ON o_orderkey = l_orderkey),
+              |rk AS (
+              |  SELECT pri, lat_d,
+              |    ROW_NUMBER() OVER (PARTITION BY pri ORDER BY lat_d, o_orderkey) AS rn,
+              |    COUNT(*) OVER (PARTITION BY pri) AS n
+              |  FROM lat)
+              |SELECT pri, CAST(MAX(n) AS BIGINT) AS n_orders,
+              |  MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_d END) AS p50_d,
+              |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_d END) AS p90_d,
+              |  MAX(lat_d) AS max_d
+              |FROM rk GROUP BY pri ORDER BY pri""".stripMargin))
   )
 }

@@ -109,4 +109,30 @@ class GraphStatSpec extends AnyFunSuite {
       .map(x => x.getAs[Long]("pk") -> x.getAs[Long]("core_deg")).toMap
     assert(r == Map(3L -> 2L, 4L -> 2L, 5L -> 2L), s"got $r")
   }
+
+  test("q211 degree histogram: buckets are exact bit-lengths and partition the nodes") {
+    val rows = SparkEntry.queries("q211_degree_histogram")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == 200L) // every sf0.001 node counted once
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"), r.getAs[Long]("min_deg"),
+        r.getAs[Long]("max_deg"))
+      assert(lo >= (1L << (b - 1)) && hi < (1L << b),
+        s"bucket $b holds degrees outside [2^${b - 1}, 2^$b): [$lo, $hi]")
+    }
+  }
+
+  test("q210 ship latency: quantiles are ordered and drawn from real latencies") {
+    val rows = SparkEntry.queries("q210_ship_latency")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, mx) = (r.getAs[Long]("p50_d"), r.getAs[Long]("p90_d"),
+        r.getAs[Long]("max_d"))
+      assert(p50 <= p90 && p90 <= mx, s"disordered quantiles: $p50 / $p90 / $mx")
+      // NOTE: the synthetic fixture draws ship dates independently of order
+      // dates, so negative latencies exist and are legitimate output. They
+      // stay engine-exact because both dates are midnight-aligned — the µs
+      // difference is a whole multiple of a day, where Spark's
+      // truncate-toward-zero div and DuckDB's flooring // agree.
+    }
+  }
 }

@@ -243,6 +243,22 @@ class IntervalSpec extends AnyFunSuite {
       "the overlap-start-bucket keeper should replace the dedup shuffle")
   }
 
+  test("q209 TWA balance: hand-computed piecewise integration") {
+    val dir = tmpDir("ivl209")
+    // B: 10 (for 100 s), then 6 (for 200 s) -> TWA = (10*100 + 6*200)/300
+    writeEvents(dir, Seq(
+      (1L, 0L, 0L, "signup", 10.0), (2L, 100L, 0L, "click", 4.0),
+      (3L, 300L, 0L, "view", 1.0)))
+    val r = SparkEntry.queries("q209_twa_balance")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("span_us") == 300L * 1000000L)
+    assert(r.head.getAs[Long]("twa_micro") == 2200L * 1000000L / 300L)
+    // single-event users (zero span) are excluded, not divided by zero
+    val dir2 = tmpDir("ivl209b")
+    writeEvents(dir2, Seq((1L, 0L, 0L, "signup", 10.0)))
+    assert(SparkEntry.queries("q209_twa_balance")(spark, dir2).collect().isEmpty)
+  }
+
   test("q204 is measure-preserving vs q201 on the fixture") {
     val covered = SparkEntry.queries("q201_interval_union")(spark, sf0001)
       .collect().map(_.getAs[Long]("covered_us")).sum
