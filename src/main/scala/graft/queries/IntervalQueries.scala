@@ -543,6 +543,65 @@ object IntervalQueries extends QueryModule {
               |SELECT user_id, SUM(w) AS span_us,
               |  CAST(SUM(CAST(b AS HUGEINT) * w) // SUM(w) AS BIGINT) AS twa_micro
               |FROM seg WHERE w IS NOT NULL
-              |GROUP BY user_id HAVING SUM(w) > 0 ORDER BY user_id""".stripMargin))
+              |GROUP BY user_id HAVING SUM(w) > 0 ORDER BY user_id""".stripMargin)),
+
+    // q212 — (s,S) INVENTORY REORDER POLICY per user: start at S = 500 µM;
+    // every event consumes its µ-value; whenever stock would fall below
+    // s = 100 µM, replenish to S and count a reorder. UNLIKE q200's
+    // Lindley clamp this recurrence has NO windowed closed form (the
+    // reorder jump is non-linear in the prefix sums), so it runs as an
+    // IN-ROW HOF FOLD: per user, array_sort(collect_list(struct)) builds
+    // the event tape, `aggregate` folds the (bal, n_reorders) state
+    // struct across it — codegen end to end, ONE user-hash exchange,
+    // zero driver involvement. The oracle walks the same recurrence as a
+    // RECURSIVE CTE (one global iteration per tape step).
+    //
+    // Shape at 100 TB: the per-key tape lives in one row — bounded by
+    // events/key in the analysis period (hundreds here; fine to ~10⁵).
+    // Keys with unbounded tapes take the mapPartitions road instead
+    // (repartition by key + sortWithinPartitions + streaming fold — the
+    // GlobalCumSum sanction); this query deliberately shows the
+    // expression-only form.
+    Declared("q212_reorder_policy",
+      (s, dir) => {
+        val S = 500000000L
+        val sMin = 100000000L
+        val tapeArr = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"),
+            (dec(col("value")) * lit(1000000)).cast("long").as("demand"))
+          .groupBy(col("user_id"))
+          .agg(array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("demand")))).as("tape"))
+        tapeArr
+          .withColumn("st", aggregate(col("tape"),
+            struct(lit(S).as("bal"), lit(0L).as("nr")),
+            (acc, x) => {
+              val next = acc.getField("bal") - x.getField("demand")
+              struct(
+                when(next < sMin, lit(S)).otherwise(next).as("bal"),
+                (acc.getField("nr") + when(next < sMin, 1L).otherwise(0L)).as("nr"))
+            }))
+          .select(col("user_id"), col("st").getField("bal").as("final_micro"),
+            big(col("st").getField("nr")).as("n_reorders"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS demand,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+             |  FROM events),
+             |walk(user_id, rn, bal, n_reorders) AS (
+             |  SELECT user_id, 0, 500000000, 0 FROM (SELECT DISTINCT user_id FROM e) u
+             |  UNION ALL
+             |  SELECT w.user_id, w.rn + 1,
+             |    CASE WHEN w.bal - e.demand < 100000000 THEN 500000000
+             |         ELSE w.bal - e.demand END,
+             |    w.n_reorders + CASE WHEN w.bal - e.demand < 100000000 THEN 1 ELSE 0 END
+             |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+             |SELECT w.user_id, bal AS final_micro, CAST(n_reorders AS BIGINT) AS n_reorders
+             |FROM walk w
+             |WHERE rn = (SELECT MAX(rn) FROM e e2 WHERE e2.user_id = w.user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }

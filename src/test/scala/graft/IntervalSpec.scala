@@ -259,6 +259,19 @@ class IntervalSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q209_twa_balance")(spark, dir2).collect().isEmpty)
   }
 
+  test("q212 reorder policy: hand-computed (s,S) walk") {
+    val dir = tmpDir("ivl212")
+    // demands 250, 200, 100 (µM): 500->250, 250-200=50 < 100 -> reorder to
+    // 500 (count 1), 500-100=400
+    writeEvents(dir, Seq(
+      (1L, 1L, 0L, "view", 250.0), (2L, 2L, 0L, "view", 200.0),
+      (3L, 3L, 0L, "view", 100.0)))
+    val r = SparkEntry.queries("q212_reorder_policy")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("final_micro") == 400000000L)
+    assert(r.head.getAs[Long]("n_reorders") == 1L)
+  }
+
   test("q204 is measure-preserving vs q201 on the fixture") {
     val covered = SparkEntry.queries("q201_interval_union")(spark, sf0001)
       .collect().map(_.getAs[Long]("covered_us")).sum
