@@ -312,6 +312,40 @@ object DedupQueries extends QueryModule {
              |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
              |  CAST(inter AS BIGINT) * 1000000 // (s1 + s2 - inter) AS jac_ppm
              |FROM p WHERE 20 * inter >= 19 * (s1 + s2 - inter)
-             |ORDER BY id1, id2""".stripMargin))
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // q213 — BAG-OF-WORDS FINGERPRINT DEDUP: md5 of the SORTED DISTINCT
+    // token set. Catches word-order shuffles and repetition paddings that
+    // exact-text dedup (q25) misses, at exact-dedup cost — one md5 per
+    // doc + one hash aggregate, no signatures, no banding, no pairs. The
+    // fixture corpus has zero exact-text duplicates but 21 shuffled
+    // clusters at sf0.01 — precisely the gap this fingerprint closes.
+    // Token rule is symmetric on both engines: lowercase, split on
+    // non-alphanumeric runs, drop empties.
+    //
+    // Shape at 100 TB: fingerprint is row-local codegen; ONE exchange on
+    // the 16-byte fingerprint (not the document text); the cluster
+    // report is count-filtered, so the shuffle output is cluster-sized.
+    Declared("q213_bow_fingerprint",
+      (s, dir) => {
+        val toks = array_sort(array_distinct(filter(
+          split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(array_join(toks, " ")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(big(count(lit(1))).as("n_docs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .where(col("n_docs") >= 2)
+          .orderBy(col("fp"))
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(list_aggregate(list_sort(list_distinct(
+             |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                  t -> t <> ''))), 'string_agg', ' ')) AS fp
+             |  FROM documents)
+             |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+             |  MAX(doc_id) AS max_doc
+             |FROM fp GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp""".stripMargin))
   )
 }
