@@ -623,9 +623,12 @@ object GraphStatQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.storage.StorageLevel
         val k = 2
+        // persisted: both sides of the co-purchase self-join read one
+        // computed copy (one lineitem scan, not two)
         val it = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val e = it.as("a").join(it.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
           .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
@@ -672,9 +675,11 @@ object GraphStatQueries extends QueryModule {
     // the first aggregate.
     Declared("q211_degree_histogram",
       (s, dir) => {
+        // persisted: one lineitem scan serves both self-join sides
         val it = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val deg = it.as("a").join(it.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
           .select(col("a.pk").as("pa"), col("b.pk").as("pb"))

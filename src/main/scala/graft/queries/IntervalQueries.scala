@@ -218,8 +218,14 @@ object IntervalQueries extends QueryModule {
     Declared("q203_apportion_budget",
       (s, dir) => {
         val N = 1000000L
+        // persist the counter-sized per-source aggregate: the scalar total,
+        // the leftover, and BOTH sides of the remainder-rank self-join all
+        // read this 20-row cache instead of re-scanning the corpus (the
+        // q182 shared-prep discipline — PlanAudit showed 4 corpus scans
+        // before this)
         val per = Tables.load(s, dir, "documents")
           .groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = per.agg(sum(col("chars_s")).as("total"))
         val based = per.crossJoin(broadcast(tot))
           .withColumn("base", idiv(lit(N) * col("chars_s"), col("total")))
