@@ -88,4 +88,60 @@ object SetSimJoin {
       .select(col("id1"), col("id2"), col("inter"), col("s1"), col("s2"),
         idiv(col("inter") * lit(1000000L), col("s1") + col("s2") - col("inter")).as("jac_ppm"))
   }
+
+  /** DIRECTED exact containment join: all ordered pairs (a, b), a ≠ b, with
+    * |A∩B| ≥ ⌈θ·|A|⌉ — "a is θ-contained in b". The asymmetric cousin of
+    * [[selfJoin]] and the right primitive for QUOTE/SUBSET duplicate
+    * detection in a curation cascade (a short doc embedded in a long one
+    * has low Jaccard but full containment — Jaccard-based stages are
+    * structurally blind to it).
+    *
+    * Exactness (pigeonhole, asymmetric form): under any shared total token
+    * order, if none of A's first |A| − ⌈θ|A|⌉ + 1 tokens hits B, the
+    * at-most-(⌈θ|A|⌉ − 1) remaining tokens cannot reach the required
+    * intersection — so probing ONLY A's prefix against B's FULL postings
+    * list generates a candidate superset with zero false negatives. The
+    * probe side explodes a prefix; the build side is the ordinary inverted
+    * list; the join stays EQUI on the token. Length filter: |B| ≥ ⌈θ|A|⌉.
+    */
+  def containmentJoin(recs: DataFrame, idCol: String, toksCol: String,
+      thetaNum: Int, thetaDen: Int): DataFrame = {
+    require(thetaNum > 0 && thetaNum <= thetaDen, s"bad theta $thetaNum/$thetaDen")
+    val base = recs
+      .select(col(idCol).cast("long").as("sid"), array_distinct(col(toksCol)).as("tk"))
+      .withColumn("s", size(col("tk")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val toks = base.select(col("sid"), explode(col("tk")).as("tok"))
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = toks.join(dfTab, "tok")
+      .groupBy(col("sid"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("sid"), expr("transform(ord, x -> x.tok)").as("ord"))
+
+    // required intersection t = ceil(θ·s); probe prefix ℓ = s − t + 1
+    val pref = ordered
+      .withColumn("s", size(col("ord")).cast("long"))
+      .withColumn("t",
+        idiv(lit(thetaNum.toLong) * col("s") + lit(thetaDen - 1L), lit(thetaDen.toLong)))
+      .select(col("sid"), col("s"), col("t"),
+        explode(expr("slice(ord, 1, int(s - t + 1))")).as("ptok"))
+
+    val cand = pref.as("a").join(
+        toks.select(col("sid").as("bid"), col("tok").as("ptok")).as("b"),
+        Seq("ptok"))
+      .where(col("a.sid") =!= col("bid"))
+      .select(col("a.sid").as("id_a"), col("bid").as("id_b"), col("t"))
+      .dropDuplicates("id_a", "id_b")
+
+    val sets = base.select(col("sid"), col("tk"), col("s"))
+    cand
+      .join(sets.select(col("sid").as("id_a"), col("tk").as("tka"), col("s").as("sa")), "id_a")
+      .join(sets.select(col("sid").as("id_b"), col("tk").as("tkb"), col("s").as("sb")), "id_b")
+      .where(col("sb") >= col("t"))
+      .withColumn("inter", size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+      .where(col("inter") >= col("t"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sa"), col("sb"),
+        idiv(col("inter") * lit(1000000L), col("sa")).as("cont_ppm"))
+  }
 }

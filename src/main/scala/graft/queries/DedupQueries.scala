@@ -346,6 +346,52 @@ object DedupQueries extends QueryModule {
              |  FROM documents)
              |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
              |  MAX(doc_id) AS max_doc
-             |FROM fp GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp""".stripMargin))
+             |FROM fp GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp""".stripMargin)),
+
+    // q214 — EXACT CONTAINMENT JOIN (directed, θ = 9/10): every doc whose
+    // token set is ≥90% contained in ANOTHER doc's — the quote/subset
+    // duplicates that Jaccard stages (q32/q158) are structurally blind to
+    // (a short doc inside a long one has low Jaccard but full
+    // containment). Zero false negatives by the asymmetric pigeonhole
+    // prefix bound (operators.SetSimJoin.containmentJoin); the oracle is
+    // the all-pairs brute force, so the gate PROVES the prefix probe
+    // dropped nothing.
+    //
+    // Shape at 100 TB: probe side explodes only the s−⌈θs⌉+1 prefix;
+    // build side is the ordinary postings list; candidates come from an
+    // EQUI token join; arrays ride the exchange once per candidate.
+    Declared("q214_containment_join",
+      (s, dir) => {
+        import graft.functions.TextFunctions.shingles3
+        val recs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), shingles3(col("text")).as("tk"))
+        graft.operators.SetSimJoin.containmentJoin(recs, "doc_id", "tk", 9, 10)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      // shingle sets, not unigram tokens: the synthetic corpus draws words
+      // from a small vocabulary, so unigram SETS are ~36% pairwise
+      // contained (89k pairs at sf0.001 — meaningless); 3-gram shingles
+      // are discriminative (55 real pairs). The oracle counts exact
+      // intersections through the inverted list (equi join on the
+      // shingle), which is still assumption-free: a pair with zero shared
+      // shingles cannot pass any θ > 0.
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id,
+             |  CASE WHEN len(tk) >= 3
+             |    THEN list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             |    ELSE [text] END AS sh FROM d),
+             |sz AS (SELECT doc_id, len(sh) AS s FROM sh),
+             |ex AS (SELECT doc_id, UNNEST(sh) AS tok FROM sh),
+             |iv AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+             |  CAST(sa.s AS BIGINT) AS sa, CAST(sb.s AS BIGINT) AS sb,
+             |  CAST(inter AS BIGINT) * 1000000 // sa.s AS cont_ppm
+             |FROM iv JOIN sz sa ON iv.id_a = sa.doc_id JOIN sz sb ON iv.id_b = sb.doc_id
+             |WHERE 10 * inter >= 9 * sa.s
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

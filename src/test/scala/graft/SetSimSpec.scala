@@ -43,4 +43,38 @@ class SetSimSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  private def bruteContain(thetaNum: Int, thetaDen: Int): Set[(Long, Long, Long)] = {
+    val sets = recs.select(col("doc_id"), array_distinct(col("tk")).as("tk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      inter = (sa & sb).size.toLong
+      if thetaDen * inter >= thetaNum.toLong * sa.size
+    } yield (ia, ib, inter)).toSet
+  }
+
+  test("containment join is exact and DIRECTED: operator == brute force, asymmetric pairs") {
+    for ((n, d) <- Seq((1, 1), (9, 10), (3, 4))) {
+      val got = graft.operators.SetSimJoin.containmentJoin(recs, "doc_id", "tk", n, d)
+        .select(col("id_a"), col("id_b"), col("inter"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteContain(n, d), s"mismatch at theta=$n/$d")
+    }
+  }
+
+  test("containment catches a subset doc that Jaccard misses") {
+    import spark.implicits._
+    // A = 5 tokens fully inside B's 50 -> containment(A in B) = 1.0 but
+    // Jaccard = 5/50: invisible to any high-θ Jaccard stage
+    val toksB = (1 to 50).map(i => s"t$i")
+    val df = Seq((1L, toksB.take(5)), (2L, toksB)).toDF("doc_id", "tk")
+    val got = graft.operators.SetSimJoin.containmentJoin(df, "doc_id", "tk", 1, 1)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), s"got ${got.toSeq}")
+    val jac = graft.operators.SetSimJoin.selfJoin(df, "doc_id", "tk", 9, 10)
+      .collect()
+    assert(jac.isEmpty, "Jaccard 0.1 pair should not pass a 0.9 gate")
+  }
 }
