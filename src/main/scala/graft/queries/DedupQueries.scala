@@ -392,6 +392,103 @@ object DedupQueries extends QueryModule {
              |  CAST(inter AS BIGINT) * 1000000 // sa.s AS cont_ppm
              |FROM iv JOIN sz sa ON iv.id_a = sa.doc_id JOIN sz sb ON iv.id_b = sb.doc_id
              |WHERE 10 * inter >= 9 * sa.s
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // q215 — THE DEDUP CASCADE, composed end to end as one query: each
+    // tier runs on the previous tier's survivors, cheapest first —
+    //   a) exact text (md5 partition, min id survives)
+    //   b) bag-of-words fingerprint (q213's tier: word-order shuffles)
+    //   c) directed 9/10 shingle containment (q214's tier: subset/quote
+    //      dups; drop the SMALLER set — the bigger doc carries the
+    //      content — ties to the higher id)
+    //   d) MinHash-LSH est-Jaccard ≥ 0.5 (q32/q47's tier; drop id_b),
+    //      REUSING the full-corpus shared stage: band keys are per-doc,
+    //      so restricting pairs to surviving endpoints equals re-banding
+    //      the survivor subset — no recompute
+    // Output: removal attribution per tier + the kept count (always 5
+    // rows — 1-row aggregates, so a tier that removes nothing still
+    // reports 0). This is the production ordering: each tier's cost is
+    // amortized by the volume the cheaper tiers already removed.
+    Declared("q215_dedup_cascade",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val wEx = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val exactD = docs.withColumn("rn", row_number().over(wEx))
+          .filter(col("rn") > 1).select(col("doc_id"))
+        val s1 = docs.join(exactD, Seq("doc_id"), "left_anti")
+        val bowToks = array_sort(array_distinct(filter(
+          split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))))
+        val wBow = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))
+        val bowD = s1.withColumn("fp", md5(array_join(bowToks, " ")))
+          .withColumn("rn", row_number().over(wBow))
+          .filter(col("rn") > 1).select(col("doc_id"))
+        val s2 = s1.join(bowD, Seq("doc_id"), "left_anti")
+        val recs2 = s2.select(col("doc_id"),
+          graft.functions.TextFunctions.shingles3(col("text")).as("tk"))
+        val containD = graft.operators.SetSimJoin
+          .containmentJoin(recs2, "doc_id", "tk", 9, 10)
+          .where(col("sb") > col("sa") ||
+            (col("sb") === col("sa") && col("id_b") < col("id_a")))
+          .select(col("id_a").as("doc_id")).distinct()
+        val s3 = s2.join(containD, Seq("doc_id"), "left_anti")
+        val s3ids = s3.select(col("doc_id"))
+        val nearD = lshNearPairs(s, dir)
+          .join(s3ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+          .join(s3ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+          .select(col("id_b").as("doc_id")).distinct()
+        val kept = s3.join(nearD, Seq("doc_id"), "left_anti")
+        def tier(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(big(count(lit(1))).as("n")).select(lit(name).as("tier"), col("n"))
+        tier("a_exact", exactD)
+          .unionByName(tier("b_bow", bowD))
+          .unionByName(tier("c_contain", containD))
+          .unionByName(tier("d_near", nearD))
+          .unionByName(tier("e_kept", kept))
+          .orderBy(col("tier"))
+      },
+      Some(duckSig +
+        """,
+          |exact_d AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |    FROM documents) WHERE rn > 1),
+          |s1 AS (SELECT doc_id, text FROM documents
+          |       WHERE doc_id NOT IN (SELECT doc_id FROM exact_d)),
+          |bow_d AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY
+          |      md5(list_aggregate(list_sort(list_distinct(
+          |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          |                    t -> t <> ''))), 'string_agg', ' '))
+          |      ORDER BY doc_id) AS rn
+          |    FROM s1) WHERE rn > 1),
+          |s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM bow_d)),
+          |sz AS (SELECT sh.doc_id, len(sh.sh) AS s FROM sh JOIN s2 USING (doc_id)),
+          |ex2 AS (SELECT sh.doc_id, UNNEST(sh.sh) AS tok FROM sh JOIN s2 USING (doc_id)),
+          |iv2 AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          |  FROM ex2 a JOIN ex2 b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id),
+          |contain_d AS (
+          |  SELECT DISTINCT id_a AS doc_id
+          |  FROM iv2 JOIN sz sa ON iv2.id_a = sa.doc_id JOIN sz sb ON iv2.id_b = sb.doc_id
+          |  WHERE 10 * inter >= 9 * sa.s
+          |    AND (sb.s > sa.s OR (sb.s = sa.s AND id_b < id_a))),
+          |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contain_d)),
+          |near_d AS (
+          |  SELECT DISTINCT c.id_b AS doc_id FROM cand c
+          |  JOIN sig sa2 ON sa2.doc_id = c.id_a JOIN sig sb2 ON sb2.doc_id = c.id_b
+          |  WHERE c.id_a IN (SELECT doc_id FROM s3) AND c.id_b IN (SELECT doc_id FROM s3)
+          |    AND CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
+          |      i -> CASE WHEN sa2.sig[i] = sb2.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) >= 0.5)
+          |SELECT 'a_exact' AS tier, COUNT(*) AS n FROM exact_d
+          |UNION ALL SELECT 'b_bow', COUNT(*) FROM bow_d
+          |UNION ALL SELECT 'c_contain', COUNT(*) FROM contain_d
+          |UNION ALL SELECT 'd_near', COUNT(*) FROM near_d
+          |UNION ALL SELECT 'e_kept', COUNT(*) FROM s3
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM near_d)
+          |ORDER BY tier""".stripMargin))
   )
 }
