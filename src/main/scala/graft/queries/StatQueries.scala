@@ -761,6 +761,122 @@ object StatQueries extends QueryModule {
               |  MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_d END) AS p50_d,
               |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_d END) AS p90_d,
               |  MAX(lat_d) AS max_d
-              |FROM rk GROUP BY pri ORDER BY pri""".stripMargin))
+              |FROM rk GROUP BY pri ORDER BY pri""".stripMargin)),
+
+    // q216 — EXACT MANN-WHITNEY U / AUC: do purchase values stochastically
+    // dominate view values? Everything in DOUBLED midranks so ties stay
+    // integral: at value v with c₁+c₂ pooled occurrences after `before`
+    // smaller ones, each occurrence's doubled midrank is
+    // 2·before + (c₁+c₂) + 1; summing c₁ of them gives group-1's doubled
+    // rank sum, and 2·U₁ = 2ΣR₁ − n₁(n₁+1). The common-language effect
+    // size U₁/(n₁n₂) IS the AUC of "value separates purchase from view" —
+    // the exact-integer version of the ranking metric every classifier
+    // eval needs.
+    //
+    // Shape at 100 TB: one distinct-value aggregate (value-keyed), ONE
+    // GlobalCumSum range pass for the pooled prefix counts (no
+    // partition-less window), then a 1-row rollup.
+    Declared("q216_mann_whitney",
+      (s, dir) => {
+        val pv = tape(s, dir)
+          .where(col("event_type").isin("purchase", "view"))
+          .groupBy(col("v_micro"))
+          .agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+        val cum = GlobalCumSum.withCumSum(pv, Seq(col("v_micro")),
+          col("c1") + col("c2"), "cum")
+          .withColumn("before", col("cum") - col("c1") - col("c2"))
+          .withColumn("contrib",
+            col("c1") * (lit(2L) * col("before") + col("c1") + col("c2") + 1L))
+        cum.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+            sum(col("contrib")).as("s2r1"))
+          .select(big(col("n1")).as("n1"), big(col("n2")).as("n2"),
+            (col("s2r1") - col("n1") * (col("n1") + 1L)).as("u_doubled"),
+            idiv(lit(1000000L) * (col("s2r1") - col("n1") * (col("n1") + 1L)),
+              lit(2L) * col("n1") * col("n2")).as("auc_ppm"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |pv AS (
+              |  SELECT v_micro,
+              |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+              |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+              |  FROM e WHERE event_type IN ('purchase', 'view')
+              |  GROUP BY v_micro),
+              |cum AS (
+              |  SELECT *, SUM(c1 + c2) OVER (ORDER BY v_micro) AS cum FROM pv),
+              |m AS (
+              |  SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+              |    SUM(c1 * (2 * (cum - c1 - c2) + c1 + c2 + 1)) AS s2r1
+              |  FROM cum)
+              |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              |  s2r1 - n1 * (n1 + 1) AS u_doubled,
+              |  1000000 * (s2r1 - n1 * (n1 + 1)) // (2 * n1 * n2) AS auc_ppm
+              |FROM m""".stripMargin)),
+
+    // q217 — SPEARMAN RANK CORRELATION between the daily purchase and view
+    // totals: rank-transform each series (doubled midranks via a
+    // broadcast theta self-join — the q203 counter-frame recipe, no
+    // partition-less window), then the classic ρ = 1 − 6Σd²/(n(n²−1)) in
+    // exact integers (d² carried ×4; signed division via the signum/abs
+    // pattern — Spark div truncates, DuckDB // floors, they agree only on
+    // |num|). Midrank d² without tie correction is this query's STATED
+    // semantics (exact for tie-free series; daily µ-sums never tie in the
+    // fixture), documented rather than silently approximated.
+    //
+    // Shape at 100 TB: the fact collapses to ~days rows in ONE aggregate;
+    // everything after is counter-sized broadcast arithmetic.
+    Declared("q217_spearman",
+      (s, dir) => {
+        val daily = tape(s, dir)
+          .where(col("event_type").isin("purchase", "view"))
+          .groupBy(col("d"))
+          .agg(
+            sum(when(col("event_type") === "purchase", col("v_micro"))
+              .otherwise(0L)).as("y1"),
+            sum(when(col("event_type") === "view", col("v_micro"))
+              .otherwise(0L)).as("y2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def rank2(y: String, out: String) =
+          daily.as("a").join(broadcast(daily.as("b")), lit(true), "left")
+            .groupBy(col(s"a.d").as("d"), col(s"a.$y").as(y))
+            .agg((lit(2L) * sum(when(col(s"b.$y") < col(s"a.$y"), 1L).otherwise(0L)) +
+              sum(when(col(s"b.$y") === col(s"a.$y"), 1L).otherwise(0L)) + 1L).as(out))
+            .select(col("d"), col(out))
+        val ranked = rank2("y1", "r1x2").join(rank2("y2", "r2x2"), "d")
+        val dd = ranked
+          .withColumn("d2x4",
+            (col("r1x2") - col("r2x2")) * (col("r1x2") - col("r2x2")))
+        dd.agg(count(lit(1)).as("n"), sum(col("d2x4")).as("sd4"))
+          .select(big(col("n")).as("n_days"),
+            (signum(lit(4L) * col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sd4"))
+              .cast("long") *
+              idiv(lit(1000000L) *
+                abs(lit(4L) * col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sd4")),
+                lit(4L) * col("n") * (col("n") * col("n") - 1L)).cast("long"))
+              .as("rho_ppm"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |daily AS (
+              |  SELECT d,
+              |    SUM(CASE WHEN event_type = 'purchase' THEN v_micro ELSE 0 END) AS y1,
+              |    SUM(CASE WHEN event_type = 'view' THEN v_micro ELSE 0 END) AS y2
+              |  FROM e WHERE event_type IN ('purchase', 'view') GROUP BY d),
+              |r1 AS (
+              |  SELECT a.d, 2 * SUM(CASE WHEN b.y1 < a.y1 THEN 1 ELSE 0 END)
+              |    + SUM(CASE WHEN b.y1 = a.y1 THEN 1 ELSE 0 END) + 1 AS r1x2
+              |  FROM daily a CROSS JOIN daily b GROUP BY a.d, a.y1),
+              |r2 AS (
+              |  SELECT a.d, 2 * SUM(CASE WHEN b.y2 < a.y2 THEN 1 ELSE 0 END)
+              |    + SUM(CASE WHEN b.y2 = a.y2 THEN 1 ELSE 0 END) + 1 AS r2x2
+              |  FROM daily a CROSS JOIN daily b GROUP BY a.d, a.y2),
+              |m AS (
+              |  SELECT COUNT(*) AS n, SUM((r1x2 - r2x2) * (r1x2 - r2x2)) AS sd4
+              |  FROM r1 JOIN r2 USING (d))
+              |SELECT CAST(n AS BIGINT) AS n_days,
+              |  CAST(SIGN(4 * n * (n * n - 1) - 6 * sd4) AS BIGINT)
+              |    * (1000000 * ABS(4 * n * (n * n - 1) - 6 * sd4)
+              |       // (4 * n * (n * n - 1))) AS rho_ppm
+              |FROM m""".stripMargin))
   )
 }

@@ -122,4 +122,30 @@ class StatSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_pairs") == 4L)
     assert(r.getAs[Long]("acf1_r2_ppm") == -1000000L)
   }
+
+  test("q216 Mann-Whitney: hand tape with a tie -> U1 = 2, AUC = 0.5 exactly") {
+    val dir = tmpDir("statmw")
+    // purchase {3, 1}, view {2, 2}: pooled doubled midranks 2,5,5,8;
+    // 2*SumR1 = 2+8 = 10; 2*U1 = 10 - 2*3 = 4 (U1 = 2: the 3 beats both 2s)
+    writeEvents(dir, Seq(
+      (1L, 1L, 0L, "purchase", 3.0), (2L, 2L, 0L, "purchase", 1.0),
+      (3L, 3L, 0L, "view", 2.0), (4L, 4L, 0L, "view", 2.0)))
+    val r = SparkEntry.queries("q216_mann_whitney")(spark, dir).collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("u_doubled") == 4L)
+    assert(r.getAs[Long]("auc_ppm") == 500000L)
+  }
+
+  test("q217 Spearman: perfectly anti-monotone daily series -> rho = -1e6 exactly") {
+    val dir = tmpDir("statsp")
+    val day = 86400L
+    // 3 days: purchase totals rise 1,2,3 while view totals fall 3,2,1
+    writeEvents(dir, Seq(
+      (1L, 0 * day, 0L, "purchase", 1.0), (2L, 0 * day, 0L, "view", 3.0),
+      (3L, 1 * day, 0L, "purchase", 2.0), (4L, 1 * day, 0L, "view", 2.0),
+      (5L, 2 * day, 0L, "purchase", 3.0), (6L, 2 * day, 0L, "view", 1.0)))
+    val r = SparkEntry.queries("q217_spearman")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("rho_ppm") == -1000000L)
+  }
 }
