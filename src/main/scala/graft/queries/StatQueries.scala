@@ -877,6 +877,98 @@ object StatQueries extends QueryModule {
               |  CAST(SIGN(4 * n * (n * n - 1) - 6 * sd4) AS BIGINT)
               |    * (1000000 * ABS(4 * n * (n * n - 1) - 6 * sd4)
               |       // (4 * n * (n * n - 1))) AS rho_ppm
-              |FROM m""".stripMargin))
+              |FROM m""".stripMargin)),
+
+    // q218 — KENDALL τ-a between the same daily series: C − D =
+    // Σ_{i<j} sign(Δy1)·sign(Δy2) over day pairs, τ = (C−D)/(n(n−1)/2).
+    // Rank-free and therefore exactly integral; τ-a (no tie correction —
+    // tie corrections need sqrt) is the stated semantics, exact for the
+    // tie-free daily µ-totals. The day table is counter-sized, so the
+    // pair join is a broadcast theta join on ~n²/2 counter rows — the
+    // q203/q217 counter-frame recipe, never a fact-sized product.
+    Declared("q218_kendall",
+      (s, dir) => {
+        val daily = tape(s, dir)
+          .where(col("event_type").isin("purchase", "view"))
+          .groupBy(col("d"))
+          .agg(
+            sum(when(col("event_type") === "purchase", col("v_micro"))
+              .otherwise(0L)).as("y1"),
+            sum(when(col("event_type") === "view", col("v_micro"))
+              .otherwise(0L)).as("y2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = daily.as("a").join(broadcast(daily.as("b")),
+            col("a.d") < col("b.d"))
+          .select((signum(col("b.y1") - col("a.y1")) *
+            signum(col("b.y2") - col("a.y2"))).cast("long").as("cd"))
+        pairs.agg(count(lit(1)).as("np"), sum(col("cd")).as("cmd"))
+          .select(big(col("np")).as("n_pairs"),
+            col("cmd").as("c_minus_d"),
+            (signum(col("cmd")).cast("long") *
+              idiv(lit(1000000L) * abs(col("cmd")), col("np")).cast("long"))
+              .as("tau_ppm"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |daily AS (
+              |  SELECT d,
+              |    SUM(CASE WHEN event_type = 'purchase' THEN v_micro ELSE 0 END) AS y1,
+              |    SUM(CASE WHEN event_type = 'view' THEN v_micro ELSE 0 END) AS y2
+              |  FROM e WHERE event_type IN ('purchase', 'view') GROUP BY d),
+              |p AS (
+              |  SELECT SIGN(b.y1 - a.y1) * SIGN(b.y2 - a.y2) AS cd
+              |  FROM daily a JOIN daily b ON a.d < b.d),
+              |m AS (SELECT COUNT(*) AS np, CAST(SUM(cd) AS BIGINT) AS cmd FROM p)
+              |SELECT CAST(np AS BIGINT) AS n_pairs, cmd AS c_minus_d,
+              |  CAST(SIGN(cmd) AS BIGINT) * (1000000 * ABS(cmd) // np) AS tau_ppm
+              |FROM m""".stripMargin)),
+
+    // q219 — PAIRED SIGN-FLIP PERMUTATION TEST (deterministic): is the
+    // daily purchase−view difference centered at zero? Each of 200
+    // resamples flips every day's diff by an md5-derived ±1 (the q192
+    // derandomized-resampling discipline: the p-value is a PURE FUNCTION
+    // of the data — no RNG, no seed plumbing, retries/AQE cannot move
+    // it). p = (1 + #{|T_r| ≥ |T_obs|}) / (R + 1), the add-one
+    // permutation convention, in exact ppm.
+    //
+    // Shape at 100 TB: the fact collapses to days in ONE aggregate; the
+    // ×200 explode multiplies counters only; T_obs rides a 1-row
+    // broadcast into the resample rollup.
+    Declared("q219_perm_test",
+      (s, dir) => {
+        val diff = tape(s, dir)
+          .where(col("event_type").isin("purchase", "view"))
+          .groupBy(col("d"))
+          .agg(sum(when(col("event_type") === "purchase", col("v_micro"))
+            .otherwise(-col("v_micro"))).as("x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val obs = diff.agg(abs(sum(col("x"))).as("t_obs"),
+          count(lit(1)).as("n_days"))
+        val resamples = diff
+          .select(col("d"), col("x"), explode(sequence(lit(1L), lit(200L))).as("r"))
+          .withColumn("sgn",
+            lit(1L) - lit(2L) * (conv(substring(
+              md5(concat_ws(":", col("d"), col("r"))), 1, 8), 16, 10).cast("long") % 2L))
+          .groupBy(col("r")).agg(abs(sum(col("sgn") * col("x"))).as("t_r"))
+        resamples.crossJoin(broadcast(obs))
+          .agg(max(col("n_days")).as("nd"), max(col("t_obs")).as("t"),
+            sum(when(col("t_r") >= col("t_obs"), 1L).otherwise(0L)).as("n_ge"))
+          .select(big(col("nd")).as("n_days"), col("t").as("t_obs_micro"),
+            big(col("n_ge")).as("n_ge"),
+            idiv(lit(1000000L) * (col("n_ge") + 1L), lit(201L)).as("p_ppm"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |diff AS (
+              |  SELECT d, SUM(CASE WHEN event_type = 'purchase' THEN v_micro
+              |                     ELSE -v_micro END) AS x
+              |  FROM e WHERE event_type IN ('purchase', 'view') GROUP BY d),
+              |obs AS (SELECT ABS(SUM(x)) AS t_obs, COUNT(*) AS n_days FROM diff),
+              |rs AS (SELECT d, x, UNNEST(RANGE(1, 201)) AS r FROM diff),
+              |fl AS (
+              |  SELECT r, ABS(SUM((1 - 2 * (CAST(('0x' || SUBSTR(md5(d || ':' || r), 1, 8)) AS BIGINT) % 2)) * x)) AS t_r
+              |  FROM rs GROUP BY r)
+              |SELECT CAST(MAX(n_days) AS BIGINT) AS n_days, MAX(t_obs) AS t_obs_micro,
+              |  CAST(SUM(CASE WHEN t_r >= t_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+              |  1000000 * (SUM(CASE WHEN t_r >= t_obs THEN 1 ELSE 0 END) + 1) // 201 AS p_ppm
+              |FROM fl CROSS JOIN obs""".stripMargin))
   )
 }

@@ -147,5 +147,28 @@ class StatSpec extends AnyFunSuite {
     val r = SparkEntry.queries("q217_spearman")(spark, dir).collect().head
     assert(r.getAs[Long]("n_days") == 3L)
     assert(r.getAs[Long]("rho_ppm") == -1000000L)
+    // Kendall agrees on the extreme: all 3 pairs discordant -> tau = -1e6
+    val k = SparkEntry.queries("q218_kendall")(spark, dir).collect().head
+    assert(k.getAs[Long]("n_pairs") == 3L)
+    assert(k.getAs[Long]("c_minus_d") == -3L)
+    assert(k.getAs[Long]("tau_ppm") == -1000000L)
+  }
+
+  test("q219 permutation test: constant-sign diffs are extreme; p respects add-one bound") {
+    val dir = tmpDir("statpt")
+    val day = 86400L
+    // purchase >> view every day -> observed |T| is the max over all sign
+    // flips, so every resample has T_r <= T_obs, and T_r = T_obs only when
+    // all 5 md5 bits agree; p_ppm is small but NEVER below the 1/201 floor
+    writeEvents(dir, (0 until 5).flatMap(i => Seq(
+      (2L * i + 1, i * day, 0L, "purchase", 100.0 + i),
+      (2L * i + 2, i * day, 0L, "view", 1.0))))
+    val r = SparkEntry.queries("q219_perm_test")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 5L)
+    val p = r.getAs[Long]("p_ppm")
+    assert(p >= 1000000L / 201L && p <= 1000000L, s"p out of range: $p")
+    // determinism: the md5-derived p-value is a pure function of the data
+    val r2 = SparkEntry.queries("q219_perm_test")(spark, dir).collect().head
+    assert(r2.getAs[Long]("p_ppm") == p && r2.getAs[Long]("n_ge") == r.getAs[Long]("n_ge"))
   }
 }
