@@ -86,6 +86,45 @@ class OptimizerLeversSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS cbo_customer")
   }
 
+  test("CBO join reorder rebuilds the left-deep chain around the selective dim") {
+    for (t <- Seq("cbo_li", "cbo_ord", "cbo_cust"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.model.Tables.load(spark, sf0001, "lineitem")
+      .write.mode("overwrite").saveAsTable("cbo_li")
+    graft.model.Tables.load(spark, sf0001, "orders")
+      .write.mode("overwrite").saveAsTable("cbo_ord")
+    graft.model.Tables.load(spark, sf0001, "customer")
+      .write.mode("overwrite").saveAsTable("cbo_cust")
+    try {
+      for (t <- Seq("cbo_li", "cbo_ord", "cbo_cust"))
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      def topJoinLine(reorder: Boolean): String = withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> reorder.toString) {
+        // written LEFT-DEEP with the fact-fact join first: (li ⋈ ord) ⋈ cust.
+        // With stats + reorder, the planner should join the ~1-row filtered
+        // customer to orders FIRST, making the TOP join the orderkey one.
+        val li = spark.table("cbo_li")
+        val ord = spark.table("cbo_ord")
+        val cust = spark.table("cbo_cust").filter(col("c_custkey") === 7)
+        val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)))
+        // first Join line in the tree rendering = the TOP (outermost) join
+        q.queryExecution.optimizedPlan.toString.linesIterator
+          .find(_.contains("Join ")).getOrElse("")
+      }
+      val off = topJoinLine(reorder = false)
+      val on = topJoinLine(reorder = true)
+      assert(off.contains("o_custkey"),
+        s"without reorder the top join should be the written custkey join: $off")
+      assert(on.contains("l_orderkey"),
+        s"with CBO reorder the selective dim join should sink below the fact join: $on")
+    } finally
+      for (t <- Seq("cbo_li", "cbo_ord", "cbo_cust"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("q152's gate build executes the bloom-pruned plan; results conf-independent") {
     import graft.queries.OptimizerQueries
     val default = OptimizerQueries.bloomJoinPlan(spark, sf0001)
