@@ -969,6 +969,61 @@ object StatQueries extends QueryModule {
               |SELECT CAST(MAX(n_days) AS BIGINT) AS n_days, MAX(t_obs) AS t_obs_micro,
               |  CAST(SUM(CASE WHEN t_r >= t_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
               |  1000000 * (SUM(CASE WHEN t_r >= t_obs THEN 1 ELSE 0 END) + 1) // 201 AS p_ppm
-              |FROM fl CROSS JOIN obs""".stripMargin))
+              |FROM fl CROSS JOIN obs""".stripMargin)),
+
+    // q220 — LEAD-LAG CONCORDANCE PROFILE: does purchase activity LEAD
+    // view activity (or vice versa)? Kendall τ-a between y1_d and
+    // y2_{d+lag} for lags −3..3 — the sign-product machinery of q218
+    // swept across an explicit (d, d+lag) self-join per lag (gap-safe
+    // like q193: a missing day kills the pair, never mis-shifts it). The
+    // lag with max |τ| names the leader. All counter-sized after the
+    // daily rollup; the lag spine is a 7-literal explode.
+    Declared("q220_lead_lag",
+      (s, dir) => {
+        val daily = tape(s, dir)
+          .where(col("event_type").isin("purchase", "view"))
+          .groupBy(col("d"))
+          .agg(
+            sum(when(col("event_type") === "purchase", col("v_micro"))
+              .otherwise(0L)).as("y1"),
+            sum(when(col("event_type") === "view", col("v_micro"))
+              .otherwise(0L)).as("y2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lags = daily
+          .select(col("d"), col("y1"), explode(sequence(lit(-3L), lit(3L))).as("lag"))
+          .join(daily.select(col("d").as("d2"), col("y2")),
+            col("d2") === col("d") + col("lag"))
+        val pairs = lags.as("a").join(broadcast(lags.as("b")),
+            col("a.lag") === col("b.lag") && col("a.d") < col("b.d"))
+          .select(col("a.lag").as("lag"),
+            (signum(col("b.y1") - col("a.y1")) *
+              signum(col("b.y2") - col("a.y2"))).cast("long").as("cd"))
+        pairs.groupBy(col("lag"))
+          .agg(big(count(lit(1))).as("n_pairs"), sum(col("cd")).as("cmd"))
+          .select(col("lag"), col("n_pairs"), col("cmd").as("c_minus_d"),
+            (signum(col("cmd")).cast("long") *
+              idiv(lit(1000000L) * abs(col("cmd")), col("n_pairs")).cast("long"))
+              .as("tau_ppm"))
+          .orderBy(col("lag"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |daily AS (
+              |  SELECT d,
+              |    SUM(CASE WHEN event_type = 'purchase' THEN v_micro ELSE 0 END) AS y1,
+              |    SUM(CASE WHEN event_type = 'view' THEN v_micro ELSE 0 END) AS y2
+              |  FROM e WHERE event_type IN ('purchase', 'view') GROUP BY d),
+              |lg AS (
+              |  SELECT a.d, l.lag, a.y1, b.y2
+              |  FROM daily a
+              |  CROSS JOIN (SELECT UNNEST(RANGE(-3, 4)) AS lag) l
+              |  JOIN daily b ON b.d = a.d + l.lag),
+              |p AS (
+              |  SELECT a.lag, SIGN(b.y1 - a.y1) * SIGN(b.y2 - a.y2) AS cd
+              |  FROM lg a JOIN lg b ON a.lag = b.lag AND a.d < b.d),
+              |m AS (SELECT lag, COUNT(*) AS np, CAST(SUM(cd) AS BIGINT) AS cmd
+              |      FROM p GROUP BY lag)
+              |SELECT lag, CAST(np AS BIGINT) AS n_pairs, cmd AS c_minus_d,
+              |  CAST(SIGN(cmd) AS BIGINT) * (1000000 * ABS(cmd) // np) AS tau_ppm
+              |FROM m ORDER BY lag""".stripMargin))
   )
 }

@@ -134,4 +134,39 @@ class StateScaleSpec extends AnyFunSuite {
         s"state rows after idle pruning = $rows, want ${nUsers / 2 + 1}")
     } finally q.stop()
   }
+
+  test("clamped fold: 2000 keys + hot key — buffers drain on watermark, rows = keys") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val nKeys = 2000
+    val hotMoves = 3000
+    val ms = MemoryStream[Stateful.BalEv]
+    val q = Stateful.clampedFoldStream(ms.toDS(), delay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("cfbound").start()
+    def lastStateRows: Long = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.headOption)
+      .headOption.map(_.numRowsTotal).getOrElse(-1L)
+    try {
+      // one movement per key; the hot key gets 3000 — all inside the window
+      val cold = (1 to nKeys).map(k =>
+        Stateful.BalEv(s"k$k", ts(1 * M), k.toLong, k.toLong))
+      val hot = (1 to hotMoves).map(i =>
+        Stateful.BalEv("hot", ts(1 * M + i * 100L), 100000L + i, 1L))
+      ms.addData(cold ++ hot)
+      q.processAllAvailable()
+      // store-level invariant: ONE row per key, the hot buffer lives
+      // INSIDE its row (bounded by the watermark window, not stream length)
+      assert(lastStateRows == nKeys + 1,
+        s"state rows after trigger 1 = $lastStateRows, want ${nKeys + 1}")
+      // watermark pusher: every buffer folds and drains; rows stay = keys
+      // (the folded balance is deliberate O(1) resident state per key)
+      ms.addData(Stateful.BalEv("zz", ts(100 * M), -1L, 0L))
+      q.processAllAvailable()
+      assert(lastStateRows == nKeys + 2,
+        s"state rows after drain = $lastStateRows, want ${nKeys + 2}")
+      val emitted = spark.sql("SELECT COUNT(*) FROM cfbound").collect()(0).getLong(0)
+      assert(emitted == nKeys + hotMoves,
+        s"emitted $emitted, want ${nKeys + hotMoves} (every pre-pusher movement once)")
+    } finally q.stop()
+  }
 }

@@ -55,4 +55,20 @@ class WindowGuardSpec extends AnyFunSuite {
       assert(rn.count() == 3)
     }
   }
+
+  test("guard ON: the window-heavy continuation-4 queries all plan clean") {
+    // the interval/sequence and rank-statistics families lean hardest on
+    // windows — running them UNDER the guard proves the repo invariant
+    // (no partition-less windows in any declared query) mechanically,
+    // not just by review. Execution included: the guard fires at plan
+    // time, so a clean collect() is a clean bill.
+    withGuard(true) {
+      for (q <- Seq("q200_clamped_balance", "q201_interval_union",
+          "q202_longest_streak", "q204_daily_utilization", "q209_twa_balance",
+          "q210_ship_latency", "q216_mann_whitney", "q217_spearman",
+          "q218_kendall", "q220_lead_lag"))
+        assert(SparkEntry.queries(q)(spark, sf0001).collect().nonEmpty,
+          s"$q returned empty under the window guard")
+    }
+  }
 }
