@@ -696,7 +696,58 @@ object GraphStatQueries extends QueryModule {
              |deg AS (SELECT pa, COUNT(*) AS deg FROM e GROUP BY pa)
              |SELECT CAST(LENGTH(bin(deg)) AS BIGINT) AS bucket,
              |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
-             |FROM deg GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM deg GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // q221 — BEHAVIORAL NEAREST NEIGHBOR: for the 20 most active users,
+    // the user whose event TAPE (q194's initial-letter listagg) is
+    // closest by edit distance — sequence-aware similarity that bag-of-
+    // events measures can't see (order matters: 'vvp' ≠ 'pvv'). Top-20
+    // selection is orderBy+limit (TakeOrderedAndProject — the sanctioned
+    // global top-k, no window); the pair frame is 20×19 broadcast rows;
+    // the nearest pick is a user-partitioned window. Ties break to the
+    // smaller neighbor id.
+    //
+    // Shape at 100 TB: ONE user exchange builds the tapes; distance work
+    // is bounded by the top-k choice (k² pairs), never corpus².
+    Declared("q221_behavior_nn",
+      (s, dir) => {
+        val tapes = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            substring(col("event_type"), 1, 1).as("ch"), col("event_id"))
+          .groupBy(col("user_id"))
+          .agg(expr("listagg(ch, '') within group (order by us, event_id)").as("tape"),
+            count(lit(1)).as("cnt"))
+        val top = tapes.orderBy(col("cnt").desc, col("user_id")).limit(20)
+          .select(col("user_id"), col("tape"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = top.as("a").join(broadcast(top.as("b")),
+            col("a.user_id") =!= col("b.user_id"))
+          .select(col("a.user_id").as("user_id"), col("b.user_id").as("nn"),
+            big(levenshtein(col("a.tape"), col("b.tape"))).as("dist"),
+            big(length(col("a.tape"))).as("tape_len"))
+        val pick = Window.partitionBy(col("user_id"))
+          .orderBy(col("dist"), col("nn"))
+        pairs.withColumn("rn", row_number().over(pick))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("nn"), col("dist"), col("tape_len"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |    string_agg(SUBSTR(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS tape,
+             |    COUNT(*) AS cnt
+             |  FROM events GROUP BY user_id),
+             |top AS (SELECT user_id, tape FROM t ORDER BY cnt DESC, user_id LIMIT 20),
+             |p AS (
+             |  SELECT a.user_id, b.user_id AS nn,
+             |    CAST(levenshtein(a.tape, b.tape) AS BIGINT) AS dist,
+             |    CAST(LENGTH(a.tape) AS BIGINT) AS tape_len
+             |  FROM top a JOIN top b ON a.user_id <> b.user_id),
+             |r AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dist, nn) AS rn
+             |  FROM p)
+             |SELECT user_id, nn, dist, tape_len FROM r WHERE rn = 1
+             |ORDER BY user_id""".stripMargin))
   )
 
   /** Programmatically-unrolled k-core oracle: 16 MATERIALIZED peel rounds
