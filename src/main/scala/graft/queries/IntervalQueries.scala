@@ -72,6 +72,28 @@ object IntervalQueries extends QueryModule {
        |SELECT user_id, b AS final_micro, peak_micro, n_floor
        |FROM st WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Shared oracle for q201 and its streaming twin q222 — the island
+    * sweep in SQL, per-user (n_islands, covered, longest).
+    */
+  private val q201OracleSql: String =
+    s"""WITH e AS ($tapeSql),
+       |iv AS (
+       |  SELECT user_id, us, event_id, us + $H AS e,
+       |    MAX(us + $H) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+       |  FROM e),
+       |isl AS (
+       |  SELECT user_id, us, e,
+       |    SUM(CASE WHEN prev_max_e IS NULL OR us > prev_max_e THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS island
+       |  FROM iv),
+       |cov AS (
+       |  SELECT user_id, island, MAX(e) - MIN(us) AS covered
+       |  FROM isl GROUP BY user_id, island)
+       |SELECT user_id, COUNT(*) AS n_islands, SUM(covered) AS covered_us,
+       |  MAX(covered) AS longest_us
+       |FROM cov GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val declared: Seq[Declared] = Seq(
 
     // q200 — FLOOR-CLAMPED RUNNING BALANCE (Lindley recursion) per user:
@@ -143,23 +165,7 @@ object IntervalQueries extends QueryModule {
             max(col("covered")).as("longest_us"))
           .orderBy(col("user_id"))
       },
-      Some(s"""WITH e AS ($tapeSql),
-              |iv AS (
-              |  SELECT user_id, us, event_id, us + $H AS e,
-              |    MAX(us + $H) OVER (PARTITION BY user_id ORDER BY us, event_id
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
-              |  FROM e),
-              |isl AS (
-              |  SELECT user_id, us, e,
-              |    SUM(CASE WHEN prev_max_e IS NULL OR us > prev_max_e THEN 1 ELSE 0 END)
-              |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS island
-              |  FROM iv),
-              |cov AS (
-              |  SELECT user_id, island, MAX(e) - MIN(us) AS covered
-              |  FROM isl GROUP BY user_id, island)
-              |SELECT user_id, COUNT(*) AS n_islands, SUM(covered) AS covered_us,
-              |  MAX(covered) AS longest_us
-              |FROM cov GROUP BY user_id ORDER BY user_id""".stripMargin)),
+      Some(q201OracleSql)),
 
     // q202 — LONGEST CONSECUTIVE-DAY STREAK per user (gaps-and-islands on
     // the distinct active-day set): on consecutive days, day_index −
@@ -592,7 +598,56 @@ object IntervalQueries extends QueryModule {
             big(col("st").getField("nr")).as("n_reorders"))
           .orderBy(col("user_id"))
       },
-      Some("""WITH RECURSIVE e AS (
+      Some(q212OracleSql)),
+
+    // q222 — STREAMING INTERVAL UNION, byte-identical to q201's batch
+    // oracle through Spark's BUILT-IN session windows: each event opens a
+    // 30-minute activity window, and `session_window` merges exactly the
+    // islands q201's batch sweep finds — with ONE boundary repair: q201
+    // merges ABUTTING windows (s == prev end) while session windows are
+    // half-open (an event at exactly last+gap starts a NEW session), so
+    // the streaming gap is H + 1 µs and the read-back subtracts that 1 µs
+    // from every session end. Same 4-slice replay as q76; complete-mode
+    // session store, per-user rollup batch-side.
+    Declared("q222_stream_interval_union",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val events = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val base = SharedStages.scratchDir("q222")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        val agg = s.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "1800000001 microseconds").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(out)
+          .select(col("user_id"),
+            (unix_micros(col("w.end")) - 1L - unix_micros(col("w.start")))
+              .as("covered"))
+          .groupBy(col("user_id"))
+          .agg(big(count(lit(1))).as("n_islands"),
+            sum(col("covered")).as("covered_us"),
+            max(col("covered")).as("longest_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(q201OracleSql))
+  )
+
+  private def q212OracleSql: String =
+    """WITH RECURSIVE e AS (
              |  SELECT user_id, epoch_us(ts) AS us, event_id,
              |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS demand,
              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
@@ -608,6 +663,5 @@ object IntervalQueries extends QueryModule {
              |SELECT w.user_id, bal AS final_micro, CAST(n_reorders AS BIGINT) AS n_reorders
              |FROM walk w
              |WHERE rn = (SELECT MAX(rn) FROM e e2 WHERE e2.user_id = w.user_id)
-             |ORDER BY user_id""".stripMargin))
-  )
+             |ORDER BY user_id""".stripMargin
 }
