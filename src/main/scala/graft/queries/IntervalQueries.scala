@@ -643,7 +643,80 @@ object IntervalQueries extends QueryModule {
             max(col("covered")).as("longest_us"))
           .orderBy(col("user_id"))
       },
-      Some(q201OracleSql))
+      Some(q201OracleSql)),
+
+    // q224 — APPORTIONED BUDGET SAMPLE: q203's largest-remainder quota,
+    // MATERIALIZED — a deterministic 100-doc sample drawn proportionally
+    // to source size: per source, the alloc_s docs with the smallest
+    // md5(doc_id:'smp') (seedless, engine-portable, the q161 order).
+    // Closes the loop from "ratios" (q64) through "integer quotas"
+    // (q203) to "the actual sampled rows"; Σ sampled = budget exactly
+    // while no source saturates (IntervalSpec law).
+    //
+    // Shape at 100 TB: quota arithmetic on the counter frame (persisted,
+    // broadcast); the sample pick is ONE source-partitioned window over
+    // the doc-id/md5 projection — never the payload.
+    Declared("q224_budget_sample",
+      (s, dir) => {
+        val N = 100L
+        val per = Tables.load(s, dir, "documents")
+          .groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = per.agg(sum(col("chars_s")).as("total"))
+        val based = per.crossJoin(broadcast(tot))
+          .withColumn("base", idiv(lit(N) * col("chars_s"), col("total")))
+          .withColumn("rem", (lit(N) * col("chars_s")) % col("total"))
+        val leftover = based.agg((lit(N) - sum(col("base"))).as("leftover"))
+        val ranked = based.as("a").join(broadcast(based.as("b")),
+            col("b.rem") > col("a.rem") ||
+              (col("b.rem") === col("a.rem") && col("b.source") < col("a.source")),
+            "left")
+          .groupBy(col("a.source").as("source"), col("a.base").as("base"),
+            col("a.rem").as("rem"))
+          .agg((count(col("b.source")) + 1L).as("rank_rem"))
+        val alloc = ranked.crossJoin(broadcast(leftover))
+          .select(col("source"),
+            when(col("rank_rem") <= col("leftover"), col("base") + 1L)
+              .otherwise(col("base")).as("alloc"))
+        val wS = Window.partitionBy(col("source"))
+          .orderBy(md5(concat_ws(":", col("doc_id"), lit("smp"))), col("doc_id"))
+        Tables.load(s, dir, "documents").select(col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(wS))
+          .join(broadcast(alloc), "source")
+          .where(col("rn") <= col("alloc"))
+          .groupBy(col("source"))
+          .agg(big(max(col("alloc"))).as("alloc"),
+            big(count(lit(1))).as("n_sampled"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source, SUM(n_chars) AS chars_s FROM documents GROUP BY source),
+             |tot AS (SELECT SUM(chars_s) AS total FROM per),
+             |based AS (
+             |  SELECT source, chars_s,
+             |    (100 * chars_s) // total AS base,
+             |    (100 * chars_s) % total AS rem
+             |  FROM per CROSS JOIN tot),
+             |lo AS (SELECT 100 - SUM(base) AS leftover FROM based),
+             |ranked AS (
+             |  SELECT a.source, a.base, COUNT(b.source) + 1 AS rank_rem
+             |  FROM based a LEFT JOIN based b
+             |    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+             |  GROUP BY a.source, a.base),
+             |alloc AS (
+             |  SELECT source,
+             |    CASE WHEN rank_rem <= leftover THEN base + 1 ELSE base END AS alloc
+             |  FROM ranked CROSS JOIN lo),
+             |rk AS (
+             |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+             |    ORDER BY md5(doc_id || ':smp'), doc_id) AS rn
+             |  FROM documents)
+             |SELECT rk.source, CAST(MAX(alloc) AS BIGINT) AS alloc,
+             |  COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM rk JOIN alloc ON rk.source = alloc.source
+             |WHERE rn <= alloc
+             |GROUP BY rk.source ORDER BY rk.source""".stripMargin))
   )
 
   private def q212OracleSql: String =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.ColumnOps.idiv
 import graft.model.Tables
-import graft.operators.GlobalCumSum
+import graft.operators.{GlobalCumSum, GlobalRank}
 import Protocol._
 
 /** Distribution-statistics operators ([EXT], SURVEY §2.2): the exact
@@ -1024,6 +1024,49 @@ object StatQueries extends QueryModule {
               |      FROM p GROUP BY lag)
               |SELECT lag, CAST(np AS BIGINT) AS n_pairs, cmd AS c_minus_d,
               |  CAST(SIGN(cmd) AS BIGINT) * (1000000 * ABS(cmd) // np) AS tau_ppm
-              |FROM m ORDER BY lag""".stripMargin))
+              |FROM m ORDER BY lag""".stripMargin)),
+
+    // q223 — DECILE LIFT CURVE: treat value as a model score and
+    // purchase as the positive label; rank ALL events by score
+    // (GlobalRank NTILE(10) — q197's no-single-partition tiling), then
+    // per decile the positive rate and LIFT vs the base rate, both in
+    // exact ppm via ONE cross-multiplied division
+    // (lift = pos·n_total / (n·pos_total) — never two stacked floors).
+    // The campaign-targeting readout: "decile 1 converts at k× base".
+    //
+    // Shape at 100 TB: one GlobalRank range shuffle, a 10-group rollup,
+    // and a 1-row broadcast of the corpus totals.
+    Declared("q223_lift_curve",
+      (s, dir) => {
+        val ev = tape(s, dir)
+          .select(col("v_micro"), col("event_id"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val tiled = GlobalRank.withRankColumns(
+          ev, Seq(col("v_micro").desc, col("event_id")), tiles = 10)
+        val tot = ev.agg(count(lit(1)).as("n_tot"), sum(col("pos")).as("pos_tot"))
+        tiled.groupBy(col("tile"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+          .crossJoin(broadcast(tot))
+          .select(col("tile").as("decile"), big(col("n")).as("n"),
+            big(col("pos")).as("n_pos"),
+            idiv(lit(1000000L) * col("pos"), col("n")).as("rate_ppm"),
+            idiv(lit(1000000L) * col("pos") * col("n_tot"),
+              col("n") * col("pos_tot")).as("lift_ppm"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |sc AS (
+              |  SELECT v_micro, event_id,
+              |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+              |  FROM e),
+              |t AS (
+              |  SELECT *, NTILE(10) OVER (ORDER BY v_micro DESC, event_id) AS tile
+              |  FROM sc),
+              |tot AS (SELECT COUNT(*) AS n_tot, SUM(pos) AS pos_tot FROM sc)
+              |SELECT tile AS decile, COUNT(*) AS n,
+              |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+              |  1000000 * SUM(pos) // COUNT(*) AS rate_ppm,
+              |  1000000 * SUM(pos) * MAX(n_tot) // (COUNT(*) * MAX(pos_tot)) AS lift_ppm
+              |FROM t CROSS JOIN tot GROUP BY tile ORDER BY decile""".stripMargin))
   )
 }

@@ -272,6 +272,15 @@ class IntervalSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("n_reorders") == 1L)
   }
 
+  test("q224 budget sample: sampled counts equal the quotas and sum to the budget") {
+    val rows = SparkEntry.queries("q224_budget_sample")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") == r.getAs[Long]("alloc"),
+        s"${r.getAs[String]("source")}: sampled != quota (no source saturates at 25 docs/source)")
+    }
+    assert(rows.map(_.getAs[Long]("n_sampled")).sum == 100L)
+  }
+
   test("q204 is measure-preserving vs q201 on the fixture") {
     val covered = SparkEntry.queries("q201_interval_union")(spark, sf0001)
       .collect().map(_.getAs[Long]("covered_us")).sum
