@@ -489,6 +489,44 @@ object DedupQueries extends QueryModule {
           |UNION ALL SELECT 'd_near', COUNT(*) FROM near_d
           |UNION ALL SELECT 'e_kept', COUNT(*) FROM s3
           |  WHERE doc_id NOT IN (SELECT doc_id FROM near_d)
-          |ORDER BY tier""".stripMargin))
+          |ORDER BY tier""".stripMargin)),
+
+    // q226 — EXPLAINABLE NEAR-DUP EVIDENCE: every q32 LSH pair annotated
+    // with WHY — the exact shared-shingle count and a deterministic
+    // witness (the lexicographically smallest shared shingle). The audit
+    // surface a curation pipeline owes its operators: "these two docs
+    // were merged because they share 41 shingles, e.g. '...'". LEFT join
+    // keeps any (theoretically possible) zero-overlap band collision
+    // visible as n_shared = 0 rather than silently dropped.
+    //
+    // Shape at 100 TB: pairs and exploded shingles come from the
+    // materialized shared stages (no recompute); evidence is an equi
+    // join on (doc, shingle) — pair-bounded, never corpus².
+    Declared("q226_neardup_evidence",
+      (s, dir) => {
+        val pairs = lshNearPairs(s, dir).select(col("id_a"), col("id_b"))
+        val sh = SharedStages.docShingles(s, dir).select(col("doc_id"), col("sh"))
+        val ev = pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(big(count(lit(1))).as("n_shared"), min(col("sh")).as("witness"))
+        pairs.join(ev, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("witness"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(duckSig +
+        s""",
+           |np AS ($duckPairsSelect),
+           |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+           |ev AS (
+           |  SELECT np.id_a, np.id_b, COUNT(*) AS n_shared, MIN(a.s) AS witness
+           |  FROM np JOIN ex a ON a.doc_id = np.id_a
+           |          JOIN ex b ON b.doc_id = np.id_b AND b.s = a.s
+           |  GROUP BY np.id_a, np.id_b)
+           |SELECT np.id_a, np.id_b, COALESCE(n_shared, 0) AS n_shared, witness
+           |FROM np LEFT JOIN ev ON np.id_a = ev.id_a AND np.id_b = ev.id_b
+           |ORDER BY np.id_a, np.id_b""".stripMargin))
   )
 }

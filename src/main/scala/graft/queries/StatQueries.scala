@@ -1067,6 +1067,58 @@ object StatQueries extends QueryModule {
               |  CAST(SUM(pos) AS BIGINT) AS n_pos,
               |  1000000 * SUM(pos) // COUNT(*) AS rate_ppm,
               |  1000000 * SUM(pos) * MAX(n_tot) // (COUNT(*) * MAX(pos_tot)) AS lift_ppm
-              |FROM t CROSS JOIN tot GROUP BY tile ORDER BY decile""".stripMargin))
+              |FROM t CROSS JOIN tot GROUP BY tile ORDER BY decile""".stripMargin)),
+
+    // q225 — ROC CURVE AT DECILE THRESHOLDS: sweeping "flag the top-k
+    // score deciles as positive", the exact (FPR, TPR) ppm at each of
+    // the 10 operating points — the eval-family closer beside q216's
+    // AUC (the area under THIS curve) and q223's lift. Cumulative
+    // pos/neg counts ride the same q223 tiling; no second sort.
+    Declared("q225_roc_points",
+      (s, dir) => {
+        val ev = tape(s, dir)
+          .select(col("v_micro"), col("event_id"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val tiled = GlobalRank.withRankColumns(
+          ev, Seq(col("v_micro").desc, col("event_id")), tiles = 10)
+        val perTile = tiled.groupBy(col("tile"))
+          .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("ng"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // cumulative walk over the 10-row tile table as a broadcast
+        // TRIANGULAR join (the q203 counter-frame recipe) — even the
+        // counter stage carries no partition-less window, so the whole
+        // query plans clean under PartitionlessWindowGuard
+        val cum = perTile.as("a").join(broadcast(perTile.as("b")),
+            col("b.tile") <= col("a.tile"))
+          .groupBy(col("a.tile").as("tile"))
+          .agg(sum(col("b.p")).as("cp"), sum(col("b.ng")).as("cn"))
+        val tot = perTile.agg(sum(col("p")).as("pt"), sum(col("ng")).as("nt"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("tile").as("decile"),
+            big(col("cp")).as("cum_pos"), big(col("cn")).as("cum_neg"),
+            idiv(lit(1000000L) * col("cp"), col("pt")).as("tpr_ppm"),
+            idiv(lit(1000000L) * col("cn"), col("nt")).as("fpr_ppm"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |sc AS (
+              |  SELECT v_micro, event_id,
+              |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+              |  FROM e),
+              |t AS (
+              |  SELECT *, NTILE(10) OVER (ORDER BY v_micro DESC, event_id) AS tile
+              |  FROM sc),
+              |pt AS (
+              |  SELECT tile, SUM(pos) AS p, SUM(1 - pos) AS ng
+              |  FROM t GROUP BY tile),
+              |c AS (
+              |  SELECT tile, SUM(p) OVER (ORDER BY tile) AS cp,
+              |    SUM(ng) OVER (ORDER BY tile) AS cn
+              |  FROM pt),
+              |tot AS (SELECT SUM(p) AS ptot, SUM(ng) AS ntot FROM pt)
+              |SELECT tile AS decile, CAST(cp AS BIGINT) AS cum_pos,
+              |  CAST(cn AS BIGINT) AS cum_neg,
+              |  1000000 * cp // ptot AS tpr_ppm, 1000000 * cn // ntot AS fpr_ppm
+              |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin))
   )
 }

@@ -66,7 +66,7 @@ class WindowGuardSpec extends AnyFunSuite {
       for (q <- Seq("q200_clamped_balance", "q201_interval_union",
           "q202_longest_streak", "q204_daily_utilization", "q209_twa_balance",
           "q210_ship_latency", "q216_mann_whitney", "q217_spearman",
-          "q218_kendall", "q220_lead_lag"))
+          "q218_kendall", "q220_lead_lag", "q223_lift_curve", "q225_roc_points"))
         assert(SparkEntry.queries(q)(spark, sf0001).collect().nonEmpty,
           s"$q returned empty under the window guard")
     }
