@@ -1119,6 +1119,49 @@ object StatQueries extends QueryModule {
               |SELECT tile AS decile, CAST(cp AS BIGINT) AS cum_pos,
               |  CAST(cn AS BIGINT) AS cum_neg,
               |  1000000 * cp // ptot AS tpr_ppm, 1000000 * cn // ntot AS fpr_ppm
-              |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin))
+              |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin)),
+
+    // q227 — INTER-ARRIVAL GAP PROFILE per event_type: the lag-1 µs gaps
+    // of the event stream, profiled as exact rank-selected p50/p90/max —
+    // the arrival-process diagnostic behind capacity planning and
+    // anomaly thresholds (q159's σ gates assume you know the cadence;
+    // this measures it). Gaps, ranks and picks all ride ONE
+    // event_type-partitioned sort — the q175/q210 shape.
+    Declared("q227_gap_profile",
+      (s, dir) => {
+        val wt = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = tape(s, dir)
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(wt))
+          .where(col("gap").isNotNull)
+        val wr = Window.partitionBy(col("event_type"))
+          .orderBy(col("gap"), col("us"), col("event_id"))
+        val ranked = gaps
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        ranked.groupBy(col("event_type"))
+          .agg(big(max(col("n"))).as("n_gaps"),
+            max(when(col("rn") === idiv(col("n") + 1L, lit(2L)), col("gap")))
+              .as("p50_gap_us"),
+            max(when(col("rn") === idiv(lit(9L) * col("n") + 9L, lit(10L)), col("gap")))
+              .as("p90_gap_us"),
+            max(col("gap")).as("max_gap_us"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH e AS ($tapeSql),
+              |g AS (
+              |  SELECT event_type, us, event_id,
+              |    us - LAG(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS gap
+              |  FROM e),
+              |rk AS (
+              |  SELECT event_type, gap,
+              |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap, us, event_id) AS rn,
+              |    COUNT(*) OVER (PARTITION BY event_type) AS n
+              |  FROM g WHERE gap IS NOT NULL)
+              |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+              |  MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS p50_gap_us,
+              |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS p90_gap_us,
+              |  MAX(gap) AS max_gap_us
+              |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
