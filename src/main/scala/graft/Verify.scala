@@ -18,8 +18,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Finalized schema per query, used to mirror the DOUBLE terminal
-    // representation onto the oracle side (Protocol.wrapOracleDoubles).
+    // Finalized schema per query, used to mirror the terminal DOUBLE/BIGINT
+    // representation onto the oracle side (Protocol.wrapOracleTypes).
     val schemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -61,7 +61,7 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .foreach { case (k, v) =>
         val wrapped = schemas.get(k)
-          .map(sch => graft.queries.Protocol.wrapOracleDoubles(v, sch))
+          .map(sch => graft.queries.Protocol.wrapOracleTypes(v, sch))
           .getOrElse(v)
         Files.writeString(oracleDir.resolve(s"$k.sql"), wrapped)
       }

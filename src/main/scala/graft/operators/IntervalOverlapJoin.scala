@@ -34,10 +34,13 @@ object IntervalOverlapJoin {
       ls: String, le: String, rs: String, re: String,
       bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "bucket width must be positive")
-    val lb = left.withColumn("_bl",
+    // Half-open semantics: an empty interval (le <= ls) contains no instant,
+    // so it can overlap nothing — and its bucket sequence would run
+    // descending (start > stop). Dropped map-side on each branch.
+    val lb = left.where(col(le) > col(ls)).withColumn("_bl",
       explode(sequence(idiv(col(ls), lit(bucketUs)),
         idiv(col(le) - 1L, lit(bucketUs)))))
-    val rb = right.withColumn("_br",
+    val rb = right.where(col(re) > col(rs)).withColumn("_br",
       explode(sequence(idiv(col(rs), lit(bucketUs)),
         idiv(col(re) - 1L, lit(bucketUs)))))
     val cond = keys.map(k => lb(k) === rb(k))

@@ -25,13 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Rendezvous {
 
-  /** Appends `shard` (INT): the HRW winner among `shards` for `key`. */
+  /** Appends `shard` (INT): the HRW winner among `shards` for `key`.
+    * NULL keys would null every md5 score (argmax over all-null structs →
+    * undefined shard), so the key is canonicalized through a sentinel
+    * first: all NULL keys score identically and land together on one
+    * well-defined shard. The sentinel `"\u0000null"` starts with a NUL
+    * byte, outside the value space of every key column in play (ids,
+    * numbers cast to string, parsed text); a caller whose keys can carry
+    * NUL must pre-coalesce to its own sentinel.
+    */
   def assign(df: DataFrame, key: Column, shards: Seq[Int]): DataFrame = {
     require(shards.nonEmpty, "rendezvous over an empty shard list")
+    val k = coalesce(key.cast("string"), lit("\u0000null"))
     val scored = transform(
       typedlit(shards),
       sh => struct(
-        md5(concat(key.cast("string"), lit(":"), sh.cast("string"))).as("k"),
+        md5(concat(k, lit(":"), sh.cast("string"))).as("k"),
         sh.as("sh")))
     df.withColumn("shard", array_max(scored).getField("sh"))
   }

@@ -31,7 +31,10 @@ object PartitionlessWindowGuard extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(ConfKey, "false").toBoolean) {
       plan.foreach {
-        case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
+        // Any empty partitionSpec funnels the whole input into one task —
+        // with ordering (global sort + window) or without (e.g.
+        // `sum(x) OVER ()`, a single-task unordered frame). Both flagged.
+        case w: Window if w.partitionSpec.isEmpty =>
           throw new IllegalStateException(
             "partition-less window (single-task sort over the whole input): " +
               w.windowExpressions.map(_.sql).mkString(", ") +

@@ -71,17 +71,36 @@ object Protocol {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** DuckDB twin of finalizeDoubles: given the FINALIZED Spark schema, wrap
-    * the oracle SQL so every column Spark emits as DOUBLE is ::DOUBLE in the
-    * oracle result too. A pure projection over the inner query — DuckDB's
-    * insertion-order preservation (default) keeps the inner ORDER BY intact.
+  /** DuckDB twin of finalizeDoubles, generalized to the full terminal type
+    * protocol: given the FINALIZED Spark schema, wrap the oracle SQL so
+    *
+    *   - every column Spark emits as DOUBLE is ::DOUBLE in the oracle too
+    *     (the DECIMAL-rendering asymmetry, see (c) above), and
+    *   - every column Spark emits as BIGINT/INT is ::BIGINT in the oracle.
+    *     DuckDB types SUM(BIGINT) — and any arithmetic inheriting it, e.g.
+    *     `1000000 * n // total` — as HUGEINT (INT128), which the driver's
+    *     renderer treats differently from int64 even when the values are
+    *     equal (the verified round-6 discriminator: all 35 hash-FAILs and
+    *     none of the 195 passes had an uncast HUGEINT output column). All
+    *     protocol values are ppm/micro-scale and fit BIGINT; an actual
+    *     overflow would raise in DuckDB rather than pass silently.
+    *
+    * A pure projection over the inner query — DuckDB's insertion-order
+    * preservation (default) keeps the inner ORDER BY intact.
     */
-  def wrapOracleDoubles(sql: String, finalSchema: StructType): String = {
-    if (!finalSchema.fields.exists(_.dataType == DoubleType)) sql
+  def wrapOracleTypes(sql: String, finalSchema: StructType): String = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def castOf(f: org.apache.spark.sql.types.StructField): Option[String] =
+      f.dataType match {
+        case DoubleType              => Some("DOUBLE")
+        case LongType | IntegerType  => Some("BIGINT")
+        case _                       => None
+      }
+    if (!finalSchema.fields.exists(castOf(_).isDefined)) sql
     else {
       val sel = finalSchema.fields.map { f =>
         val n = "\"" + f.name + "\""
-        if (f.dataType == DoubleType) s"CAST($n AS DOUBLE) AS $n" else n
+        castOf(f).map(t => s"CAST($n AS $t) AS $n").getOrElse(n)
       }.mkString(", ")
       s"SELECT $sel FROM (\n$sql\n) __graft_final"
     }

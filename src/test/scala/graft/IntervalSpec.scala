@@ -235,6 +235,40 @@ class IntervalSpec extends AnyFunSuite {
     assert(govl == novl)
   }
 
+  test("IntervalOverlapJoin: degenerate EMPTY intervals (le == ls) match nothing") {
+    import graft.operators.IntervalOverlapJoin
+    import spark.implicits._
+    val day = 86400000000L
+    // an empty [t, t) nested strictly inside a fat interval, and an empty
+    // interval on the right side too — half-open semantics say neither
+    // contains any instant, so no pair may be emitted (and the bucket
+    // sequence must not run descending)
+    val l = Seq((1L, 100L, 100L, 1L), (1L, 0L, day, 2L)).toDF("k", "ls", "le", "lid")
+    val r = Seq((1L, 50L, 50L, 10L), (1L, 10L, 200L, 11L)).toDF("k", "rs", "re", "rid")
+    val got = IntervalOverlapJoin.join(l, r, Seq("k"), "ls", "le", "rs", "re", day)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((2L, 11L)), s"empty intervals leaked pairs: $got")
+  }
+
+  test("rendezvous: NULL keys land together on one well-defined shard") {
+    import graft.operators.Rendezvous
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids: Seq[java.lang.Long] =
+      Seq[java.lang.Long](1L, 2L, 3L, null, null)
+    val df = ids.toDF("id")
+    val rows = Rendezvous.assign(df, col("id"), 0 until 8).collect()
+      .map(r => (Option(r.get(0)), r.getAs[Int]("shard")))
+    // every row — null keys included — gets a non-null shard in range
+    assert(rows.forall { case (_, sh) => sh >= 0 && sh < 8 }, s"bad shards: ${rows.toSeq}")
+    // all null keys agree (they hash the same sentinel)
+    assert(rows.filter(_._1.isEmpty).map(_._2).distinct.length == 1)
+    // non-null assignments are untouched by the null rows being present
+    val solo = Rendezvous.assign(Seq(1L, 2L, 3L).toDF("id"), col("id"), 0 until 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("shard")).toMap
+    rows.collect { case (Some(v), sh) => assert(solo(v.asInstanceOf[Long]) == sh) }
+  }
+
   test("q208 plan: equi join on (key, bucket), no cartesian, no dedup shuffle") {
     val plan = SparkEntry.queries("q208_overlap_join")(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -14,6 +14,27 @@ class OperatorSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("withShufflePartitions: scoped set/restore, and newSession isolates " +
+      "concurrent callers") {
+    import graft.queries.SharedStages
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = SharedStages.withShufflePartitions(spark, 3) { spark.conf.get(key) }
+    assert(inside == "3" && spark.conf.get(key) == before)
+    // restore holds even when the body throws
+    intercept[RuntimeException] {
+      SharedStages.withShufflePartitions(spark, 5) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(key) == before)
+    // the documented concurrency remedy: a newSession has its OWN conf view,
+    // so a scope there never leaks into this session's plans
+    val other = spark.newSession()
+    SharedStages.withShufflePartitions(other, 7) {
+      assert(other.conf.get(key) == "7" && spark.conf.get(key) == before)
+    }
+    assert(other.conf.get(key) == before)
+  }
+
   test("as-of join: latest right row at-or-before, per key, inclusive ties") {
     import spark.implicits._
     val left = Seq(

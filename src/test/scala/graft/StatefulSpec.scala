@@ -595,6 +595,19 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream rejects a non-TIMESTAMP ts column up front") {
+    // a STRING ts would only surface deep inside withWatermark analysis;
+    // the gate's require names the column and the actual type instead
+    import spark.implicits._
+    val docs = Seq(("2024-01-01 10:00:00", "twelve tokens of text " * 3))
+      .toDF("ts", "text")
+    val e = intercept[IllegalArgumentException] {
+      Stateful.curateStream(docs, Seq("x").toDF("text"), Seq("a b c"))
+    }
+    assert(e.getMessage.contains("TIMESTAMP") && e.getMessage.contains("STRING"),
+      s"unhelpful message: ${e.getMessage}")
+  }
+
   test("streaming curation gate: randomized parity with the batch rules") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

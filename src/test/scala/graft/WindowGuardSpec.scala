@@ -49,6 +49,20 @@ class WindowGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("guard ON: UNORDERED global window (agg OVER ()) is flagged too") {
+    // no orderSpec, but still one task for the whole input — the guard
+    // must not be dodgeable by dropping the ORDER BY
+    withGuard(true) {
+      val bad = df.withColumn("tot",
+        sum(col("v")).over(Window.partitionBy()))
+      val e = intercept[Exception](bad.collect())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("partition-less window")),
+        s"unexpected failure: $e")
+    }
+  }
+
   test("guard OFF (default): global window keeps stock WARN-only behavior") {
     withGuard(false) {
       val rn = df.withColumn("rn", row_number().over(Window.orderBy(col("k"))))

@@ -10,15 +10,24 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def canon_cell(v, driver_sim=False):
+def canon_cell(v, driver_sim=False, as_float=False):
     """driver_sim=True simulates the driver's gate, which renders one side's
     DECIMAL cells as shortest-form float repr and the other's as str(Decimal)
     — the round-1 discriminator (predicts the r01 pass/fail split 47/47).
     We apply repr(float) on the SPARK side only, so any residual DECIMAL
     output column with trailing zeros fails here exactly like on the driver.
+
+    as_float=True simulates the driver's HUGEINT (INT128) handling on the
+    ORACLE side — the round-6 discriminator: all 35 r6 hash-FAILs (and none
+    of the 195 passes) had an uncast HUGEINT oracle output column; the
+    driver's renderer pushes INT128 through a width-lossy float64-style path
+    while Spark's BIGINT stays int. Rendering HUGEINT cells as repr(float)
+    makes the mirror fail exactly where the driver fails.
     """
     if v is None:
         return "\\N"
+    if as_float and isinstance(v, int):
+        return repr(float(v))
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, decimal.Decimal) and driver_sim:
@@ -27,9 +36,10 @@ def canon_cell(v, driver_sim=False):
         return v.hex()
     return str(v)
 
-def canon(rows, cols, driver_sim=False):
+def canon(rows, cols, driver_sim=False, float_cols=frozenset()):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\t".join(canon_cell(r[i], driver_sim) for i in order)
+    lines = sorted("\t".join(canon_cell(r[i], driver_sim, cols[i] in float_cols)
+                             for i in order)
                    for r in rows)
     return lines
 
@@ -46,6 +56,14 @@ def main():
             continue
         sql = oracle[name]
         try:
+            # HUGEINT output columns go through the driver's width-lossy
+            # renderer — flag them so canon() mirrors that (and warn: the fix
+            # is a CAST(... AS BIGINT) in the oracle, normally applied
+            # centrally by Protocol.wrapOracleTypes).
+            hcols = {c for c, t, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+                     if "HUGEINT" in t.upper()}
+            if hcols:
+                print(f"warn {name}: HUGEINT oracle cols {sorted(hcols)}")
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -65,7 +83,8 @@ def main():
             print(f"FAIL {name}: columns oracle={sorted(ocols)} spark={sorted(scols)}")
             n_bad += 1
             continue
-        o, s = canon(orows, ocols), canon(srows, scols, driver_sim=True)
+        o = canon(orows, ocols, float_cols=frozenset(hcols))
+        s = canon(srows, scols, driver_sim=True)
         if o == s:
             h = hashlib.sha256("\n".join(o).encode()).hexdigest()[:12]
             print(f"ok   {name}: {len(o)} rows sha={h}")
