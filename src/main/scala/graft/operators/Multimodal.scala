@@ -44,6 +44,15 @@ object Multimodal {
       n_px: Long,
       sum_luma: Long)
 
+  /** Perceptual-hash fingerprint of a decoded image (two sign-safe 32-bit
+    * halves of the 64-bit aHash — see [[ImageCodec.aHash64]]).
+    */
+  final case class ImageHash(
+      media_id: Long,
+      width: Int, height: Int,
+      fp_hi: Long, fp_lo: Long,
+      n_set: Int)
+
   /** Decoded audio statistics. */
   final case class AudioStats(
       media_id: Long,
@@ -107,6 +116,51 @@ object Multimodal {
         y += 1
       }
       (w, h, sum)
+    }
+
+    /** 64-bit perceptual average-hash (aHash) of a decoded grayscale image:
+      * the pixels fold into an 8×8 block grid (block (bx,by) covers
+      * x∈[bx·w/8,(bx+1)·w/8), so dims must be divisible by 8 for equal
+      * blocks), and bit by·8+bx is set iff the block's mean luminance
+      * STRICTLY exceeds the image mean — in integers, `blockSum·64 >
+      * totalSum` (equal-size blocks make the two means comparable without
+      * division; ties → 0, mirrored verbatim by the SQL oracle). Returned
+      * as two sign-safe 32-bit halves (bits 32-63, bits 0-31) plus the
+      * popcount, so downstream banding/XOR arithmetic never touches the
+      * BIGINT sign bit in either engine.
+      *
+      * Near-dup property: any pixel edit that preserves block sums (and any
+      * edit small enough not to flip a block-vs-total comparison) leaves the
+      * hash unchanged, so visually-identical re-encodes land in the same
+      * Hamming bucket — the image twin of MinHash for text.
+      */
+    def aHash64(img: java.awt.image.BufferedImage): (Long, Long, Int) = {
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      require(w % 8 == 0 && h % 8 == 0, s"aHash64 needs dims divisible by 8, got ${w}x$h")
+      val bs = new Array[Long](64)
+      var ts = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = raster.getSample(x, y, 0)
+          bs((y * 8 / h) * 8 + (x * 8 / w)) += g
+          ts += g
+          x += 1
+        }
+        y += 1
+      }
+      var hi = 0L; var lo = 0L; var n = 0
+      var b = 0
+      while (b < 64) {
+        if (bs(b) * 64 > ts) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          n += 1
+        }
+        b += 1
+      }
+      (hi, lo, n)
     }
 
     /** Fixed-dim feature from real pixels: pixels bucketed row-major into
@@ -258,6 +312,23 @@ object Multimodal {
       rows.map { r =>
         val (w, h, sum) = codec.stats(codec.decode(r.bytes))
         ImageStats(r.media_id, w, h, w.toLong * h, sum)
+      }
+    }
+  }
+
+  /** Real image decode → 64-bit perceptual aHash, one codec per partition.
+    * Bytes never shuffle: decode and hash happen in the scan partition and
+    * only the fixed-width fingerprint rows move — at 100 TB of images the
+    * shuffle carries 28 bytes/asset.
+    */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new ImageCodec
+      rows.map { r =>
+        val img = codec.decode(r.bytes)
+        val (hi, lo, n) = codec.aHash64(img)
+        ImageHash(r.media_id, img.getWidth, img.getHeight, hi, lo, n)
       }
     }
   }

@@ -527,6 +527,106 @@ object DedupQueries extends QueryModule {
            |  GROUP BY np.id_a, np.id_b)
            |SELECT np.id_a, np.id_b, COALESCE(n_shared, 0) AS n_shared, witness
            |FROM np LEFT JOIN ev ON np.id_a = ev.id_a AND np.id_b = ev.id_b
-           |ORDER BY np.id_a, np.id_b""".stripMargin))
+           |ORDER BY np.id_a, np.id_b""".stripMargin)),
+
+    // q232 — CROSS-SOURCE CONTENT-OVERLAP MATRIX: per source pair, how many
+    // distinct 3-gram shingles both sources contain, with the Jaccard in
+    // ppm — the corpus-mixing diagnostic read before weighting sources (two
+    // sources with high shingle Jaccard are near-redundant; sampling both
+    // at full weight double-counts their content).
+    //
+    // Shape at 100 TB: the pair generator is the POSTINGS self-join on the
+    // shingle — fan-out per shingle is (sources containing it)², bounded by
+    // the SOURCE ALPHABET (20 here; domains/buckets in production), never
+    // by corpus size. Per-source distinct totals are a broadcastable
+    // source-sized table.
+    Declared("q232_source_overlap",
+      (s, dir) => {
+        import graft.functions.ColumnOps.idiv
+        val sh = SharedStages.docShingles(s, dir)
+          .select(col("source"), col("sh")).distinct()
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+          .select(col("src_a"), col("src_b"), big(col("shared")).as("shared"),
+            idiv(col("shared") * lit(1000000L), col("na") + col("nb") - col("shared"))
+              .as("jaccard_ppm"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(duckSig +
+        s""",
+           |sp AS (SELECT DISTINCT source, g FROM (
+           |         SELECT d2.source, UNNEST(sh.sh) AS g
+           |         FROM sh JOIN documents d2 ON d2.doc_id = sh.doc_id)),
+           |sz AS (SELECT source, COUNT(*) AS n FROM sp GROUP BY source),
+           |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+           |      FROM sp a JOIN sp b ON a.g = b.g AND a.source < b.source
+           |      GROUP BY 1, 2)
+           |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+           |  CAST(shared * 1000000 // (za.n + zb.n - shared) AS BIGINT) AS jaccard_ppm
+           |FROM p JOIN sz za ON za.source = p.src_a JOIN sz zb ON zb.source = p.src_b
+           |ORDER BY src_a, src_b""".stripMargin)),
+
+    // q233 — SKETCH-ACCURACY AUDIT (MinHash estimate vs exact Jaccard): for
+    // every LSH candidate pair, the 16-lane MinHash estimate and the TRUE
+    // shingle-set Jaccard, both in ppm, with the absolute error. The
+    // calibration readout that justifies (or indicts) the sketch
+    // parameters K/BANDS/ROWS before anyone trusts the dedup cascade's
+    // near-dup tier.
+    //
+    // Shape at 100 TB: reuses the materialized signature and shingle stages
+    // (zero recompute); the exact intersection is the (doc, shingle)
+    // equi-join restricted to candidate ids — pair-bounded, never corpus².
+    Declared("q233_sketch_accuracy",
+      (s, dir) => {
+        import graft.functions.ColumnOps.idiv
+        val pairs = lshNearPairs(s, dir).select(col("id_a"), col("id_b"))
+        val sigs = SharedStages.minhashSigs(s, dir)
+        val sh = SharedStages.docShingles(s, dir).select(col("doc_id"), col("sh"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val withEst = pairs
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .withColumn("est_ppm",
+            idiv(sigMatchCount(col("sig_a"), col("sig_b"), K) * lit(1000000L), lit(K.toLong)))
+          .select(col("id_a"), col("id_b"), col("est_ppm"))
+        val inter = pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ninter"))
+        withEst
+          .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("ninter"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), "id_b")
+          .withColumn("exact_ppm",
+            idiv(col("ninter") * lit(1000000L), col("na") + col("nb") - col("ninter")))
+          .select(col("id_a"), col("id_b"), col("est_ppm"), col("exact_ppm"),
+            abs(col("est_ppm") - col("exact_ppm")).as("abs_err_ppm"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(duckSig +
+        s""",
+           |m AS (SELECT c.id_a, c.id_b,
+           |    CAST(list_sum(list_transform(range(1, 17),
+           |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS matches
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+           |              JOIN sig sb ON sb.doc_id = c.id_b),
+           |x AS (SELECT m.id_a, m.id_b, m.matches,
+           |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) AS ninter,
+           |    CAST(len(ha.sh) AS BIGINT) AS na, CAST(len(hb.sh) AS BIGINT) AS nb
+           |  FROM m JOIN sh ha ON ha.doc_id = m.id_a
+           |         JOIN sh hb ON hb.doc_id = m.id_b
+           |  WHERE m.matches >= 8)
+           |SELECT id_a, id_b,
+           |  CAST(matches * 1000000 // 16 AS BIGINT) AS est_ppm,
+           |  CAST(ninter * 1000000 // (na + nb - ninter) AS BIGINT) AS exact_ppm,
+           |  CAST(ABS(matches * 1000000 // 16 - ninter * 1000000 // (na + nb - ninter)) AS BIGINT) AS abs_err_ppm
+           |FROM x ORDER BY id_a, id_b""".stripMargin))
   )
 }

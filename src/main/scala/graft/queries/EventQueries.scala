@@ -192,8 +192,15 @@ object EventQueries extends QueryModule {
         import org.apache.spark.sql.streaming.Trigger
         val ev = Tables.load(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("value"))
+        // The static side of a stream-static join is RE-EXECUTED every
+        // micro-batch; left as a lazy aggregate it would re-scan and
+        // re-shuffle the full events table once per trigger (4× here,
+        // unbounded in production). Persist + materialize BEFORE the stream
+        // starts, so each trigger joins against the cached dim — the same
+        // discipline a deployment applies by landing the dim to a table.
         val userDim = ev.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("user_events"))
+          .agg(count(lit(1)).as("user_events")).persist()
+        userDim.count()
         val base = SharedStages.scratchDir("q71")
         val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
         ev.repartition(4).write.mode("overwrite").parquet(src)
@@ -211,6 +218,7 @@ object EventQueries extends QueryModule {
             .start()
           q.awaitTermination()
         }
+        userDim.unpersist() // sink is landed; the read-back below never re-joins
         s.read.parquet(out)
           .groupBy(col("user_id"), col("user_events"))
           .agg(big(count(lit(1))).as("n"),

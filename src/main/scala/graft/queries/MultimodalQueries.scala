@@ -20,6 +20,60 @@ import Protocol._
 object MultimodalQueries extends QueryModule {
 
   private val nAssets = 40
+  private val nHashAssets = 60
+
+  /** q228/q229 fixture: one 16×16 grayscale PNG per doc. Pixel (x,y) =
+    * (base·37 + x·11 + y·17) mod 256 with base = doc_id mod 12, then the
+    * four pixels of block (doc_id mod 64) are swapped diagonally — a
+    * SUM-PRESERVING perturbation, so every doc encodes DISTINCT bytes while
+    * same-base docs share an identical aHash. The oracle therefore models
+    * only the base formula; the swap must vanish through the real
+    * encode → decode → block-sum path (a codec that misplaced pixels across
+    * block boundaries would surface it).
+    */
+  private def hashMedia(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(nHashAssets)
+    ids.as[Long].mapPartitions { it =>
+      val codec = new Multimodal.ImageCodec
+      it.map { id =>
+        val base = (id % 12).toInt
+        val px = Array.tabulate(16, 16)((y, x) => (base * 37 + x * 11 + y * 17) % 256)
+        val blk = (id % 64).toInt
+        val (cx, cy) = ((blk % 8) * 2, (blk / 8) * 2)
+        def swap(x1: Int, y1: Int, x2: Int, y2: Int): Unit = {
+          val t = px(y1)(x1); px(y1)(x1) = px(y2)(x2); px(y2)(x2) = t
+        }
+        swap(cx, cy, cx + 1, cy + 1)
+        swap(cx + 1, cy, cx, cy + 1)
+        val png = codec.encodeGrayPng(16, 16, (x, y) => px(y)(x))
+        Multimodal.MediaRow(id, "image", png, 0, 0, 0, "png")
+      }
+    }
+  }
+
+  /** Shared oracle CTEs for the aHash family: regenerate the UNSWAPPED pixel
+    * grid (the swap is block-sum-invariant), fold to 8×8 block sums, and set
+    * bit by·8+bx iff blockSum·64 > totalSum — integer-exact, mirroring
+    * ImageCodec.aHash64 verbatim (strict >, ties → 0). Fingerprints pack as
+    * two sign-safe 32-bit halves.
+    */
+  private val duckAHash =
+    s"""WITH ids AS (SELECT doc_id, doc_id % 12 AS base
+       |             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $nHashAssets)),
+       |g AS (SELECT i.doc_id, x.range AS x, y.range AS y,
+       |        (i.base*37 + x.range*11 + y.range*17) % 256 AS v
+       |      FROM ids i, range(0,16) x, range(0,16) y),
+       |blk AS (SELECT doc_id, (y//2)*8 + (x//2) AS b, SUM(v) AS bs FROM g GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY 1),
+       |bits AS (SELECT blk.doc_id, blk.b, CASE WHEN bs*64 > ts THEN 1 ELSE 0 END AS bit
+       |         FROM blk JOIN tot USING (doc_id)),
+       |fp AS (SELECT doc_id,
+       |        CAST(SUM(CASE WHEN b >= 32 THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
+       |        CAST(SUM(CASE WHEN b < 32 THEN CAST(bit AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp_lo,
+       |        CAST(SUM(bit) AS BIGINT) AS n_set
+       |       FROM bits GROUP BY doc_id)""".stripMargin
 
   override val declared: Seq[Declared] = Seq(
 
@@ -104,6 +158,67 @@ object MultimodalQueries extends QueryModule {
              |  CAST(ROUND(CAST(SUM(amp) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)), 6)
              |       AS DECIMAL(18,6)) AS mean_amp
              |FROM smp GROUP BY doc_id, n
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // q228 — perceptual image hash (aHash): decode the PNG BYTES, fold the
+    // real pixels into 8×8 block sums, threshold against the image mean —
+    // the image twin of MinHash for text dedup. Width/height recovered from
+    // bytes prove the decode; the fingerprint halves prove block/threshold
+    // arithmetic bit-for-bit against the SQL re-derivation.
+    //
+    // Shape at 100 TB: decode + hash run inside the scan partition (bytes
+    // never shuffle); 28 bytes/asset of fingerprint reach the exchange.
+    Declared("q228_image_ahash",
+      (s, dir) => {
+        Multimodal.perceptualHash(hashMedia(s, dir)).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("fp_hi"), col("fp_lo"), big(col("n_set")).as("n_set"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""$duckAHash
+             |SELECT doc_id AS media_id, 16 AS width, 16 AS height, fp_hi, fp_lo, n_set
+             |FROM fp ORDER BY media_id""".stripMargin)),
+
+    // q229 — perceptual-hash NEAR-DUP pairs: band the 64-bit aHash into
+    // 4×16-bit keys and equi-join on (band index, band value); pigeonhole
+    // guarantees every pair at Hamming ≤ 3 shares at least one intact band,
+    // so the banded join finds EXACTLY what all-pairs would (the oracle
+    // below IS all-pairs — affordable in DuckDB at gate scale, never run
+    // by the engine). Exact Hamming re-check via XOR + popcount on the
+    // candidate pairs only.
+    Declared("q229_ahash_neardup_pairs",
+      (s, dir) => {
+        val fp = Multimodal.perceptualHash(hashMedia(s, dir)).toDF()
+          .select(col("media_id"), col("fp_hi"), col("fp_lo")).persist()
+        val mask = lit(0xFFFFL)
+        val bands = fp.select(col("media_id"), posexplode(array(
+          col("fp_lo").bitwiseAND(mask),
+          shiftright(col("fp_lo"), 16).bitwiseAND(mask),
+          col("fp_hi").bitwiseAND(mask),
+          shiftright(col("fp_hi"), 16).bitwiseAND(mask))).as(Seq("bi", "bv")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+          .distinct()
+        cand
+          .join(fp.select(col("media_id").as("id_a"),
+            col("fp_hi").as("ha"), col("fp_lo").as("la")), "id_a")
+          .join(fp.select(col("media_id").as("id_b"),
+            col("fp_hi").as("hb"), col("fp_lo").as("lb")), "id_b")
+          .withColumn("hamming",
+            big(call_function("bit_count", col("ha").bitwiseXOR(col("hb"))) +
+              call_function("bit_count", col("la").bitwiseXOR(col("lb")))))
+          .filter(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""$duckAHash
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

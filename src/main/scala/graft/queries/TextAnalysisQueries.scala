@@ -438,6 +438,54 @@ object TextAnalysisQueries extends QueryModule {
              |lo AS (SELECT 'least_diverse' AS side, doc_id, CAST(n AS BIGINT) AS n_tokens, imp_ppm
              |       FROM i ORDER BY imp_ppm ASC, doc_id LIMIT 10)
              |SELECT * FROM hi UNION ALL SELECT * FROM lo
-             |ORDER BY side, imp_ppm DESC, doc_id""".stripMargin))
+             |ORDER BY side, imp_ppm DESC, doc_id""".stripMargin)),
+
+    // q230 — VOCABULARY GROWTH CURVE (Heaps'-law audit): per 50-doc bucket
+    // of corpus order, how many NEVER-BEFORE-SEEN token types appear, and
+    // the running type/token totals. The tokenizer-sizing diagnostic a
+    // pipeline reads before fixing a vocab budget: a healthy natural corpus
+    // grows types sublinearly in tokens; a flattening curve means the
+    // corpus has gone repetitive.
+    //
+    // Shape at 100 TB: "first seen in bucket b" is MIN(doc_id) per type —
+    // one explode + map-side-partial hash agg, never a cumulative distinct
+    // (which would need state proportional to the vocabulary per window
+    // step). The curve table is bucket-sized; its running totals go through
+    // GlobalCumSum (range-partition + per-partition prefix pass), keeping
+    // the engine-wide no-partitionless-window invariant.
+    Declared("q230_vocab_growth",
+      (s, dir) => {
+        import graft.operators.GlobalCumSum
+        val tk = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        val firstSeen = tk.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+        val newTypes = firstSeen.groupBy(idiv(col("fd"), lit(50L)).as("bucket"))
+          .agg(count(lit(1)).as("new_types"))
+        val tokMass = tk.groupBy(idiv(col("doc_id"), lit(50L)).as("bucket"))
+          .agg(count(lit(1)).as("bucket_tokens"))
+        // every doc has tokens, so the token-mass table is the full bucket
+        // spine; buckets introducing no new types coalesce to 0
+        val curve = tokMass.join(newTypes, Seq("bucket"), "left")
+          .na.fill(0L, Seq("new_types"))
+        val c1 = GlobalCumSum.withCumSum(curve, Seq(col("bucket")),
+          col("new_types"), "cum_types")
+        GlobalCumSum.withCumSum(c1, Seq(col("bucket")),
+          col("bucket_tokens"), "cum_tokens")
+          .select(col("bucket"), big(col("bucket_tokens")).as("bucket_tokens"),
+            big(col("new_types")).as("new_types"), big(col("cum_types")).as("cum_types"),
+            big(col("cum_tokens")).as("cum_tokens"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |fs AS (SELECT t, MIN(doc_id) AS fd FROM tk GROUP BY t),
+             |nb AS (SELECT fd // 50 AS bucket, COUNT(*) AS new_types FROM fs GROUP BY 1),
+             |tb AS (SELECT doc_id // 50 AS bucket, COUNT(*) AS bucket_tokens FROM tk GROUP BY 1),
+             |c AS (SELECT tb.bucket, tb.bucket_tokens, COALESCE(nb.new_types, 0) AS new_types
+             |      FROM tb LEFT JOIN nb USING (bucket))
+             |SELECT bucket, CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
+             |  CAST(new_types AS BIGINT) AS new_types,
+             |  CAST(SUM(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+             |  CAST(SUM(bucket_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |FROM c ORDER BY bucket""".stripMargin))
   )
 }

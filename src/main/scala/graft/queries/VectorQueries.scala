@@ -233,6 +233,62 @@ object VectorQueries extends QueryModule {
              |SELECT label, COUNT(*) AS n,
              |  CAST(SUM(list_sum(list_transform(qv, x -> CAST(x AS BIGINT)))) AS BIGINT) AS sum_q,
              |  CAST(SUM(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT)))) AS BIGINT) AS sum_abs_q
-             |FROM qq GROUP BY label ORDER BY label""".stripMargin))
+             |FROM qq GROUP BY label ORDER BY label""".stripMargin)),
+
+    // q231 — QUANTIZATION RECONSTRUCTION-ERROR audit: min-max affine 8-bit
+    // codes per vector (code = ⌊(x−min)·255/(max−min)⌋, dequant = min +
+    // ⌊code·range/255⌋), with per-label count / summed / max absolute
+    // reconstruction error. q106 proves the quantized SUMS; this proves the
+    // ROUND-TRIP — the number an embedding-compression decision actually
+    // reads. All arithmetic is exact micro-integers (floats → micro via one
+    // double multiply + round, then floor divisions of non-negative
+    // numerators — identical in both engines), unlike a float codec whose
+    // error metric would itself carry float noise.
+    //
+    // Shape at 100 TB: everything up to the final 4-row aggregate is
+    // per-ROW array arithmetic (transform/aggregate higher-order functions
+    // — no explode, no shuffle); only (label, err-sums) counters reach the
+    // exchange.
+    Declared("q231_quant_error",
+      (s, dir) => {
+        import graft.functions.ColumnOps.idiv
+        val micro = transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d, 0).cast("long"))
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), micro.as("m"))
+          .withColumn("mn", array_min(col("m")))
+          .withColumn("rng", array_max(col("m")) - col("mn"))
+          .filter(col("rng") > 0) // a constant vector quantizes exactly; none exist
+        val recon = (mi: org.apache.spark.sql.Column) =>
+          col("mn") + idiv(idiv((mi - col("mn")) * 255, col("rng")) * col("rng"), lit(255L))
+        e.withColumn("errs", transform(col("m"), mi => abs(mi - recon(mi))))
+          .withColumn("err_sum", aggregate(col("errs"), lit(0L), _ + _))
+          .withColumn("err_max", array_max(col("errs")))
+          .withColumn("n_vals", size(col("errs")).cast("long"))
+          .groupBy(col("label"))
+          .agg(big(count(lit(1))).as("n_vecs"),
+            big(sum(col("n_vals"))).as("n_vals"),
+            big(sum(col("err_sum"))).as("sum_err_micro"),
+            big(max(col("err_max"))).as("max_err_micro"),
+            out6(dec(sum(col("err_sum"))) / dec(sum(col("n_vals")))).as("mean_err_micro"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH u AS (SELECT vec_id, label,
+             |    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS m
+             |  FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)),
+             |mm AS (SELECT vec_id, MIN(m) AS mn, MAX(m) - MIN(m) AS rng
+             |       FROM u GROUP BY vec_id),
+             |er AS (SELECT u.vec_id, u.label,
+             |    ABS(m - (mn + ((((m - mn) * 255) // rng) * rng) // 255)) AS e
+             |  FROM u JOIN mm USING (vec_id) WHERE rng > 0),
+             |pv AS (SELECT vec_id, label, COUNT(*) AS n_vals, SUM(e) AS es, MAX(e) AS em
+             |       FROM er GROUP BY vec_id, label)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(n_vals) AS BIGINT) AS n_vals,
+             |  CAST(SUM(es) AS BIGINT) AS sum_err_micro,
+             |  CAST(MAX(em) AS BIGINT) AS max_err_micro,
+             |  CAST(ROUND(CAST(SUM(es) AS DECIMAL(18,6)) / CAST(SUM(n_vals) AS DECIMAL(18,6)), 6)
+             |       AS DECIMAL(18,6)) AS mean_err_micro
+             |FROM pv GROUP BY label ORDER BY label""".stripMargin))
   )
 }

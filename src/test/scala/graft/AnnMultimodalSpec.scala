@@ -161,4 +161,54 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(plan.filter(col("media_id") === 1).select("frame_idx")
       .collect().map(_.getInt(0)).toSeq == Seq(0, 10, 20, 30, 40))
   }
+
+  test("aHash64: PNG round-trip matches the pure-pixel reference computation") {
+    val codec = new Multimodal.ImageCodec
+    def px(x: Int, y: Int) = (5 * 37 + x * 11 + y * 17) % 256
+    val png = codec.encodeGrayPng(16, 16, px)
+    val (hi, lo, n) = codec.aHash64(codec.decode(png))
+    // reference: block sums straight from the formula, no codec involved
+    val bs = new Array[Long](64)
+    var ts = 0L
+    for (y <- 0 until 16; x <- 0 until 16) {
+      bs((y / 2) * 8 + x / 2) += px(x, y); ts += px(x, y)
+    }
+    var (rhi, rlo, rn) = (0L, 0L, 0)
+    for (b <- 0 until 64 if bs(b) * 64 > ts) {
+      if (b < 32) rlo |= 1L << b else rhi |= 1L << (b - 32)
+      rn += 1
+    }
+    assert((hi, lo, n) == ((rhi, rlo, rn)))
+    assert(n > 0 && n < 64, "degenerate hash: all bits equal")
+  }
+
+  test("aHash64: block-sum-preserving pixel swap leaves the hash unchanged") {
+    val codec = new Multimodal.ImageCodec
+    def base(x: Int, y: Int) = (3 * 37 + x * 11 + y * 17) % 256
+    // diagonal swap inside block (2,1): pixels (4,2)<->(5,3) and (5,2)<->(4,3)
+    def swapped(x: Int, y: Int) = (x, y) match {
+      case (4, 2) => base(5, 3); case (5, 3) => base(4, 2)
+      case (5, 2) => base(4, 3); case (4, 3) => base(5, 2)
+      case _      => base(x, y)
+    }
+    val h1 = codec.aHash64(codec.decode(codec.encodeGrayPng(16, 16, base)))
+    val h2 = codec.aHash64(codec.decode(codec.encodeGrayPng(16, 16, swapped)))
+    assert(h1 == h2)
+    // sanity: the two images really are different byte streams
+    assert(!codec.encodeGrayPng(16, 16, base)
+      .sameElements(codec.encodeGrayPng(16, 16, swapped)))
+  }
+
+  test("aHash64: a large single-block luminance change flips bits; odd dims rejected") {
+    val codec = new Multimodal.ImageCodec
+    def base(x: Int, y: Int) = (7 * 37 + x * 11 + y * 17) % 256
+    def bright(x: Int, y: Int) = if (x < 2 && y < 2) 255 else base(x, y)
+    val (h1, l1, _) = codec.aHash64(codec.decode(codec.encodeGrayPng(16, 16, base)))
+    val (h2, l2, _) = codec.aHash64(codec.decode(codec.encodeGrayPng(16, 16, bright)))
+    val hamming = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    assert(hamming > 0, "saturating a block must flip at least its own bit")
+    assertThrows[IllegalArgumentException] {
+      codec.aHash64(codec.decode(codec.encodeGrayPng(15, 16, base)))
+    }
+  }
 }
