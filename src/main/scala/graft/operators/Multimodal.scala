@@ -163,6 +163,32 @@ object Multimodal {
       (hi, lo, n)
     }
 
+    /** REAL pixel resize: 2× box-filter downsample of a grayscale image —
+      * output pixel (x,y) = ⌊(sum of the 2×2 input block)/4⌋. Integer floor
+      * keeps the transform exactly reproducible by the SQL oracle (a
+      * float-weighted resampler would not be). Dims must be even.
+      */
+    def resizeBox2x(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val w = img.getWidth; val h = img.getHeight
+      require(w % 2 == 0 && h % 2 == 0, s"resizeBox2x needs even dims, got ${w}x$h")
+      val in = img.getRaster
+      val out = new java.awt.image.BufferedImage(
+        w / 2, h / 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val or = out.getRaster
+      var y = 0
+      while (y < h / 2) {
+        var x = 0
+        while (x < w / 2) {
+          val s = in.getSample(2 * x, 2 * y, 0) + in.getSample(2 * x + 1, 2 * y, 0) +
+            in.getSample(2 * x, 2 * y + 1, 0) + in.getSample(2 * x + 1, 2 * y + 1, 0)
+          or.setSample(x, y, 0, s / 4)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Fixed-dim feature from real pixels: pixels bucketed row-major into
       * `dim` cells, mean luminance per cell, normalized to [-1, 1].
       */

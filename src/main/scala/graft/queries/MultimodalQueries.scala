@@ -219,6 +219,89 @@ object MultimodalQueries extends QueryModule {
              |  CAST(bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // q234 — REAL image resize: decode the 16×16 PNG, 2× box-filter
+    // downsample with integer floor (output px = ⌊Σ(2×2 block)/4⌋),
+    // RE-ENCODE the 8×8 result, decode it AGAIN and report its stats —
+    // the full transform round-trip a thumbnailing/preprocessing stage
+    // performs, with every pixel step exactly reproducible in SQL. The
+    // oracle's `blk` sums are the same 2×2 blocks the aHash uses, and the
+    // fixture's pixel swap is block-sum-invariant, so the base formula
+    // predicts the resized luminance exactly.
+    Declared("q234_image_resize",
+      (s, dir) => {
+        import s.implicits._
+        val resized = hashMedia(s, dir).mapPartitions { it =>
+          val codec = new Multimodal.ImageCodec
+          it.map { r =>
+            val small = codec.resizeBox2x(codec.decode(r.bytes))
+            val raster = small.getRaster
+            val png = codec.encodeGrayPng(small.getWidth, small.getHeight,
+              (x, y) => raster.getSample(x, y, 0))
+            r.copy(bytes = png)
+          }
+        }
+        Multimodal.decodeImageStats(resized).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            big(col("n_px")).as("n_px"), big(col("sum_luma")).as("sum_luma"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""$duckAHash
+             |SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+             |  CAST(64 AS BIGINT) AS n_px, CAST(SUM(bs // 4) AS BIGINT) AS sum_luma
+             |FROM blk GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // q235 — audio FRAME-ENERGY profile: decode the WAV PCM, fold samples
+    // into 160-sample frames (20 ms at 8 kHz), exact integer energy
+    // Σ amp² per frame, keep the top-3 frames per asset — the
+    // voice-activity / loudness-peak readout an audio curation pipeline
+    // keys segment selection on. Frame fold is per-row work inside the
+    // decode partition; the per-asset top-k is a partitioned window (k·n
+    // rows out, never a global sort).
+    Declared("q235_audio_frame_energy",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).orderBy(col("doc_id")).limit(nAssets)
+        val media = ids.as[Long].mapPartitions { it =>
+          val codec = new Multimodal.AudioCodec
+          it.map { id =>
+            val n = 800 + (id % 5).toInt * 160
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i * 7) % 2001) - 1000).toShort)
+            Multimodal.MediaRow(id, "audio",
+              codec.encodeWavPcm16(samples, 8000f), 0, 0, 0, "wav")
+          }
+        }
+        val frames = media.mapPartitions { it =>
+          val codec = new Multimodal.AudioCodec
+          it.flatMap { r =>
+            val (_, samples) = codec.decodePcm16(r.bytes)
+            samples.grouped(160).zipWithIndex.map { case (fr, i) =>
+              (r.media_id, i.toLong,
+                fr.foldLeft(0L)((a, v) => a + v.toLong * v))
+            }
+          }
+        }.toDF("media_id", "frame_idx", "energy")
+        val w = Window.partitionBy(col("media_id"))
+          .orderBy(col("energy").desc, col("frame_idx"))
+        frames.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("media_id"), col("frame_idx"), big(col("energy")).as("energy"))
+          .orderBy(col("media_id"), col("energy").desc, col("frame_idx"))
+      },
+      Some(s"""WITH ids AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+             |             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $nAssets)),
+             |     smp AS (SELECT i.doc_id, s.range AS idx,
+             |                    (i.doc_id*31 + s.range*7) % 2001 - 1000 AS amp
+             |             FROM ids i JOIN range(0, 1440) s ON s.range < i.n),
+             |     fr AS (SELECT doc_id, idx // 160 AS frame_idx, SUM(amp*amp) AS energy
+             |            FROM smp GROUP BY 1, 2),
+             |     rk AS (SELECT doc_id, frame_idx, energy,
+             |              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, frame_idx) AS rn
+             |            FROM fr)
+             |SELECT doc_id AS media_id, frame_idx, CAST(energy AS BIGINT) AS energy
+             |FROM rk WHERE rn <= 3 ORDER BY media_id, energy DESC, frame_idx""".stripMargin))
   )
 }

@@ -45,7 +45,20 @@ object RecursionQueries extends QueryModule {
       |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
 
   private def runQ116(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    val orders = Tables.load(s, dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    // Spark 4 guards WITH RECURSIVE with a 1M-row emission cap
+    // (spark.sql.cteRecursionRowLimit) — a runaway-recursion safety net,
+    // not a perf knob. This chain emits exactly one row per order, so at
+    // sf1 (1.5M orders) the DEFAULT cap kills a correct query
+    // (RECURSION_ROW_LIMIT_EXCEEDED, found by the sf1 rehearsal). Size the
+    // cap to the workload's KNOWN output bound (+1 anchor slack) instead
+    // of disabling it: an actual runaway still trips. Set on the session
+    // (not scoped): UnionLoopExec reads it at EXECUTION, which happens
+    // after this builder returns, so a save/restore scope would restore
+    // the default before the query ever runs.
+    val bound = math.max(1000000L, orders.count() + 1L)
+    s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
     s.sql(q116)
   }
 

@@ -211,4 +211,19 @@ class AnnMultimodalSpec extends AnyFunSuite {
       codec.aHash64(codec.decode(codec.encodeGrayPng(15, 16, base)))
     }
   }
+
+  test("resizeBox2x: integer box filter matches the per-block floor sum; odd dims rejected") {
+    val codec = new Multimodal.ImageCodec
+    def px(x: Int, y: Int) = (x * 53 + y * 29) % 256
+    val small = codec.resizeBox2x(codec.decode(codec.encodeGrayPng(16, 16, px)))
+    assert(small.getWidth == 8 && small.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val expect = (px(2 * x, 2 * y) + px(2 * x + 1, 2 * y) +
+        px(2 * x, 2 * y + 1) + px(2 * x + 1, 2 * y + 1)) / 4
+      assert(small.getRaster.getSample(x, y, 0) == expect, s"pixel ($x,$y)")
+    }
+    assertThrows[IllegalArgumentException] {
+      codec.resizeBox2x(codec.decode(codec.encodeGrayPng(15, 16, px)))
+    }
+  }
 }
