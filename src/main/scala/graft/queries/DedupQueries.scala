@@ -19,9 +19,9 @@ import Protocol._
   */
 object DedupQueries extends QueryModule {
 
-  private[queries] val K = 16      // minhash signature length
-  private[queries] val BANDS = 4   // LSH bands
-  private[queries] val ROWS = 4    // rows per band (K = BANDS * ROWS)
+  private[graft] val K = 16      // minhash signature length
+  private[graft] val BANDS = 4   // LSH bands
+  private[graft] val ROWS = 4    // rows per band (K = BANDS * ROWS)
 
   /** Shared DuckDB CTEs: shingles, minhash signatures, LSH band keys and
     * candidate pairs — defined ONCE so q32 and q47 can never drift apart on
@@ -627,6 +627,39 @@ object DedupQueries extends QueryModule {
            |  CAST(matches * 1000000 // 16 AS BIGINT) AS est_ppm,
            |  CAST(ninter * 1000000 // (na + nb - ninter) AS BIGINT) AS exact_ppm,
            |  CAST(ABS(matches * 1000000 // 16 - ninter * 1000000 // (na + nb - ninter)) AS BIGINT) AS abs_err_ppm
-           |FROM x ORDER BY id_a, id_b""".stripMargin))
+           |FROM x ORDER BY id_a, id_b""".stripMargin)),
+
+    // q236 — STREAMING MinHash-LSH near-dup index under the gate: the
+    // documents table replayed as 4 micro-batches through
+    // LshIndex.nearDupSink (sign → band → probe store → emit pairs →
+    // idempotent sig append). A pair is emitted by the batch that COMPLETES
+    // it (batch×batch or batch×store), so the union over batches must equal
+    // the batch lshPairs output bit-for-bit — the same oracle as q32. This
+    // is the incremental path curateStream's scaladoc deferred to a batch
+    // compaction pass; scale shape on graft.streaming.LshIndex.
+    Declared("q236_stream_lsh_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val base = SharedStages.scratchDir("q236")
+        val (src, store, pairs, ck) =
+          (s"$base/src", s"$base/store", s"$base/pairs", s"$base/ck")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch(graft.streaming.LshIndex.nearDupSink(
+              store, pairs, s"$ck/graft_commits"))
+            .start()
+          q.awaitTermination()
+        }
+        graft.streaming.Loader.readTable(s, pairs)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(duckSig + "\n" + duckPairsSelect + "\nORDER BY id_a, id_b"))
   )
 }

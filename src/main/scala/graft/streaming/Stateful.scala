@@ -184,10 +184,12 @@ object Stateful extends Serializable {
     * Everything is per-row or anti-join work: at 100 TB the corpus side is
     * a compact hash-only table and the eval set stays bounded by design, so
     * per-batch cost scales with the BATCH, never the resident corpus. The
-    * near-dup (MinHash) stage intentionally stays batch-side: candidate
-    * banding needs the corpus signature store — run it as the periodic
-    * compaction pass over what this gate admits (the lambda-architecture
-    * split).
+    * near-dup (MinHash) stage is not chained in here: candidate banding
+    * needs the corpus signature store. Run [[LshIndex.nearDupSink]] as a
+    * second foreachBatch stage over what this gate admits — it maintains
+    * that store incrementally (q236 pins it against the batch oracle) — or
+    * fall back to the periodic batch compaction pass (the
+    * lambda-architecture split).
     *
     * Duplicate-survivor semantics: within one micro-batch,
     * `dropDuplicatesWithinWatermark` keeps an ARBITRARY one of the

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.LshIndex
+
+/** Pins the streaming LSH near-dup index (q236's operator): incremental
+  * batch-by-batch emission equals the one-shot batch pair set, and a
+  * replayed batch (foreachBatch at-least-once) changes nothing.
+  */
+class LshIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // near-dup trio (a/b high-overlap, c disjoint), plus an exact dup pair
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content with no shared shingles at all"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "yet another unrelated document about spark partitioning tricks"))
+      .toDF("doc_id", "text")
+  }
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSet
+
+  test("incremental emission over batches equals the one-shot batch pairs") {
+    val all = docs
+    val oneShot = pairSet(LshIndex.pairsBetween(
+      LshIndex.banded(LshIndex.signatures(all)),
+      LshIndex.banded(LshIndex.signatures(all))))
+    assert(oneShot.exists(p => p._1 == 1L && p._2 == 4L), "exact dup pair expected")
+
+    val (store, pairs) = (tmp("lsh-store"), tmp("lsh-pairs"))
+    // three arrival orders' worth of batches: {1,3}, {2,5}, {4}
+    LshIndex.processBatch(all.filter(col("doc_id").isin(1L, 3L)), store, pairs, 0L)
+    LshIndex.processBatch(all.filter(col("doc_id").isin(2L, 5L)), store, pairs, 1L)
+    LshIndex.processBatch(all.filter(col("doc_id") === 4L), store, pairs, 2L)
+    val streamed = pairSet(graft.streaming.Loader.readTable(spark, pairs))
+    assert(streamed == oneShot)
+    // each pair emitted exactly once (no cross-batch duplicates)
+    val n = graft.streaming.Loader.readTable(spark, pairs).count()
+    assert(n == oneShot.size.toLong)
+  }
+
+  test("replayed batch is idempotent: same pairs, no duplicate signatures") {
+    val all = docs
+    val (store, pairs) = (tmp("lsh-store2"), tmp("lsh-pairs2"))
+    val mk = tmp("lsh-markers")
+    LshIndex.processBatch(all.filter(col("doc_id").isin(1L, 3L)), store, pairs, 0L, mk)
+    LshIndex.processBatch(all.filter(col("doc_id").isin(2L, 4L, 5L)), store, pairs, 1L, mk)
+    val before = pairSet(graft.streaming.Loader.readTable(spark, pairs))
+    val sigsBefore = spark.read.parquet(store).count()
+    // at-least-once replay of batch 1: marker skips the pair write, the
+    // anti-join drops every already-stored signature
+    LshIndex.processBatch(all.filter(col("doc_id").isin(2L, 4L, 5L)), store, pairs, 1L, mk)
+    assert(pairSet(graft.streaming.Loader.readTable(spark, pairs)) == before)
+    assert(spark.read.parquet(store).count() == sigsBefore)
+    assert(spark.read.parquet(store).select("doc_id").distinct().count() == 5L)
+  }
+}
