@@ -361,6 +361,53 @@ object MiscQueries extends QueryModule {
              |  SELECT event_type, 'inserted' FROM add_
              |  WHERE event_id NOT IN (SELECT event_id FROM rem))
              |SELECT event_type, kind, CAST(COUNT(*) AS BIGINT) AS n
-             |FROM cls GROUP BY event_type, kind ORDER BY event_type, kind""".stripMargin))
+             |FROM cls GROUP BY event_type, kind ORDER BY event_type, kind""".stripMargin)),
+
+    // q237 — SQL:2003 MERGE INTO (batch upsert) through the MergeInto
+    // operator: a per-customer order rollup snapshot (orders before the
+    // cutoff) merged with the post-cutoff increment batch. Matched
+    // customers UPDATE (totals added, status 'updated'), source-only
+    // customers INSERT ('inserted'), target-only rows carry unchanged
+    // ('base') — the three MERGE branches all exercised and attributed.
+    // One full-outer equi-join; the oracle is the textbook FULL JOIN
+    // rewrite. Scale notes on operators/MergeInto.scala.
+    Declared("q237_merge_upsert",
+      (s, dir) => {
+        import graft.operators.MergeInto
+        val ords = Tables.load(s, dir, "orders")
+        def roll(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("o_custkey").as("custkey"))
+            .agg(count(lit(1)).as("n"),
+              out6(sum(dec(col("o_totalprice")))).as("tot"))
+        val cutoff = lit("1998-01-01").cast("timestamp")
+        val target = roll(ords.filter(col("o_orderdate") < cutoff))
+          .withColumn("status", lit("base"))
+        val source = roll(ords.filter(col("o_orderdate") >= cutoff))
+        MergeInto.merge(target, source, Seq("custkey"),
+          setOnMatch = Map(
+            "n" -> (col("t_n") + col("s_n")),
+            "tot" -> out6(col("t_tot") + col("s_tot")),
+            "status" -> lit("updated")),
+          insertOnUnmatched = Map(
+            "n" -> col("s_n"),
+            "tot" -> col("s_tot"),
+            "status" -> lit("inserted")))
+          .orderBy(col("custkey"))
+      },
+      Some("""WITH t AS (SELECT o_custkey AS custkey, COUNT(*) AS n,
+             |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS tot
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+             |s AS (SELECT o_custkey AS custkey, COUNT(*) AS n,
+             |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS tot
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1)
+             |SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+             |  CAST(CASE WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL THEN t.n + s.n
+             |       WHEN t.custkey IS NULL THEN s.n ELSE t.n END AS BIGINT) AS n,
+             |  CAST(ROUND(CASE WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL THEN t.tot + s.tot
+             |       WHEN t.custkey IS NULL THEN s.tot ELSE t.tot END, 6) AS DECIMAL(18,6)) AS tot,
+             |  CASE WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL THEN 'updated'
+             |       WHEN t.custkey IS NULL THEN 'inserted' ELSE 'base' END AS status
+             |FROM t FULL OUTER JOIN s ON t.custkey = s.custkey
+             |ORDER BY custkey""".stripMargin))
   )
 }
