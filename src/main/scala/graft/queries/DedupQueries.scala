@@ -128,6 +128,18 @@ object DedupQueries extends QueryModule {
         // would OOM every executor at 100 TB. AQE still broadcasts it at
         // runtime when it measures small; at scale it shuffle-joins on the
         // pair side's id key, which is cheap (`common` is already hashed).
+        //
+        // Scale note (sf1 rehearsal): pair generation is Σ df(sh)² — the
+        // popular-shingle term grows quadratically with corpus size (47×
+        // task at 10× data here). The prefix-filter alternative
+        // (SetSimJoin.selfJoin on block-tagged shingles) was MEASURED WORSE
+        // at both SFs: at this θ = 0.5 the pigeonhole prefix is ~51% of
+        // every document (prefix filtering only bites at high θ), and the
+        // per-candidate array verification ships whole shingle arrays the
+        // count-join never materializes. Exact all-pairs Jaccard at
+        // moderate θ is inherently df²; the CASCADE's scale paths for
+        // near-dup remain LSH (q32, linear banding) and the high-θ prefix
+        // join (q158) — q34 is the family's exact-verification member.
         val flat = SharedStages.docShingles(s, dir)
         val sizes = flat.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val a = flat.select(col("lang"), col("source"), col("sh"), col("doc_id").as("id_a"))
@@ -411,11 +423,22 @@ object DedupQueries extends QueryModule {
     // amortized by the volume the cheaper tiers already removed.
     Declared("q215_dedup_cascade",
       (s, dir) => {
+        // Tier-removal frames are PERSISTED: every later tier's lineage
+        // contains every earlier tier (survivors = anti-join against the
+        // removals), and the closing 5-way union aggregates each tier — so
+        // without pinning, the containment join re-executes ~3× and the LSH
+        // semi-join ~2× inside the ONE action (the sf1 rehearsal measured
+        // 77× task-time at 10× data from exactly this; persisted, each tier
+        // runs once and the cascade scales with its inputs again). The
+        // cached frames are doc_id lists — bytes per surviving doc, safe at
+        // any corpus size; a production cascade lands them as parquet
+        // artifacts (the SharedStages pattern) for the same reason.
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val wEx = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
         val exactD = docs.withColumn("rn", row_number().over(wEx))
-          .filter(col("rn") > 1).select(col("doc_id"))
+          .filter(col("rn") > 1).select(col("doc_id")).persist(disk)
         val s1 = docs.join(exactD, Seq("doc_id"), "left_anti")
         val bowToks = array_sort(array_distinct(filter(
           split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))))
@@ -423,7 +446,7 @@ object DedupQueries extends QueryModule {
           .partitionBy(col("fp")).orderBy(col("doc_id"))
         val bowD = s1.withColumn("fp", md5(array_join(bowToks, " ")))
           .withColumn("rn", row_number().over(wBow))
-          .filter(col("rn") > 1).select(col("doc_id"))
+          .filter(col("rn") > 1).select(col("doc_id")).persist(disk)
         val s2 = s1.join(bowD, Seq("doc_id"), "left_anti")
         val recs2 = s2.select(col("doc_id"),
           graft.functions.TextFunctions.shingles3(col("text")).as("tk"))
@@ -431,13 +454,13 @@ object DedupQueries extends QueryModule {
           .containmentJoin(recs2, "doc_id", "tk", 9, 10)
           .where(col("sb") > col("sa") ||
             (col("sb") === col("sa") && col("id_b") < col("id_a")))
-          .select(col("id_a").as("doc_id")).distinct()
+          .select(col("id_a").as("doc_id")).distinct().persist(disk)
         val s3 = s2.join(containD, Seq("doc_id"), "left_anti")
-        val s3ids = s3.select(col("doc_id"))
+        val s3ids = s3.select(col("doc_id")).persist(disk)
         val nearD = lshNearPairs(s, dir)
           .join(s3ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
           .join(s3ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
-          .select(col("id_b").as("doc_id")).distinct()
+          .select(col("id_b").as("doc_id")).distinct().persist(disk)
         val kept = s3.join(nearD, Seq("doc_id"), "left_anti")
         def tier(name: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(big(count(lit(1))).as("n")).select(lit(name).as("tier"), col("n"))

@@ -71,10 +71,21 @@ object RecursionQueries extends QueryModule {
   private def q117(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // repartition by the chain key BEFORE the checkpoint: every round joins
+    // on (o_custkey, rn), and HashPartitioning(o_custkey) satisfies that
+    // join's clustering requirement, so the materialized blocks enter each
+    // round's join WITHOUT a re-shuffle — and the round output (same key,
+    // checkpointed again) stays co-partitioned for the next round. Without
+    // this, the sf1 rehearsal showed the full ord table re-shuffling once
+    // per round as soon as the frontier outgrew AQE's broadcast threshold
+    // (45× task time at 10× data); pinned, per-round cost is the join
+    // itself. The window above already hash-partitions by o_custkey, so the
+    // repartition is satisfied by the window's own exchange — free.
     val ord = Tables.load(s, dir, "orders")
       .select(col("o_custkey"),
         Protocol.dec(col("o_totalprice")).as("price"),
         row_number().over(w).cast("long").as("rn"))
+      .repartition(col("o_custkey"))
       .localCheckpoint(true)
     val anchor = ord.filter(col("rn") === 1)
       .select(col("o_custkey"), col("rn"),

@@ -625,6 +625,42 @@ object ScaleQueries extends QueryModule {
              |n AS (SELECT d0 AS d, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
              |SELECT d, new_users,
              |  CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-             |FROM n ORDER BY d""".stripMargin))
+             |FROM n ORDER BY d""".stripMargin)),
+
+    // q238 — approx_percentile (Greenwald-Khanna) rank-error audit, the
+    // percentile member of the sketch-plus-exact-verify family (q162
+    // Misra-Gries, q233 MinHash): per group, the p50 estimate at
+    // accuracy=100 must land within the guaranteed ±1% rank window. The
+    // estimate itself is merge-order-dependent (not oracle-reproducible),
+    // so the declared output is the exact window plus the verified
+    // invariant — `within` flips false (hash break) if the sketch ever
+    // violates its bound. Tie-safe: the estimate's rank INTERVAL
+    // [count(<v), count(<=v)] must intersect the window, not any single
+    // rank. One scan for the sketch, one for the exact ranks, joined on a
+    // broadcast of the group-sized estimate row.
+    Declared("q238_approx_percentile_audit",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val est = li.groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_extendedprice, 0.5D, 100)").as("apx"))
+        li.join(broadcast(est), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("apx"), 1L).otherwise(0L)).as("r_lt"),
+            sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L)).as("r_le"))
+          .select(col("l_returnflag"), col("n"),
+            greatest(idiv(lit(49L) * col("n"), lit(100L)) - 1L, lit(0L)).as("lo_rank"),
+            (idiv(lit(51L) * col("n") + 99L, lit(100L)) + 1L).as("hi_rank"),
+            (col("r_lt") <= idiv(lit(51L) * col("n") + 99L, lit(100L)) + 1L &&
+              col("r_le") >= greatest(idiv(lit(49L) * col("n"), lit(100L)) - 1L, lit(0L)))
+              .as("within"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(GREATEST((49 * COUNT(*)) // 100 - 1, 0) AS BIGINT) AS lo_rank,
+             |  CAST((51 * COUNT(*) + 99) // 100 + 1 AS BIGINT) AS hi_rank,
+             |  TRUE AS within
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
   )
 }
