@@ -302,6 +302,63 @@ object MultimodalQueries extends QueryModule {
              |              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, frame_idx) AS rn
              |            FROM fr)
              |SELECT doc_id AS media_id, frame_idx, CAST(energy AS BIGINT) AS energy
-             |FROM rk WHERE rn <= 3 ORDER BY media_id, energy DESC, frame_idx""".stripMargin))
+             |FROM rk WHERE rn <= 3 ORDER BY media_id, energy DESC, frame_idx""".stripMargin)),
+
+    // q239 — VIDEO frame sampling through the REAL container path: each
+    // asset is a GPV1 packed-frame video (magic + offset table + PNG
+    // frames, 6 + id%5 frames of 16×16), and the engine EXTRACTS every 3rd
+    // frame (≤ 4 per asset) from the container bytes via the offset table,
+    // PNG-decodes it, and aHashes the pixels — closing the video gap down
+    // to inter-frame compression only (the ffmpeg seam documented on
+    // Multimodal.VideoCodec). Frame pixels follow q228's formula with a
+    // per-frame base (doc_id + 5f) mod 12 plus the sum-preserving diagonal
+    // swap at block (doc_id + f) mod 64 — distinct bytes per frame, oracle
+    // models only the base formula, a codec or offset-table bug that
+    // misplaces pixels across block boundaries breaks the hash.
+    Declared("q239_video_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).orderBy(col("doc_id")).limit(nAssets)
+        val media = ids.as[Long].mapPartitions { it =>
+          val ic = new Multimodal.ImageCodec
+          val vc = new Multimodal.VideoCodec
+          it.map { id =>
+            val frames = (0 until (6 + (id % 5).toInt)).map { f =>
+              val base = ((id + 5 * f) % 12).toInt
+              val px = Array.tabulate(16, 16)((y, x) => (base * 37 + x * 11 + y * 17) % 256)
+              val blk = ((id + f) % 64).toInt
+              val (cx, cy) = ((blk % 8) * 2, (blk / 8) * 2)
+              def swap(x1: Int, y1: Int, x2: Int, y2: Int): Unit = {
+                val t = px(y1)(x1); px(y1)(x1) = px(y2)(x2); px(y2)(x2) = t
+              }
+              swap(cx, cy, cx + 1, cy + 1)
+              swap(cx + 1, cy, cx, cy + 1)
+              ic.encodeGrayPng(16, 16, (x, y) => px(y)(x))
+            }
+            Multimodal.MediaRow(id, "video", vc.pack(frames), 16, 16, 0, "gpv1")
+          }
+        }
+        Multimodal.sampleFrameHashes(media, everyNth = 3, maxFrames = 4).toDF()
+          .select(col("media_id"), col("frame_idx"),
+            col("fp_hi"), col("fp_lo"), big(col("n_set")).as("n_set"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some(s"""WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $nAssets),
+             |fr AS (SELECT i.doc_id, f.range AS f, (i.doc_id + 5*f.range) % 12 AS base
+             |       FROM ids i JOIN range(0, 11) f ON f.range < 6 + i.doc_id % 5
+             |       WHERE f.range % 3 = 0 AND f.range // 3 < 4),
+             |g AS (SELECT fr.doc_id, fr.f, x.range AS x, y.range AS y,
+             |        (fr.base*37 + x.range*11 + y.range*17) % 256 AS v
+             |      FROM fr, range(0,16) x, range(0,16) y),
+             |blk AS (SELECT doc_id, f, (y//2)*8 + (x//2) AS b, SUM(v) AS bs FROM g GROUP BY 1, 2, 3),
+             |tot AS (SELECT doc_id, f, SUM(bs) AS ts FROM blk GROUP BY 1, 2),
+             |bits AS (SELECT blk.doc_id, blk.f, blk.b, CASE WHEN bs*64 > ts THEN 1 ELSE 0 END AS bit
+             |         FROM blk JOIN tot USING (doc_id, f))
+             |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(SUM(CASE WHEN b >= 32 THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
+             |  CAST(SUM(CASE WHEN b < 32 THEN CAST(bit AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp_lo,
+             |  CAST(SUM(bit) AS BIGINT) AS n_set
+             |FROM bits GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin))
   )
 }
