@@ -34,16 +34,26 @@ object MergeInto {
 
   /** Merge `source` into `target` on equality of `keys`.
     *
-    * Inside `setOnMatch` / `insertOnUnmatched`, reference target columns as
-    * `t_<name>` and source columns as `s_<name>`; `setOnMatch` lists only
-    * the target columns being updated (others carry through), while
-    * `insertOnUnmatched` must cover every non-key target column (missing
-    * ones insert as NULL — SQL's unlisted-column default).
+    * Inside `setOnMatch` / `insertOnUnmatched` / `deleteOnMatch`, reference
+    * target columns as `t_<name>` and source columns as `s_<name>`;
+    * `setOnMatch` lists only the target columns being updated (others carry
+    * through), while `insertOnUnmatched` must cover every non-key target
+    * column (missing ones insert as NULL — SQL's unlisted-column default).
+    *
+    * `deleteOnMatch` is SQL's `WHEN MATCHED AND <cond> THEN DELETE` branch:
+    * matched rows satisfying the predicate are dropped (and `setOnMatch`
+    * never applies to them — DELETE wins, matching the standard's
+    * first-matching-clause rule when the delete clause is listed first).
+    * A NULL predicate result means not-deleted (3VL). Source rows whose
+    * key is UNMATCHED and that satisfy `deleteOnMatch` are discarded, not
+    * inserted — a delete for a row that never arrived (the CDC replay
+    * case) must be a no-op, not a resurrection.
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
       setOnMatch: Map[String, Column],
       insertOnUnmatched: Map[String, Column],
-      checkCardinality: Boolean = true): DataFrame = {
+      checkCardinality: Boolean = true,
+      deleteOnMatch: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     if (checkCardinality) {
       // NULL-key source rows match no target row (3VL), so duplicates among
@@ -62,8 +72,17 @@ object MergeInto {
     val s = source.select(source.columns.map(c => col(c).as(s"s_$c")) :+
       lit(1).as("_s_present"): _*)
     val cond = keys.map(k => t(s"t_$k") === s(s"s_$k")).reduce(_ && _)
-    val joined = t.join(s, cond, "full_outer")
+    val joined0 = t.join(s, cond, "full_outer")
     val matched = col("_t_present").isNotNull && col("_s_present").isNotNull
+    val joined = deleteOnMatch match {
+      case None => joined0
+      // DELETE branch: drop matched rows satisfying the predicate, and
+      // discard unmatched-source delete rows instead of inserting them
+      case Some(del) =>
+        joined0.filter(
+          !(coalesce(del, lit(false)) &&
+            (matched || col("_t_present").isNull)))
+    }
     val out = tcols.map { c =>
       val carried = col(s"t_$c")
       val updated = setOnMatch.getOrElse(c, carried)

@@ -1169,6 +1169,53 @@ object EventQueries extends QueryModule {
              |SELECT CASE WHEN ch IS NOT NULL AND us - ch_us <= 604800000000 THEN ch ELSE 'none' END AS channel,
              |  CAST(COUNT(*) AS BIGINT) AS n_purchases, SUM(v_micro) AS attr_value_micro
              |FROM cf WHERE event_type = 'purchase'
-             |GROUP BY 1 ORDER BY channel""".stripMargin))
+             |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
+    // q240 — STREAMING CDC APPLY with tombstone retention: the events table
+    // recast as a change stream (key = user_id mod 500, op = 'D' for every
+    // 11th event id, ordering = (ts, event_id)) and replayed as 4 ARBITRARY
+    // micro-batches through VersionedView.cdcSink — per batch, one window
+    // reduces the batch to its latest change per key, then a CONDITIONAL
+    // latest-wins MergeInto (update only when strictly newer) against the
+    // current version, write-audit-published. Tombstones stay as rows, so
+    // the final state per key is the GLOBAL argmax over (ts, event_id)
+    // whatever the batch split — the declared result (read-back minus
+    // tombstones) therefore matches the batch oracle's window argmax
+    // exactly, and the chunk assignment can stay arbitrary. The
+    // delete-branch MERGE alternative physically removes rows and would
+    // resurrect a key if a stale pre-delete update arrived late; scaladoc
+    // on cdcSink records that trade.
+    Declared("q240_stream_cdc_apply",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val changes = Tables.load(s, dir, "events")
+          .select((col("user_id") % 500).as("k"), col("ts"), col("event_id"),
+            col("value"),
+            when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"))
+        val base = SharedStages.scratchDir("q240")
+        val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+        changes.repartition(4).write.mode("overwrite").parquet(src)
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch(graft.streaming.VersionedView.cdcSink(
+              out, Seq("k"), Seq("ts", "event_id")))
+            .start()
+          q.awaitTermination()
+        }
+        graft.streaming.VersionedView.readState(s, out, "op").get
+          .select(col("k"), col("event_id"), col("value"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH c AS (SELECT user_id % 500 AS k, ts, event_id, value,
+             |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op FROM events),
+             |r AS (SELECT k, event_id, value, op,
+             |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+             |SELECT k, event_id, value FROM r WHERE rn = 1 AND op <> 'D'
+             |ORDER BY k""".stripMargin))
   )
 }

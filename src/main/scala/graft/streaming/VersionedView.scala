@@ -93,7 +93,76 @@ object VersionedView {
     * overwrite) no materialization barrier is needed between read and
     * write, and a crash anywhere leaves the previous version live.
     */
-  def mergeSink(out: String, keys: Seq[String]): (DataFrame, Long) => Unit = {
+  def mergeSink(out: String, keys: Seq[String]): (DataFrame, Long) => Unit =
+    versionedSink(out) { (batch, cur) =>
+      cur match {
+        case None => batch
+        case Some(c) => c
+          .join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
+      }
+    }
+
+  /** CDC-APPLY sink: maintain the CURRENT-STATE table of a change stream
+    * (key + ordering columns + payload, deletes included) with TOMBSTONE
+    * retention — the design that stays correct when changes arrive out of
+    * order across micro-batches, where a delete-branch MERGE cannot: once
+    * a DELETE physically removes the row, a stale pre-delete update
+    * arriving later finds no match and RESURRECTS the key. Here every key
+    * keeps exactly one row — the lexicographic-max change by `ord` — and a
+    * delete is just a row whose `opCol` holds `deleteOp`; [[readState]]
+    * filters tombstones. Final state per key is the global argmax over all
+    * arrivals regardless of how the stream was batched.
+    *
+    * Per batch: reduce the batch to its own latest change per key (one
+    * partitioned window), then a conditional latest-wins
+    * [[graft.operators.MergeInto]] against the current version (matched
+    * rows update only when the incoming ord is strictly newer), published
+    * through the same write-audit-publish protocol as [[mergeSink]]. At
+    * warehouse scale the merge body is `MERGE INTO ... WHEN MATCHED AND
+    * s.ord > t.ord THEN UPDATE WHEN NOT MATCHED THEN INSERT` on a
+    * transactional table, with periodic tombstone compaction.
+    */
+  def cdcSink(out: String, keys: Seq[String], ordCols: Seq[String])
+      : (DataFrame, Long) => Unit = {
+    require(ordCols.nonEmpty, "CDC apply needs at least one ordering column")
+    versionedSink(out) { (batch, cur) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(ordCols.map(col(_).desc): _*)
+      val latest = batch
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      cur match {
+        case None => latest
+        case Some(c) =>
+          // strict lexicographic "s newer than t" over the ordering columns
+          val newer = ordCols.zipWithIndex.map { case (o, i) =>
+            val ties = ordCols.take(i).map(p => col(s"s_$p") === col(s"t_$p"))
+            (ties :+ (col(s"s_$o") > col(s"t_$o"))).reduce(_ && _)
+          }.reduce(_ || _)
+          val nonKey = c.columns.filterNot(keys.contains).toSeq
+          graft.operators.MergeInto.merge(c, latest, keys,
+            setOnMatch = nonKey.map(cl => cl ->
+              org.apache.spark.sql.functions.when(newer, col(s"s_$cl"))
+                .otherwise(col(s"t_$cl"))).toMap,
+            insertOnUnmatched = nonKey.map(cl => cl -> col(s"s_$cl")).toMap,
+            // latest is unique per key by construction (the window above)
+            checkCardinality = false)
+      }
+    }
+  }
+
+  /** Read the current state of a [[cdcSink]] view with tombstones hidden. */
+  def readState(spark: SparkSession, out: String, opCol: String,
+      deleteOp: String = "D"): Option[DataFrame] =
+    read(spark, out).map(_.filter(col(opCol) =!= deleteOp))
+
+  /** Write-audit-publish core shared by the sinks: `mk` builds the new
+    * version from (batch, current version contents).
+    */
+  private def versionedSink(out: String)(
+      mk: (DataFrame, Option[DataFrame]) => DataFrame): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val sp = batch.sparkSession
       val fs = fsOf(sp, out)
@@ -107,12 +176,7 @@ object VersionedView {
         // crash between dir-rename and pointer-swap leaves an unpublished
         // complete dir; rebuild it (cheap: view-sized) rather than trust it
         if (fs.exists(finalDir)) fs.delete(finalDir, true)
-        val merged = cur.map(v => sp.read.parquet(s"$out/$v")) match {
-          case None => batch
-          case Some(c) => c
-            .join(batch.select(keys.map(col): _*), keys, "left_anti")
-            .unionByName(batch.select(c.columns.map(col).toIndexedSeq: _*))
-        }
+        val merged = mk(batch, cur.map(v => sp.read.parquet(s"$out/$v")))
         val tmp = new Path(out, s"_tmp_$versionName")
         if (fs.exists(tmp)) fs.delete(tmp, true)
         // the expected count rides the WRITE job as an observe() metric —

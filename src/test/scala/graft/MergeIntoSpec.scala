@@ -45,6 +45,19 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(out == List((1L, 5L), (-1L, 42L), (-1L, 43L), (-1L, 99L)))
   }
 
+  test("WHEN MATCHED AND cond THEN DELETE drops the row; unmatched deletes are no-ops") {
+    import spark.implicits._
+    val target = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val source = Seq((1L, 0L, "D"), (2L, 25L, "U"), (9L, 0L, "D")).toDF("k", "v", "op")
+    val out = MergeInto.merge(target, source, Seq("k"),
+      setOnMatch = Map("v" -> col("s_v")),
+      insertOnUnmatched = Map("v" -> col("s_v")),
+      deleteOnMatch = Some(col("s_op") === "D"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // k=1 deleted, k=2 updated, k=3 carried, k=9's delete never inserts
+    assert(out == List((2L, 25L), (3L, 30L)))
+  }
+
   test("unlisted insert columns default to NULL like unlisted MERGE columns") {
     import spark.implicits._
     val target = Seq((1L, 10L, "x")).toDF("k", "v", "tag")

@@ -108,4 +108,40 @@ class VersionedViewSpec extends AnyFunSuite {
     assert(VersionedView.read(spark, out).get.collect().toSet
       == df("a" -> 1L).collect().toSet)
   }
+
+  private def cdc(rows: (Long, Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "ord", "v", "op")
+  }
+
+  private def state(out: String) =
+    VersionedView.readState(spark, out, "op").get
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+
+  test("cdc apply: conditional latest-wins with tombstones, out-of-order safe") {
+    val out = tmpDir("vview-cdc")
+    val sink = VersionedView.cdcSink(out, Seq("k"), Seq("ord"))
+    // batch 0 carries the NEWEST changes; batch 1 arrives later with STALE ones
+    sink(cdc((1L, 10L, "new", "U"), (2L, 10L, "del", "D"), (3L, 5L, "x", "U")), 0L)
+    assert(state(out) == Map(1L -> "new", 3L -> "x")) // tombstone hidden
+    sink(cdc(
+      (1L, 3L, "stale", "U"),  // older than the applied v=10 — must NOT win
+      (2L, 4L, "stale", "U"),  // older than the tombstone — must NOT resurrect
+      (3L, 9L, "y", "U"),      // newer — must win
+      (4L, 1L, "z", "U")), 1L) // unseen key — must insert
+    assert(state(out) == Map(1L -> "new", 3L -> "y", 4L -> "z"))
+    // a newer delete beats live state; a newer update beats a tombstone
+    sink(cdc((3L, 20L, "gone", "D"), (2L, 30L, "back", "U")), 2L)
+    assert(state(out) == Map(1L -> "new", 2L -> "back", 4L -> "z"))
+  }
+
+  test("cdc apply reduces each batch to its own latest change per key") {
+    val out = tmpDir("vview-cdc2")
+    val sink = VersionedView.cdcSink(out, Seq("k"), Seq("ord"))
+    sink(cdc((1L, 1L, "a", "U"), (1L, 3L, "c", "U"), (1L, 2L, "b", "U")), 0L)
+    assert(state(out) == Map(1L -> "c"))
+    // replay of a published batch is a no-op
+    sink(cdc((1L, 99L, "ghost", "U")), 0L)
+    assert(state(out) == Map(1L -> "c"))
+  }
 }
