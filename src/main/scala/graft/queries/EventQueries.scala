@@ -1216,6 +1216,56 @@ object EventQueries extends QueryModule {
              |r AS (SELECT k, event_id, value, op,
              |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn FROM c)
              |SELECT k, event_id, value FROM r WHERE rn = 1 AND op <> 'D'
-             |ORDER BY k""".stripMargin))
+             |ORDER BY k""".stripMargin)),
+
+    // q241 — RETRACTABLE streaming aggregate (Flink's retract-stream
+    // pattern, which Spark lacks natively): per-group (COUNT, SUM) over the
+    // LIVE rows of q240's change stream, maintained INCREMENTALLY — an
+    // update retracts the old value and adds the new, a delete retracts, a
+    // stale out-of-order change contributes nothing — so the view
+    // telescopes to the aggregate of the final state under any batch split
+    // without ever rescanning state. Exact micro-integer arithmetic end to
+    // end (no float drift across retract chains). Agg view published
+    // BEFORE the state merge so an at-least-once replay can never drop or
+    // double a batch (ordering rationale on retractAggSink). Oracle = the
+    // batch aggregate over the global argmax state.
+    Declared("q241_stream_retract_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val changes = Tables.load(s, dir, "events")
+          .select((col("user_id") % 500).as("k"), col("ts"), col("event_id"),
+            col("value"),
+            when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"))
+        val base = SharedStages.scratchDir("q241")
+        val (src, st, agg, ck) =
+          (s"$base/src", s"$base/state", s"$base/agg", s"$base/ck")
+        changes.repartition(4).write.mode("overwrite").parquet(src)
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch(graft.streaming.VersionedView.retractAggSink(
+              st, agg, Seq("k"), Seq("ts", "event_id"), "op",
+              groupCol = col("k") % 50,
+              valueMicro = (dec(col("value")) * 1000000L).cast("long")))
+            .start()
+          q.awaitTermination()
+        }
+        graft.streaming.VersionedView.readAgg(s, agg).get
+          .select(col("g"), big(col("n_live")).as("n_live"),
+            big(col("sum_micro")).as("sum_micro"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH c AS (SELECT user_id % 500 AS k, ts, event_id, value,
+             |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op FROM events),
+             |r AS (SELECT k, event_id, value, op,
+             |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn FROM c),
+             |live AS (SELECT k, value FROM r WHERE rn = 1 AND op <> 'D')
+             |SELECT k % 50 AS g, CAST(COUNT(*) AS BIGINT) AS n_live,
+             |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_micro
+             |FROM live GROUP BY 1 ORDER BY g""".stripMargin))
   )
 }

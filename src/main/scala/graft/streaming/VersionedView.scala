@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Write-audit-publish storage for an incrementally maintained VIEW (the
@@ -157,6 +157,111 @@ object VersionedView {
   def readState(spark: SparkSession, out: String, opCol: String,
       deleteOp: String = "D"): Option[DataFrame] =
     read(spark, out).map(_.filter(col(opCol) =!= deleteOp))
+
+  /** RETRACTABLE streaming aggregate view — the Flink retract-stream
+    * pattern Spark has no native operator for: a per-group (COUNT, SUM)
+    * aggregate over the LIVE rows of a CDC stream, maintained
+    * INCREMENTALLY. An update retracts the old value and adds the new one;
+    * a delete retracts; a stale (out-of-order) change contributes nothing —
+    * so the aggregate telescopes to the aggregate of the final state under
+    * ANY batch split, without ever rescanning the state table.
+    *
+    * Per batch (both views keyed by batchId, so replay is idempotent):
+    *   1. reduce the batch to its latest change per key (one window);
+    *   2. LEFT-join against the PRE-batch state to decide, per key, whether
+    *      the change APPLIES (no prior row, or strictly newer by `ordCols`)
+    *      and what it retracts (the prior live value, 0 if tombstone/none);
+    *   3. per-group deltas: Δn = liveness(new) − liveness(old),
+    *      Δsum = value(new) − value(old), in exact micro-integers;
+    *   4. merge the deltas into the agg view (MergeInto: matched adds,
+    *      unmatched inserts) and PUBLISH IT FIRST — then run [[cdcSink]]'s
+    *      state merge. A crash between the two replays the batch: the agg
+    *      version already exists (skip), the state merge re-applies
+    *      idempotently. Publishing state first would be wrong: a replay
+    *      would recompute deltas against the POST-batch state and lose the
+    *      batch from the aggregate.
+    *
+    * `valueMicro` must be an integer-typed expression over the change row
+    * (micro-scaled for decimals — exactness discipline, no float drift
+    * across arbitrary retract chains). `groupCol` must be a pure function
+    * of the KEY columns: the retraction is booked against the incoming
+    * change's group, which equals the old row's group only when the group
+    * is key-derived (a value-derived group would need the old row's group
+    * for the retract side — a different operator). Group cardinality
+    * bounds the agg view; the state view is key-sized. Both are
+    * corpus-scale tables the MERGE touches once per batch.
+    */
+  def retractAggSink(stateOut: String, aggOut: String, keys: Seq[String],
+      ordCols: Seq[String], opCol: String, groupCol: Column,
+      valueMicro: Column, deleteOp: String = "D"): (DataFrame, Long) => Unit = {
+    require(ordCols.nonEmpty, "retract agg needs at least one ordering column")
+    val applyState = cdcSink(stateOut, keys, ordCols)
+    (batch, batchId) => {
+      val sp = batch.sparkSession
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(ordCols.map(col(_).desc): _*)
+      val latest = batch
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+        .withColumn("_g", groupCol)
+        .withColumn("_live",
+          org.apache.spark.sql.functions.when(col(opCol) =!= deleteOp, 1L).otherwise(0L))
+        .withColumn("_v", org.apache.spark.sql.functions.when(
+          col(opCol) =!= deleteOp, valueMicro).otherwise(org.apache.spark.sql.functions.lit(0L)))
+      val deltas = read(sp, stateOut) match {
+        case None =>
+          latest.groupBy(col("_g").as("g"))
+            .agg(org.apache.spark.sql.functions.sum(col("_live")).as("dn"),
+              org.apache.spark.sql.functions.sum(col("_v")).as("dsum"))
+        case Some(st) =>
+          val old = st
+            .withColumn("_old_live",
+              org.apache.spark.sql.functions.when(col(opCol) =!= deleteOp, 1L).otherwise(0L))
+            .withColumn("_old_v", org.apache.spark.sql.functions.when(
+              col(opCol) =!= deleteOp, valueMicro).otherwise(org.apache.spark.sql.functions.lit(0L)))
+            .select(keys.map(col) ++
+              (ordCols.map(o => col(o).as(s"_old_$o")) :+
+                col("_old_live") :+ col("_old_v")): _*)
+          val j = latest.join(old, keys, "left")
+          val newer = ordCols.zipWithIndex.map { case (o, i) =>
+            val ties = ordCols.take(i).map(p => col(p) === col(s"_old_$p"))
+            (ties :+ (col(o) > col(s"_old_$o"))).reduce(_ && _)
+          }.reduce(_ || _)
+          val applies = col(s"_old_${ordCols.head}").isNull || newer
+          j.filter(applies)
+            .groupBy(col("_g").as("g"))
+            .agg(
+              org.apache.spark.sql.functions.sum(col("_live") -
+                org.apache.spark.sql.functions.coalesce(col("_old_live"),
+                  org.apache.spark.sql.functions.lit(0L))).as("dn"),
+              org.apache.spark.sql.functions.sum(col("_v") -
+                org.apache.spark.sql.functions.coalesce(col("_old_v"),
+                  org.apache.spark.sql.functions.lit(0L))).as("dsum"))
+      }
+      versionedSink(aggOut) { (d, curAgg) =>
+        curAgg match {
+          case None => d
+          case Some(a) => graft.operators.MergeInto.merge(a, d, Seq("g"),
+            setOnMatch = Map(
+              "dn" -> (col("t_dn") + col("s_dn")),
+              "dsum" -> (col("t_dsum") + col("s_dsum"))),
+            insertOnUnmatched = Map(
+              "dn" -> col("s_dn"), "dsum" -> col("s_dsum")),
+            checkCardinality = false)
+        }
+      }(deltas, batchId)
+      applyState(batch, batchId)
+    }
+  }
+
+  /** Read a [[retractAggSink]] aggregate view: (g, n_live, sum_micro),
+    * groups whose live population drained to zero hidden.
+    */
+  def readAgg(spark: SparkSession, aggOut: String): Option[DataFrame] =
+    read(spark, aggOut).map(_
+      .filter(col("dn") > 0)
+      .select(col("g"), col("dn").as("n_live"), col("dsum").as("sum_micro")))
 
   /** Write-audit-publish core shared by the sinks: `mk` builds the new
     * version from (batch, current version contents).

@@ -135,6 +135,32 @@ class VersionedViewSpec extends AnyFunSuite {
     assert(state(out) == Map(1L -> "new", 2L -> "back", 4L -> "z"))
   }
 
+  test("retract agg: updates retract, deletes retract, stale changes add nothing") {
+    import spark.implicits._
+    val (st, agg) = (tmpDir("vview-rstate"), tmpDir("vview-ragg"))
+    def ch(rows: (Long, Long, Long, String)*) =
+      rows.toDF("k", "ord", "v", "op")
+    val sink = VersionedView.retractAggSink(st, agg, Seq("k"), Seq("ord"),
+      "op", groupCol = col("k") % 2, valueMicro = col("v"))
+    def snap() = VersionedView.readAgg(spark, agg).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // groups: even keys -> g=0, odd -> g=1
+    sink(ch((1L, 1L, 100L, "U"), (2L, 1L, 10L, "U"), (3L, 1L, 5L, "U")), 0L)
+    assert(snap() == Set((0L, 1L, 10L), (1L, 2L, 105L)))
+    sink(ch(
+      (1L, 5L, 200L, "U"),   // update: retract 100, add 200
+      (2L, 5L, 0L, "D"),     // delete: retract 10, group 0 drains -> hidden
+      (3L, 0L, 999L, "U")),  // STALE: contributes nothing
+      1L)
+    assert(snap() == Set((1L, 2L, 205L)))
+    // replay of batch 1 is a no-op on both views
+    sink(ch((1L, 5L, 200L, "U"), (2L, 5L, 0L, "D"), (3L, 0L, 999L, "U")), 1L)
+    assert(snap() == Set((1L, 2L, 205L)))
+    // resurrect key 2 with a newer update: group 0 reappears
+    sink(ch((2L, 9L, 42L, "U")), 2L)
+    assert(snap() == Set((0L, 1L, 42L), (1L, 2L, 205L)))
+  }
+
   test("cdc apply reduces each batch to its own latest change per key") {
     val out = tmpDir("vview-cdc2")
     val sink = VersionedView.cdcSink(out, Seq("k"), Seq("ord"))
