@@ -1266,6 +1266,46 @@ object EventQueries extends QueryModule {
              |live AS (SELECT k, value FROM r WHERE rn = 1 AND op <> 'D')
              |SELECT k % 50 AS g, CAST(COUNT(*) AS BIGINT) AS n_live,
              |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_micro
-             |FROM live GROUP BY 1 ORDER BY g""".stripMargin))
+             |FROM live GROUP BY 1 ORDER BY g""".stripMargin)),
+
+    // q242 — BITEMPORAL point-in-bitime reconstruction: events recast as
+    // retroactive corrections carrying BOTH a transaction time (ts — when
+    // the system learned it) and a valid day (the business day it applies
+    // to: event day minus a 0-3 day retro offset). The query answers the
+    // audit question SCD-2 alone cannot: "what did we believe the
+    // value-in-effect ON valid day V was, AS OF transaction time T?" —
+    // restrict to corrections known by T, then per user take the row for
+    // the latest valid day ≤ V, tie-broken by the latest correction
+    // (txn, event_id). One filtered scan + one user-partitioned window;
+    // at 100 TB the txn filter prunes to the as-of prefix and the window
+    // shuffles once on user_id. Valid days are exact epoch-day integers
+    // (µs floor-division — no timezone arithmetic anywhere).
+    Declared("q242_bitemporal_asof",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_day").desc, col("txn_us").desc, col("event_id").desc)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("txn_us"),
+            (idiv(unix_micros(col("ts")), lit(86400000000L)) - col("event_id") % 4)
+              .as("valid_day"),
+            (dec(col("value")) * 1000000L).cast("long").as("v_micro"))
+          .filter(col("txn_us") <= lit(1705708800000000L)) // 2024-01-20 00:00 UTC
+          .filter(col("valid_day") <= 19737L)               // 2024-01-15
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("valid_day"), col("event_id"), col("v_micro"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS txn_us,
+             |    epoch_us(ts) // 86400000000 - event_id % 4 AS valid_day,
+             |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+             |  FROM events
+             |  WHERE epoch_us(ts) <= 1705708800000000
+             |    AND epoch_us(ts) // 86400000000 - event_id % 4 <= 19737),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY valid_day DESC, txn_us DESC, event_id DESC) AS rn FROM c)
+             |SELECT user_id, valid_day, event_id, v_micro
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }
