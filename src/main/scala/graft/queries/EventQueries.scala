@@ -1306,6 +1306,51 @@ object EventQueries extends QueryModule {
              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
              |    ORDER BY valid_day DESC, txn_us DESC, event_id DESC) AS rn FROM c)
              |SELECT user_id, valid_day, event_id, v_micro
-             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin))
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // q243 — LINEAR-INTERPOLATION gap fill: q98 carries the last level
+    // FORWARD (as-of); this is the other standard repair — interpolate
+    // BETWEEN the bracketing samples. Per (event_type, user-shard) hourly
+    // series: consecutive bars via lead(), gap hours exploded from the
+    // bracket, value = v0 + (v1−v0)·(h−h0)/(h1−h0) in exact micro-integer
+    // TRUNC division (Spark `div` and DuckDB `//` agree on negatives — no
+    // float lerp anywhere). One series-key shuffle shared by the window
+    // and nothing else; the explode is gap-sized, not grid-sized (q98's
+    // dense-grid trade is the opposite and both are deliberate).
+    Declared("q243_linear_interpolate",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"), col("g")).orderBy(col("h"))
+        val bars = Tables.load(s, dir, "events")
+          .select(col("event_type"), (col("user_id") % 97).as("g"),
+            idiv(unix_micros(col("ts")), lit(3600000000L)).as("h"),
+            (dec(col("value")) * 1000000L).cast("long").as("v"))
+          .groupBy(col("event_type"), col("g"), col("h"))
+          .agg(max(col("v")).as("v"))
+        bars
+          .withColumn("h1", lead(col("h"), 1).over(w))
+          .withColumn("v1", lead(col("v"), 1).over(w))
+          .filter(col("h1").isNotNull && col("h1") - col("h") > 1)
+          .select(col("event_type"), col("g"), col("h").as("h0"), col("v").as("v0"),
+            col("h1"), col("v1"),
+            explode(sequence(col("h") + 1, col("h1") - 1)).as("hi"))
+          .select(col("event_type"), col("g"), col("hi").as("h"),
+            (col("v0") + idiv((col("v1") - col("v0")) * (col("hi") - col("h0")),
+              col("h1") - col("h0"))).as("v_interp_micro"))
+          .orderBy(col("event_type"), col("g"), col("h"))
+      },
+      Some("""WITH b AS (SELECT event_type, user_id % 97 AS g,
+             |    epoch_us(ts) // 3600000000 AS h,
+             |    MAX(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS v
+             |  FROM events GROUP BY 1, 2, 3),
+             |p AS (SELECT event_type, g, h AS h0, v AS v0,
+             |    LEAD(h) OVER (PARTITION BY event_type, g ORDER BY h) AS h1,
+             |    LEAD(v) OVER (PARTITION BY event_type, g ORDER BY h) AS v1
+             |  FROM b),
+             |x AS (SELECT event_type, g, h0, v0, h1, v1,
+             |    UNNEST(generate_series(h0 + 1, h1 - 1)) AS h
+             |  FROM p WHERE h1 IS NOT NULL AND h1 - h0 > 1)
+             |SELECT event_type, g, h,
+             |  CAST(v0 + (v1 - v0) * (h - h0) // (h1 - h0) AS BIGINT) AS v_interp_micro
+             |FROM x ORDER BY event_type, g, h""".stripMargin))
   )
 }
