@@ -1351,6 +1351,54 @@ object EventQueries extends QueryModule {
              |  FROM p WHERE h1 IS NOT NULL AND h1 - h0 > 1)
              |SELECT event_type, g, h,
              |  CAST(v0 + (v1 - v0) * (h - h0) // (h1 - h0) AS BIGINT) AS v_interp_micro
-             |FROM x ORDER BY event_type, g, h""".stripMargin))
+             |FROM x ORDER BY event_type, g, h""".stripMargin)),
+
+    // q244 — RETRACTABLE streaming MIN/MAX: the NON-invertible aggregate
+    // under CDC, where q241's delta algebra can't work (removing the
+    // current minimum needs the runner-up). retractMinMaxSink maintains
+    // the live-value INDEX view ((g, v) → cnt, ±1 deltas from the same
+    // applied-changes front end) and the read folds the index — an
+    // aggregate over live-value cardinality, never the event history.
+    // Same change stream and replay harness as q240/q241; oracle =
+    // min/max/count per group over the final argmax state.
+    Declared("q244_stream_retract_minmax",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val changes = Tables.load(s, dir, "events")
+          .select((col("user_id") % 500).as("k"), col("ts"), col("event_id"),
+            col("value"),
+            when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"))
+        val base = SharedStages.scratchDir("q244")
+        val (src, st, idx, ck) =
+          (s"$base/src", s"$base/state", s"$base/idx", s"$base/ck")
+        changes.repartition(4).write.mode("overwrite").parquet(src)
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch(graft.streaming.VersionedView.retractMinMaxSink(
+              st, idx, Seq("k"), Seq("ts", "event_id"), "op",
+              groupCol = col("k") % 50,
+              valueMicro = (dec(col("value")) * 1000000L).cast("long")))
+            .start()
+          q.awaitTermination()
+        }
+        graft.streaming.VersionedView.readMinMax(s, idx).get
+          .select(col("g"), big(col("n_live")).as("n_live"),
+            col("min_v"), col("max_v"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH c AS (SELECT user_id % 500 AS k, ts, event_id, value,
+             |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op FROM events),
+             |r AS (SELECT k, event_id, value, op,
+             |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn FROM c),
+             |live AS (SELECT k, CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+             |         FROM r WHERE rn = 1 AND op <> 'D')
+             |SELECT k % 50 AS g, CAST(COUNT(*) AS BIGINT) AS n_live,
+             |  CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
+             |FROM live GROUP BY 1 ORDER BY g""".stripMargin))
   )
 }

@@ -197,48 +197,15 @@ object VersionedView {
     require(ordCols.nonEmpty, "retract agg needs at least one ordering column")
     val applyState = cdcSink(stateOut, keys, ordCols)
     (batch, batchId) => {
-      val sp = batch.sparkSession
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*)
-        .orderBy(ordCols.map(col(_).desc): _*)
-      val latest = batch
-        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-        .withColumn("_g", groupCol)
-        .withColumn("_live",
-          org.apache.spark.sql.functions.when(col(opCol) =!= deleteOp, 1L).otherwise(0L))
-        .withColumn("_v", org.apache.spark.sql.functions.when(
-          col(opCol) =!= deleteOp, valueMicro).otherwise(org.apache.spark.sql.functions.lit(0L)))
-      val deltas = read(sp, stateOut) match {
-        case None =>
-          latest.groupBy(col("_g").as("g"))
-            .agg(org.apache.spark.sql.functions.sum(col("_live")).as("dn"),
-              org.apache.spark.sql.functions.sum(col("_v")).as("dsum"))
-        case Some(st) =>
-          val old = st
-            .withColumn("_old_live",
-              org.apache.spark.sql.functions.when(col(opCol) =!= deleteOp, 1L).otherwise(0L))
-            .withColumn("_old_v", org.apache.spark.sql.functions.when(
-              col(opCol) =!= deleteOp, valueMicro).otherwise(org.apache.spark.sql.functions.lit(0L)))
-            .select(keys.map(col) ++
-              (ordCols.map(o => col(o).as(s"_old_$o")) :+
-                col("_old_live") :+ col("_old_v")): _*)
-          val j = latest.join(old, keys, "left")
-          val newer = ordCols.zipWithIndex.map { case (o, i) =>
-            val ties = ordCols.take(i).map(p => col(p) === col(s"_old_$p"))
-            (ties :+ (col(o) > col(s"_old_$o"))).reduce(_ && _)
-          }.reduce(_ || _)
-          val applies = col(s"_old_${ordCols.head}").isNull || newer
-          j.filter(applies)
-            .groupBy(col("_g").as("g"))
-            .agg(
-              org.apache.spark.sql.functions.sum(col("_live") -
-                org.apache.spark.sql.functions.coalesce(col("_old_live"),
-                  org.apache.spark.sql.functions.lit(0L))).as("dn"),
-              org.apache.spark.sql.functions.sum(col("_v") -
-                org.apache.spark.sql.functions.coalesce(col("_old_v"),
-                  org.apache.spark.sql.functions.lit(0L))).as("dsum"))
-      }
+      val applied = appliedChanges(batch, read(batch.sparkSession, stateOut),
+        keys, ordCols, opCol, groupCol, valueMicro, deleteOp)
+      val z = org.apache.spark.sql.functions.lit(0L)
+      val deltas = applied.groupBy(col("_g").as("g"))
+        .agg(
+          org.apache.spark.sql.functions.sum(col("_live") -
+            org.apache.spark.sql.functions.coalesce(col("_old_live"), z)).as("dn"),
+          org.apache.spark.sql.functions.sum(col("_v") -
+            org.apache.spark.sql.functions.coalesce(col("_old_v"), z)).as("dsum"))
       versionedSink(aggOut) { (d, curAgg) =>
         curAgg match {
           case None => d
@@ -252,6 +219,103 @@ object VersionedView {
         }
       }(deltas, batchId)
       applyState(batch, batchId)
+    }
+  }
+
+  /** RETRACTABLE streaming MIN/MAX — the NON-INVERTIBLE aggregate case,
+    * where [[retractAggSink]]'s delta algebra cannot work: removing the
+    * current minimum requires knowing the runner-up, so some index over
+    * live VALUES must persist. This sink maintains exactly that index (the
+    * table form of Flink's sorted aggregate state): a versioned
+    * (g, v) → cnt view of live-value multiplicities, updated by ±1 deltas
+    * from the same applied-changes computation, and [[readMinMax]] folds it
+    * to per-group MIN/MAX/COUNT at read time — an aggregate over the
+    * INDEX (live-value-cardinality-sized), never over the corpus or the
+    * event history. Publish order (index before state) and replay
+    * idempotency follow [[retractAggSink]] exactly.
+    */
+  def retractMinMaxSink(stateOut: String, idxOut: String, keys: Seq[String],
+      ordCols: Seq[String], opCol: String, groupCol: Column,
+      valueMicro: Column, deleteOp: String = "D"): (DataFrame, Long) => Unit = {
+    require(ordCols.nonEmpty, "retract min/max needs at least one ordering column")
+    val applyState = cdcSink(stateOut, keys, ordCols)
+    (batch, batchId) => {
+      val applied = appliedChanges(batch, read(batch.sparkSession, stateOut),
+        keys, ordCols, opCol, groupCol, valueMicro, deleteOp)
+      // every applied change contributes up to two index rows: retract the
+      // old live value, insert the new one
+      val adds = applied.filter(col("_live") === 1L)
+        .select(col("_g").as("g"), col("_v").as("v"),
+          org.apache.spark.sql.functions.lit(1L).as("dcnt"))
+      val retracts = applied.filter(col("_old_live") === 1L)
+        .select(col("_g").as("g"), col("_old_v").as("v"),
+          org.apache.spark.sql.functions.lit(-1L).as("dcnt"))
+      val deltas = adds.unionByName(retracts)
+        .groupBy(col("g"), col("v"))
+        .agg(org.apache.spark.sql.functions.sum(col("dcnt")).as("dcnt"))
+      versionedSink(idxOut) { (d, curIdx) =>
+        curIdx match {
+          case None => d
+          case Some(a) => graft.operators.MergeInto.merge(a, d, Seq("g", "v"),
+            setOnMatch = Map("dcnt" -> (col("t_dcnt") + col("s_dcnt"))),
+            insertOnUnmatched = Map("dcnt" -> col("s_dcnt")),
+            checkCardinality = false)
+        }
+      }(deltas, batchId)
+      applyState(batch, batchId)
+    }
+  }
+
+  /** Fold a [[retractMinMaxSink]] index to (g, n_live, min_v, max_v) —
+    * drained groups (no live values) disappear.
+    */
+  def readMinMax(spark: SparkSession, idxOut: String): Option[DataFrame] =
+    read(spark, idxOut).map(_
+      .filter(col("dcnt") > 0)
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.functions.sum(col("dcnt")).as("n_live"),
+        org.apache.spark.sql.functions.min(col("v")).as("min_v"),
+        org.apache.spark.sql.functions.max(col("v")).as("max_v")))
+
+  /** The shared retraction front end: the batch reduced to its latest
+    * change per key, LEFT-joined against pre-batch state, filtered to the
+    * changes that APPLY (no prior row, or strictly newer by `ordCols`).
+    * Output columns: the keys, `_g`, `_live`/`_v` (the incoming change's
+    * liveness and value, 0 when delete) and `_old_live`/`_old_v` (the
+    * replaced row's, NULL when the key is new).
+    */
+  private def appliedChanges(batch: DataFrame, state: Option[DataFrame],
+      keys: Seq[String], ordCols: Seq[String], opCol: String,
+      groupCol: Column, valueMicro: Column, deleteOp: String): DataFrame = {
+    val f = org.apache.spark.sql.functions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(ordCols.map(col(_).desc): _*)
+    val latest = batch
+      .withColumn("_rn", f.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("_g", groupCol)
+      .withColumn("_live", f.when(col(opCol) =!= deleteOp, 1L).otherwise(0L))
+      .withColumn("_v",
+        f.when(col(opCol) =!= deleteOp, valueMicro).otherwise(f.lit(0L)))
+    state match {
+      case None => latest
+        .withColumn("_old_live", f.lit(null).cast("long"))
+        .withColumn("_old_v", f.lit(null).cast("long"))
+      case Some(st) =>
+        val old = st
+          .withColumn("_old_live", f.when(col(opCol) =!= deleteOp, 1L).otherwise(0L))
+          .withColumn("_old_v",
+            f.when(col(opCol) =!= deleteOp, valueMicro).otherwise(f.lit(0L)))
+          .select(keys.map(col) ++
+            (ordCols.map(o => col(o).as(s"_old_$o")) :+
+              col("_old_live") :+ col("_old_v")): _*)
+        val j = latest.join(old, keys, "left")
+        val newer = ordCols.zipWithIndex.map { case (o, i) =>
+          val ties = ordCols.take(i).map(p => col(p) === col(s"_old_$p"))
+          (ties :+ (col(o) > col(s"_old_$o"))).reduce(_ && _)
+        }.reduce(_ || _)
+        j.filter(col(s"_old_${ordCols.head}").isNull || newer)
     }
   }
 

@@ -161,6 +161,29 @@ class VersionedViewSpec extends AnyFunSuite {
     assert(snap() == Set((0L, 1L, 42L), (1L, 2L, 205L)))
   }
 
+  test("retract min/max: deleting the minimum surfaces the runner-up") {
+    import spark.implicits._
+    val (st, idx) = (tmpDir("vview-mstate"), tmpDir("vview-midx"))
+    def ch(rows: (Long, Long, Long, String)*) = rows.toDF("k", "ord", "v", "op")
+    val sink = VersionedView.retractMinMaxSink(st, idx, Seq("k"), Seq("ord"),
+      "op", groupCol = lit(0L), valueMicro = col("v"))
+    def snap() = VersionedView.readMinMax(spark, idx).get
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    sink(ch((1L, 1L, 5L, "U"), (2L, 1L, 7L, "U"), (3L, 1L, 9L, "U")), 0L)
+    assert(snap() == List((3L, 5L, 9L)))
+    // delete the min holder: the non-invertible case — runner-up must surface
+    sink(ch((1L, 2L, 0L, "D")), 1L)
+    assert(snap() == List((2L, 7L, 9L)))
+    // update the max holder DOWNWARD: old max retracts, new max is the old mid
+    sink(ch((3L, 5L, 6L, "U")), 2L)
+    assert(snap() == List((2L, 6L, 7L)))
+    // duplicate values: retracting one of two equal minima keeps the min
+    sink(ch((4L, 1L, 6L, "U")), 3L)
+    assert(snap() == List((3L, 6L, 7L)))
+    sink(ch((3L, 9L, 0L, "D")), 4L)
+    assert(snap() == List((2L, 6L, 7L)))
+  }
+
   test("cdc apply reduces each batch to its own latest change per key") {
     val out = tmpDir("vview-cdc2")
     val sink = VersionedView.cdcSink(out, Seq("k"), Seq("ord"))
