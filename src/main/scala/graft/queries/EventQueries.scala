@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +17,38 @@ import Protocol._
   * stateful generalization the reference never had.
   */
 object EventQueries extends QueryModule {
+
+  /** q244/q245 shared stage: the CDC change stream replayed ONCE per
+    * (session, dir) through retractMinMaxSink; both consumers read the
+    * materialized live-value index (`<dir>/idx`) — the leaderboard and the
+    * min/max are two READS of one maintained state, which is the point of
+    * maintaining it.
+    */
+  private def retractIdx(s: SparkSession, dir: String): String =
+    SharedStages.materializePath(s, dir, "retract-idx") { out =>
+      import org.apache.spark.sql.streaming.Trigger
+      val changes = Tables.load(s, dir, "events")
+        .select((col("user_id") % 500).as("k"), col("ts"), col("event_id"),
+          col("value"),
+          when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"))
+      val (src, st, idx, ck) =
+        (s"$out/src", s"$out/state", s"$out/idx", s"$out/ck")
+      changes.repartition(4).write.mode("overwrite").parquet(src)
+      SharedStages.withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch(graft.streaming.VersionedView.retractMinMaxSink(
+            st, idx, Seq("k"), Seq("ts", "event_id"), "op",
+            groupCol = col("k") % 50,
+            valueMicro = (dec(col("value")) * 1000000L).cast("long")))
+          .start()
+        q.awaitTermination()
+      }
+    }
 
   override val declared: Seq[Declared] = Seq(
 
@@ -1363,30 +1396,7 @@ object EventQueries extends QueryModule {
     // min/max/count per group over the final argmax state.
     Declared("q244_stream_retract_minmax",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.Trigger
-        val changes = Tables.load(s, dir, "events")
-          .select((col("user_id") % 500).as("k"), col("ts"), col("event_id"),
-            col("value"),
-            when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"))
-        val base = SharedStages.scratchDir("q244")
-        val (src, st, idx, ck) =
-          (s"$base/src", s"$base/state", s"$base/idx", s"$base/ck")
-        changes.repartition(4).write.mode("overwrite").parquet(src)
-        SharedStages.withShufflePartitions(s, 8) {
-          val q = s.readStream.schema(changes.schema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
-            .writeStream
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow())
-            .option("checkpointLocation", ck)
-            .foreachBatch(graft.streaming.VersionedView.retractMinMaxSink(
-              st, idx, Seq("k"), Seq("ts", "event_id"), "op",
-              groupCol = col("k") % 50,
-              valueMicro = (dec(col("value")) * 1000000L).cast("long")))
-            .start()
-          q.awaitTermination()
-        }
-        graft.streaming.VersionedView.readMinMax(s, idx).get
+        graft.streaming.VersionedView.readMinMax(s, s"${retractIdx(s, dir)}/idx").get
           .select(col("g"), big(col("n_live")).as("n_live"),
             col("min_v"), col("max_v"))
           .orderBy(col("g"))
@@ -1399,6 +1409,31 @@ object EventQueries extends QueryModule {
              |         FROM r WHERE rn = 1 AND op <> 'D')
              |SELECT k % 50 AS g, CAST(COUNT(*) AS BIGINT) AS n_live,
              |  CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
-             |FROM live GROUP BY 1 ORDER BY g""".stripMargin))
+             |FROM live GROUP BY 1 ORDER BY g""".stripMargin)),
+
+    // q245 — CONTINUOUS TOP-K LEADERBOARD: a second READ of q244's
+    // maintained live-value index (the stream replays ONCE per session —
+    // SharedStages memoizes the stage), proving the point of maintained
+    // sorted state: min/max, leaderboards and percentile probes are all
+    // index folds, not stream rescans. Top-3 live values per group with
+    // multiplicity (two keys on the same value occupy two ranks); the
+    // multiplicity expansion is capped at k BEFORE the rank window, so a
+    // hot value contributes k rows, never its full key count.
+    Declared("q245_stream_leaderboard",
+      (s, dir) => {
+        graft.streaming.VersionedView.readTopK(s, s"${retractIdx(s, dir)}/idx", 3).get
+          .select(col("g"), big(col("rank")).as("rank"), col("v"))
+          .orderBy(col("g"), col("rank"))
+      },
+      Some("""WITH c AS (SELECT user_id % 500 AS k, ts, event_id, value,
+             |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op FROM events),
+             |r AS (SELECT k, event_id, value, op,
+             |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn FROM c),
+             |live AS (SELECT k, CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+             |         FROM r WHERE rn = 1 AND op <> 'D'),
+             |rk AS (SELECT k % 50 AS g, v,
+             |    ROW_NUMBER() OVER (PARTITION BY k % 50 ORDER BY v DESC) AS rank FROM live)
+             |SELECT g, CAST(rank AS BIGINT) AS rank, v
+             |FROM rk WHERE rank <= 3 ORDER BY g, rank""".stripMargin))
   )
 }

@@ -277,6 +277,30 @@ object VersionedView {
         org.apache.spark.sql.functions.min(col("v")).as("min_v"),
         org.apache.spark.sql.functions.max(col("v")).as("max_v")))
 
+  /** CONTINUOUS TOP-K leaderboard over a [[retractMinMaxSink]] index:
+    * (g, rank, v) for the k largest live values per group, duplicates
+    * counted by multiplicity (two keys holding the same value occupy two
+    * ranks). The k·multiplicity expansion happens AFTER the index filter,
+    * so the window ranks index rows per group — live-value-cardinality
+    * work, the leaderboard read a maintained sorted state exists for.
+    */
+  def readTopK(spark: SparkSession, idxOut: String, k: Int): Option[DataFrame] = {
+    require(k > 0, "top-k needs k > 0")
+    val f = org.apache.spark.sql.functions
+    read(spark, idxOut).map { idx =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc)
+      idx.filter(col("dcnt") > 0)
+        // expand multiplicity only up to k — a value held by 10k keys
+        // contributes at most k leaderboard rows
+        .select(col("g"), f.explode(f.array_repeat(col("v"),
+          f.least(col("dcnt"), f.lit(k.toLong)).cast("int"))).as("v"))
+        .withColumn("rank", f.row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("rank"), col("v"))
+    }
+  }
+
   /** The shared retraction front end: the batch reduced to its latest
     * change per key, LEFT-joined against pre-batch state, filtered to the
     * changes that APPLY (no prior row, or strictly newer by `ordCols`).
