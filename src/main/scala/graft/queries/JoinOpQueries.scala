@@ -272,6 +272,40 @@ object JoinOpQueries extends QueryModule {
       Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
              |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // q246 — SPATIAL GRID JOIN: all customer-point pairs within Chebyshev
+    // distance 8 on a 499×491 integer grid (md5-derived coordinates — the
+    // house portable-hash idiom, so the scatter is genuinely uniform at
+    // every SF and both engines derive identical points; a key-linear
+    // lattice was measured to produce ZERO near pairs at small SF). Engine
+    // side: GridJoin's 3×3 cell-neighborhood probe against a cell index —
+    // candidates linear in points × 9 × local density, directional
+    // emission, no dedup shuffle. Oracle side: DuckDB's brute-force
+    // inequality join (IEJoin), affordable at gate scale and structurally
+    // DIFFERENT from the engine's bucketing — a genuine cross-check, not
+    // the same algorithm twice.
+    Declared("q246_grid_spatial_join",
+      (s, dir) => {
+        import graft.functions.ColumnOps.hexLong
+        val h = md5(concat(lit("pt"), col("c_custkey").cast("string")))
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            (hexLong(h, 1, 15) % 499).as("x"),
+            (hexLong(h, 17, 15) % 491).as("y"))
+        graft.operators.GridJoin.chebyshevSelfJoin(pts, "id", "x", "y", 8L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH p AS (SELECT c_custkey AS id,
+             |    CAST(('0x' || substr(md5('pt' || c_custkey), 1, 15)) AS BIGINT) % 499 AS x,
+             |    CAST(('0x' || substr(md5('pt' || c_custkey), 17, 15)) AS BIGINT) % 491 AS y
+             |  FROM customer)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(b.x - a.x AS BIGINT) AS dx, CAST(b.y - a.y AS BIGINT) AS dy
+             |FROM p a JOIN p b
+             |  ON a.id < b.id
+             | AND b.x BETWEEN a.x - 8 AND a.x + 8
+             | AND b.y BETWEEN a.y - 8 AND a.y + 8
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
