@@ -1434,6 +1434,30 @@ object EventQueries extends QueryModule {
              |rk AS (SELECT k % 50 AS g, v,
              |    ROW_NUMBER() OVER (PARTITION BY k % 50 ORDER BY v DESC) AS rank FROM live)
              |SELECT g, CAST(rank AS BIGINT) AS rank, v
-             |FROM rk WHERE rank <= 3 ORDER BY g, rank""".stripMargin))
+             |FROM rk WHERE rank <= 3 ORDER BY g, rank""".stripMargin)),
+
+    // q248 — EXACT RUNNING MEDIAN over the CDC stream: the classic
+    // impossible-for-delta-algebra aggregate (a median can move to ANY
+    // live value on one retraction), answered as the third read of q244's
+    // maintained live-value index — one cumulative window over index rows
+    // per group. Lower-median semantics (smallest v with 2·cum ≥ n) stay
+    // integer-exact; oracle derives the same from the final argmax state.
+    Declared("q248_stream_running_median",
+      (s, dir) => {
+        graft.streaming.VersionedView.readMedian(s, s"${retractIdx(s, dir)}/idx").get
+          .select(col("g"), big(col("n_live")).as("n_live"), col("median_v"))
+          .orderBy(col("g"))
+      },
+      Some("""WITH c AS (SELECT user_id % 500 AS k, ts, event_id, value,
+             |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op FROM events),
+             |r AS (SELECT k, event_id, value, op,
+             |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn FROM c),
+             |live AS (SELECT k, CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+             |         FROM r WHERE rn = 1 AND op <> 'D'),
+             |cum AS (SELECT k % 50 AS g, v,
+             |    ROW_NUMBER() OVER (PARTITION BY k % 50 ORDER BY v, k) AS cum,
+             |    COUNT(*) OVER (PARTITION BY k % 50) AS n FROM live)
+             |SELECT g, CAST(MIN(n) AS BIGINT) AS n_live, CAST(MIN(v) AS BIGINT) AS median_v
+             |FROM cum WHERE cum * 2 >= n GROUP BY g ORDER BY g""".stripMargin))
   )
 }

@@ -306,6 +306,50 @@ object JoinOpQueries extends QueryModule {
              |  ON a.id < b.id
              | AND b.x BETWEEN a.x - 8 AND a.x + 8
              | AND b.y BETWEEN a.y - 8 AND a.y + 8
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // q247 — GRID KNN: each point's 3 nearest neighbors within the radius,
+    // by (Chebyshev distance, neighbor id) — the nearest-facility /
+    // reverse-geocode read on top of q246's candidate machinery. The
+    // directional pair set symmetrizes (a map-side union, no new join),
+    // then one point-partitioned window ranks candidates — k·n rows out.
+    // Points with no neighbor in range simply have no rows, matching the
+    // radius-bounded KNN contract (a global fallback scan would be the
+    // unbounded-KNN operator, a different beast).
+    Declared("q247_grid_knn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.ColumnOps.hexLong
+        val h = md5(concat(lit("pt"), col("c_custkey").cast("string")))
+        val pts = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            (hexLong(h, 1, 15) % 499).as("x"),
+            (hexLong(h, 17, 15) % 491).as("y"))
+        val pairs = graft.operators.GridJoin
+          .chebyshevSelfJoin(pts, "id", "x", "y", 8L)
+          .select(col("id_a"), col("id_b"),
+            greatest(abs(col("dx")), abs(col("dy"))).as("dist"))
+        val sym = pairs.unionByName(pairs.select(
+          col("id_b").as("id_a"), col("id_a").as("id_b"), col("dist")))
+        val w = Window.partitionBy(col("id_a")).orderBy(col("dist"), col("id_b"))
+        sym.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("id_a").as("id"), big(col("rank")).as("rank"),
+            col("id_b").as("nn_id"), col("dist"))
+          .orderBy(col("id"), col("rank"))
+      },
+      Some("""WITH p AS (SELECT c_custkey AS id,
+             |    CAST(('0x' || substr(md5('pt' || c_custkey), 1, 15)) AS BIGINT) % 499 AS x,
+             |    CAST(('0x' || substr(md5('pt' || c_custkey), 17, 15)) AS BIGINT) % 491 AS y
+             |  FROM customer),
+             |pr AS (SELECT a.id AS id, b.id AS nn_id,
+             |    GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS dist
+             |  FROM p a JOIN p b ON a.id <> b.id
+             |   AND b.x BETWEEN a.x - 8 AND a.x + 8
+             |   AND b.y BETWEEN a.y - 8 AND a.y + 8),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, nn_id) AS rank
+             |       FROM pr)
+             |SELECT id, CAST(rank AS BIGINT) AS rank, nn_id, CAST(dist AS BIGINT) AS dist
+             |FROM rk WHERE rank <= 3 ORDER BY id, rank""".stripMargin))
   )
 }

@@ -301,6 +301,30 @@ object VersionedView {
     }
   }
 
+  /** EXACT RUNNING MEDIAN over a [[retractMinMaxSink]] index: per group,
+    * the lower median of the LIVE value multiset — the smallest v whose
+    * cumulative live count reaches half the population (2·cum ≥ n). Like
+    * [[readTopK]] this is a fold of the maintained index: one cumulative
+    * window over index ROWS per group (live-value cardinality, never keys
+    * or history), which is what makes an exact continuously-queryable
+    * median tractable at all — the classic impossible-for-deltas aggregate.
+    */
+  def readMedian(spark: SparkSession, idxOut: String): Option[DataFrame] = {
+    val f = org.apache.spark.sql.functions
+    read(spark, idxOut).map { idx =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      idx.filter(col("dcnt") > 0)
+        .withColumn("cum", f.sum(col("dcnt")).over(w))
+        .withColumn("n", f.sum(col("dcnt")).over(wg))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("g"))
+        .agg(f.min(col("v")).as("median_v"), f.min(col("n")).as("n_live"))
+    }
+  }
+
   /** The shared retraction front end: the batch reduced to its latest
     * change per key, LEFT-joined against pre-batch state, filtered to the
     * changes that APPLY (no prior row, or strictly newer by `ordCols`).

@@ -184,6 +184,24 @@ class VersionedViewSpec extends AnyFunSuite {
     assert(snap() == List((2L, 6L, 7L)))
   }
 
+  test("running median tracks retractions, lower-median on even counts") {
+    import spark.implicits._
+    val (st, idx) = (tmpDir("vview-medstate"), tmpDir("vview-medidx"))
+    def ch(rows: (Long, Long, Long, String)*) = rows.toDF("k", "ord", "v", "op")
+    val sink = VersionedView.retractMinMaxSink(st, idx, Seq("k"), Seq("ord"),
+      "op", groupCol = lit(0L), valueMicro = col("v"))
+    def med() = VersionedView.readMedian(spark, idx).get
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList // (median, n)
+    sink(ch((1L, 1L, 10L, "U"), (2L, 1L, 20L, "U"), (3L, 1L, 30L, "U")), 0L)
+    assert(med() == List((20L, 3L)))
+    // even count: LOWER median (2*cum >= n picks position n/2)
+    sink(ch((4L, 1L, 40L, "U")), 1L)
+    assert(med() == List((20L, 4L)))
+    // delete the median holder: median moves without any stream rescan
+    sink(ch((2L, 5L, 0L, "D")), 2L)
+    assert(med() == List((30L, 3L)))
+  }
+
   test("cdc apply reduces each batch to its own latest change per key") {
     val out = tmpDir("vview-cdc2")
     val sink = VersionedView.cdcSink(out, Seq("k"), Seq("ord"))
