@@ -350,6 +350,57 @@ object JoinOpQueries extends QueryModule {
              |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, nn_id) AS rank
              |       FROM pr)
              |SELECT id, CAST(rank AS BIGINT) AS rank, nn_id, CAST(dist AS BIGINT) AS dist
-             |FROM rk WHERE rank <= 3 ORDER BY id, rank""".stripMargin))
+             |FROM rk WHERE rank <= 3 ORDER BY id, rank""".stripMargin)),
+
+    // q249 — SPATIO-TEMPORAL CO-PRESENCE: user pairs within Chebyshev 16
+    // during the SAME hour — the contact-tracing / co-occurrence join,
+    // which is the grid-join pattern with time folded into the bucketing
+    // key: probe explodes its 3×3 cell neighborhood, the equi-join runs on
+    // (hour, cx, cy), so pairs never form across hours and candidate work
+    // is per-slice local density, not corpus². Positions are the md5 scatter
+    // per (user, hour); output aggregates to pair level (n co-present
+    // hours, first hour) — the entity-pair summary a downstream graph
+    // (q164/q205/q211 family) would ingest.
+    Declared("q249_copresence",
+      (s, dir) => {
+        import graft.functions.ColumnOps.{floorDiv, hexLong, idiv}
+        val d = 16L
+        val h = md5(concat(lit("u"), col("user_id").cast("string"),
+          lit("h"), col("hour").cast("string")))
+        val pos = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            idiv(unix_micros(col("ts")), lit(3600000000L)).as("hour"))
+          .distinct()
+          .select(col("user_id"), col("hour"),
+            (hexLong(h, 1, 15) % 499).as("x"), (hexLong(h, 17, 15) % 491).as("y"))
+        val build = pos
+          .withColumn("cx", floorDiv(col("x"), d))
+          .withColumn("cy", floorDiv(col("y"), d))
+        val probe = build
+          .select(col("user_id").as("ua"), col("hour"), col("x").as("xa"),
+            col("y").as("ya"),
+            explode(sequence(col("cx") - 1, col("cx") + 1)).as("cx"), col("cy").as("cy0"))
+          .select(col("ua"), col("hour"), col("xa"), col("ya"), col("cx"),
+            explode(sequence(col("cy0") - 1, col("cy0") + 1)).as("cy"))
+        probe.join(build.select(col("user_id").as("ub"), col("hour"),
+            col("x").as("xb"), col("y").as("yb"), col("cx"), col("cy")),
+            Seq("hour", "cx", "cy"))
+          .filter(col("ua") < col("ub") &&
+            abs(col("xa") - col("xb")) <= d && abs(col("ya") - col("yb")) <= d)
+          .groupBy(col("ua"), col("ub"))
+          .agg(big(count(lit(1))).as("n_hours"), min(col("hour")).as("first_hour"))
+          .orderBy(col("ua"), col("ub"))
+      },
+      Some("""WITH uh AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour FROM events),
+             |p AS (SELECT user_id, hour,
+             |    CAST(('0x' || substr(md5('u' || user_id || 'h' || hour), 1, 15)) AS BIGINT) % 499 AS x,
+             |    CAST(('0x' || substr(md5('u' || user_id || 'h' || hour), 17, 15)) AS BIGINT) % 491 AS y
+             |  FROM uh)
+             |SELECT a.user_id AS ua, b.user_id AS ub,
+             |  CAST(COUNT(*) AS BIGINT) AS n_hours, CAST(MIN(a.hour) AS BIGINT) AS first_hour
+             |FROM p a JOIN p b ON a.hour = b.hour AND a.user_id < b.user_id
+             | AND b.x BETWEEN a.x - 16 AND a.x + 16
+             | AND b.y BETWEEN a.y - 16 AND a.y + 16
+             |GROUP BY 1, 2 ORDER BY ua, ub""".stripMargin))
   )
 }
