@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm per round, all as shuffled joins/aggregations (no driver-side
   * graph state):
-  *   (1) neighbor-min   l₁(n) = min(l(n), min over neighbors m of l(m))
-  *   (2) pointer double l₂(n) = l₁(l₁(n))
-  * Step (1) alone converges in O(diameter) rounds; (2) halves the remaining
-  * pointer depth each round, giving O(log n) overall — the same bound as the
-  * large-star/small-star MapReduce formulation (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14), with the label table
-  * playing the parent array.
+  *   (1) rep-level neighbor-min over the CONTRACTED graph:
+  *       l₁(n) = min(l(n), min dst of contracted edges out of l(n))
+  *   (2) full path compression: jump l(n) ← l(l(n)) to the fixpoint
+  *       (each jump squares the remaining pointer depth — O(log depth)
+  *       node-sized joins)
+  *   (3) contraction: map both endpoints of the contracted edge set
+  *       through the new labels and drop internal edges; EMPTY ⟺ done.
+  * The contraction is load-bearing, not an optimization: it merges whole
+  * components per round (star contraction — the large-star/small-star
+  * family, Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14), giving O(log n) rounds on ANY topology. Neighbor-min over the
+  * ORIGINAL edges with a single pointer jump — this operator's previous
+  * formulation — crawls on high-diameter graphs: a 997-node
+  * permutation-cycle graph (diameter ~250, q250's edge stream) measured 59
+  * rounds there vs 5 contracted, and blew the 25-round budget.
   *
   * Scale notes (100 TB):
   *   - `edges` is persisted so each round touches the deduplicated edge
@@ -100,61 +108,106 @@ object ConnectedComponents {
       val s = Option(m("s")).fold(0L)(_.asInstanceOf[Long])
       (out, s, m("n").asInstanceOf[Long])
     }
-    var (labels, prevSum, _) = checkpointObserved(
+    def checkpointCounted(df: DataFrame, name: String): (DataFrame, Long) = {
+      val obs = Observation(name)
+      val observed = df.observe(obs, count(lit(1)).as("n"))
+      val out = reliableDir match {
+        case None => observed.localCheckpoint(true)
+        case Some(dir) =>
+          observed.write.mode("overwrite").parquet(s"$dir/$name")
+          spark.read.parquet(s"$dir/$name")
+      }
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (labels, _, _) = checkpointObserved(
       edges.groupBy(col("src").as("node"))
         .agg(min(col("dst")).as("nbr"))
         .select(col("node"), least(col("node"), col("nbr")).as("label")),
       "cc_seed")
+    // One pointer jump l'(n) = l(l(n)): labels are always node ids, so the
+    // label table has a row for every label value; left+coalesce is only a
+    // safety net. Hot labels (≥ threshold probe rows) resolve through a
+    // BROADCAST of their lookup rows — bounded at n/threshold rows, one
+    // (label, l(label)) pair per hot label, id-type-generic (no driver
+    // materialization) — so no shuffle key ever carries a giant component's
+    // full row set. The split is gated on the label table's total row count
+    // (observed on its checkpoint job): below threshold — e.g. any
+    // test-scale run — no label can be hot and the plain join runs with
+    // zero extra cost.
+    def jump(cur: DataFrame, curRows: Long): DataFrame = {
+      val lookup = cur.select(col("node").as("label"), col("label").as("label2"))
+      if (curRows < hotLabelThreshold) {
+        cur.join(lookup, Seq("label"), "left")
+          .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
+      } else {
+        val hotLookup = cur.groupBy(col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= hotLabelThreshold)
+          .select(col("label"))
+          .join(lookup, Seq("label"))
+          .withColumnRenamed("label2", "hot2")
+        val marked = cur.join(broadcast(hotLookup), Seq("label"), "left")
+        val hotDone = marked.filter(col("hot2").isNotNull)
+          .select(col("node"), col("hot2").as("label"))
+        val coldDone = marked.filter(col("hot2").isNull)
+          .join(lookup, Seq("label"), "left")
+          .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
+        hotDone.union(coldDone)
+      }
+    }
+    // The round-0 contracted graph IS the input graph; every round
+    // re-contracts it through the fresh labels, so the edge set the next
+    // round touches shrinks to the COMPONENT graph — this contraction is
+    // what makes the outer loop O(log n) on ANY topology. Without it
+    // (neighbor-min over the ORIGINAL edges, the previous formulation),
+    // min-labels crawl: a permutation-cycle graph (diameter ~250 at 997
+    // nodes, from q250's edge stream) needed 59 rounds against the
+    // documented O(log n) and tripped maxIters; contracted, it converges
+    // in 5 (verified by exact simulation and the q250 gate).
+    var (cEdges, cEdgeCount) = (edges, edges.count())
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      // (1) neighbor-min, materialized once — both pointer-double sides and
-      // the hot-label count read the stored blocks.
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
-      val (l1, _, l1Rows) = checkpointObserved(
-        labels.join(nbrMin, Seq("node"), "left")
+    while (cEdgeCount > 0 && iter < maxIters) {
+      // (1) rep-level neighbor-min over the CONTRACTED graph, applied to
+      // every node through its label (join on label = contracted src).
+      val nbrMin = cEdges.groupBy(col("src").as("label"))
+        .agg(min(col("dst")).as("nbr"))
+      var (cur, curSum, curRows) = checkpointObserved(
+        labels.join(nbrMin, Seq("label"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label")),
         s"cc_l1_$iter")
-      // (2) l₂(n) = l₁(l₁(n)): labels are always node ids, so l₁ has a row
-      // for every label value; left+coalesce is only a safety net. Hot
-      // labels (≥ threshold probe rows) resolve through a BROADCAST of
-      // their lookup rows — bounded at n/threshold rows, one
-      // (label, l₁(label)) pair per hot label, id-type-generic (no driver
-      // materialization) — so no shuffle key ever carries a giant
-      // component's full row set. The split is gated on l1's total row
-      // count (observed on the checkpoint job): below threshold — e.g. any
-      // test-scale run — no label can be hot and the plain join runs with
-      // zero extra cost.
-      val lookup = l1.select(col("node").as("label"), col("label").as("label2"))
-      val pointered =
-        if (l1Rows < hotLabelThreshold) {
-          l1.join(lookup, Seq("label"), "left")
-            .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
-        } else {
-          val hotLookup = l1.groupBy(col("label"))
-            .agg(count(lit(1)).as("cnt"))
-            .filter(col("cnt") >= hotLabelThreshold)
-            .select(col("label"))
-            .join(lookup, Seq("label"))
-            .withColumnRenamed("label2", "hot2")
-          val marked = l1.join(broadcast(hotLookup), Seq("label"), "left")
-          val hotDone = marked.filter(col("hot2").isNotNull)
-            .select(col("node"), col("hot2").as("label"))
-          val coldDone = marked.filter(col("hot2").isNull)
-            .join(lookup, Seq("label"), "left")
-            .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
-          hotDone.union(coldDone)
-        }
-      val (next, nextSum, _) = checkpointObserved(pointered, s"cc_round_$iter")
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // (2) FULL PATH COMPRESSION: jump to the pointer fixpoint — each
+      // jump squares the remaining pointer depth, so O(log depth)
+      // node-sized joins.
+      var inner = 0
+      var compressed = false
+      while (!compressed) {
+        val (next, nextSum, nextRows) =
+          checkpointObserved(jump(cur, curRows), s"cc_j_${iter}_$inner")
+        compressed = nextSum == curSum
+        cur = next; curSum = nextSum; curRows = nextRows
+        inner += 1
+      }
+      labels = cur
+      // (3) CONTRACT: map both endpoints through the new labels, drop
+      // internal edges. Empty ⟺ every input edge is inside one component
+      // ⟺ converged (and the single label per component is necessarily the
+      // min member id — the min node's label can never exceed itself).
+      val l = labels
+      val (ce, cen) = checkpointCounted(
+        cEdges
+          .join(l.select(col("node").as("src"), col("label").as("ls")), Seq("src"))
+          .join(l.select(col("node").as("dst"), col("label").as("ld")), Seq("dst"))
+          .select(col("ls").as("src"), col("ld").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct(),
+        s"cc_edges_$iter")
+      cEdges = ce; cEdgeCount = cen
       iter += 1
     }
-    require(converged, s"connectedComponents: not converged after $maxIters rounds")
+    require(cEdgeCount == 0,
+      s"connectedComponents: not converged after $maxIters rounds " +
+        s"($cEdgeCount contracted edges remain)")
     edges.unpersist()
     labels.withColumnRenamed("label", "rep")
   }

@@ -747,7 +747,54 @@ object GraphStatQueries extends QueryModule {
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dist, nn) AS rn
              |  FROM p)
              |SELECT user_id, nn, dist, tape_len FROM r WHERE rn = 1
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // q250 — INCREMENTAL connected components over STREAMING edge
+    // insertions (distributed union-find): the component map maintained
+    // batch-by-batch through IncrementalCC.ccSink — contract batch edges
+    // through current reps, run pointer-doubling CC on the CONTRACTED
+    // graph only (batch + touched components, never the accumulated
+    // graph), relabel through the touched-component-sized remap, publish
+    // versioned. The maintained rep is the component's min node id under
+    // ANY batch split, so the batch CC oracle (the q60 recursive-closure
+    // pattern) gates it directly. Edge stream: every 17th event derives a
+    // deterministic (u, v) pair on a 997-node id space.
+    Declared("q250_stream_incremental_cc",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val edges = Tables.load(s, dir, "events")
+          .filter(col("event_id") % 17 === 0)
+          .select((col("event_id") % 997).as("u"),
+            ((col("event_id") * 31 + 7) % 997).as("v"))
+        val base = SharedStages.scratchDir("q250")
+        val (src, st, ck) = (s"$base/src", s"$base/state", s"$base/ck")
+        edges.repartition(4).write.mode("overwrite").parquet(src)
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(edges.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch(graft.streaming.IncrementalCC.ccSink(st))
+            .start()
+          q.awaitTermination()
+        }
+        graft.streaming.VersionedView.read(s, st).get
+          .select(col("node"), col("rep"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT event_id % 997 AS u, (event_id * 31 + 7) % 997 AS v
+             |  FROM events WHERE event_id % 17 = 0),
+             |e1 AS (SELECT u, v FROM e0 WHERE u <> v),
+             |edges AS (SELECT u, v FROM e1 UNION SELECT v, u FROM e1),
+             |reach(n, r) AS (
+             |  SELECT DISTINCT u, u FROM edges
+             |  UNION
+             |  SELECT e.u, rch.r FROM edges e JOIN reach rch ON rch.n = e.v)
+             |SELECT n AS node, CAST(MIN(r) AS BIGINT) AS rep
+             |FROM reach GROUP BY n ORDER BY node""".stripMargin))
   )
 
   /** Programmatically-unrolled k-core oracle: 16 MATERIALIZED peel rounds

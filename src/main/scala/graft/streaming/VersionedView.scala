@@ -375,6 +375,14 @@ object VersionedView {
       .filter(col("dn") > 0)
       .select(col("g"), col("dn").as("n_live"), col("dsum").as("sum_micro")))
 
+  /** Write-audit-publish core shared by the sinks (package-visible so
+    * sibling sinks like [[IncrementalCC]] build on the same protocol):
+    * `mk` builds the new version from (batch, current version contents).
+    */
+  private[streaming] def versionedSinkShared(out: String)(
+      mk: (DataFrame, Option[DataFrame]) => DataFrame): (DataFrame, Long) => Unit =
+    versionedSink(out)(mk)
+
   /** Write-audit-publish core shared by the sinks: `mk` builds the new
     * version from (batch, current version contents).
     */

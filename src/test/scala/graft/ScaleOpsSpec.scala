@@ -79,7 +79,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the rounds genuinely went through durable files, not blocks
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .iterator().asScala.map(_.getFileName.toString).toSeq
-    assert(files.contains("cc_edges") && files.exists(_.startsWith("cc_round_")),
+    assert(files.contains("cc_edges") && files.exists(_.startsWith("cc_j_")) &&
+      files.exists(_.startsWith("cc_edges_")),
       s"no spill dirs written: $files")
   }
 
