@@ -182,6 +182,14 @@ object ConnectedComponents {
       var inner = 0
       var compressed = false
       while (!compressed) {
+        // Defensive cap mirroring the outer maxIters guard: each jump
+        // SQUARES the remaining pointer depth, so 64 jumps resolve chains
+        // of length 2^64 — termination otherwise rests on the label-sum
+        // being strictly monotone, and any regression (or a Long-sum wrap
+        // at extreme id scales) must fail loudly, not loop forever.
+        require(inner < 64,
+          s"connectedComponents: path compression did not converge after " +
+            s"$inner jumps in round $iter (label-sum no longer monotone?)")
         val (next, nextSum, nextRows) =
           checkpointObserved(jump(cur, curRows), s"cc_j_${iter}_$inner")
         compressed = nextSum == curSum

@@ -402,6 +402,12 @@ object Multimodal {
       val end = if (i + 1 < n) offs(i + 1) else payloadLen
       require(start >= 0 && end <= payloadLen && start <= end,
         s"corrupt offset table for frame $i: [$start, $end) of $payloadLen")
+      // copyOfRange zero-pads past the array end, which would yield
+      // silently corrupt frame bytes when the container is truncated
+      // relative to its declared payloadLen — fail loudly instead.
+      require(buf.position() + end <= bytes.length,
+        s"truncated payload: frame $i needs ${buf.position() + end} bytes, " +
+          s"container has ${bytes.length}")
       java.util.Arrays.copyOfRange(bytes, buf.position() + start, buf.position() + end)
     }
   }

@@ -794,6 +794,61 @@ object GraphStatQueries extends QueryModule {
              |  UNION
              |  SELECT e.u, rch.r FROM edges e JOIN reach rch ON rch.n = e.v)
              |SELECT n AS node, CAST(MIN(r) AS BIGINT) AS rep
+             |FROM reach GROUP BY n ORDER BY node""".stripMargin)),
+
+    // q252 — FULLY-DYNAMIC streaming connected components: q250 widened to
+    // edge DELETIONS through IncrementalCC.ccDeleteSink. A deletion can
+    // SPLIT a component — undoable by no union-find — so the sink keeps a
+    // second versioned view, the live edge multiset with NET counts
+    // (I=+1, D=−1, no clamp: the final map is a pure function of final
+    // counts, identical under ANY batch split), and rebuilds only TOUCHED
+    // components (live edges incident to split endpoints, untouched
+    // components contracted to their reps). Change stream: every 13th
+    // event emits a link of a 997-cycle (u = event_id % 997, v = u+1 mod
+    // 997), every 4th change is a DELETE — cycle links die when their net
+    // count drains, splitting the ring into arcs; the recursive oracle
+    // recomputes CC over exactly the net-live multiset.
+    Declared("q252_stream_cc_deletes",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val changes = Tables.load(s, dir, "events")
+          .filter(col("event_id") % 13 === 0)
+          .select((col("event_id") % 997).as("u"),
+            ((col("event_id") % 997) + 1) % 997 as "v",
+            when(expr("(event_id div 13) % 4") === 0, lit("D"))
+              .otherwise(lit("I")).as("op"))
+        val base = SharedStages.scratchDir("q252")
+        val (src, st, es, ck) = (s"$base/src", s"$base/state", s"$base/edges", s"$base/ck")
+        changes.repartition(4).write.mode("overwrite").parquet(src)
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch(graft.streaming.IncrementalCC.ccDeleteSink(st, es))
+            .start()
+          q.awaitTermination()
+        }
+        graft.streaming.VersionedView.read(s, st).get
+          .select(col("node"), col("rep"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE ch AS (
+             |  SELECT event_id % 997 AS p,
+             |    CASE WHEN (event_id // 13) % 4 = 0 THEN -1 ELSE 1 END AS d
+             |  FROM events WHERE event_id % 13 = 0),
+             |e0 AS (
+             |  SELECT LEAST(p, (p + 1) % 997) AS a,
+             |         GREATEST(p, (p + 1) % 997) AS b, SUM(d) AS cnt
+             |  FROM ch GROUP BY 1, 2 HAVING SUM(d) > 0),
+             |edges AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+             |reach(n, r) AS (
+             |  SELECT DISTINCT u, u FROM edges
+             |  UNION
+             |  SELECT e.u, rch.r FROM edges e JOIN reach rch ON rch.n = e.v)
+             |SELECT n AS node, CAST(MIN(r) AS BIGINT) AS rep
              |FROM reach GROUP BY n ORDER BY node""".stripMargin))
   )
 

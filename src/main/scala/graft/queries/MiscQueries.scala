@@ -221,14 +221,18 @@ object MiscQueries extends QueryModule {
           .agg(parts(dec(col("l_extendedprice")), dec(col("l_quantity"))).as("w"),
             count(lit(1)).as("n"))
           .select(col("l_returnflag"), big(col("n")).as("n"),
-            out6(col("w.sum_wx")).as("sum_wx"),
+            // Σw·x ≈ 2.7e10 at sf0.01 — past the 2^53·1e-6 terminal-DOUBLE
+            // exactness bound (Protocol.ExactDoubleBound caught it), so the
+            // raw weighted sum ships as EXACT INTEGER MICROS in a BIGINT
+            // terminal: decimal×1e6 → round(…,0) → long, no double anywhere
+            big(round(col("w.sum_wx") * lit(1000000L), 0)).as("sum_wx_micro"),
             out6(col("w.sum_w")).as("sum_qty"),
             out6(col("w.sum_wx") / col("w.sum_w")).as("vwap"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n,
              |  -- DECIMAL(19,6) multiply operands force DuckDB's int128 path (q79 note)
-             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))), 6) AS DECIMAL(18,6)) AS sum_wx,
+             |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) * 1000000, 0) AS BIGINT) AS sum_wx_micro,
              |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_qty,
              |  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE)
              |       / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS DECIMAL(18,6)) AS vwap

@@ -61,9 +61,39 @@ object Protocol {
     * such divergence would be a decimal-arithmetic bug both engines would
     * have to make in lockstep to go unnoticed.
     */
+  /** 2^53·10⁻⁶ — the largest magnitude below which every distinct 6-dp
+    * decimal maps to a DISTINCT float64 (see finalizeDoubles doc). The
+    * terminal-range guard below enforces it at runtime.
+    */
+  val ExactDoubleBound: Double = 9.007199254740992e9
+
+  /** Session switch for the terminal-range guard below. ON wherever a hash
+    * oracle gates results (Verify, specs, default sessions). A PERF-ONLY
+    * rehearsal at a scale factor with no oracle (ScaleUp sf1/sf10, where
+    * aggregate sums legitimately cross the bound) sets it "off" — the
+    * guard protects gate exactness, not throughput measurement.
+    */
+  val GuardConfKey = "spark.graft.terminalGuard"
+
   def finalizeDoubles(df: DataFrame): DataFrame = {
+    val guardOn =
+      df.sparkSession.conf.get(GuardConfKey, "on") != "off"
     val cols = df.schema.fields.map { f =>
       f.dataType match {
+        case _: DecimalType if guardOn =>
+          // TERMINAL-RANGE GUARD: above ExactDoubleBound two 6-dp decimals
+          // differing in the last digit can collapse to ONE double, so a
+          // real divergence could hash-MATCH the oracle — both sides cast
+          // identically and the gate cannot see it. Fail loudly instead of
+          // silently capping exactness at 2^53.
+          val c = col(f.name)
+          when(abs(c) >= lit(ExactDoubleBound), raise_error(concat(
+            lit(s"Protocol.finalizeDoubles: terminal decimal '${f.name}' = "),
+            c.cast("string"),
+            lit(s" exceeds the 2^53*1e-6 exactness bound ($ExactDoubleBound); " +
+              "rescale the query output (e.g. report in millions) so the " +
+              "double terminal stays exact"))))
+            .otherwise(c.cast("double")).as(f.name)
         case _: DecimalType | FloatType => col(f.name).cast("double").as(f.name)
         case _                          => col(f.name)
       }

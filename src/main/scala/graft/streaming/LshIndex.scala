@@ -100,18 +100,26 @@ object LshIndex {
       batchId: Long, markersDir: String = null,
       threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
-    val bban = banded(signatures(batch.select("doc_id", "text")))
+    val bbanAll = banded(signatures(batch.select("doc_id", "text")))
+    val storeBan = storeOrEmpty(spark, storeDir, bbanAll)
+    // Re-arrivals (a doc_id already in the store arriving again in a LATER
+    // batch, not just a replay) are no-ops BY CONSTRUCTION: the probe side
+    // is anti-joined against the store by doc_id before any pair is
+    // generated, so the stored signature stays authoritative and the
+    // emitted pairs can never disagree with the store about which
+    // signature a doc_id carries. First arrival wins; a changed text for
+    // an existing doc_id is discarded (insert-only index contract).
+    val bban = bbanAll
+      .join(storeBan.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bban.count() // materialize once; probed up to twice below
-      val storeBan = storeOrEmpty(spark, storeDir, bban)
       val pairs = pairsBetween(bban, bban, threshold)
         .unionByName(pairsBetween(bban, storeBan, threshold))
         .dropDuplicates("id_a", "id_b")
       Loader.writeBatchIdempotent(pairs, pairsDir, batchId, markersDir)
       val fresh = bban.dropDuplicates("doc_id") // re-band on read, store one row per doc
         .select(col("doc_id"), col("sig"))
-        .join(storeBan.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       fresh.write.mode("append").parquet(storeDir)
     } finally bban.unpersist()
   }

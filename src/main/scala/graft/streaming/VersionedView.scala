@@ -153,6 +153,17 @@ object VersionedView {
     }
   }
 
+  /** Read the latest published version whose batchId is STRICTLY below
+    * `batchId` — the pre-batch snapshot a multi-view sink must recompute
+    * from when an earlier-published sibling view already advanced to
+    * `batchId` during a replay. Safe under the current+previous retention:
+    * publishing v=`batchId` retains exactly the pre-batch version.
+    */
+  private[streaming] def readBefore(spark: SparkSession, out: String,
+      batchId: Long): Option[DataFrame] =
+    versions(spark, out).map(_.drop(2).toLong).filter(_ < batchId)
+      .sorted.lastOption.map(v => spark.read.parquet(s"$out/v=$v"))
+
   /** Read the current state of a [[cdcSink]] view with tombstones hidden. */
   def readState(spark: SparkSession, out: String, opCol: String,
       deleteOp: String = "D"): Option[DataFrame] =
@@ -254,13 +265,21 @@ object VersionedView {
         .groupBy(col("g"), col("v"))
         .agg(org.apache.spark.sql.functions.sum(col("dcnt")).as("dcnt"))
       versionedSink(idxOut) { (d, curIdx) =>
-        curIdx match {
+        // COMPACT at publish: a (g, v) row whose live multiplicity drained
+        // to 0 carries no information, and under adversarial value churn
+        // (one key cycling through ever-new values) keeping them would
+        // grow the index with HISTORY cardinality instead of live-value
+        // cardinality — the classic unbounded-state leak. Dropping them
+        // here pins index rows == live distinct (g, v) values
+        // (StateScaleSpec enforces it).
+        val merged = curIdx match {
           case None => d
           case Some(a) => graft.operators.MergeInto.merge(a, d, Seq("g", "v"),
             setOnMatch = Map("dcnt" -> (col("t_dcnt") + col("s_dcnt"))),
             insertOnUnmatched = Map("dcnt" -> col("s_dcnt")),
             checkCardinality = false)
         }
+        merged.filter(col("dcnt") =!= 0L)
       }(deltas, batchId)
       applyState(batch, batchId)
     }
@@ -351,19 +370,25 @@ object VersionedView {
         .withColumn("_old_live", f.lit(null).cast("long"))
         .withColumn("_old_v", f.lit(null).cast("long"))
       case Some(st) =>
+        // explicit presence flag (mirrors MergeInto's _t_present) — "no
+        // prior row" must NOT be inferred from ord-column nullness, or a
+        // genuine prior state row whose first ordering column is NULL
+        // would be misclassified as absent and this view would diverge
+        // from cdcSink's merge (which evaluates NULL ord -> not newer).
         val old = st
           .withColumn("_old_live", f.when(col(opCol) =!= deleteOp, 1L).otherwise(0L))
           .withColumn("_old_v",
             f.when(col(opCol) =!= deleteOp, valueMicro).otherwise(f.lit(0L)))
           .select(keys.map(col) ++
             (ordCols.map(o => col(o).as(s"_old_$o")) :+
-              col("_old_live") :+ col("_old_v")): _*)
+              col("_old_live") :+ col("_old_v") :+
+              f.lit(1).as("_old_present")): _*)
         val j = latest.join(old, keys, "left")
         val newer = ordCols.zipWithIndex.map { case (o, i) =>
           val ties = ordCols.take(i).map(p => col(p) === col(s"_old_$p"))
           (ties :+ (col(o) > col(s"_old_$o"))).reduce(_ && _)
         }.reduce(_ || _)
-        j.filter(col(s"_old_${ordCols.head}").isNull || newer)
+        j.filter(col("_old_present").isNull || newer).drop("_old_present")
     }
   }
 

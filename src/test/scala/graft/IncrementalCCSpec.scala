@@ -50,4 +50,78 @@ class IncrementalCCSpec extends AnyFunSuite {
     sink(edges(all(3)), 3L) // replay of a published batch
     assert(state(out) == oneShot)
   }
+
+  private def changes(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("u", "v", "op")
+  }
+
+  test("deletion splits a component and the runner sides re-min-label") {
+    val (st, es) = (tmpDir("icc-dst"), tmpDir("icc-des"))
+    val sink = IncrementalCC.ccDeleteSink(st, es)
+    // chain 1-2-3-4-5: one component, rep 1
+    sink(changes((1L, 2L, "I"), (2L, 3L, "I"), (3L, 4L, "I"), (4L, 5L, "I")), 0L)
+    assert(state(st) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // cut the middle link: {1,2,3} keeps rep 1, {4,5} re-labels to 4
+    sink(changes((3L, 4L, "D")), 1L)
+    assert(state(st) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // re-insert the cut link: merge back (revival through cnt 0 -> 1)
+    sink(changes((4L, 3L, "I")), 2L)
+    assert(state(st) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("multiplicity: one delete of a doubly-inserted edge keeps connectivity") {
+    val (st, es) = (tmpDir("icc-mst"), tmpDir("icc-mes"))
+    val sink = IncrementalCC.ccDeleteSink(st, es)
+    sink(changes((1L, 2L, "I"), (2L, 1L, "I"), (2L, 3L, "I")), 0L)
+    assert(state(st) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    sink(changes((1L, 2L, "D")), 1L) // cnt 2 -> 1: still live, nothing splits
+    assert(state(st) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    sink(changes((1L, 2L, "D")), 2L) // cnt 1 -> 0: now it splits; 1 isolates
+    assert(state(st) == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("net-count semantics: D before I nets dead; isolated nodes drop out") {
+    val (st, es) = (tmpDir("icc-nst"), tmpDir("icc-nes"))
+    val sink = IncrementalCC.ccDeleteSink(st, es)
+    // a delete races ahead of its insert: cnt -1, edge dead, no map rows
+    sink(changes((8L, 9L, "D"), (1L, 2L, "I")), 0L)
+    assert(state(st) == Map(1L -> 1L, 2L -> 1L))
+    // the late insert nets cnt to 0: STILL dead under any-split semantics
+    sink(changes((8L, 9L, "I")), 1L)
+    assert(state(st) == Map(1L -> 1L, 2L -> 1L))
+    // a second insert makes it live
+    sink(changes((8L, 9L, "I")), 2L)
+    assert(state(st) == Map(1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
+    // delete every edge: the map drains completely
+    sink(changes((8L, 9L, "D"), (1L, 2L, "D")), 3L)
+    assert(state(st) == Map.empty)
+  }
+
+  test("delete-path fixpoint equals batch CC over net-live edges; replay no-op") {
+    // mixed I/D tape, shuffled across batches; oracle = CC over net-lives
+    val tape = Seq(
+      (1L, 2L, "I"), (2L, 3L, "I"), (3L, 1L, "I"), // triangle
+      (5L, 6L, "I"), (6L, 7L, "I"),                // chain
+      (2L, 3L, "D"),                               // triangle survives (cycle)
+      (6L, 7L, "D"),                               // 7 isolates
+      (3L, 5L, "I"))                               // triangle joins 5
+    val net = tape.groupBy(c => (math.min(c._1, c._2), math.max(c._1, c._2)))
+      .view.mapValues(_.map(c => if (c._3 == "D") -1 else 1).sum)
+      .filter(_._2 > 0).keys.toSeq
+    val oracle = graft.operators.ConnectedComponents(edges(net: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (split <- Seq(Seq(3, 5), Seq(8), Seq(1, 4, 6))) {
+      val (st, es) = (tmpDir("icc-fst"), tmpDir("icc-fes"))
+      val sink = IncrementalCC.ccDeleteSink(st, es)
+      var (from, bid) = (0, 0L)
+      for (cut <- split :+ tape.length if cut > from) {
+        sink(changes(tape.slice(from, cut): _*), bid)
+        from = cut; bid += 1
+      }
+      assert(state(st) == oracle, s"split $split diverged from batch CC")
+      sink(changes(tape.last), bid - 1) // replay the final batch
+      assert(state(st) == oracle)
+    }
+  }
 }

@@ -169,4 +169,50 @@ class StateScaleSpec extends AnyFunSuite {
         s"emitted $emitted, want ${nKeys + hotMoves} (every pre-pusher movement once)")
     } finally q.stop()
   }
+
+  test("retract min/max index: 2000 keys + hot value churn — index rows == live distinct values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.streaming.VersionedView
+    val nKeys = 2000
+    val churn = 300
+    val (st, idx) = (TestSpark.tmpDir("ssc-mstate"), TestSpark.tmpDir("ssc-midx"))
+    val sink = VersionedView.retractMinMaxSink(st, idx, Seq("k"), Seq("ord"),
+      "op", groupCol = col("k") % 10, valueMicro = col("v"))
+    def idxRows: Long = VersionedView.read(spark, idx).get.count()
+    def liveDistinct: Long = VersionedView.readState(spark, st, "op", "D").get
+      .select((col("k") % 10).as("g"), col("v")).distinct().count()
+
+    // batch 0: every key gets a DISTINCT value (v = k) — 2000 live values
+    sink((1 to nKeys).map(k => (k.toLong, 0L, k.toLong * 1000L, "U"))
+      .toDF("k", "ord", "v", "op"), 0L)
+    assert(idxRows == nKeys && liveDistinct == nKeys)
+
+    // batches 1..3: the HOT key churns through `churn` ever-new values per
+    // batch. Without publish-time compaction each churned-away value would
+    // leave a dcnt=0 tombstone and the index would grow with HISTORY
+    // cardinality (nKeys + 3*churn rows) — the unbounded-state leak this
+    // spec exists to catch. The invariant: index rows track LIVE distinct
+    // (g, v) values, never how many values ever existed.
+    var ord = 1L
+    for (b <- 1 to 3) {
+      sink((1 to churn).map { i =>
+        val r = (1L, ord, 10000000L + b * 100000L + i, "U"); ord += 1; r
+      }.toDF("k", "ord", "v", "op"), b.toLong)
+      val (ir, ld) = (idxRows, liveDistinct)
+      assert(ir == ld, s"after churn batch $b: index rows $ir != live distinct $ld")
+      assert(ir == nKeys, s"after churn batch $b: index rows $ir, want $nKeys")
+    }
+
+    // delete half the keys: the index must SHRINK with the live set
+    sink((2 to nKeys by 2).map(k => (k.toLong, ord + k, 0L, "D"))
+      .toDF("k", "ord", "v", "op"), 4L)
+    val (ir, ld) = (idxRows, liveDistinct)
+    assert(ir == ld && ir == nKeys / 2,
+      s"after deletes: index rows $ir, live distinct $ld, want ${nKeys / 2}")
+    // and the folded view still answers from the compacted index
+    val mm = VersionedView.readMinMax(spark, idx).get
+      .agg(org.apache.spark.sql.functions.sum(col("n_live"))).collect()(0).getLong(0)
+    assert(mm == nKeys / 2, s"n_live sum $mm, want ${nKeys / 2}")
+  }
 }
