@@ -412,6 +412,189 @@ object Multimodal {
     }
   }
 
+  /** Delta-frame video container ("GPV2") — inter-frame compression in
+    * pure JVM, closing the last seam COVERAGE.md's known-gaps note left on
+    * the video path (GPV1 is intra-only). Outer layout is GPV1's
+    * (`magic | i32 n | i32 off[n] | i32 payloadLen | payload`) with magic
+    * "GPV2"; per-frame payloads are tagged:
+    *
+    *   - `'K'` + PNG bytes — intra keyframe (frame 0);
+    *   - `'D'` + i32 w + i32 h + RLE — residual frame: the per-pixel
+    *     difference (cur − prevRecon) mod 256, zero-run RLE-coded as
+    *     (runLen u8 ≥ 1, value u8) pairs. Mod-256 residuals make the
+    *     codec LOSSLESS (recon = (prev + resid) & 0xFF), and a static
+    *     scene collapses to a handful of zero runs.
+    *
+    * The real cost model of inter-frame codecs follows: random access
+    * becomes PREFIX decode (frame i needs 0..i), so the sampling operator
+    * reconstructs sequentially — one pass to the last sampled index per
+    * asset, never re-decoding the prefix per sample.
+    */
+  final class VideoCodecV2 extends Serializable {
+    private val Magic = Array[Byte]('G', 'P', 'V', '2')
+
+    def pack(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+      require(frames.nonEmpty, "empty video")
+      frames.foreach(f =>
+        require(f.length == width * height, "frame size mismatch"))
+      val ic = new ImageCodec
+      var prev: Array[Int] = null
+      val encoded = frames.map { f =>
+        val e =
+          if (prev == null)
+            'K'.toByte +: ic.encodeGrayPng(width, height, (x, y) => f(y * width + x))
+          else deltaFrame(width, height, f, prev)
+        prev = f
+        e
+      }
+      val payloadLen = encoded.map(_.length).sum
+      val buf = java.nio.ByteBuffer.allocate(4 + 4 + 4 * encoded.length + 4 + payloadLen)
+      buf.put(Magic).putInt(encoded.length)
+      var off = 0
+      encoded.foreach { e => buf.putInt(off); off += e.length }
+      buf.putInt(payloadLen)
+      encoded.foreach(buf.put)
+      buf.array()
+    }
+
+    private def deltaFrame(w: Int, h: Int, cur: Array[Int],
+        prev: Array[Int]): Array[Byte] = {
+      val resid = Array.tabulate(cur.length)(i => ((cur(i) - prev(i)) & 0xFF).toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('D'.toInt)
+      val dims = java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
+      out.write(dims.array())
+      var i = 0
+      while (i < resid.length) {
+        var j = i
+        while (j < resid.length && resid(j) == resid(i) && j - i < 255) j += 1
+        out.write(j - i)
+        out.write(resid(i) & 0xFF)
+        i = j
+      }
+      out.toByteArray
+    }
+
+    private def header(bytes: Array[Byte]): java.nio.ByteBuffer = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val m = new Array[Byte](4)
+      require(bytes.length >= 12, s"truncated container: ${bytes.length} bytes")
+      buf.get(m)
+      require(java.util.Arrays.equals(m, Magic),
+        s"bad container magic: ${m.map(b => f"$b%02x").mkString}")
+      buf
+    }
+
+    def frameCount(bytes: Array[Byte]): Int = header(bytes).getInt()
+
+    /** Sequential reconstruction of frames 0..`upTo` (inclusive): returns
+      * (width, height, gray pixels row-major) per frame. O(upTo) by
+      * construction — the inter-frame dependency chain.
+      */
+    def decodeGray(bytes: Array[Byte], upTo: Int): IndexedSeq[(Int, Int, Array[Int])] = {
+      val buf = header(bytes)
+      val n = buf.getInt()
+      require(upTo >= 0 && upTo < n, s"frame $upTo out of range [0, $n)")
+      val offs = Array.fill(n)(buf.getInt())
+      val payloadLen = buf.getInt()
+      val base = buf.position()
+      require(base + payloadLen <= bytes.length,
+        s"truncated payload: declared $payloadLen, container has ${bytes.length - base}")
+      val ic = new ImageCodec
+      var prev: (Int, Int, Array[Int]) = null
+      (0 to upTo).map { i =>
+        val start = offs(i)
+        val end = if (i + 1 < n) offs(i + 1) else payloadLen
+        require(start >= 0 && end <= payloadLen && start < end,
+          s"corrupt offset table for frame $i: [$start, $end) of $payloadLen")
+        val p = java.util.Arrays.copyOfRange(bytes, base + start, base + end)
+        val rec: (Int, Int, Array[Int]) = p(0) match {
+          case 'K' =>
+            val img = ic.decode(java.util.Arrays.copyOfRange(p, 1, p.length))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px = new Array[Int](w * h)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            (w, h, px)
+          case 'D' =>
+            require(prev != null, s"delta frame $i has no prior keyframe")
+            val db = java.nio.ByteBuffer.wrap(p, 1, 8)
+            val (w, h) = (db.getInt(), db.getInt())
+            require(w == prev._1 && h == prev._2,
+              s"delta frame $i dims ${w}x$h != keyframe ${prev._1}x${prev._2}")
+            val px = new Array[Int](w * h)
+            var (pos, k) = (9, 0)
+            while (pos + 1 < p.length && k < px.length) {
+              val run = p(pos) & 0xFF
+              val v = p(pos + 1) & 0xFF
+              require(k + run <= px.length, s"RLE overrun in frame $i")
+              var r = 0
+              while (r < run) { px(k) = (prev._3(k) + v) & 0xFF; k += 1; r += 1 }
+              pos += 2
+            }
+            require(k == px.length,
+              s"RLE underrun in frame $i: decoded $k of ${px.length} pixels")
+            (w, h, px)
+          case t => throw new IllegalArgumentException(
+            s"unknown frame tag ${t.toInt} at frame $i")
+        }
+        prev = rec
+        rec
+      }
+    }
+
+    /** Gray pixel array → BufferedImage, so reconstructed delta frames
+      * feed the same [[ImageCodec.aHash64]] the intra path uses.
+      */
+    def grayImage(w: Int, h: Int, px: Array[Int]): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, px(y * w + x) & 0xFF); x += 1 }
+        y += 1
+      }
+      img
+    }
+  }
+
+  /** [[sampleFrameHashes]] for the delta-coded GPV2 container: the sampled
+    * indices come from the same stride/cap contract, but reconstruction is
+    * ONE sequential prefix decode to the last sampled index per asset
+    * (inter-frame chains forbid random access), then each sampled frame
+    * hashes through the identical aHash path. Container bytes still never
+    * shuffle — only fixed-width (media_id, frame_idx, fp) rows move.
+    */
+  def sampleFrameHashesV2(media: Dataset[MediaRow], everyNth: Int,
+      maxFrames: Int): Dataset[FrameHash] = {
+    require(everyNth > 0 && maxFrames > 0, "sampling stride/cap must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val vc = new VideoCodecV2
+      val ic = new ImageCodec
+      rows.flatMap { r =>
+        val n = vc.frameCount(r.bytes)
+        val wanted = (0 until n by everyNth).take(maxFrames)
+        if (wanted.isEmpty) Iterator.empty
+        else {
+          val frames = vc.decodeGray(r.bytes, wanted.last)
+          wanted.iterator.map { i =>
+            val (w, h, px) = frames(i)
+            val (hi, lo, set) = ic.aHash64(vc.grayImage(w, h, px))
+            FrameHash(r.media_id, i, w, h, hi, lo, set)
+          }
+        }
+      }
+    }
+  }
+
   /** Real frame sampling + decode over the GPV1 container: every `everyNth`
     * frame (up to `maxFrames` per asset) is EXTRACTED from the container
     * bytes, PNG-decoded, and perceptually hashed — the video twin of

@@ -359,6 +359,60 @@ object MultimodalQueries extends QueryModule {
              |  CAST(SUM(CASE WHEN b >= 32 THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
              |  CAST(SUM(CASE WHEN b < 32 THEN CAST(bit AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp_lo,
              |  CAST(SUM(bit) AS BIGINT) AS n_set
+             |FROM bits GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // q251 — DELTA-CODED video through the GPV2 container: frame 0 is a PNG
+    // keyframe, every later frame mod-256 residuals (RLE) against the
+    // previous RECONSTRUCTION, so decoding sampled frame i forces the real
+    // inter-frame prefix chain 0..i — the seam q239 left open (GPV1 is
+    // intra-only). Pixels follow q239's per-frame formula (base
+    // (doc_id+5f) mod 12 + the sum-preserving swap at block (doc_id+f) mod
+    // 64), so the oracle again models only the base formula while any
+    // residual/RLE/reconstruction slip (a wrapped byte, a swapped run, a
+    // stale prev frame) breaks the aHash of every frame downstream of it.
+    Declared("q251_video_delta_codec",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).orderBy(col("doc_id")).limit(nAssets)
+        val media = ids.as[Long].mapPartitions { it =>
+          val vc = new Multimodal.VideoCodecV2
+          it.map { id =>
+            val frames = (0 until (7 + (id % 4).toInt)).map { f =>
+              val base = ((id + 5 * f) % 12).toInt
+              val px = Array.tabulate(16, 16)((y, x) => (base * 37 + x * 11 + y * 17) % 256)
+              val blk = ((id + f) % 64).toInt
+              val (cx, cy) = ((blk % 8) * 2, (blk / 8) * 2)
+              def swap(x1: Int, y1: Int, x2: Int, y2: Int): Unit = {
+                val t = px(y1)(x1); px(y1)(x1) = px(y2)(x2); px(y2)(x2) = t
+              }
+              swap(cx, cy, cx + 1, cy + 1)
+              swap(cx + 1, cy, cx, cy + 1)
+              Array.tabulate(256)(i => px(i / 16)(i % 16))
+            }
+            Multimodal.MediaRow(id, "video", vc.pack(16, 16, frames), 16, 16, 0, "gpv2")
+          }
+        }
+        Multimodal.sampleFrameHashesV2(media, everyNth = 2, maxFrames = 5).toDF()
+          .select(col("media_id"), col("frame_idx"),
+            col("fp_hi"), col("fp_lo"), big(col("n_set")).as("n_set"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some(s"""WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $nAssets),
+             |fr AS (SELECT i.doc_id, f.range AS f, (i.doc_id + 5*f.range) % 12 AS base
+             |       FROM ids i JOIN range(0, 10) f ON f.range < 7 + i.doc_id % 4
+             |       WHERE f.range % 2 = 0 AND f.range // 2 < 5),
+             |g AS (SELECT fr.doc_id, fr.f, x.range AS x, y.range AS y,
+             |        (fr.base*37 + x.range*11 + y.range*17) % 256 AS v
+             |      FROM fr, range(0,16) x, range(0,16) y),
+             |blk AS (SELECT doc_id, f, (y//2)*8 + (x//2) AS b, SUM(v) AS bs FROM g GROUP BY 1, 2, 3),
+             |tot AS (SELECT doc_id, f, SUM(bs) AS ts FROM blk GROUP BY 1, 2),
+             |bits AS (SELECT blk.doc_id, blk.f, blk.b, CASE WHEN bs*64 > ts THEN 1 ELSE 0 END AS bit
+             |         FROM blk JOIN tot USING (doc_id, f))
+             |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(SUM(CASE WHEN b >= 32 THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
+             |  CAST(SUM(CASE WHEN b < 32 THEN CAST(bit AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp_lo,
+             |  CAST(SUM(bit) AS BIGINT) AS n_set
              |FROM bits GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin))
   )
 }
