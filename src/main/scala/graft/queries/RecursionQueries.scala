@@ -71,37 +71,64 @@ object RecursionQueries extends QueryModule {
   private def q117(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    // repartition by the chain key BEFORE the checkpoint: every round joins
-    // on (o_custkey, rn), and HashPartitioning(o_custkey) satisfies that
-    // join's clustering requirement, so the materialized blocks enter each
-    // round's join WITHOUT a re-shuffle — and the round output (same key,
-    // checkpointed again) stays co-partitioned for the next round. Without
-    // this, the sf1 rehearsal showed the full ord table re-shuffling once
-    // per round as soon as the frontier outgrew AQE's broadcast threshold
-    // (45× task time at 10× data); pinned, per-round cost is the join
-    // itself. The window above already hash-partitions by o_custkey, so the
-    // repartition is satisfied by the window's own exchange — free.
-    val ord = Tables.load(s, dir, "orders")
+    // `ord` is joined once per round — it must enter every round's join
+    // with ZERO exchange, or the whole table re-shuffles per round (the
+    // 45×-at-10×-data regression the sf1 rehearsal caught). The previous
+    // repartition+localCheckpoint pinning does NOT deliver that: Spark 4.1
+    // reports UnknownPartitioning on a localCheckpoint (measured — the
+    // LogicalRDD partitioning is not preserved into planning), so every
+    // round paid a full ord exchange anyway (PlanBudgetSpec's shuffle-
+    // record budget exposed it: 19 × 1,500-record exchanges at sf0.001).
+    // The shape that actually holds — and the one a 100 TB deployment
+    // uses — is a BUCKETED, SORTED table:
+    //   - bucketBy(8, o_custkey) + sortBy(o_custkey, rn): the scan itself
+    //     reports HashPartitioning(o_custkey, 8) and per-bucket ordering,
+    //     so the round join needs neither exchange NOR sort on ord;
+    //   - repartition(8, o_custkey) before the write aligns write tasks
+    //     with buckets — one file per bucket, keeping the sort usable;
+    //   - requireAllClusterKeysForCoPartition=false (scoped to the
+    //     iteration) lets the subset partitioning co-locate a join keyed
+    //     (o_custkey, rn): the frontier alone shuffles to match the
+    //     buckets, frontier-sized and shrinking.
+    // The per-round frontiers spill to parquet (reliableDir): fresh
+    // relations each round, no lineage shared with ord, executor-loss
+    // tolerant.
+    val tbl = "q117_ord_bucketed"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // a crashed previous run can leave the managed dir without the
+    // catalog entry, which blocks CREATE — clear it
+    val whDir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl)
+    val whFs = whDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(whDir)) whFs.delete(whDir, true)
+    Tables.load(s, dir, "orders")
       .select(col("o_custkey"),
         Protocol.dec(col("o_totalprice")).as("price"),
         row_number().over(w).cast("long").as("rn"))
-      .repartition(col("o_custkey"))
-      .localCheckpoint(true)
+      .repartition(8, col("o_custkey"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey", "rn")
+      .mode("overwrite").saveAsTable(tbl)
+    val ord = s.table(tbl)
     val anchor = ord.filter(col("rn") === 1)
       .select(col("o_custkey"), col("rn"),
         lit(0L).as("depth"), col("price").as("cum"))
-    // the frontier descends from `ord` (anchor = ord rows; localCheckpoint
-    // keeps attribute ids), so each hop is formally a self-join — alias the
-    // two sides and use qualified names
-    val chain = IterativeFixpoint.iterate(
-      anchor,
-      f => f.as("f").join(ord.as("o"),
-          col("f.o_custkey") === col("o.o_custkey") &&
-            col("o.rn") === col("f.rn") + 1)
-        .select(col("o.o_custkey").as("o_custkey"), col("o.rn").as("rn"),
-          (col("f.depth") + lit(1L)).as("depth"),
-          (col("f.cum") + col("o.price")).cast(Protocol.D).as("cum")),
-      maxRounds = 30)
+    val coPart = "spark.sql.requireAllClusterKeysForCoPartition"
+    val coPartSaved = s.conf.get(coPart, "true")
+    s.conf.set(coPart, "false")
+    val chain = try {
+      // iterate() plans every round join eagerly inside this scope; the
+      // returned chain is a plain parquet union + agg, conf-independent
+      IterativeFixpoint.iterate(
+        anchor,
+        f => f.as("f").join(ord.as("o"),
+            col("f.o_custkey") === col("o.o_custkey") &&
+              col("o.rn") === col("f.rn") + 1)
+          .select(col("o.o_custkey").as("o_custkey"), col("o.rn").as("rn"),
+            (col("f.depth") + lit(1L)).as("depth"),
+            (col("f.cum") + col("o.price")).cast(Protocol.D).as("cum")),
+        maxRounds = 30,
+        reliableDir = Some(SharedStages.scratchDir("q117-rounds")))
+    } finally s.conf.set(coPart, coPartSaved)
     chain.groupBy(col("depth"))
       .agg(Protocol.big(count(lit(1))).as("n_chains"),
         Protocol.out6(sum(col("cum"))).as("cum_price"))

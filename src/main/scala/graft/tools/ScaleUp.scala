@@ -34,12 +34,21 @@ import graft.model.Tables
   */
 object ScaleUp {
 
-  private val rot = "abcdefghij"
-
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [k=10]")
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [k=10] [rotAlphabet]")
     val (src, out) = (args(0), args(1))
     val k = if (args.length > 2) args(2).toInt else 10
+    // Rotation alphabet for the per-copy document re-lettering. CHAINED
+    // blow-ups (sf0.1 →k=10 sf1 →k=10 sf10) MUST use a disjoint alphabet
+    // per pass: re-using "abcdefghij" on an already-rotated dir composes
+    // rotations mod 10, so 100 copies collapse to 10 distinct texts per
+    // doc — every LSH bucket then holds 10 exact clones and candidate
+    // pairs grow ~K² (the synthesizer-measuring trap the doc above names).
+    // Disjoint alphabets compose to k₁·k₂ DISTINCT letterings; common
+    // letters (n o r s t ∈ the second alphabet) sit in virtually every
+    // shingle, so cross-copy shingle overlap stays negligible.
+    val rot = if (args.length > 3) args(3) else "abcdefghij"
+    require(rot.toSet.size == rot.length, "rotation alphabet must be distinct letters")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.PlanCount
+
+/** REGRESSION-TESTED plan shapes — the executable form of PLANS.md's hand
+  * audit, per the round-7 review: nothing previously FAILED when a plan
+  * regressed (a dropped persist, a re-introduced per-round exchange, a
+  * broadcast flipping to SMJ). These budgets do.
+  *
+  * Static side: tree-level physical node counts (shuffle exchanges,
+  * broadcast exchanges, cache-read sites) for the most expensive batch
+  * queries from `out/bench.json`, planned with AQE OFF so the counted
+  * tree is the deterministic static shape. Counts are pinned EXACTLY:
+  * the fixture and Spark version are fixed, so any drift is a real plan
+  * change — if it is an intentional improvement, re-pin the row and say
+  * why in the commit.
+  *
+  * Runtime side: q117's per-round co-partitioning contract (the
+  * `repartition(o_custkey)` before the checkpoint) is invisible in the
+  * outer plan, so it is pinned by total shuffle-WRITE records with
+  * auto-broadcast disabled: losing the contract re-shuffles the whole
+  * `ord` table once per round and the record count multiplies by the
+  * round depth — far outside the budget.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** (query, shuffles, broadcasts, cacheReads) — measured at sf0.001,
+    * AQE off, shuffle.partitions=8 or 4 (counts are partition-agnostic).
+    */
+  private val budgets = Seq(
+    // the 6-scan trap: SetSimJoin persists base/pref; candidates join
+    // reads CACHE 4×, never the upstream token pipeline
+    ("q158_setsim_join", 1, 3, 4),
+    ("q164_triangles", 6, 1, 3),
+    // tier frames persisted: each removal tier reads cache, not lineage
+    ("q215_dedup_cascade", 6, 3, 8),
+    ("q157_profile", 2, 0, 0),
+    ("q179_abc_class", 4, 1, 1),
+    ("q162_heavy_hitters", 2, 2, 2),
+    ("q182_basket_pairs", 4, 3, 4),
+    // 3-way join: both dims broadcast, facts shuffle once per agg level
+    ("q05_join3_month", 2, 2, 0),
+    // region/nation MUST broadcast — an SMJ here shuffles the fact table
+    ("q06_dim_join", 2, 1, 0),
+    ("q16_window_rank", 2, 1, 0),
+    // native as-of: range-partitioned probe + build, no broadcast
+    ("q74_asof_native", 4, 0, 0),
+    ("q26_vector_topk", 1, 1, 0),
+    ("q72_tfidf", 6, 1, 0),
+    ("q47_dedup_corpus", 6, 2, 0),
+    ("q60_dedup_clusters", 1, 0, 0),
+    ("q189_bfs_hops", 4, 0, 1),
+    ("q117_fixpoint_chain", 2, 0, 0),
+    ("q34_ngram_jaccard", 3, 2, 0),
+    ("q32_minhash_pairs", 1, 0, 0),
+    ("q01_filter_project", 1, 0, 0))
+
+  test("top-query physical plans match their pinned exchange/cache budgets") {
+    val conf = spark.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val drift = budgets.flatMap { case (name, s, b, c) =>
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        val got = PlanCount.counts(df.queryExecution.executedPlan)
+        if (got == ((s, b, c))) None
+        else Some(s"$name: expected (shuffles=$s, broadcasts=$b, cacheReads=$c), got $got")
+      }
+      assert(drift.isEmpty, "plan-shape drift:\n" + drift.mkString("\n"))
+    } finally conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("q117 rounds stay co-partitioned: shuffle-record budget, broadcast off") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.get(k, null))
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        records.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = SparkEntry.queries("q117_fixpoint_chain")(spark, sf0001).count()
+      assert(n > 0)
+      // listener events are async; wait for the count to settle
+      var (prev, settle) = (-1L, 0)
+      while (settle < 3) {
+        Thread.sleep(200)
+        val cur = records.get()
+        if (cur == prev) settle += 1 else { prev = cur; settle = 0 }
+      }
+      val got = records.get()
+      // measured ~4.6k records with the bucketed-ord contract in place
+      // (window + bucket-aligned repartition of 1.5k orders, then only
+      // the shrinking frontier per round). Losing the contract re-shuffles
+      // 1.5k ord rows × ~19 rounds ≈ 30k records (the pre-fix measurement)
+      // — give ~3× headroom, still far below the failure mode.
+      assert(got > 0 && got < 15000L,
+        s"q117 shuffled $got records — per-round ord re-shuffle is back?")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach { case (k, v) =>
+        if (v == null) conf.unset(k) else conf.set(k, v)
+      }
+    }
+  }
+}
