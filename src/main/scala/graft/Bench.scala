@@ -38,6 +38,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // perf harness: no hash oracle runs here, and at rehearsal SFs
+      // (sf1/sf10) aggregate sums legitimately cross the 2^53·1e-6
+      // terminal-DOUBLE bound the correctness gate enforces — the guard
+      // belongs to Verify, not to throughput measurement
+      .config(queries.Protocol.GuardConfKey, "off")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,21 @@ object ColumnOps {
   /** Integral division (SQL `div`, truncates toward zero). Long-exact. */
   def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
+  /** ppm share: ⌊10⁶·num ÷ den⌋ as BIGINT, with the product computed in
+    * DECIMAL(38,0) so the 10⁶ blow-up can never wrap a long. Found by the
+    * sf1 scale rehearsal: q179's class revenue is ~2.2e13 CENTS at sf1,
+    * and `lit(1000000L) * cents` overflows int64 while passing every
+    * smaller SF — the whole `1000000 * x div y` reporting idiom is only
+    * long-safe below ~9.2e12, i.e. one rehearsal decade. `num`/`den`
+    * themselves must still fit a long, which counts and cent/micro sums
+    * do at any plausible corpus.  The DuckDB oracles need no twin:
+    * `SUM(BIGINT)` is already HUGEINT there (see Protocol.wrapOracleTypes).
+    */
+  def ppm(num: Column, den: Column): Column = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    idiv(lit(1000000L).cast(d38) * num.cast(d38), den.cast(d38)).cast("long")
+  }
+
   /** True floor division for a possibly-negative long `a` and positive
     * literal divisor: subtracting the positive pmod makes the numerator an
     * exact multiple, so `div` equals floor even below zero.

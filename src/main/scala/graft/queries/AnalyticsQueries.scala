@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.ColumnOps.idiv
+import graft.functions.ColumnOps.{idiv, ppm}
 import graft.model.Tables
 import Protocol._
 
@@ -320,10 +320,10 @@ object AnalyticsQueries extends QueryModule {
         m.crossJoin(broadcast(top))
           .select(
             big(col("n")).as("n_keys"), big(col("s")).as("n_rows"),
-            idiv(lit(1000000L) * (lit(2L) * col("rx") - (col("n") + 1L) * col("s")),
+            ppm(lit(2L) * col("rx") - (col("n") + 1L) * col("s"),
               col("n") * col("s")).as("gini_ppm"),
-            idiv(lit(1000000L) * col("mx"), col("s")).as("max_share_ppm"),
-            idiv(lit(1000000L) * col("top1_sum"), col("s")).as("top1pct_share_ppm"))
+            ppm(col("mx"), col("s")).as("max_share_ppm"),
+            ppm(col("top1_sum"), col("s")).as("top1pct_share_ppm"))
       },
       Some("""WITH pk AS (SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY o_custkey),
              |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rank FROM pk),
@@ -360,7 +360,7 @@ object AnalyticsQueries extends QueryModule {
         pred.crossJoin(broadcast(actual))
           .select(col("n_groups"), col("predicted_rows"), col("actual_rows"),
             col("hot_pairs"),
-            idiv(lit(1000000L) * col("hot_pairs"), col("predicted_rows"))
+            ppm(col("hot_pairs"), col("predicted_rows"))
               .as("hot_share_ppm"))
       },
       Some("""WITH k AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),

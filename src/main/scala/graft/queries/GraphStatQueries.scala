@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.ColumnOps.idiv
+import graft.functions.ColumnOps.{idiv, ppm}
 import graft.model.Tables
 import Protocol._
 
@@ -186,8 +186,8 @@ object GraphStatQueries extends QueryModule {
           .withColumn("reg_cent", sum(col("nat_cent")).over(wr))
           .crossJoin(broadcast(tot))
           .select(col("r_name"), col("n_name"), col("nat_cent"),
-            idiv(lit(1000000L) * col("nat_cent"), col("reg_cent")).as("share_of_region_ppm"),
-            idiv(lit(1000000L) * col("reg_cent"), col("total")).as("region_share_ppm"))
+            ppm(col("nat_cent"), col("reg_cent")).as("share_of_region_ppm"),
+            ppm(col("reg_cent"), col("total")).as("region_share_ppm"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""WITH o AS (
@@ -308,7 +308,7 @@ object GraphStatQueries extends QueryModule {
           .groupBy(col("event_type"))
           .agg(big(count(lit(1))).as("n_eval"),
             idiv(sum(col("err")), count(lit(1))).as("mae_micro"),
-            idiv(lit(1000000L) * sum(col("err")), sum(col("y"))).as("wmape_ppm"))
+            ppm(sum(col("err")), sum(col("y"))).as("wmape_ppm"))
           .orderBy(col("event_type"))
       },
       Some("""WITH e AS (
@@ -489,7 +489,7 @@ object GraphStatQueries extends QueryModule {
           .agg(big(count(lit(1))).as("n_users"), sum(col("x")).as("events"))
           .crossJoin(broadcast(tot))
           .select(col("tile").as("decile"), col("n_users"), col("events"),
-            idiv(lit(1000000L) * col("events"), col("total")).as("share_ppm"))
+            ppm(col("events"), col("total")).as("share_ppm"))
           .orderBy(col("decile"))
       },
       Some("""WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY user_id),
@@ -525,7 +525,7 @@ object GraphStatQueries extends QueryModule {
           .withColumn("c", sum(col("o")).over(wc))
           .crossJoin(broadcast(tot))
           .select(col("event_type"), col("dow"), big(col("o")).as("o"),
-            idiv(lit(1000000L) * col("r") * col("c"), col("n")).as("exp_micro"),
+            ppm(col("r") * col("c"), col("n")).as("exp_micro"),
             idiv(abs(lit(1000000L) * (col("o") * col("n") - col("r") * col("c"))),
               col("n")).as("dev_micro"))
           .orderBy(col("event_type"), col("dow"))

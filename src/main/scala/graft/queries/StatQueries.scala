@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.ColumnOps.idiv
+import graft.functions.ColumnOps.{idiv, ppm}
 import graft.model.Tables
 import graft.operators.{GlobalCumSum, GlobalRank}
 import Protocol._
@@ -160,7 +160,7 @@ object StatQueries extends QueryModule {
         val total = digits.agg(sum(col("n")).as("total"))
         digits.crossJoin(broadcast(total))
           .select(col("digit"), big(col("n")).as("n"),
-            idiv(lit(1000000L) * col("n"), col("total")).as("obs_ppm"),
+            ppm(col("n"), col("total")).as("obs_ppm"),
             exp(col("digit")).as("exp_ppm"))
           .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
           .orderBy(col("digit"))
@@ -207,7 +207,7 @@ object StatQueries extends QueryModule {
           .orderBy(col("dnum").desc, col("cent"))
           .limit(1)
           .select(big(col("n1")).as("n1"), big(col("n2")).as("n2"),
-            idiv(lit(1000000L) * col("dnum"), col("n1") * col("n2")).as("ks_ppm"),
+            ppm(col("dnum"), col("n1") * col("n2")).as("ks_ppm"),
             col("cent").as("ks_at_cent"))
       },
       Some("""WITH o AS (
@@ -258,7 +258,7 @@ object StatQueries extends QueryModule {
           .agg(big(count(lit(1))).as("n_parts"), sum(col("net_cent")).as("cls_net_cent"),
             max(col("total")).as("total"))
           .select(col("cls"), col("n_parts"), col("cls_net_cent"),
-            idiv(lit(1000000L) * col("cls_net_cent"), col("total")).as("share_ppm"))
+            ppm(col("cls_net_cent"), col("total")).as("share_ppm"))
           .orderBy(col("cls"))
       },
       Some("""WITH li AS (
@@ -412,7 +412,7 @@ object StatQueries extends QueryModule {
           .crossJoin(broadcast(total))
           .select(col("pa"), col("pb"), big(col("n_pair")).as("n_pair"),
             big(col("n_a")).as("n_a"), big(col("n_b")).as("n_b"),
-            idiv(lit(1000000L) * col("n_pair") * col("n_orders"),
+            ppm(col("n_pair") * col("n_orders"),
               col("n_a") * col("n_b")).as("lift_ppm"))
           .orderBy(col("n_pair").desc, col("pa"), col("pb"))
           .limit(20)
@@ -506,8 +506,8 @@ object StatQueries extends QueryModule {
           .select(col("k"), col("n_users"), coalesce(col("deaths"), lit(0L)).as("deaths"))
         GlobalCumSum.withCumSum(dense, Seq(col("k").desc), col("deaths"), "at_risk")
           .select(col("k"), big(col("at_risk")).as("at_risk"), big(col("deaths")).as("deaths"),
-            idiv(lit(1000000L) * col("deaths"), col("at_risk")).as("hazard_ppm"),
-            idiv(lit(1000000L) * col("at_risk"), col("n_users")).as("surv_ppm"))
+            ppm(col("deaths"), col("at_risk")).as("hazard_ppm"),
+            ppm(col("at_risk"), col("n_users")).as("surv_ppm"))
           .orderBy(col("k"))
       },
       Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
@@ -623,7 +623,7 @@ object StatQueries extends QueryModule {
         val tot = tri.agg(sum(col("n")).as("total"))
         tri.crossJoin(broadcast(tot))
           .select(col("path"), big(col("n")).as("n"),
-            idiv(lit(1000000L) * col("n"), col("total")).as("share_ppm"))
+            ppm(col("n"), col("total")).as("share_ppm"))
           .orderBy(col("n").desc, col("path"))
           .limit(15)
       },
@@ -793,7 +793,7 @@ object StatQueries extends QueryModule {
             sum(col("contrib")).as("s2r1"))
           .select(big(col("n1")).as("n1"), big(col("n2")).as("n2"),
             (col("s2r1") - col("n1") * (col("n1") + 1L)).as("u_doubled"),
-            idiv(lit(1000000L) * (col("s2r1") - col("n1") * (col("n1") + 1L)),
+            ppm(col("s2r1") - col("n1") * (col("n1") + 1L),
               lit(2L) * col("n1") * col("n2")).as("auc_ppm"))
       },
       Some(s"""WITH e AS ($tapeSql),
@@ -851,9 +851,8 @@ object StatQueries extends QueryModule {
           .select(big(col("n")).as("n_days"),
             (signum(lit(4L) * col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sd4"))
               .cast("long") *
-              idiv(lit(1000000L) *
-                abs(lit(4L) * col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sd4")),
-                lit(4L) * col("n") * (col("n") * col("n") - 1L)).cast("long"))
+              ppm(abs(lit(4L) * col("n") * (col("n") * col("n") - 1L) - lit(6L) * col("sd4")),
+                lit(4L) * col("n") * (col("n") * col("n") - 1L)))
               .as("rho_ppm"))
       },
       Some(s"""WITH e AS ($tapeSql),
@@ -905,7 +904,7 @@ object StatQueries extends QueryModule {
           .select(big(col("np")).as("n_pairs"),
             col("cmd").as("c_minus_d"),
             (signum(col("cmd")).cast("long") *
-              idiv(lit(1000000L) * abs(col("cmd")), col("np")).cast("long"))
+              ppm(abs(col("cmd")), col("np")))
               .as("tau_ppm"))
       },
       Some(s"""WITH e AS ($tapeSql),
@@ -954,7 +953,7 @@ object StatQueries extends QueryModule {
             sum(when(col("t_r") >= col("t_obs"), 1L).otherwise(0L)).as("n_ge"))
           .select(big(col("nd")).as("n_days"), col("t").as("t_obs_micro"),
             big(col("n_ge")).as("n_ge"),
-            idiv(lit(1000000L) * (col("n_ge") + 1L), lit(201L)).as("p_ppm"))
+            ppm(col("n_ge") + 1L, lit(201L)).as("p_ppm"))
       },
       Some(s"""WITH e AS ($tapeSql),
               |diff AS (
@@ -1002,7 +1001,7 @@ object StatQueries extends QueryModule {
           .agg(big(count(lit(1))).as("n_pairs"), sum(col("cd")).as("cmd"))
           .select(col("lag"), col("n_pairs"), col("cmd").as("c_minus_d"),
             (signum(col("cmd")).cast("long") *
-              idiv(lit(1000000L) * abs(col("cmd")), col("n_pairs")).cast("long"))
+              ppm(abs(col("cmd")), col("n_pairs")))
               .as("tau_ppm"))
           .orderBy(col("lag"))
       },
@@ -1049,8 +1048,8 @@ object StatQueries extends QueryModule {
           .crossJoin(broadcast(tot))
           .select(col("tile").as("decile"), big(col("n")).as("n"),
             big(col("pos")).as("n_pos"),
-            idiv(lit(1000000L) * col("pos"), col("n")).as("rate_ppm"),
-            idiv(lit(1000000L) * col("pos") * col("n_tot"),
+            ppm(col("pos"), col("n")).as("rate_ppm"),
+            ppm(col("pos") * col("n_tot"),
               col("n") * col("pos_tot")).as("lift_ppm"))
           .orderBy(col("decile"))
       },
@@ -1096,8 +1095,8 @@ object StatQueries extends QueryModule {
         cum.crossJoin(broadcast(tot))
           .select(col("tile").as("decile"),
             big(col("cp")).as("cum_pos"), big(col("cn")).as("cum_neg"),
-            idiv(lit(1000000L) * col("cp"), col("pt")).as("tpr_ppm"),
-            idiv(lit(1000000L) * col("cn"), col("nt")).as("fpr_ppm"))
+            ppm(col("cp"), col("pt")).as("tpr_ppm"),
+            ppm(col("cn"), col("nt")).as("fpr_ppm"))
           .orderBy(col("decile"))
       },
       Some(s"""WITH e AS ($tapeSql),

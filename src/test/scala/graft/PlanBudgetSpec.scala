@@ -63,6 +63,14 @@ class PlanBudgetSpec extends AnyFunSuite {
     val conf = spark.conf
     val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.enabled", "false")
+    // Insulation from sibling suites on the shared session: any suite that
+    // built one of these queries left its persist()s registered in the
+    // CacheManager, and Spark substitutes cached fragments into NEW plans
+    // by plan matching — cacheReads appear, sizes shrink, SMJs flip to
+    // broadcasts, and the pinned counts drift for reasons that have
+    // nothing to do with the code under test. Verify/Bench sessions are
+    // fresh, so the gate context always matches the cleared state.
+    spark.catalog.clearCache()
     try {
       val drift = budgets.flatMap { case (name, s, b, c) =>
         val df = SparkEntry.queries(name)(spark, sf0001)
