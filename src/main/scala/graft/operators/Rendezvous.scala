@@ -32,11 +32,19 @@ object Rendezvous {
     * well-defined shard. The sentinel `"\u0000null"` starts with a NUL
     * byte, outside the value space of every key column in play (ids,
     * numbers cast to string, parsed text); a caller whose keys can carry
-    * NUL must pre-coalesce to its own sentinel.
+    * NUL must pre-coalesce to its own sentinel. That caveat is ENFORCED,
+    * not just documented: a non-null key starting with NUL raises at
+    * runtime (one codegen'd startswith per row, negligible next to the
+    * md5 work) instead of silently colliding with the sentinel's shard.
     */
   def assign(df: DataFrame, key: Column, shards: Seq[Int]): DataFrame = {
     require(shards.nonEmpty, "rendezvous over an empty shard list")
-    val k = coalesce(key.cast("string"), lit("\u0000null"))
+    val ks = key.cast("string")
+    val guarded = when(ks.startsWith("\u0000"), raise_error(
+      lit("Rendezvous.assign: key starts with NUL and would collide with " +
+        "the NULL sentinel; pre-coalesce such keys to a caller-owned sentinel")))
+      .otherwise(ks)
+    val k = coalesce(guarded, lit("\u0000null"))
     val scored = transform(
       typedlit(shards),
       sh => struct(

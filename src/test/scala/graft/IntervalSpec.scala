@@ -163,6 +163,24 @@ class IntervalSpec extends AnyFunSuite {
     assert(sizes.size == 16 && sizes.forall(_ <= 3 * full.size / 16), s"skewed: $sizes")
   }
 
+  test("rendezvous: NUL-prefixed key raises instead of colliding with the NULL sentinel") {
+    import spark.implicits._
+    import graft.operators.Rendezvous
+    import org.apache.spark.sql.functions.col
+    // NULL keys are fine (the sentinel path) ...
+    val withNull = Rendezvous.assign(
+      Seq(Some("a"), None).toDF("k"), col("k"), 0 until 4).collect()
+    assert(withNull.length == 2 && withNull.forall(r => !r.isNullAt(1)))
+    // ... but a real key that STARTS with NUL must fail loudly, because it
+    // would otherwise silently share the sentinel's shard family
+    val e = intercept[Exception] {
+      Rendezvous.assign(Seq(" evil").toDF("k"), col("k"), 0 until 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL sentinel")), s"got: ${msgs(e)}")
+  }
+
   test("q206 rendezvous assignment is shuffle-free (no Exchange before the rollup)") {
     import graft.operators.Rendezvous
     val docs = graft.model.Tables.load(spark, sf0001, "documents").select("doc_id")
