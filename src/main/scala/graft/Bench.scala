@@ -146,6 +146,10 @@ object Bench {
       s""""n_queries":${results.length},"queries":$slowest,""" +
       s""""queries_truncated_to_slowest":8,""" +
       s""""detail":"out/bench.json","sf":"$sfDir","reps":$reps}""")
+    // Providers first, session second: a still-loaded RocksDB provider
+    // SIGSEGVs in its JNI log callback if the JVM exits under it (see
+    // GraftSqlBridge.stopStateStores).
+    org.apache.spark.sql.GraftSqlBridge.stopStateStores()
     spark.stop()
   }
 }

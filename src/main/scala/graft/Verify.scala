@@ -86,6 +86,9 @@ object Verify {
     val leaked = spark.sparkContext.getPersistentRDDs
     System.err.println(s"[verify] storage_clean=${leaked.isEmpty}" +
       (if (leaked.nonEmpty) s" leaked_rdds=${leaked.keys.mkString(",")}" else ""))
+    // Providers first, session second (RocksDB JNI shutdown race — see
+    // GraftSqlBridge.stopStateStores).
+    org.apache.spark.sql.GraftSqlBridge.stopStateStores()
     spark.stop()
   }
 }

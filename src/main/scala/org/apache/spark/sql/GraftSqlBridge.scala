@@ -47,4 +47,17 @@ object GraftSqlBridge {
     */
   def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** Orderly shutdown of all loaded state-store providers BEFORE the JVM
+    * starts exiting. With the RocksDB provider, native background threads
+    * (compaction/flush) log through a JNI callback; if the provider is
+    * still loaded when the JVM tears down, that callback can no longer
+    * attach its thread and the process dies SIGSEGV inside
+    * LoggerJniCallback::Logv — measured in the sf10 rehearsal (the bench
+    * completed, then aborted with exit 134 at shutdown). Closing providers
+    * while the JVM is healthy joins those threads cleanly. No-op for the
+    * default in-memory provider.
+    */
+  def stopStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
