@@ -131,12 +131,14 @@ object SetSimJoin {
 
     // Verify: exact intersection via the SORTED ID arrays, joined back BY ID
     // so arrays ride the exchange once per candidate. |A∩B| on ids equals
-    // |A∩B| on tokens (the id map is a bijection on the vocabulary).
+    // |A∩B| on tokens (the id map is a bijection on the vocabulary);
+    // SortedIntersectCount is the two-pointer merge count over the sorted
+    // dictionaries — no per-pair hash set or intersection array.
     val sets = ordered.select(col("sid"), col("ord"), col("s"))
     cand
       .join(sets.select(col("sid").as("id1"), col("ord").as("tk1"), col("s").as("s1")), "id1")
       .join(sets.select(col("sid").as("id2"), col("ord").as("tk2"), col("s").as("s2")), "id2")
-      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .withColumn("inter", graft.functions.SortedIntersectCount(col("tk1"), col("tk2")))
       .where(lit(thetaDen.toLong) * col("inter") >=
         lit(thetaNum.toLong) * (col("s1") + col("s2") - col("inter")))
       .select(col("id1"), col("id2"), col("inter"), col("s1"), col("s2"),
@@ -193,7 +195,7 @@ object SetSimJoin {
     cand
       .join(sets.select(col("sid").as("id_a"), col("ord").as("tka"), col("s").as("sa")), "id_a")
       .join(sets.select(col("sid").as("id_b"), col("ord").as("tkb"), col("s").as("sb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+      .withColumn("inter", graft.functions.SortedIntersectCount(col("tka"), col("tkb")))
       .where(col("inter") >= col("t"))
       .select(col("id_a"), col("id_b"), col("inter"), col("sa"), col("sb"),
         idiv(col("inter") * lit(1000000L), col("sa")).as("cont_ppm"))

@@ -64,6 +64,37 @@ class SetSimSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(158214)
+    val rows = Seq.fill(300) {
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60)).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60)).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Int], Seq(1, 2, 3))) :+ ((Seq(5), Seq(5)))
+    val df = rows.toDF("a", "b")
+      .withColumn("got", graft.functions.SortedIntersectCount(col("a"), col("b")))
+      .withColumn("want", size(array_intersect(col("a"), col("b"))).cast("long"))
+    // codegen path (default) ...
+    assert(df.where(col("got") =!= col("want")).count() == 0)
+    // ... and the interpreted eval path (expression codegen off entirely —
+    // wholeStage=false alone still codegens projections)
+    val savedWs = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val savedFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.where(col("got") =!= col("want")).count() == 0)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", savedWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", savedFm)
+    }
+    // null array propagates
+    val n = Seq((Some(Seq(1, 2)), Option.empty[Seq[Int]])).toDF("a", "b")
+      .select(graft.functions.SortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("containment catches a subset doc that Jaccard misses") {
     import spark.implicits._
     // A = 5 tokens fully inside B's 50 -> containment(A in B) = 1.0 but

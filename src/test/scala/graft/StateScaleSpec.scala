@@ -215,4 +215,53 @@ class StateScaleSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum(col("n_live"))).collect()(0).getLong(0)
     assert(mm == nKeys / 2, s"n_live sum $mm, want ${nKeys / 2}")
   }
+
+  test("stateful pipeline is provider-agnostic: RocksDB state store == batch oracle") {
+    // The 100 TB streaming config (DEPLOY.md): once per-executor state
+    // outgrows memory, the RocksDB provider replaces the default in-memory
+    // store — a deploy-time knob that must not change RESULTS. This pins
+    // cross-batch dedup + windowed agg byte-equality under RocksDB, and
+    // exercises the orderly provider shutdown (GraftSqlBridge
+    // .stopStateStores) that keeps the native library from SIGSEGV-ing at
+    // JVM exit.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.get(key, "")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Long, Double)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = ms.toDS().toDF("event_id", "min", "value")
+        .dropDuplicates("event_id")
+        .groupBy(col("min")).agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized {
+            out.clear()
+            out ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }; ()
+        }
+        .start()
+      try {
+        // duplicates land in DIFFERENT batches — cross-batch RocksDB state
+        val evs = (1 to 400).map(i => (i.toLong, (i % 5).toLong, i.toDouble))
+        ms.addData(evs.take(250))
+        q.processAllAvailable()
+        ms.addData(evs.drop(150)) // 100 replays + 150 new
+        q.processAllAvailable()
+        val want = evs.groupBy(_._2).map { case (m, xs) =>
+          (m, xs.size.toLong, xs.map(_._3).sum)
+        }.toSet
+        assert(out.synchronized(out.toSet) == want)
+      } finally q.stop()
+    } finally {
+      if (saved.isEmpty) spark.conf.unset(key) else spark.conf.set(key, saved)
+      // orderly native close on the shared session; later suites reload
+      // providers on demand
+      org.apache.spark.sql.GraftSqlBridge.stopStateStores()
+    }
+  }
 }
