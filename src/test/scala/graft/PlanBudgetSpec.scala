@@ -40,6 +40,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     // runtime. 5 shuffles = cand join (2 sides) + dedup + 2 verify joins.
     ("q158_setsim_join", 5, 0, 3),
     ("q164_triangles", 6, 1, 3),
+    // containment: probe-prefix join + dedup + 2 verify joins + output sort;
+    // cacheReads 4 = the persisted `ordered` read by prefix/postings/both
+    // verify sides (strings never leave the vocabulary aggregate)
+    ("q214_containment_join", 6, 0, 4),
+    ("q205_kcore", 2, 2, 1),
+    ("q171_table_diff", 6, 2, 0),
+    // union+window formulation (kept to pin the formulation against q77's
+    // native merge — the scale path, one fewer window shuffle per side)
+    ("q69_asof_forward", 3, 0, 0),
+    ("q77_asof_forward_native", 4, 0, 0),
     // tier frames persisted: each removal tier reads cache, not lineage
     ("q215_dedup_cascade", 6, 3, 8),
     ("q157_profile", 2, 0, 0),
