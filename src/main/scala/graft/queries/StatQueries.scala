@@ -406,7 +406,14 @@ object StatQueries extends QueryModule {
           .agg(count(lit(1)).as("n_pair"))
         val singles = items.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
         val total = items.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
-        pairs
+        // Top-20 BEFORE the singles/lift attach: the ordering key
+        // (n_pair DESC, pa, pb) is a total order over pair-table columns
+        // alone, so the limit commutes with the joins — and the pair table
+        // is the corpus-scaled side (the sf10 rehearsal measured 120 M
+        // distinct pairs). Attaching singles first would ship it through
+        // TWO more exchanges; attaching after ships 20 rows.
+        val top = pairs.orderBy(col("n_pair").desc, col("pa"), col("pb")).limit(20)
+        top
           .join(singles.withColumnRenamed("pk", "pa").withColumnRenamed("n_one", "n_a"), "pa")
           .join(singles.withColumnRenamed("pk", "pb").withColumnRenamed("n_one", "n_b"), "pb")
           .crossJoin(broadcast(total))
@@ -415,7 +422,6 @@ object StatQueries extends QueryModule {
             ppm(col("n_pair") * col("n_orders"),
               col("n_a") * col("n_b")).as("lift_ppm"))
           .orderBy(col("n_pair").desc, col("pa"), col("pb"))
-          .limit(20)
       },
       Some("""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
              |pr AS (

@@ -55,7 +55,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q157_profile", 2, 0, 0),
     ("q179_abc_class", 4, 1, 1),
     ("q162_heavy_hitters", 2, 2, 2),
-    ("q182_basket_pairs", 4, 3, 4),
+    // r8: top-20 commutes with the singles/lift joins (ordering is a total
+    // order over pair-table columns), so the 120M-row pair table stops at
+    // the take-ordered instead of crossing two join exchanges; one more
+    // NODE (the 20-row side re-sort), 2 corpus-sized exchanges less VOLUME
+    ("q182_basket_pairs", 5, 4, 4),
     // 3-way join: both dims broadcast, facts shuffle once per agg level
     ("q05_join3_month", 2, 2, 0),
     // region/nation MUST broadcast — an SMJ here shuffles the fact table
