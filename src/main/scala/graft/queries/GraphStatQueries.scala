@@ -37,10 +37,19 @@ object GraphStatQueries extends QueryModule {
         val li = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        // pa-partitioned BEFORE the persist: the cached relation then
+        // carries hash(pa) into every round's frontier⋈edges join, so the
+        // per-round shuffle is the node-sized frontier only — never the
+        // edge table (measured 85.9k → 51.5k total shuffle records at
+        // sf0.001 with broadcast off; the remainder is the one-time
+        // build — li distinct + self-join + edge distinct + this
+        // repartition. PlanBudgetSpec pins the total). distinct() alone
+        // caches hash(pa, pb), which does NOT satisfy the pa-keyed join.
         val e = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
           .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
           .distinct()
+          .repartition(col("pa"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nodes = e.select(col("pa").as("pk")).distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -635,30 +644,38 @@ object GraphStatQueries extends QueryModule {
           .agg(count(lit(1)).as("supp"))
           .where(col("supp") >= 2)
           .select(col("pa"), col("pb"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        var cur = e.select(col("pa").as("pk")).distinct().localCheckpoint(true)
-        var n = cur.count()
+        // The loop state is the LIVE EDGE SET, not the node set: because
+        // cur only ever shrinks, an edge whose endpoints both survive
+        // round n+1 also survived round n — so each round filters the
+        // (shrinking) live set, never re-touching the full edge table.
+        // The previous formulation re-joined full `e` against cur every
+        // round: per-round work stayed edge-table-sized at any scale.
+        // Edges are symmetric (both directions present), so endpoint
+        // filtering is two semi joins and the degree count groups by pa.
+        var live = e.localCheckpoint(true)
+        var n = -1L
         var changed = true
         var rounds = 0
         while (changed && rounds < 40) {
           rounds += 1
-          val nxt = e
-            .join(cur, e("pa") === cur("pk")).select(col("pa"), col("pb"))
-            .join(cur.withColumnRenamed("pk", "pkb"), col("pb") === col("pkb"))
+          val cur = live
             .groupBy(col("pa")).agg(count(lit(1)).as("d"))
             .where(col("d") >= k)
             .select(col("pa").as("pk"))
+          val nxt = live
+            .join(cur, live("pa") === cur("pk"), "left_semi")
+            .join(cur.withColumnRenamed("pk", "pkb"),
+              live("pb") === col("pkb"), "left_semi")
             .localCheckpoint(true)
           val m = nxt.count()
-          changed = m != n && m > 0
-          if (m != n) { cur = nxt; n = m }
+          changed = m != n
+          live = nxt
+          n = m
         }
         require(rounds < 40, "q205: k-core peel did not converge in 40 rounds")
-        val core = cur
-        e.join(core, e("pa") === core("pk")).select(col("pa"), col("pb"))
-          .join(core.withColumnRenamed("pk", "pkb"), col("pb") === col("pkb"))
-          .groupBy(col("pa").as("pk"))
+        live.groupBy(col("pa").as("pk"))
           .agg(big(count(lit(1))).as("core_deg"))
+          .where(col("core_deg") >= k)
           .withColumn("converged", lit(true))
           .orderBy(col("pk"))
       },
