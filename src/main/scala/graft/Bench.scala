@@ -66,19 +66,27 @@ object Bench {
     // summed executor task run time, attributed per run by snapshotting
     // around it (queries run sequentially; the bus is drained at each edge)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // jvmGCTime attribution: executorRunTime INCLUDES time the task spent
+    // blocked in GC, so a heap-pressured suite inflates task_sec without
+    // any extra work executed. gc_sec separates the two — a query whose
+    // full-suite task_sec is 3× its isolated run but whose gc share grew
+    // the same 3× is suffering the harness heap, not a plan regression
+    // (exactly the r8→r9 q164/q215 ambiguity this field was added for).
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) taskMs.addAndGet(m.executorRunTime)
+        if (m != null) { taskMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime) }
       }
     })
     def drain(): Unit =
       try org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 30000)
       catch { case _: Throwable => }
 
-    def timed(run: () => Unit): (Double, Double) = {
+    def timed(run: () => Unit): (Double, Double, Double) = {
       drain()
       val task0 = taskMs.get
+      val gc0 = gcMs.get
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch {
         case e: Throwable =>
@@ -87,21 +95,22 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       drain()
       val taskSec = (taskMs.get - task0) / 1e3
+      val gcSec = (gcMs.get - gc0) / 1e3
       // after timing: unpersist cost isn't the query's; the GC lets the
       // ContextCleaner reap dead broadcasts/shuffles between runs (their
       // cleanup is reference-triggered and otherwise lands inside a later
       // run's measurement)
       spark.catalog.clearCache()
       System.gc()
-      if (ok) (elapsed, taskSec) else (-1.0, -1.0)
+      if (ok) (elapsed, taskSec, gcSec) else (-1.0, -1.0, -1.0)
     }
     // a failed run reports -1, never a fast fake success — the baseline
     // gate must see breakage, not a speedup; one failure poisons the median.
-    // task_sec reports the SAME rep as the wall-clock median, so the two
+    // task_sec/gc_sec report the SAME rep as the wall-clock median, so the
     // numbers describe one run.
-    def median(run: () => Unit): (Double, Double) = {
+    def median(run: () => Unit): (Double, Double, Double) = {
       val ts = (1 to reps).map(_ => timed(run))
-      if (ts.exists(_._1 < 0)) (-1.0, -1.0)
+      if (ts.exists(_._1 < 0)) (-1.0, -1.0, -1.0)
       else ts.sortBy(_._1).apply(ts.length / 2)
     }
 
@@ -119,20 +128,23 @@ object Bench {
       .map { case (name, fn) =>
         name -> median(() => force(fn(spark, sfDir)))
       } :+ ("shared_stage_build" -> stageBuild)
-    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }
+    val qs = results.map { case (k, (w, _, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val task = results.map { case (k, (_, t)) => "\"" + k + "\":" + t }
+    val task = results.map { case (k, (_, t, _)) => "\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
+    val gc = results.map { case (k, (_, _, g)) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val taskTotal = results.map(_._2._2).filter(_ >= 0).sum
+    val gcTotal = results.map(_._2._3).filter(_ >= 0).sum
     // `queries` (driver contract) = WALL seconds; the same map is repeated
     // under the explicit `wall_sec` key so a truncated or reordered tail can
     // never be mistaken for the task-time map (the r4/r5 VERDICT caught
     // exactly that unit mixup) — every per-query map in this line is
     // labeled with its unit in its own key.
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""wall_total":$total,"task_total":$taskTotal,""" +
-      s""""wall_sec":$qs,"task_sec":$task,"queries":$qs,""" +
+      s""""wall_total":$total,"task_total":$taskTotal,"gc_total":$gcTotal,""" +
+      s""""wall_sec":$qs,"task_sec":$task,"gc_sec":$gc,"queries":$qs,""" +
       s""""sf":"$sfDir","reps":$reps}"""
     println(full)
     // The driver captures only a ~2000-char stdout TAIL: the full per-query
@@ -145,7 +157,7 @@ object Bench {
     new java.io.File("out").mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get("out/bench.json"), full + "\n")
     val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(8)
-      .map { case (k, (w, _)) => "\"" + k + "\":" + math.round(w * 1000) / 1000.0 }
+      .map { case (k, (w, _, _)) => "\"" + k + "\":" + math.round(w * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""wall_total":$total,"task_total":$taskTotal,""" +

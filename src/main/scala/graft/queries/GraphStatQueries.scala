@@ -43,7 +43,8 @@ object GraphStatQueries extends QueryModule {
         // edge table (measured 85.9k → 51.5k total shuffle records at
         // sf0.001 with broadcast off; the remainder is the one-time
         // build — li distinct + self-join + edge distinct + this
-        // repartition. PlanBudgetSpec pins the total). distinct() alone
+        // repartition. PlanBudgetSpec's runtime budget pins the total at
+        // <150k, below the 85.9k×rounds re-shuffle regression). distinct() alone
         // caches hash(pa, pb), which does NOT satisfy the pa-keyed join.
         val e = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))

@@ -34,7 +34,14 @@ object ShuffleRecords {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         records.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
     })
+    // Drain the listener bus (bounded wait) BEFORE the settle loop: stage
+    // events can arrive well after count() returns, and a sleep-only settle
+    // window under-counts them. The drain guarantees every already-posted
+    // event is delivered; the short settle after it only covers stragglers
+    // posted during the drain itself.
     def settle(): Long = {
+      try org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 30000)
+      catch { case _: Throwable => }
       var (prev, n) = (-1L, 0)
       while (n < 3) {
         Thread.sleep(200)
@@ -43,9 +50,14 @@ object ShuffleRecords {
       }
       records.get()
     }
+    val known = graft.SparkEntry.queries
+    val unknown = args.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — valid names are declared " +
+        s"SparkEntry.queries keys, e.g. ${known.keys.toSeq.sorted.take(5).mkString(", ")}, …")
     args.foreach { name =>
       val before = settle()
-      val rows = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val rows = known(name)(spark, sfDir).count()
       val got = settle() - before
       println(f"[shuffle-records] $name%-28s $got%8d records ($rows rows)")
     }

@@ -124,4 +124,85 @@ class IncrementalCCSpec extends AnyFunSuite {
       assert(state(st) == oracle)
     }
   }
+
+  /** Total shuffle-WRITE records across the sink invocation — the same
+    * runtime-budget instrument as PlanBudgetSpec's loop queries: the
+    * "work bounded by batch + touched components" claim is invisible to
+    * static plan counts (the CC rounds run inside the sink), but a
+    * degradation to full-graph CC multiplies shuffle volume by rounds ×
+    * accumulated-graph size, far past any batch-sized budget.
+    */
+  private def shuffleRecordsDuring(body: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        records.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def settle(): Long = {
+      try org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 30000)
+      catch { case _: Throwable => }
+      var (prev, n) = (-1L, 0)
+      while (n < 3) {
+        Thread.sleep(200)
+        val cur = records.get()
+        if (cur == prev) n += 1 else { prev = cur; n = 0 }
+      }
+      records.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { val before = settle(); body; settle() - before }
+    finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("insert path: tiny-batch work is state-map-sized, never rounds × graph") {
+    import spark.implicits._
+    val out = tmpDir("icc-wbi")
+    val sink = IncrementalCC.ccSink(out)
+    // accumulated graph: a 2048-node PATH — the worst case for a full
+    // re-run (contraction CC needs ~log₂ n rounds over a path; 2-node
+    // components would converge in one and hide the regression)
+    val path = spark.range(0L, 2047L).select(col("id").as("u"), (col("id") + 1L).as("v"))
+    sink(path, 0L)
+    // the batch under measurement: 3 edges hanging new nodes off the end
+    val tiny = shuffleRecordsDuring {
+      sink(edges((2047L, 3000L), (3000L, 3001L), (2046L, 3002L)), 1L)
+    }
+    // healthy: measured 21 records — the contraction join is batch-sized,
+    // CC runs on ≤3 contracted edges, and the node-sized relabel/insert
+    // joins broadcast at this scale. Degraded-to-full-graph CC re-runs
+    // the ~11 contraction rounds over the 2×2047-record edge list whose
+    // neighbor-min aggregations shuffle regardless of join strategy ≈
+    // +45k records — two orders of magnitude over budget.
+    info(s"insert-path tiny batch shuffled $tiny records (budget 10000)")
+    assert(tiny > 0 && tiny < 10000L,
+      s"tiny insert batch shuffled $tiny records — full-graph CC re-run?")
+  }
+
+  test("delete path: touched-component rebuild, not full-graph CC") {
+    val (st, es) = (tmpDir("icc-wdst"), tmpDir("icc-wdes"))
+    val sink = IncrementalCC.ccDeleteSink(st, es)
+    import spark.implicits._
+    // live graph: the same 2048-node path (one big UNTOUCHED component)
+    // plus a disjoint triangle 9001-9002-9003
+    val path = spark.range(0L, 2047L)
+      .select(col("id").as("u"), (col("id") + 1L).as("v"), lit("I").as("op"))
+    sink(path, 0L)
+    sink(changes((9001L, 9002L, "I"), (9002L, 9003L, "I"), (9003L, 9001L, "I")), 1L)
+    // delete one triangle edge: touched component = the 3-node triangle;
+    // the 2048-node path must participate only as one contracted stand-in
+    val tiny = shuffleRecordsDuring {
+      sink(changes((9001L, 9002L, "D")), 2L)
+    }
+    // healthy: measured 34 records — the delta/store merge and the
+    // node-sized relabel joins broadcast at this scale; CC runs on the
+    // 2-edge rebuild only. Degraded full-live-graph rebuild re-runs ~11
+    // contraction rounds whose aggregations shuffle the 2×2049-record
+    // live list regardless of join strategy ≈ +45k records.
+    info(s"delete-path tiny batch shuffled $tiny records (budget 10000)")
+    assert(tiny > 0 && tiny < 10000L,
+      s"tiny delete batch shuffled $tiny records — full-graph rebuild?")
+    assert(state(st).view.filterKeys(_ >= 9000L).toMap ==
+      Map(9001L -> 9001L, 9002L -> 9001L, 9003L -> 9001L))
+  }
 }

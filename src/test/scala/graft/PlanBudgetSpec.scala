@@ -44,7 +44,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // cacheReads 4 = the persisted `ordered` read by prefix/postings/both
     // verify sides (strings never leave the vocabulary aggregate)
     ("q214_containment_join", 6, 0, 4),
-    ("q205_kcore", 2, 2, 1),
+    // r8 live-edge-set peel (GraphStatQueries q205): the loop state is a
+    // localCheckpoint'd edge set, so the output plan is only the final
+    // degree agg + sort over the checkpoint RDD — the persisted `it` table
+    // and the per-round core joins no longer appear in the returned plan
+    // (they run inside the loop, behind the checkpoint). 2 shuffles =
+    // final groupBy + orderBy; 0 broadcasts, 0 cacheReads.
+    ("q205_kcore", 2, 0, 0),
     ("q171_table_diff", 6, 2, 0),
     // union+window formulation (kept to pin the formulation against q77's
     // native merge — the scale path, one fewer window shuffle per side)
@@ -100,7 +106,31 @@ class PlanBudgetSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
-  test("q117 rounds stay co-partitioned: shuffle-record budget, broadcast off") {
+  /** RUNTIME budgets: total shuffle-WRITE records with auto-broadcast off
+    * (ShuffleRecords is the measurement tool; sf0.001). Static tree counts
+    * can't see per-round exchanges inside loop-driven operators — record
+    * volume can. Each ceiling is ~3× the measured healthy value and far
+    * below its named failure mode.
+    *
+    *   - q117: measured ~4.6k with the bucketed-ord contract (window +
+    *     bucket-aligned repartition of 1.5k orders, then only the shrinking
+    *     frontier per round). Losing the contract re-shuffles 1.5k ord rows
+    *     × ~19 rounds ≈ 30k (the pre-fix measurement).
+    *   - q189: measured ~51.5k with the pa-keyed persist (one-time build:
+    *     li distinct + self-join + edge distinct + repartition; per-round
+    *     frontier only). Losing the pa-repartition re-shuffles the edge
+    *     table per BFS round ≈ 85.9k (the pre-fix measurement).
+    *   - q164: measured ~297k — both persists present means the lineitem
+    *     self-join feeds deg/orientation/closing-join ONCE; a dropped
+    *     persist re-executes the edge build per branch and the record
+    *     count multiplies by the branch count (~2× the total per branch).
+    */
+  private val runtimeBudgets = Seq(
+    ("q117_fixpoint_chain", 15000L, "per-round ord re-shuffle is back?"),
+    ("q189_bfs_hops", 150000L, "per-round edge re-shuffle is back (pa-repartition lost)?"),
+    ("q164_triangles", 450000L, "edge/oriented persist lost (per-branch rebuild)?"))
+
+  test("loop/iterative queries stay within their runtime shuffle-record budgets") {
     val conf = spark.conf
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -113,24 +143,27 @@ class PlanBudgetSpec extends AnyFunSuite {
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.sparkContext.addSparkListener(listener)
-    try {
-      val n = SparkEntry.queries("q117_fixpoint_chain")(spark, sf0001).count()
-      assert(n > 0)
-      // listener events are async; wait for the count to settle
-      var (prev, settle) = (-1L, 0)
-      while (settle < 3) {
+    def settle(): Long = {
+      try org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 30000)
+      catch { case _: Throwable => }
+      var (prev, n) = (-1L, 0)
+      while (n < 3) {
         Thread.sleep(200)
         val cur = records.get()
-        if (cur == prev) settle += 1 else { prev = cur; settle = 0 }
+        if (cur == prev) n += 1 else { prev = cur; n = 0 }
       }
-      val got = records.get()
-      // measured ~4.6k records with the bucketed-ord contract in place
-      // (window + bucket-aligned repartition of 1.5k orders, then only
-      // the shrinking frontier per round). Losing the contract re-shuffles
-      // 1.5k ord rows × ~19 rounds ≈ 30k records (the pre-fix measurement)
-      // — give ~3× headroom, still far below the failure mode.
-      assert(got > 0 && got < 15000L,
-        s"q117 shuffled $got records — per-round ord re-shuffle is back?")
+      records.get()
+    }
+    try {
+      val drift = runtimeBudgets.flatMap { case (name, budget, failureMode) =>
+        spark.catalog.clearCache()
+        val before = settle()
+        val n = SparkEntry.queries(name)(spark, sf0001).count()
+        val got = settle() - before
+        if (n > 0 && got > 0 && got < budget) None
+        else Some(s"$name shuffled $got records (budget $budget, rows $n) — $failureMode")
+      }
+      assert(drift.isEmpty, "runtime shuffle-record drift:\n" + drift.mkString("\n"))
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       saved.foreach { case (k, v) =>
