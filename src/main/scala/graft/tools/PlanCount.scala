@@ -17,7 +17,11 @@ object PlanCount {
     plan.collect { case _: InMemoryTableScanExec => 1 }.sum)
 
   def main(args: Array[String]): Unit = {
+    // extensions match PlanBudgetSpec's session: the native as-of family
+    // plans through GraftExtensions' strategy, so counting without it
+    // would measure a different (fallback) plan shape
     val sp = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

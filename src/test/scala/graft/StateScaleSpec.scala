@@ -264,4 +264,107 @@ class StateScaleSpec extends AnyFunSuite {
       org.apache.spark.sql.GraftSqlBridge.stopStateStores()
     }
   }
+
+  test("custom stateful operators: RocksDB provider output == in-memory") {
+    // Extends the provider-parity pin to the CUSTOM fMGWS/mapGroupsWithState
+    // operators (the maintained-state family behind q93/q94/q207): the
+    // RocksDB provider is the pinned 100 TB streaming config (BASELINE.md
+    // round-8 finding 4), so each operator's multi-batch output must be
+    // byte-identical under it — buffer merge order, timer expiry, and
+    // state-encoder round-trips all cross the provider boundary.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+    def withProvider[T](p: Option[String])(body: => T): T = {
+      val saved = spark.conf.get(provKey, "")
+      p.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+      try body finally {
+        if (saved.isEmpty) spark.conf.unset(provKey)
+        else spark.conf.set(provKey, saved)
+        org.apache.spark.sql.GraftSqlBridge.stopStateStores()
+      }
+    }
+
+    def runAsOf(): Vector[String] = {
+      val ms = MemoryStream[Stateful.AsOfEv]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Stateful.AsOfOut]
+      val q = Stateful.asOfJoinStream(ms.toDS(), delay = "1 minute",
+          retentionMs = 60000L)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Stateful.AsOfOut], _: Long) =>
+          out.synchronized { out ++= b.collect() }; ()
+        }.start()
+      try {
+        ms.addData((1 to 50).map(k =>
+          Stateful.AsOfEv(s"k${k % 7}", ts(1 * M + k * 1000L), 0, k.toLong, k * 1.5)))
+        q.processAllAvailable()
+        ms.addData((1 to 30).map(k =>
+          Stateful.AsOfEv(s"k${k % 7}", ts(2 * M + k * 500L), 1, 1000L + k, 0.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(Stateful.AsOfEv("push", ts(100 * M), 0, 0L, 0.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(Stateful.AsOfEv("push", ts(200 * M), 0, 1L, 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      out.synchronized(out.map(_.toString).sorted.toVector)
+    }
+
+    def runBal(): Vector[String] = {
+      val ms = MemoryStream[Stateful.BalEv]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Stateful.BalOut]
+      val q = Stateful.clampedFoldStream(ms.toDS(), delay = "1 minute")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Stateful.BalOut], _: Long) =>
+          out.synchronized { out ++= b.collect() }; ()
+        }.start()
+      try {
+        ms.addData((1 to 60).map(i =>
+          Stateful.BalEv(s"b${i % 5}", ts(1 * M + i * 700L), i.toLong,
+            (if (i % 3 == 0) -2L else 1L) * i)))
+        q.processAllAvailable()
+        ms.addData((1 to 20).map(i =>
+          Stateful.BalEv(s"b${i % 5}", ts(2 * M + i * 300L), 100L + i, -i.toLong)))
+        q.processAllAvailable()
+        ms.addData(Seq(Stateful.BalEv("push", ts(100 * M), 999L, 0L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      out.synchronized(out.map(_.toString).sorted.toVector)
+    }
+
+    def runFunnel(): Vector[String] = {
+      val ms = MemoryStream[(Long, Long, Byte)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = Stateful.funnelStream(
+          ms.toDS().map { case (u, t, e) => Stateful.FunnelEv(u, t, e) },
+          watermarkDelay = Some("1 minute"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Stateful.FunnelRow], bid: Long) =>
+          out.synchronized { out ++= b.collect().map(r => s"$bid:$r") }; ()
+        }.start()
+      try {
+        ms.addData((1 to 40).flatMap(u => Seq(
+          (u.toLong, 1 * M + u * 100L, 0.toByte),
+          (u.toLong, 2 * M + u * 100L, 1.toByte))))
+        q.processAllAvailable()
+        ms.addData((1 to 40).filter(_ % 2 == 0).map(u =>
+          (u.toLong, 3 * M + u * 100L, 2.toByte)))
+        q.processAllAvailable()
+        ms.addData(Seq((999999L, 100 * M, 0.toByte)))
+        q.processAllAvailable()
+      } finally q.stop()
+      out.synchronized(out.sorted.toVector)
+    }
+
+    for ((nm, run) <- Seq[(String, () => Vector[String])](
+        ("asof", runAsOf _), ("clamped_fold", runBal _), ("funnel", runFunnel _))) {
+      val mem = withProvider(None)(run())
+      val rdb = withProvider(Some(rocks))(run())
+      assert(mem.nonEmpty, s"$nm produced no output under the in-memory provider")
+      assert(mem == rdb,
+        s"$nm diverged under RocksDB: ${mem.size} in-memory rows vs ${rdb.size}")
+    }
+  }
 }
