@@ -34,16 +34,29 @@ import graft.queries.{DedupQueries, Protocol}
   *
   * 100 TB shape: candidate generation is the banded equi-join — never
   * all-pairs — and per-batch cost is the batch's own signing plus one probe
-  * of the matching band buckets. The store re-read here is a plain parquet
-  * dir (right for the bounded-replay gate); a deployment at corpus scale
-  * stores the banded signatures as a table bucketed by (band_idx, band) —
-  * exactly the `bucketBy` pattern `AnnIvf.buildIndex` uses — so the
-  * store-side shuffle of the probe join disappears and each batch touches
-  * only the buckets its own bands hash to.
+  * of the matching band buckets. The signature store is a BUCKETED table
+  * on the probe join's keys (band_idx, band) — the `bucketBy` pattern
+  * `AnnIvf.buildIndex` uses — so the store side of every batch's probe
+  * join plans with ZERO exchange: the store's corpus-sized banded rows
+  * never cross the network again after their one bucketed write; only the
+  * batch side (batch-sized) shuffles, to the bucket count.
+  * LshIndexSpec pins this as a growth law: per-batch shuffle records stay
+  * flat as the store accumulates (the pre-bucketing shape re-shuffled the
+  * WHOLE store every micro-batch — per-batch cost grew linearly with
+  * corpus history, the classic streaming-index scale killer). The
+  * remaining per-batch store cost is the bucket scan + merge-join sort,
+  * local CPU/IO that a deployment prunes further by compacting buckets.
   */
 object LshIndex {
 
   import DedupQueries.{BANDS, K, ROWS}
+
+  /** Bucket count of the signature store table. Fixed at table creation;
+    * a deployment sizes it to the executor count (it bounds probe-side
+    * shuffle width), the gate keeps it aligned with the 8-partition
+    * streaming harness.
+    */
+  val StoreBuckets = 8
 
   /** (doc_id, sig: array<bigint>) 16-lane MinHash signatures for an
     * arbitrary (doc_id, text) frame — the DataFrame-in form of
@@ -104,13 +117,17 @@ object LshIndex {
     val storeBan = storeOrEmpty(spark, storeDir, bbanAll)
     // Re-arrivals (a doc_id already in the store arriving again in a LATER
     // batch, not just a replay) are no-ops BY CONSTRUCTION: the probe side
-    // is anti-joined against the store by doc_id before any pair is
+    // is anti-joined against the stored doc_ids before any pair is
     // generated, so the stored signature stays authoritative and the
     // emitted pairs can never disagree with the store about which
     // signature a doc_id carries. First arrival wins; a changed text for
     // an existing doc_id is discarded (insert-only index contract).
+    // The id set is its own SIDECAR table bucketed BY doc_id: anti-joining
+    // against the banded store (bucketed on the band keys) would re-shuffle
+    // store-sized doc_id rows every batch — the growth term LshIndexSpec's
+    // flat-work law caught when this was a distinct() over the main store.
     val bban = bbanAll
-      .join(storeBan.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .join(storedIds(spark, storeDir, storeBan), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bban.count() // materialize once; probed up to twice below
@@ -118,19 +135,71 @@ object LshIndex {
         .unionByName(pairsBetween(bban, storeBan, threshold))
         .dropDuplicates("id_a", "id_b")
       Loader.writeBatchIdempotent(pairs, pairsDir, batchId, markersDir)
-      val fresh = bban.dropDuplicates("doc_id") // re-band on read, store one row per doc
-        .select(col("doc_id"), col("sig"))
-      fresh.write.mode("append").parquet(storeDir)
+      // The store keeps BANDED rows (doc_id, sig, band_idx, band), one per
+      // (doc, band), appended into the bucketed table: 4× the rows of the
+      // old one-row-per-doc layout, bought back many times over because
+      // the probe join's store side never shuffles again (the old layout
+      // re-banded AND re-shuffled the whole store every batch).
+      val fresh = bban.dropDuplicates("doc_id", "band_idx")
+        .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
+      fresh.write.mode("append").format("parquet")
+        .bucketBy(StoreBuckets, "band_idx", "band")
+        .option("path", storeDir)
+        .saveAsTable(storeTable(storeDir))
+      // id sidecar (batch-sized write): keeps the NEXT batch's re-arrival
+      // anti-join exchange-free on the store side
+      bban.select(col("doc_id")).dropDuplicates("doc_id")
+        .write.mode("append").format("parquet")
+        .bucketBy(StoreBuckets, "doc_id")
+        .option("path", idsDir(storeDir))
+        .saveAsTable(storeTable(storeDir) + "_ids")
     } finally bban.unpersist()
   }
 
+  private def idsDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_ids"
+
+  /** The stored doc_id set for the re-arrival anti-join — the bucketed id
+    * sidecar when present; derived from the banded rows otherwise (one
+    * store-sized pass, only ever on a legacy/foreign store dir).
+    */
+  private def storedIds(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, storeBan: DataFrame): DataFrame = {
+    val tbl = storeTable(storeDir) + "_ids"
+    if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+    else {
+      val p = new org.apache.hadoop.fs.Path(idsDir(storeDir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+        spark.read.parquet(idsDir(storeDir))
+      else storeBan.select(col("doc_id")).dropDuplicates("doc_id")
+    }
+  }
+
+  /** Catalog name of the bucketed store table for a given dir — derived
+    * from the path so concurrent harnesses (distinct scratch dirs) never
+    * collide. The catalog entry is session-lifetime (in-memory catalog);
+    * the DATA lives under `storeDir` like every other harness artifact.
+    */
+  def storeTable(storeDir: String): String =
+    "lsh_store_" + org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(storeDir).take(16)
+
   private def storeOrEmpty(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, like: DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      banded(spark.read.parquet(storeDir))
-    else like.limit(0)
+    val tbl = storeTable(storeDir)
+    if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+    else {
+      // a NEW session over an existing store dir (catalog entries are
+      // session-lifetime): the banded rows read back fine as plain
+      // parquet — correct, merely without the exchange-free layout until
+      // the next append re-registers the table
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+        spark.read.parquet(storeDir)
+      else like.limit(0)
+    }
   }
 
   /** `foreachBatch` sink closing over the three dirs — plug straight into

@@ -65,4 +65,36 @@ class LshIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == sigsBefore)
     assert(spark.read.parquet(store).select("doc_id").distinct().count() == 5L)
   }
+
+  test("per-batch work stays flat as the store grows (bucketed store, no re-shuffle)") {
+    import spark.implicits._
+    // distinct long-ish texts so every doc signs and bands; id-salted words
+    // keep cross-doc shingle overlap (and thus pair volume) negligible
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 9973)): _*).as("text"))
+    val (store, pairs) = (tmp("lsh-grow-store"), tmp("lsh-grow-pairs"))
+    // seed the store large, then measure two identical tiny batches with
+    // the store 2x apart in size. The store side of the probe join is
+    // bucketed on the join keys, so it contributes ZERO shuffle records —
+    // per-batch volume is the batch's own signing/banding/self-join. The
+    // pre-bucketing layout re-banded and re-shuffled the WHOLE store per
+    // batch: rSmall/rBig would differ by ~storeDelta x BANDS records and
+    // both would carry the corpus-sized store term.
+    LshIndex.processBatch(mkDocs(0L, 600L), store, pairs, 0L)
+    val rSmall = shuffleRecordsDuring {
+      LshIndex.processBatch(mkDocs(10000L, 10005L), store, pairs, 1L)
+    }
+    LshIndex.processBatch(mkDocs(600L, 1200L), store, pairs, 2L)
+    val rBig = shuffleRecordsDuring {
+      LshIndex.processBatch(mkDocs(20000L, 20005L), store, pairs, 3L)
+    }
+    info(s"tiny-batch shuffle records: store@600 -> $rSmall, store@1200 -> $rBig")
+    // flat growth law: the doubled store must not add ~600x4=2400 records
+    // (the old re-shuffle term); allow slack for AQE/stat jitter
+    assert(rSmall > 0 && rBig > 0, s"expected work on both batches ($rSmall, $rBig)")
+    assert(rBig <= rSmall + 400,
+      s"per-batch shuffle grew with the store: $rSmall -> $rBig — store-side re-shuffle is back?")
+  }
 }
