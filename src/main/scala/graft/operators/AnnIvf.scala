@@ -112,6 +112,18 @@ object AnnIvf {
     * bytes/row; at 100 TB an id-only column scan, not a corpus read) against
     * the batch's hash side. Keep it off only when the caller already
     * guarantees uniqueness (e.g. an upstream exactly-once source).
+    *
+    * The id scan also SHUFFLES the ids (the table is bucketed by cluster,
+    * not vec_id, so the anti-join cannot reuse its layout). An id-bucketed
+    * sidecar — the `LshIndex.storedIds` pattern — would make the store side
+    * exchange-free, but is deliberately NOT used here: the anti-join
+    * against the MAIN table is what makes a replay-after-complete a no-op,
+    * and a sidecar written in a second job reintroduces a crash window
+    * between the two writes (either duplicate vectors or lost vectors,
+    * depending on write order). Closing that window needs per-batch
+    * partition overwrite of the index itself (a `_batch`-partitioned
+    * layout); until an operator needs that, the honest per-batch cost here
+    * is one id-column scan + id-sized shuffle.
     */
   def appendToIndex(batch: DataFrame, centroids: Array[Array[Double]],
       table: String, buckets: Int = 8, dedupVecIds: Boolean = false): Unit = {
