@@ -142,8 +142,16 @@ object Bench {
     // never be mistaken for the task-time map (the r4/r5 VERDICT caught
     // exactly that unit mixup) — every per-query map in this line is
     // labeled with its unit in its own key.
+    // self-describing run config: the r9 scale rehearsals produced bench
+    // files whose partition count and state-store provider had to be
+    // reconstructed from shell history — record them in the line itself
+    val provider = spark.conf
+      .get("spark.sql.streaming.stateStore.providerClass", "")
+      .split("\\.").lastOption.filter(_.nonEmpty).getOrElse("HDFSBackedStateStoreProvider")
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""wall_total":$total,"task_total":$taskTotal,"gc_total":$gcTotal,""" +
+      s""""cpus":$cpus,"shuffle_partitions":$shufflePartitions,""" +
+      s""""state_provider":"$provider",""" +
       s""""wall_sec":$qs,"task_sec":$task,"gc_sec":$gc,"queries":$qs,""" +
       s""""sf":"$sfDir","reps":$reps}"""
     println(full)
