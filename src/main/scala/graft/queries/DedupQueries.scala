@@ -683,6 +683,55 @@ object DedupQueries extends QueryModule {
         graft.streaming.Loader.readTable(s, pairs)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(duckSig + "\n" + duckPairsSelect + "\nORDER BY id_a, id_b"))
+      Some(duckSig + "\n" + duckPairsSelect + "\nORDER BY id_a, id_b")),
+
+    // q253 — STREAMING DECONTAMINATION AT INGEST: the corpus (doc_id % 97
+    // ≠ 0) replayed as 4 micro-batches, each probed against a STATIC
+    // benchmark LSH index (doc_id % 97 = 0; LshIndex.buildStaticIndex —
+    // the bucketed banded layout, so the index side of every probe join
+    // plans exchange-free). A hit (doc_id, bench_id, est ≥ 0.5) is
+    // emitted by the batch that carries the corpus doc — ingest-time
+    // decontamination, the streaming twin of q61's batch operator — and
+    // the union over batches must equal the batch LSH pairs restricted to
+    // corpus×bench, same signatures, same banding, same estimate (the
+    // oracle recomputes exactly that in DuckDB).
+    Declared("q253_stream_decontaminate",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val base = SharedStages.scratchDir("q253")
+        val (src, idx, hits, ck) =
+          (s"$base/src", s"$base/idx", s"$base/hits", s"$base/ck")
+        graft.streaming.LshIndex.buildStaticIndex(bench, idx)
+        corpus.repartition(4).write.mode("overwrite").parquet(src)
+        SharedStages.withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ck)
+            .foreachBatch(graft.streaming.LshIndex.decontaminateSink(
+              idx, hits, s"$ck/graft_commits"))
+            .start()
+          q.awaitTermination()
+        }
+        graft.streaming.Loader.readTable(s, hits)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some(duckSig +
+        """,
+          |cand_cb AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS bid
+          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
+          |  WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0)
+          |SELECT did AS doc_id, bid AS bench_id, est_jaccard FROM (
+          |  SELECT c.did, c.bid,
+          |    CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
+          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) AS est_jaccard
+          |  FROM cand_cb c JOIN sig sa ON sa.doc_id = c.did JOIN sig sb ON sb.doc_id = c.bid)
+          |WHERE est_jaccard >= 0.5
+          |ORDER BY doc_id, bench_id""".stripMargin))
   )
 }

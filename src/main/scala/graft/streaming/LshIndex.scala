@@ -208,4 +208,52 @@ object LshIndex {
   def nearDupSink(storeDir: String, pairsDir: String, markersDir: String = null,
       threshold: Double = 0.5): (DataFrame, Long) => Unit =
     (batch, id) => processBatch(batch, storeDir, pairsDir, id, markersDir, threshold)
+
+  /** Build a STATIC banded signature index over a bounded document set —
+    * the same bucketed layout the streaming store uses, for PROBE-ONLY
+    * consumers (q253's benchmark set): every later probe join reads the
+    * index exchange-free, and the index is written exactly once.
+    */
+  def buildStaticIndex(docs: DataFrame, dir: String): Unit =
+    banded(signatures(docs.select("doc_id", "text")))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(StoreBuckets, "band_idx", "band")
+      .option("path", dir)
+      .saveAsTable(storeTable(dir))
+
+  /** STREAMING DECONTAMINATION sink: probe each micro-batch of corpus
+    * documents against a static benchmark index ([[buildStaticIndex]]) and
+    * emit (doc_id, bench_id, est_jaccard ≥ threshold) hits idempotently —
+    * the ingest-time twin of the batch decontamination operator
+    * (operators/Decontaminate, q61): a contaminated document is flagged
+    * the moment it arrives instead of at the next corpus sweep.
+    *
+    * Orientation is preserved (probe doc → benchmark doc), unlike
+    * [[pairsBetween]]'s id-normalized pairs: the consumer drops/quarantines
+    * the CORPUS side, never the benchmark. Stateless per batch — no store
+    * append — so replay safety is the pair write's marker protocol alone.
+    *
+    * 100 TB shape: per-batch cost is the batch's signing + one probe join
+    * whose index side never shuffles (bucketed on the join keys); the
+    * benchmark index is built once per benchmark revision.
+    */
+  def decontaminateSink(indexDir: String, hitsDir: String,
+      markersDir: String = null, threshold: Double = 0.5)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val bban = banded(signatures(batch.select("doc_id", "text")))
+    val idx = storeOrEmpty(spark, indexDir, bban)
+    val hits = bban
+      .select(col("band_idx"), col("band"),
+        col("doc_id").as("did"), col("sig").as("sig_p"))
+      .join(idx.select(col("band_idx"), col("band"),
+        col("doc_id").as("bid"), col("sig").as("sig_i")), Seq("band_idx", "band"))
+      .filter(col("did") =!= col("bid"))
+      .select(col("did").as("doc_id"), col("bid").as("bench_id"),
+        Protocol.out6(Protocol.dec(sigMatchCount(col("sig_p"), col("sig_i"), K)) / K)
+          .as("est_jaccard"))
+      .dropDuplicates("doc_id", "bench_id")
+      .filter(col("est_jaccard") >= threshold)
+    Loader.writeBatchIdempotent(hits, hitsDir, batchId, markersDir)
+  }
 }
