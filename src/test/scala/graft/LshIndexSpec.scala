@@ -97,4 +97,28 @@ class LshIndexSpec extends AnyFunSuite {
     assert(rBig <= rSmall + 400,
       s"per-batch shuffle grew with the store: $rSmall -> $rBig — store-side re-shuffle is back?")
   }
+
+  test("decontaminate probe work is flat in benchmark-index size") {
+    import spark.implicits._
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 9973)): _*).as("text"))
+    def probeRecords(indexDocs: Long): Long = {
+      val (idx, hits) = (tmp("lsh-dc-idx"), tmp("lsh-dc-hits"))
+      LshIndex.buildStaticIndex(mkDocs(0L, indexDocs), idx)
+      shuffleRecordsDuring {
+        LshIndex.decontaminateSink(idx, hits)(mkDocs(50000L, 50005L), 0L)
+      }
+    }
+    val (small, big) = (probeRecords(500L), probeRecords(1500L))
+    info(s"probe shuffle records: index@500 -> $small, index@1500 -> $big")
+    // the index side of the probe join is bucketed on the join keys: a
+    // 3x index must not add its banded rows (1000x4=4000) to the batch's
+    // shuffle; the sink is stateless so the only records are the batch's
+    // own signing/banding
+    assert(small >= 0 && big >= 0)
+    assert(big <= small + 400,
+      s"probe work grew with the index: $small -> $big — index-side re-shuffle?")
+  }
 }
