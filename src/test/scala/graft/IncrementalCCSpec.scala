@@ -125,35 +125,12 @@ class IncrementalCCSpec extends AnyFunSuite {
     }
   }
 
-  /** Total shuffle-WRITE records across the sink invocation — the same
-    * runtime-budget instrument as PlanBudgetSpec's loop queries: the
-    * "work bounded by batch + touched components" claim is invisible to
-    * static plan counts (the CC rounds run inside the sink), but a
-    * degradation to full-graph CC multiplies shuffle volume by rounds ×
-    * accumulated-graph size, far past any batch-sized budget.
-    */
-  private def shuffleRecordsDuring(body: => Unit): Long = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-    val records = new java.util.concurrent.atomic.AtomicLong
-    val listener = new SparkListener {
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-        records.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-    }
-    def settle(): Long = {
-      try org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 30000)
-      catch { case _: Throwable => }
-      var (prev, n) = (-1L, 0)
-      while (n < 3) {
-        Thread.sleep(200)
-        val cur = records.get()
-        if (cur == prev) n += 1 else { prev = cur; n = 0 }
-      }
-      records.get()
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try { val before = settle(); body; settle() - before }
-    finally spark.sparkContext.removeSparkListener(listener)
-  }
+  // Work budgets below use TestSpark.shuffleRecordsDuring — the shared
+  // runtime-budget instrument (PlanBudgetSpec uses the same one): the
+  // "work bounded by batch + touched components" claim is invisible to
+  // static plan counts (the CC rounds run inside the sink), but a
+  // degradation to full-graph CC multiplies shuffle volume by rounds ×
+  // accumulated-graph size, far past any batch-sized budget.
 
   test("insert path: tiny-batch work is state-map-sized, never rounds × graph") {
     import spark.implicits._

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.tools.PlanCount
@@ -107,23 +106,30 @@ class PlanBudgetSpec extends AnyFunSuite {
   }
 
   /** RUNTIME budgets: total shuffle-WRITE records with auto-broadcast off
-    * (ShuffleRecords is the measurement tool; sf0.001). Static tree counts
-    * can't see per-round exchanges inside loop-driven operators — record
-    * volume can. Each ceiling is ~3× the measured healthy value and far
-    * below its named failure mode.
+    * (TestSpark.shuffleRecordsDuring is the shared instrument; sf0.001).
+    * Static tree counts can't see per-round exchanges inside loop-driven
+    * operators — record volume can. Per-query headroom over the measured
+    * healthy value is stated per row (it is NOT a uniform 3×); every
+    * ceiling sits far below its named failure mode, which is what the
+    * budget actually exists to catch.
     *
-    *   - q117: measured ~4.6k with the bucketed-ord contract (window +
-    *     bucket-aligned repartition of 1.5k orders, then only the shrinking
-    *     frontier per round). Losing the contract re-shuffles 1.5k ord rows
-    *     × ~19 rounds ≈ 30k (the pre-fix measurement).
-    *   - q189: measured ~51.5k with the pa-keyed persist (one-time build:
-    *     li distinct + self-join + edge distinct + repartition; per-round
-    *     frontier only). Losing the pa-repartition re-shuffles the edge
-    *     table per BFS round ≈ 85.9k (the pre-fix measurement).
-    *   - q164: measured ~297k — both persists present means the lineitem
-    *     self-join feeds deg/orientation/closing-join ONCE; a dropped
-    *     persist re-executes the edge build per branch and the record
-    *     count multiplies by the branch count (~2× the total per branch).
+    *   - q117: measured ~4.6k (≈3.3× headroom) with the bucketed-ord
+    *     contract (window + bucket-aligned repartition of 1.5k orders, then
+    *     only the shrinking frontier per round). Losing the contract
+    *     re-shuffles 1.5k ord rows × ~19 rounds ≈ 30k (the pre-fix
+    *     measurement) — 2× the ceiling.
+    *   - q189: measured ~51.5k (≈2.9× headroom) with the pa-keyed persist
+    *     (one-time build: li distinct + self-join + edge distinct +
+    *     repartition; per-round frontier only). Losing the pa-repartition
+    *     re-shuffles the edge table per BFS round ≈ 85.9k (pre-fix) —
+    *     clears the ceiling with margin because the round count grows with
+    *     graph diameter.
+    *   - q164: measured ~297k (≈1.5× headroom — deliberately tight: the
+    *     healthy number is dominated by the one legitimate corpus-sized
+    *     self-join, so 3× slack would let a whole extra branch rebuild
+    *     hide). The failure mode — a dropped persist re-executing the edge
+    *     build per branch — adds ~2× the total per branch ≈ 594k+, still
+    *     comfortably past the 450k ceiling.
     */
   private val runtimeBudgets = Seq(
     ("q117_fixpoint_chain", 15000L, "per-round ord re-shuffle is back?"),
@@ -135,37 +141,20 @@ class PlanBudgetSpec extends AnyFunSuite {
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
       .map(k => k -> conf.get(k, null))
-    val records = new java.util.concurrent.atomic.AtomicLong
-    val listener = new SparkListener {
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-        records.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-    }
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.sparkContext.addSparkListener(listener)
-    def settle(): Long = {
-      try org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 30000)
-      catch { case _: Throwable => }
-      var (prev, n) = (-1L, 0)
-      while (n < 3) {
-        Thread.sleep(200)
-        val cur = records.get()
-        if (cur == prev) n += 1 else { prev = cur; n = 0 }
-      }
-      records.get()
-    }
     try {
       val drift = runtimeBudgets.flatMap { case (name, budget, failureMode) =>
         spark.catalog.clearCache()
-        val before = settle()
-        val n = SparkEntry.queries(name)(spark, sf0001).count()
-        val got = settle() - before
+        var n = 0L
+        val got = shuffleRecordsDuring {
+          n = SparkEntry.queries(name)(spark, sf0001).count()
+        }
         if (n > 0 && got > 0 && got < budget) None
         else Some(s"$name shuffled $got records (budget $budget, rows $n) — $failureMode")
       }
       assert(drift.isEmpty, "runtime shuffle-record drift:\n" + drift.mkString("\n"))
     } finally {
-      spark.sparkContext.removeSparkListener(listener)
       saved.foreach { case (k, v) =>
         if (v == null) conf.unset(k) else conf.set(k, v)
       }
