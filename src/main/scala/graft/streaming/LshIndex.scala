@@ -21,31 +21,36 @@ import graft.queries.{DedupQueries, Protocol}
   * batches therefore equals the BATCH `lshPairs` output bit-for-bit (same
   * md5-derived lanes, same 4×4 banding, same est ≥ threshold filter).
   *
-  * Failure model mirrors `AnnIvf.maintainIndexStream`: foreachBatch is
-  * at-least-once, so both sides of the batch are made idempotent — pairs go
-  * through `Loader.writeBatchIdempotent` (dynamic `_batch` partition
-  * overwrite + commit marker), signatures append through a left-anti join
-  * on doc_id against the store. A replayed batch rewrites its own pair
-  * partition and its already-stored signatures anti-join away. Pairs are
-  * written BEFORE signatures: a crash between the two replays into a store
-  * that may already hold the batch's docs, which only shifts pairs from the
-  * batch×batch branch to the batch×store branch — the de-duplicated union
-  * is identical.
+  * Failure model: foreachBatch is at-least-once, so EVERY write of the
+  * batch is independently idempotent — pairs go through
+  * `Loader.writeBatchIdempotent` (dynamic `_batch` partition overwrite +
+  * commit marker), and the signature store and its id sidecar are
+  * [[BucketedStore]]s whose per-batch append REWRITES the batch's own
+  * `_batch` partition. Both per-batch reads take the PRE-batch snapshot
+  * (`_batch =!= batchId`, a free partition-pruned filter), so a replayed
+  * batch sees exactly what the original run saw no matter where the crash
+  * fell: after the pair write (marker skips it, store partitions rewrite
+  * to identical content), between the two store writes (each partition
+  * rewrite converges independently — the crash window the round-9 bare
+  * `mode("append")` layout had, where a replay re-appended already-stored
+  * banded rows), or before anything committed (clean re-run).
   *
   * 100 TB shape: candidate generation is the banded equi-join — never
   * all-pairs — and per-batch cost is the batch's own signing plus one probe
   * of the matching band buckets. The signature store is a BUCKETED table
-  * on the probe join's keys (band_idx, band) — the `bucketBy` pattern
-  * `AnnIvf.buildIndex` uses — so the store side of every batch's probe
-  * join plans with ZERO exchange: the store's corpus-sized banded rows
-  * never cross the network again after their one bucketed write; only the
-  * batch side (batch-sized) shuffles, to the bucket count.
+  * on the probe join's keys (band_idx, band), so the store side of every
+  * batch's probe join plans with ZERO exchange: the store's corpus-sized
+  * banded rows never cross the network again after their one bucketed
+  * write; only the batch side (batch-sized) shuffles, to the bucket count.
   * LshIndexSpec pins this as a growth law: per-batch shuffle records stay
   * flat as the store accumulates (the pre-bucketing shape re-shuffled the
   * WHOLE store every micro-batch — per-batch cost grew linearly with
   * corpus history, the classic streaming-index scale killer). The
-  * remaining per-batch store cost is the bucket scan + merge-join sort,
-  * local CPU/IO that a deployment prunes further by compacting buckets.
+  * remaining per-batch store cost — file opens growing with append
+  * history — is pruned by [[compactStore]] (bucket-preserving rewrite,
+  * LshIndexSpec pins files-per-probe bounded after it). The bucketed
+  * layout SURVIVES restarts: a new session re-registers the table from the
+  * store's own metadata instead of degrading to a plain re-shuffling read.
   */
 object LshIndex {
 
@@ -103,6 +108,14 @@ object LshIndex {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** StoreSpec of the banded signature store for a dir. */
+  private def storeSpec(storeDir: String) =
+    BucketedStore.StoreSpec(storeDir, Seq("band_idx", "band"), StoreBuckets)
+
+  /** StoreSpec of the doc_id sidecar for a dir. */
+  private def idsSpec(storeDir: String) =
+    BucketedStore.StoreSpec(idsDir(storeDir), Seq("doc_id"), StoreBuckets)
+
   /** One micro-batch against the index: emit every pair this batch
     * completes into `pairsDir`, then append the batch's signatures to
     * `storeDir`. Idempotent on replay (see object doc). `markersDir`
@@ -114,7 +127,7 @@ object LshIndex {
       threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
     val bbanAll = banded(signatures(batch.select("doc_id", "text")))
-    val storeBan = storeOrEmpty(spark, storeDir, bbanAll)
+    val storeBan = storeOrEmpty(spark, storeDir, bbanAll, batchId)
     // Re-arrivals (a doc_id already in the store arriving again in a LATER
     // batch, not just a replay) are no-ops BY CONSTRUCTION: the probe side
     // is anti-joined against the stored doc_ids before any pair is
@@ -126,8 +139,11 @@ object LshIndex {
     // against the banded store (bucketed on the band keys) would re-shuffle
     // store-sized doc_id rows every batch — the growth term LshIndexSpec's
     // flat-work law caught when this was a distinct() over the main store.
+    // Both snapshots EXCLUDE the batch's own partition (`_batch =!=
+    // batchId`), so a replay after a partial commit anti-joins against the
+    // pre-batch state, not its own half-written rows.
     val bban = bbanAll
-      .join(storedIds(spark, storeDir, storeBan), Seq("doc_id"), "left_anti")
+      .join(storedIds(spark, storeDir, storeBan, batchId), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bban.count() // materialize once; probed up to twice below
@@ -136,70 +152,128 @@ object LshIndex {
         .dropDuplicates("id_a", "id_b")
       Loader.writeBatchIdempotent(pairs, pairsDir, batchId, markersDir)
       // The store keeps BANDED rows (doc_id, sig, band_idx, band), one per
-      // (doc, band), appended into the bucketed table: 4× the rows of the
-      // old one-row-per-doc layout, bought back many times over because
-      // the probe join's store side never shuffles again (the old layout
-      // re-banded AND re-shuffled the whole store every batch).
+      // (doc, band): 4× the rows of a one-row-per-doc layout, bought back
+      // many times over because the probe join's store side never shuffles
+      // again. Each append REWRITES the batch's own `_batch` partition
+      // (BucketedStore), so the store write and the sidecar write are each
+      // independently replay-idempotent — no cross-write crash window.
       val fresh = bban.dropDuplicates("doc_id", "band_idx")
         .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
-      fresh.write.mode("append").format("parquet")
-        .bucketBy(StoreBuckets, "band_idx", "band")
-        .option("path", storeDir)
-        .saveAsTable(storeTable(storeDir))
+      BucketedStore.appendBatch(fresh, storeSpec(storeDir), batchId)
       // id sidecar (batch-sized write): keeps the NEXT batch's re-arrival
       // anti-join exchange-free on the store side
-      bban.select(col("doc_id")).dropDuplicates("doc_id")
-        .write.mode("append").format("parquet")
-        .bucketBy(StoreBuckets, "doc_id")
-        .option("path", idsDir(storeDir))
-        .saveAsTable(storeTable(storeDir) + "_ids")
+      BucketedStore.appendBatch(bban.select(col("doc_id")).dropDuplicates("doc_id"),
+        idsSpec(storeDir), batchId)
     } finally bban.unpersist()
   }
 
   private def idsDir(storeDir: String): String =
     storeDir.stripSuffix("/") + "_ids"
 
-  /** The stored doc_id set for the re-arrival anti-join — the bucketed id
-    * sidecar when present; derived from the banded rows otherwise (one
-    * store-sized pass, only ever on a legacy/foreign store dir).
+  /** Bucket-preserving compaction of the signature store AND its id
+    * sidecar: collapses the one-partition-per-batch append history into a
+    * single consolidated partition per table (one file per bucket), so
+    * per-probe file opens stop growing with batch count. Run it from the
+    * store's owner between batches — the deployment prune the round-9
+    * scaladoc promised, now an operator.
     */
-  private def storedIds(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, storeBan: DataFrame): DataFrame = {
-    val tbl = storeTable(storeDir) + "_ids"
-    if (spark.catalog.tableExists(tbl)) spark.table(tbl)
-    else {
-      val p = new org.apache.hadoop.fs.Path(idsDir(storeDir))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-        spark.read.parquet(idsDir(storeDir))
-      else storeBan.select(col("doc_id")).dropDuplicates("doc_id")
-    }
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String): Unit = {
+    BucketedStore.compact(spark, storeSpec(storeDir))
+    BucketedStore.compact(spark, idsSpec(storeDir))
   }
 
-  /** Catalog name of the bucketed store table for a given dir — derived
-    * from the path so concurrent harnesses (distinct scratch dirs) never
-    * collide. The catalog entry is session-lifetime (in-memory catalog);
-    * the DATA lives under `storeDir` like every other harness artifact.
+  /** The stored doc_id set for the re-arrival anti-join (pre-batch
+    * snapshot) — the bucketed id sidecar when present; derived from the
+    * banded rows otherwise (one store-sized pass, only ever on a
+    * legacy/foreign store dir).
     */
-  def storeTable(storeDir: String): String =
-    "lsh_store_" + org.apache.commons.codec.digest.DigestUtils
-      .md5Hex(storeDir).take(16)
-
-  private def storeOrEmpty(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, like: DataFrame): DataFrame = {
-    val tbl = storeTable(storeDir)
-    if (spark.catalog.tableExists(tbl)) spark.table(tbl)
-    else {
-      // a NEW session over an existing store dir (catalog entries are
-      // session-lifetime): the banded rows read back fine as plain
-      // parquet — correct, merely without the exchange-free layout until
-      // the next append re-registers the table
-      val p = new org.apache.hadoop.fs.Path(storeDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-        spark.read.parquet(storeDir)
-      else like.limit(0)
+  private def storedIds(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, storeBan: DataFrame, batchId: Long): DataFrame =
+    BucketedStore.read(spark, idsSpec(storeDir)) match {
+      case Some(ids) =>
+        ids.filter(col("_batch") =!= batchId).select(col("doc_id"))
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(idsDir(storeDir))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+          spark.read.parquet(idsDir(storeDir)).select(col("doc_id"))
+        else storeBan.select(col("doc_id")).dropDuplicates("doc_id")
     }
+
+  /** Catalog name of the bucketed store table for a given dir — kept as a
+    * public alias of [[BucketedStore.tableName]] (derived from the path so
+    * concurrent harnesses with distinct scratch dirs never collide).
+    */
+  def storeTable(storeDir: String): String = BucketedStore.tableName(storeDir)
+
+  /** The banded store's pre-batch snapshot: the registered bucketed table
+    * when available (re-registered on the fly after a restart — the
+    * exchange-free layout survives sessions). A FIRST-GENERATION layout
+    * (one plain-parquet row per doc, no band columns) is MIGRATED in place
+    * on first open — re-banded and rewritten into the bucketed layout, id
+    * sidecar included — because appending the current layout next to
+    * legacy files would leave an unreadable mixed dir, and serving the
+    * probe from an un-banded plain read would re-shuffle the store every
+    * batch (the growth term this store exists to kill). A foreign dir that
+    * is already banded but not bucket-claimable stays a read-only plain
+    * fallback.
+    */
+  private def storeOrEmpty(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, like: DataFrame, batchId: Long): DataFrame =
+    BucketedStore.read(spark, storeSpec(storeDir)) match {
+      case Some(df) => df.filter(col("_batch") =!= batchId)
+        .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val legacyQ = new org.apache.hadoop.fs.Path(storeDir.stripSuffix("/") + "_legacy")
+        val topFiles = if (fs.exists(p))
+          fs.listStatus(p).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+        else Array.empty[String]
+        val resuming = fs.exists(legacyQ) &&
+          fs.listStatus(legacyQ).exists(_.getPath.getName.endsWith(".parquet"))
+        if (topFiles.isEmpty && !resuming) like.limit(0)
+        else if (topFiles.nonEmpty && {
+          val raw = spark.read.parquet(topFiles.toIndexedSeq: _*)
+          raw.columns.contains("band_idx") && raw.columns.contains("band")
+        }) // foreign pre-banded dir: serve read-only, claim nothing
+          spark.read.parquet(topFiles.toIndexedSeq: _*)
+            .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
+        else {
+          migrateLegacyStore(spark, storeDir, fs, topFiles, legacyQ)
+          storeOrEmpty(spark, storeDir, like, batchId)
+        }
+    }
+
+  /** One-time upgrade of a first-generation store dir (one plain row per
+    * doc, no band columns). Three idempotent phases, re-entered from any
+    * crash point by the next open:
+    *   1. QUARANTINE: move the legacy files into the sibling
+    *      `<store>_legacy` dir (out of the dir the table is about to own;
+    *      per-file renames, re-runnable);
+    *   2. REWRITE: band the quarantined signatures into the bucketed
+    *      layout at a DETERMINISTIC base partition (a partition rewrite —
+    *      replaying it overwrites, never duplicates) and build the id
+    *      sidecar the same way;
+    *   3. RETIRE: drop the quarantine dir — only after the banded copy and
+    *      the sidecar are both fully written.
+    */
+  private def migrateLegacyStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, fs: org.apache.hadoop.fs.FileSystem,
+      topFiles: Array[String], legacyQ: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(legacyQ)
+    topFiles.foreach { f =>
+      val src = new org.apache.hadoop.fs.Path(f)
+      fs.rename(src, new org.apache.hadoop.fs.Path(legacyQ, src.getName))
+    }
+    val legacy = spark.read.parquet(legacyQ.toString)
+    val bandedRows = banded(legacy.select(col("doc_id"), col("sig")))
+      .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
+    BucketedStore.appendBatch(bandedRows, storeSpec(storeDir), -1L)
+    BucketedStore.appendBatch(legacy.select(col("doc_id")).dropDuplicates("doc_id"),
+      idsSpec(storeDir), -1L)
+    fs.delete(legacyQ, true)
   }
 
   /** `foreachBatch` sink closing over the three dirs — plug straight into
@@ -215,11 +289,8 @@ object LshIndex {
     * index exchange-free, and the index is written exactly once.
     */
   def buildStaticIndex(docs: DataFrame, dir: String): Unit =
-    banded(signatures(docs.select("doc_id", "text")))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(StoreBuckets, "band_idx", "band")
-      .option("path", dir)
-      .saveAsTable(storeTable(dir))
+    BucketedStore.overwrite(
+      banded(signatures(docs.select("doc_id", "text"))), storeSpec(dir))
 
   /** STREAMING DECONTAMINATION sink: probe each micro-batch of corpus
     * documents against a static benchmark index ([[buildStaticIndex]]) and
@@ -242,7 +313,9 @@ object LshIndex {
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     val bban = banded(signatures(batch.select("doc_id", "text")))
-    val idx = storeOrEmpty(spark, indexDir, bban)
+    // static index: no own-batch partition to exclude (probe-only), so the
+    // snapshot filter uses an id no real batch carries
+    val idx = storeOrEmpty(spark, indexDir, bban, Long.MinValue)
     val hits = bban
       .select(col("band_idx"), col("band"),
         col("doc_id").as("did"), col("sig").as("sig_p"))

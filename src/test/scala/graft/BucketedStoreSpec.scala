@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.BucketedStore
+import graft.streaming.BucketedStore.StoreSpec
+
+/** Pins the streaming index-store abstraction every accumulated-state
+  * operator rides on (LSH signature store + sidecar, IVF maintained index,
+  * static benchmark indexes): idempotent per-batch partition rewrites,
+  * restart-surviving registration, legacy-layout migration, and
+  * bucket-preserving compaction with crash recovery on both sides of the
+  * commit point.
+  */
+class BucketedStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def mk(from: Long, until: Long) = {
+    spark.range(from, until).select(
+      col("id").as("k"),
+      (col("id") % 7).as("grp"),
+      concat(lit("v"), col("id")).as("payload"))
+  }
+
+  private def spec(dir: String) = StoreSpec(dir, Seq("grp"), 4)
+
+  private def rows(s: StoreSpec): Set[(Long, Long, String)] =
+    BucketedStore.read(spark, s).get
+      .select("k", "grp", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("appendBatch is a per-batch partition rewrite: replay converges, no dups") {
+    val s = spec(tmpDir("bs-append"))
+    BucketedStore.appendBatch(mk(0, 50), s, 0L)
+    BucketedStore.appendBatch(mk(50, 80), s, 1L)
+    val want = rows(s)
+    assert(want.size == 80)
+    // at-least-once replay of batch 1 — and a replay that arrives with the
+    // SAME content must leave the store byte-identical, not doubled
+    BucketedStore.appendBatch(mk(50, 80), s, 1L)
+    assert(rows(s) == want)
+    // a half-written batch (crash mid-write, fewer rows) is REPLACED whole
+    // by the replay, not merged with
+    BucketedStore.appendBatch(mk(80, 85), s, 2L)
+    BucketedStore.appendBatch(mk(80, 100), s, 2L) // the "real" full batch
+    assert(rows(s).size == 100)
+  }
+
+  test("registration survives a catalog loss (driver restart) with zero store-side exchange") {
+    val s = spec(tmpDir("bs-restart"))
+    BucketedStore.appendBatch(mk(0, 200), s, 0L)
+    val probe = mk(500, 505)
+    def joinExchanges(): Int = {
+      val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = probe.select(col("grp"), col("k").as("pk"))
+          .join(BucketedStore.read(spark, s).get.drop("_batch"), Seq("grp"))
+        j.collect()
+        "Exchange".r.findAllIn(j.queryExecution.executedPlan.toString).length
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val healthy = joinExchanges()
+    // simulate a NEW session: the in-memory catalog forgets the table, the
+    // dir persists (DROP on an external table leaves the files)
+    spark.sql(s"DROP TABLE ${BucketedStore.tableName(s.dir)}")
+    assert(joinExchanges() == healthy,
+      "re-registered store lost the exchange-free bucketed plan")
+    // and appends keep working against the re-registered entry
+    BucketedStore.appendBatch(mk(200, 210), s, 1L)
+    assert(rows(s).size == 210)
+  }
+
+  test("a previous-generation top-level bucketed layout is migrated in place") {
+    val dir = tmpDir("bs-migrate")
+    val s = spec(dir)
+    // the round-9 layout: bucketed files at the dir top level, no _batch
+    val tbl = "bs_mig_legacy"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    mk(0, 60).write.mode("overwrite").format("parquet")
+      .bucketBy(4, "grp").option("path", dir).saveAsTable(tbl)
+    spark.sql(s"DROP TABLE $tbl") // catalog gone, files stay
+    assert(rows(s).size == 60) // migrated + registered on open
+    BucketedStore.appendBatch(mk(60, 70), s, 0L)
+    assert(rows(s).size == 70)
+  }
+
+  test("plain un-bucketed parquet is NOT claimed (caller's legacy fallback)") {
+    val dir = tmpDir("bs-foreign")
+    mk(0, 10).write.mode("overwrite").parquet(dir)
+    assert(BucketedStore.read(spark, spec(dir)).isEmpty)
+  }
+
+  test("compact: one consolidated partition, content identical, bounded files") {
+    val s = spec(tmpDir("bs-compact"))
+    for (b <- 0L until 6L) BucketedStore.appendBatch(mk(b * 20, b * 20 + 20), s, b)
+    val before = rows(s)
+    val filesBefore = BucketedStore.parquetFiles(spark, s.dir).size
+    assert(filesBefore > s.buckets, s"append history should exceed $filesBefore files")
+    BucketedStore.compact(spark, s)
+    assert(rows(s) == before, "compaction changed store content")
+    val filesAfter = BucketedStore.parquetFiles(spark, s.dir).size
+    assert(filesAfter <= s.buckets,
+      s"compaction left $filesAfter files (want <= ${s.buckets})")
+    // appends continue after compaction; a second compaction also works
+    BucketedStore.appendBatch(mk(500, 510), s, 99L)
+    assert(rows(s).size == before.size + 10)
+    BucketedStore.compact(spark, s)
+    assert(rows(s).size == before.size + 10)
+    assert(BucketedStore.parquetFiles(spark, s.dir).size <= s.buckets)
+  }
+
+  test("crash before the commit marker rolls BACK: the compaction never happened") {
+    val s = spec(tmpDir("bs-crash-intent"))
+    BucketedStore.appendBatch(mk(0, 40), s, 0L)
+    val want = rows(s)
+    // simulate: intent marker + a fully-materialized (but uncommitted)
+    // consolidated partition — the state one instant before the commit
+    // marker would have been written
+    val fs = new org.apache.hadoop.fs.Path(s.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s.dir, "_compact_intent"), true)
+    os.write("-1".getBytes("UTF-8")); os.close()
+    // orphan consolidated copy: duplicate of batch 0's data
+    val src = new org.apache.hadoop.fs.Path(s.dir, "_batch=0")
+    val dst = new org.apache.hadoop.fs.Path(s.dir, "_batch=-1")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS ${BucketedStore.tableName(s.dir)}")
+    // recovery on open must delete the orphan — NOT read it as duplicates
+    assert(rows(s) == want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_intent")))
+  }
+
+  test("crash after the commit marker rolls FORWARD: source partitions finish dying") {
+    val s = spec(tmpDir("bs-crash-commit"))
+    BucketedStore.appendBatch(mk(0, 40), s, 0L)
+    val want = rows(s)
+    // simulate: consolidated partition present + commit marker written +
+    // source partitions NOT yet deleted — the state one instant after the
+    // linearization point
+    val fs = new org.apache.hadoop.fs.Path(s.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s.dir, "_batch=0")
+    val dst = new org.apache.hadoop.fs.Path(s.dir, "_batch=-1")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    Seq("_compact_intent", "_compact_commit").foreach { m =>
+      val os = fs.create(new org.apache.hadoop.fs.Path(s.dir, m), true)
+      os.write("-1".getBytes("UTF-8")); os.close()
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${BucketedStore.tableName(s.dir)}")
+    // recovery on open: the consolidated copy wins, the source dies —
+    // content identical, never doubled
+    assert(rows(s) == want)
+    assert(!fs.exists(src))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_commit")))
+  }
+}

@@ -98,6 +98,122 @@ class LshIndexSpec extends AnyFunSuite {
       s"per-batch shuffle grew with the store: $rSmall -> $rBig — store-side re-shuffle is back?")
   }
 
+  test("crash between the store write and the sidecar write: replay converges") {
+    import graft.streaming.BucketedStore
+    val all = docs
+    val (store, pairs) = (tmp("lsh-crash-store"), tmp("lsh-crash-pairs"))
+    val mk = tmp("lsh-crash-markers")
+    LshIndex.processBatch(all.filter(col("doc_id").isin(1L, 3L)), store, pairs, 0L, mk)
+    // simulate batch 1 crashing AFTER the pair write and the banded-store
+    // append but BEFORE the id-sidecar append — the exact window ADVICE
+    // flagged on the round-9 bare-append layout (a replay there re-appended
+    // the batch's banded rows: duplicate store rows, insert-only broken)
+    val b1 = all.filter(col("doc_id").isin(2L, 4L, 5L))
+    val bban1 = LshIndex.banded(LshIndex.signatures(b1.select("doc_id", "text")))
+    // the full pair write processBatch performs (batch×batch ∪ batch×store)
+    // — pairs commit FIRST, so this crash point has them complete
+    val storeBan0 = LshIndex.banded(LshIndex.signatures(
+      all.filter(col("doc_id").isin(1L, 3L)).select("doc_id", "text")))
+    graft.streaming.Loader.writeBatchIdempotent(
+      LshIndex.pairsBetween(bban1, bban1)
+        .unionByName(LshIndex.pairsBetween(bban1, storeBan0))
+        .dropDuplicates("id_a", "id_b"), pairs, 1L, mk)
+    BucketedStore.appendBatch(
+      bban1.select("doc_id", "sig", "band_idx", "band"),
+      BucketedStore.StoreSpec(store, Seq("band_idx", "band"), LshIndex.StoreBuckets), 1L)
+    // at-least-once replay of the whole batch
+    LshIndex.processBatch(b1, store, pairs, 1L, mk)
+    // store: one row per (doc, band), never doubled; sidecar complete
+    val st = spark.read.parquet(store)
+    assert(st.count() == st.select("doc_id", "band_idx").distinct().count(),
+      "duplicate banded rows after replay over a partial commit")
+    assert(st.select("doc_id").distinct().count() == 5L)
+    assert(spark.read.parquet(store.stripSuffix("/") + "_ids")
+      .select("doc_id").distinct().count() == 5L)
+    // and the pair feed equals the one-shot batch answer
+    val oneShot = pairSet(LshIndex.pairsBetween(
+      LshIndex.banded(LshIndex.signatures(all)),
+      LshIndex.banded(LshIndex.signatures(all))))
+    assert(pairSet(graft.streaming.Loader.readTable(spark, pairs)) == oneShot)
+  }
+
+  test("bucketed layout survives a driver restart: re-registered, still flat") {
+    import spark.implicits._
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 9973)): _*).as("text"))
+    val (store, pairs) = (tmp("lsh-restart-store"), tmp("lsh-restart-pairs"))
+    LshIndex.processBatch(mkDocs(0L, 600L), store, pairs, 0L)
+    val rReg = shuffleRecordsDuring {
+      LshIndex.processBatch(mkDocs(10000L, 10005L), store, pairs, 1L)
+    }
+    // a NEW session's in-memory catalog has no table entries; DROP on the
+    // external tables (files stay) simulates exactly that state
+    spark.sql(s"DROP TABLE ${LshIndex.storeTable(store)}")
+    spark.sql(s"DROP TABLE ${LshIndex.storeTable(store.stripSuffix("/") + "_ids")}")
+    val rNew = shuffleRecordsDuring {
+      LshIndex.processBatch(mkDocs(20000L, 20005L), store, pairs, 2L)
+    }
+    info(s"tiny-batch shuffle records: registered -> $rReg, after restart -> $rNew")
+    // the round-9 fallback read the store as PLAIN parquet after a restart:
+    // correct, but the probe join re-shuffled all ~600x4 store rows — the
+    // flat law silently died across restarts. Re-registration keeps it.
+    assert(rNew <= rReg + 400,
+      s"restart lost the bucketed layout: $rReg -> $rNew shuffle records")
+  }
+
+  test("a pre-banded legacy store dir (doc_id, sig) is re-banded on the fly") {
+    // the first-generation layout: ONE row per doc, no band columns, plain
+    // parquet — a fallback that returned it un-banded would silently emit
+    // zero pairs (the probe join needs band_idx/band)
+    val all = docs
+    val store = tmp("lsh-legacy-store")
+    LshIndex.signatures(all.filter(col("doc_id").isin(1L, 3L)).select("doc_id", "text"))
+      .write.mode("overwrite").parquet(store)
+    val pairs = tmp("lsh-legacy-pairs")
+    LshIndex.processBatch(all.filter(col("doc_id").isin(2L, 4L, 5L)), store, pairs, 0L)
+    val got = pairSet(graft.streaming.Loader.readTable(spark, pairs))
+    val oneShot = pairSet(LshIndex.pairsBetween(
+      LshIndex.banded(LshIndex.signatures(all)),
+      LshIndex.banded(LshIndex.signatures(all))))
+    assert(got == oneShot, "legacy store probe diverged from the batch answer")
+  }
+
+  test("compaction bounds files-per-probe; append history grows them without it") {
+    import spark.implicits._
+    import graft.streaming.BucketedStore
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 9973)): _*).as("text"))
+    val (store, pairs) = (tmp("lsh-compact-store"), tmp("lsh-compact-pairs"))
+    for (b <- 0L until 5L)
+      LshIndex.processBatch(mkDocs(b * 40, b * 40 + 40), store, pairs, b)
+    // shuffle is flat (the pinned growth law) but FILE COUNT grows with
+    // history — every probe opens all of them, the read-side growth term
+    val idsDir = store.stripSuffix("/") + "_ids"
+    val before = BucketedStore.parquetFiles(spark, store).size +
+      BucketedStore.parquetFiles(spark, idsDir).size
+    assert(before > 2 * LshIndex.StoreBuckets,
+      s"append history should have accumulated files, got $before")
+    val contentBefore = spark.read.parquet(store)
+      .select("doc_id", "band_idx", "band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    LshIndex.compactStore(spark, store)
+    val after = BucketedStore.parquetFiles(spark, store).size +
+      BucketedStore.parquetFiles(spark, idsDir).size
+    info(s"files per probe: $before -> $after (buckets=${LshIndex.StoreBuckets})")
+    assert(after <= 2 * LshIndex.StoreBuckets,
+      s"compaction left $after files (want <= ${2 * LshIndex.StoreBuckets})")
+    assert(spark.read.parquet(store)
+      .select("doc_id", "band_idx", "band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == contentBefore)
+    // the store keeps working: a post-compaction batch probes and appends
+    LshIndex.processBatch(mkDocs(1000L, 1005L), store, pairs, 5L)
+    assert(spark.read.parquet(idsDir).select("doc_id").distinct().count() == 205L)
+  }
+
   test("decontaminate probe work is flat in benchmark-index size") {
     import spark.implicits._
     def mkDocs(from: Long, until: Long) =
