@@ -114,16 +114,17 @@ object AnnIvf {
     * guarantees uniqueness (e.g. an upstream exactly-once source).
     *
     * The id scan also SHUFFLES the ids (the table is bucketed by cluster,
-    * not vec_id, so the anti-join cannot reuse its layout). An id-bucketed
-    * sidecar — the `LshIndex.storedIds` pattern — would make the store side
-    * exchange-free, but is deliberately NOT used here: the anti-join
-    * against the MAIN table is what makes a replay-after-complete a no-op,
-    * and a sidecar written in a second job reintroduces a crash window
-    * between the two writes (either duplicate vectors or lost vectors,
-    * depending on write order). Closing that window needs per-batch
-    * partition overwrite of the index itself (a `_batch`-partitioned
-    * layout); until an operator needs that, the honest per-batch cost here
-    * is one id-column scan + id-sized shuffle.
+    * not vec_id, so the anti-join cannot reuse its layout) — a per-batch
+    * O(index) term. This name-based managed-table API keeps it because the
+    * main-table anti-join is its only replay guard; the STORE-based API
+    * below ([[appendToIndexStore]]/[[maintainIndexStream]]) eliminates it:
+    * a `_batch`-partitioned [[graft.streaming.BucketedStore]] makes every
+    * write a per-batch partition REWRITE (replay converges structurally),
+    * which is what finally makes an id-bucketed sidecar SAFE — the crash
+    * window between the two writes that disqualified a sidecar here closes,
+    * and the re-arrival anti-join becomes exchange-free on the store side.
+    * AnnIvfStoreSpec pins the resulting growth law (per-batch shuffle flat
+    * as the index doubles). Prefer the store API for streaming maintenance.
     */
   def appendToIndex(batch: DataFrame, centroids: Array[Array[Double]],
       table: String, buckets: Int = 8, dedupVecIds: Boolean = false): Unit = {
@@ -154,6 +155,100 @@ object AnnIvf {
         appendToIndex(b, centroids, table, buckets, dedupVecIds)
       }
       .start()
+
+  import graft.streaming.BucketedStore
+  import graft.streaming.BucketedStore.StoreSpec
+
+  /** StoreSpec of the dir-based inverted-list store (bucketed by cluster —
+    * the search join's key).
+    */
+  private def storeSpec(dir: String, buckets: Int) =
+    StoreSpec(dir, Seq("cluster"), buckets)
+
+  /** StoreSpec of the vec_id sidecar (bucketed by vec_id — the re-arrival
+    * anti-join's key).
+    */
+  private def idsSpec(dir: String, buckets: Int) =
+    StoreSpec(dir.stripSuffix("/") + "_ids", Seq("vec_id"), buckets)
+
+  /** Build the DIR-BASED index store once: inverted lists bucketed by
+    * cluster + a vec_id-bucketed sidecar. Same layout the streaming
+    * maintenance appends into, so "build base index, then stream the rest"
+    * is one store.
+    */
+  def buildIndexStore(emb: DataFrame, centroids: Array[Array[Double]],
+      dir: String, buckets: Int = 8): Unit = {
+    val assigned = assign(emb, centroids)
+    BucketedStore.overwrite(assigned, storeSpec(dir, buckets))
+    BucketedStore.overwrite(assigned.select(col("vec_id")).dropDuplicates("vec_id"),
+      idsSpec(dir, buckets))
+  }
+
+  /** INCREMENTAL maintenance of the dir-based store — the scale path that
+    * closes [[appendToIndex]]'s per-batch O(index) dedup term. Per batch:
+    * assign the new vectors (batch-sized), anti-join against the PRE-batch
+    * sidecar (store side bucketed on vec_id ⇒ zero exchange; only the
+    * batch's ids shuffle), then rewrite the batch's own `_batch` partition
+    * in BOTH tables. Idempotency is structural: a replay overwrites its own
+    * partitions with identical content no matter which of the two writes a
+    * crash fell between, because the anti-join reads the PRE-batch snapshot
+    * (`_batch =!= batchId`), never the batch's own half-committed rows.
+    * First arrival wins across batches (insert-only contract, like the LSH
+    * signature store). AnnIvfStoreSpec pins the flat-work law: per-batch
+    * shuffle records stay flat as the accumulated index doubles.
+    */
+  def appendToIndexStore(batch: DataFrame, centroids: Array[Array[Double]],
+      dir: String, batchId: Long, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val priorIds = BucketedStore.read(spark, idsSpec(dir, buckets)) match {
+      case Some(ids) => ids.filter(col("_batch") =!= batchId).select(col("vec_id"))
+      case None => batch.select(col("vec_id")).limit(0)
+    }
+    val fresh = assign(batch, centroids)
+      .join(priorIds, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      BucketedStore.appendBatch(fresh, storeSpec(dir, buckets), batchId)
+      BucketedStore.appendBatch(fresh.select(col("vec_id")).dropDuplicates("vec_id"),
+        idsSpec(dir, buckets), batchId)
+    } finally fresh.unpersist()
+  }
+
+  /** foreachBatch maintenance of the dir-based store (at-least-once safe by
+    * construction — see [[appendToIndexStore]]).
+    */
+  def maintainIndexStore(stream: DataFrame, centroids: Array[Array[Double]],
+      dir: String, checkpoint: String, buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendToIndexStore(b, centroids, dir, id, buckets)
+      }
+      .start()
+
+  /** Bucket-preserving compaction of the dir-based store + sidecar (the
+    * read-side file-count prune; see [[graft.streaming.BucketedStore.compact]]).
+    */
+  def compactIndexStore(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    BucketedStore.compact(spark, storeSpec(dir, buckets))
+    BucketedStore.compact(spark, idsSpec(dir, buckets))
+  }
+
+  /** [[topKIndexed]] over the dir-based store. */
+  def topKIndexedStore(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int = 2,
+      buckets: Int = 8): DataFrame = {
+    val cands = BucketedStore.read(spark, storeSpec(dir, buckets))
+      .getOrElse(sys.error(s"no index store at $dir")).drop("_batch")
+    val qs = queries
+      .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
+    val scored = cands.join(broadcast(qs), "cluster")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe")))
+    groupedTopK(scored, "qid", k, Seq(col("cos").desc, col("vec_id")))
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
 
   /** Search a prebuilt index: a pure equi-join of the (bounded, broadcast)
     * probe batch onto the stored lists — the corpus side streams with NO

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnnIvf
+import graft.streaming.BucketedStore
+
+/** Pins the dir-based IVF index store — the layout that closes the last
+  * accumulated-state growth term the round-9 audit named (appendToIndex's
+  * per-batch O(index) vec_id anti-join): batch-partitioned main table +
+  * id sidecar, each write a per-batch partition rewrite, re-arrival
+  * anti-join exchange-free on the store side.
+  */
+class AnnIvfStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // deterministic unit-ish vectors in 4-d: direction keyed by id so cluster
+  // assignment is stable, magnitude irrelevant to cosine
+  private def vecs(from: Long, until: Long) =
+    spark.range(from, until).select(col("id").as("vec_id"),
+      array((0 until 4).map(d =>
+        (pmod(col("id") * (d * 7 + 3), lit(11L)) + lit(d * 2 + 1)).cast("double")): _*)
+        .as("e"))
+
+  private val centroids: Array[Array[Double]] =
+    Array(Array(1.0, 3.0, 5.0, 7.0), Array(9.0, 2.0, 4.0, 6.0),
+      Array(2.0, 8.0, 1.0, 5.0), Array(6.0, 6.0, 6.0, 1.0))
+
+  test("maintained store equals a one-shot rebuild; replay is a no-op") {
+    val dir = tmpDir("ivfstore-parity") + "/idx"
+    AnnIvf.buildIndexStore(vecs(0, 40), centroids, dir, buckets = 4)
+    AnnIvf.appendToIndexStore(vecs(40, 70), centroids, dir, 0L, buckets = 4)
+    AnnIvf.appendToIndexStore(vecs(70, 100), centroids, dir, 1L, buckets = 4)
+    // at-least-once replay of the last batch
+    AnnIvf.appendToIndexStore(vecs(70, 100), centroids, dir, 1L, buckets = 4)
+
+    val full = tmpDir("ivfstore-full") + "/idx"
+    AnnIvf.buildIndexStore(vecs(0, 100), centroids, full, buckets = 4)
+    val probes = vecs(0, 3).select(col("vec_id").as("qid"), col("e").as("qe"))
+    def res(d: String) = AnnIvf.topKIndexedStore(spark, d, probes, 3, centroids,
+      nprobe = 2, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(dir) == res(full))
+    assert(res(dir).nonEmpty)
+    val st = spark.read.parquet(dir)
+    assert(st.count() == 100L)
+    assert(st.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("crash between the index write and the sidecar write: replay converges") {
+    val dir = tmpDir("ivfstore-crash") + "/idx"
+    AnnIvf.buildIndexStore(vecs(0, 40), centroids, dir, buckets = 4)
+    // simulate: batch 0's MAIN write committed, sidecar write lost
+    val assigned = vecs(40, 60)
+    AnnIvf.appendToIndexStore(assigned, centroids, dir, 0L, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // surgically remove the sidecar's batch-0 partition via a fresh
+    // overwrite of the sidecar WITHOUT batch 0 (same observable state as a
+    // crash before the sidecar write committed)
+    val idsDir = dir.stripSuffix("/") + "_ids"
+    val pre = spark.read.parquet(idsDir).filter(col("_batch") =!= 0L)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(pre.length == 40)
+    spark.sql(s"DROP TABLE IF EXISTS ${BucketedStore.tableName(idsDir)}")
+    fs.delete(new org.apache.hadoop.fs.Path(idsDir), true)
+    BucketedStore.overwrite(vecs(0, 40).select("vec_id"),
+      BucketedStore.StoreSpec(idsDir, Seq("vec_id"), 4))
+    // replay of batch 0 must restore the sidecar AND leave the main table
+    // without duplicates (its own partition rewrites to identical content)
+    AnnIvf.appendToIndexStore(assigned, centroids, dir, 0L, buckets = 4)
+    val st = spark.read.parquet(dir)
+    assert(st.count() == 60L)
+    assert(st.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    assert(spark.read.parquet(idsDir).select("vec_id").distinct().count() == 60L)
+  }
+
+  test("per-batch work stays flat as the index doubles (the q236 growth law)") {
+    val dir = tmpDir("ivfstore-flat") + "/idx"
+    AnnIvf.buildIndexStore(vecs(0, 2000), centroids, dir, buckets = 4)
+    val rSmall = shuffleRecordsDuring {
+      AnnIvf.appendToIndexStore(vecs(10000, 10005), centroids, dir, 0L, buckets = 4)
+    }
+    AnnIvf.appendToIndexStore(vecs(2000, 4000), centroids, dir, 1L, buckets = 4)
+    val rBig = shuffleRecordsDuring {
+      AnnIvf.appendToIndexStore(vecs(20000, 20005), centroids, dir, 2L, buckets = 4)
+    }
+    info(s"tiny-batch shuffle records: index@2000 -> $rSmall, index@4005 -> $rBig")
+    // the round-9 appendToIndex anti-joined against the MAIN table's id
+    // column: a doubled index added ~2000 shuffled id rows per batch. The
+    // sidecar side of the anti-join is bucketed on vec_id — zero exchange —
+    // so a tiny batch's records cannot grow with the index.
+    assert(rBig <= rSmall + 400,
+      s"per-batch shuffle grew with the index: $rSmall -> $rBig — O(index) dedup term is back?")
+  }
+
+  test("streaming maintenance + restart-surviving registration") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("ivfstore-stream") + "/idx"
+    AnnIvf.buildIndexStore(vecs(0, 30), centroids, dir, buckets = 4)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIvf.maintainIndexStore(ms.toDF().toDF("vec_id", "e"), centroids,
+      dir, tmpDir("ivfstore-ck"), buckets = 4)
+    try {
+      ms.addData(vecs(30, 60).collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+      q.processAllAvailable()
+      ms.addData(vecs(60, 90).collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 90L)
+    // driver restart: catalog forgets both tables; the next append and the
+    // next search must re-register, not degrade
+    spark.sql(s"DROP TABLE ${BucketedStore.tableName(dir)}")
+    spark.sql(s"DROP TABLE ${BucketedStore.tableName(dir.stripSuffix("/") + "_ids")}")
+    AnnIvf.appendToIndexStore(vecs(90, 95), centroids, dir, 99L, buckets = 4)
+    val st = spark.read.parquet(dir)
+    assert(st.select("vec_id").distinct().count() == 95L)
+    assert(st.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    // compaction keeps content and bounds files
+    val before = spark.read.parquet(dir).select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    AnnIvf.compactIndexStore(spark, dir, buckets = 4)
+    assert(spark.read.parquet(dir).select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == before)
+    assert(BucketedStore.parquetFiles(spark, dir).size <= 4)
+  }
+}
