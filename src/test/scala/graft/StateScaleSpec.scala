@@ -216,6 +216,46 @@ class StateScaleSpec extends AnyFunSuite {
     assert(mm == nKeys / 2, s"n_live sum $mm, want ${nKeys / 2}")
   }
 
+  test("retract min/max index: per-batch WORK is live-index-sized, flat in history") {
+    // The row-count law above pins what the index HOLDS; this pins what a
+    // batch COSTS — the q244/q245/q248 family's runtime budget, same
+    // instrument as IncrementalCC/LshIndex. Per batch the sink merges
+    // deltas into the live-value index and the key state: both live-sized,
+    // so a tiny batch must shuffle the same volume whether 1 or 6 churn
+    // batches of HISTORY preceded it. The failure mode: losing the
+    // publish-time dcnt=0 compaction leaves a tombstone per churned-away
+    // value, the index grows with history cardinality (+500 rows per churn
+    // batch here), and the per-batch merge shuffle grows with it — far
+    // past the additive slack.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.VersionedView
+    val nKeys = 1500
+    val churn = 500
+    val (st, idx) = (TestSpark.tmpDir("ssf-mstate"), TestSpark.tmpDir("ssf-midx"))
+    val sink = VersionedView.retractMinMaxSink(st, idx, Seq("k"), Seq("ord"),
+      "op", groupCol = col("k") % 10, valueMicro = col("v"))
+    sink((1 to nKeys).map(k => (k.toLong, 0L, k.toLong * 1000L, "U"))
+      .toDF("k", "ord", "v", "op"), 0L)
+    var ord = 1L
+    def churnBatch(b: Long): Unit = {
+      sink((1 to churn).map { i =>
+        val r = (1L, ord, 50000000L + b * 100000L + i, "U"); ord += 1; r
+      }.toDF("k", "ord", "v", "op"), b)
+    }
+    def tinyBatch(b: Long): Long = TestSpark.shuffleRecordsDuring {
+      sink(Seq((2L, 900000L + b, 42L, "U")).toDF("k", "ord", "v", "op"), b)
+    }
+    churnBatch(1L)
+    val early = tinyBatch(2L)
+    for (b <- 3L to 7L) churnBatch(b)
+    val late = tinyBatch(8L)
+    info(s"tiny-batch shuffle records: history@2 -> $early, history@8 -> $late")
+    assert(early > 0 && late > 0)
+    assert(late <= early + 1000,
+      s"per-batch work grew with history: $early -> $late — index tombstone leak?")
+  }
+
   test("stateful pipeline is provider-agnostic: RocksDB state store == batch oracle") {
     // The 100 TB streaming config (DEPLOY.md): once per-executor state
     // outgrows memory, the RocksDB provider replaces the default in-memory
