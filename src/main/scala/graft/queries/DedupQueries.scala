@@ -732,6 +732,50 @@ object DedupQueries extends QueryModule {
           |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) AS est_jaccard
           |  FROM cand_cb c JOIN sig sa ON sa.doc_id = c.did JOIN sig sb ON sb.doc_id = c.bid)
           |WHERE est_jaccard >= 0.5
+          |ORDER BY doc_id, bench_id""".stripMargin)),
+
+    // q254 — BENCHMARK-REVISION BACKFILL (LshIndex.backfillDecontaminate):
+    // the complement q253 leaves open. History ingests first — 4 corpus
+    // micro-batches through the near-dup sink, which is what builds the
+    // persistent banded signature STORE — and only then a benchmark
+    // REVISION arrives (the %97 set widened by %89). One operator composes
+    // rebuild-index → re-probe-history → publish: the re-probe joins the
+    // signature store (bucketed on the band keys) against the rebuilt
+    // index (same bucketing) — BOTH probe sides exchange-free, no re-sign,
+    // no corpus shuffle — and the full hit set under the new revision
+    // publishes as one idempotent revision partition. Oracle: batch LSH
+    // pairs restricted to corpus×bench₂, recomputed independently in
+    // DuckDB. Docs ingested long before the revision are flagged — the
+    // case ingest-time decontamination alone can never catch.
+    Declared("q254_decontaminate_backfill",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0)
+        val bench2 = docs.filter(col("doc_id") % 97 === 0 || col("doc_id") % 89 === 0)
+        val base = SharedStages.scratchDir("q254")
+        val (store, pairs, idx, hits) =
+          (s"$base/store", s"$base/pairs", s"$base/idx2", s"$base/hits")
+        SharedStages.withShufflePartitions(s, 8) {
+          for (b <- 0L until 4L)
+            graft.streaming.LshIndex.processBatch(
+              corpus.filter(pmod(col("doc_id"), lit(4L)) === b), store, pairs, b)
+          graft.streaming.LshIndex.backfillDecontaminate(
+            s, store, bench2, idx, hits, revisionId = 0L)
+            .orderBy(col("doc_id"), col("bench_id"))
+        }
+      },
+      Some(duckSig +
+        """,
+          |cand_cb AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS bid
+          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
+          |  WHERE a.doc_id % 97 <> 0 AND a.doc_id % 89 <> 0
+          |    AND (b.doc_id % 97 = 0 OR b.doc_id % 89 = 0))
+          |SELECT did AS doc_id, bid AS bench_id, est_jaccard FROM (
+          |  SELECT c.did, c.bid,
+          |    CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
+          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) AS est_jaccard
+          |  FROM cand_cb c JOIN sig sa ON sa.doc_id = c.did JOIN sig sb ON sb.doc_id = c.bid)
+          |WHERE est_jaccard >= 0.5
           |ORDER BY doc_id, bench_id""".stripMargin))
   )
 }

@@ -289,6 +289,80 @@ object VectorQueries extends QueryModule {
              |  CAST(MAX(em) AS BIGINT) AS max_err_micro,
              |  CAST(ROUND(CAST(SUM(es) AS DECIMAL(18,6)) / CAST(SUM(n_vals) AS DECIMAL(18,6)), 6)
              |       AS DECIMAL(18,6)) AS mean_err_micro
-             |FROM pv GROUP BY label ORDER BY label""".stripMargin))
+             |FROM pv GROUP BY label ORDER BY label""".stripMargin)),
+
+    // q255 — IVF RECALL AUDIT (the vector twin of q233's sketch-accuracy
+    // audit): recall@3 of the persisted IVF index vs the exact brute-force
+    // top-3, as a function of nprobe — the ANN accuracy/cost trade as a
+    // pinned number instead of folklore. The coarse quantizer is the 8
+    // unit basis vectors (cluster = argmax over the first 8 dims, ties to
+    // the larger dim — exactly what AnnIvf.nearest computes for these
+    // centroids), a closed form BOTH engines can evaluate, so the oracle
+    // recomputes the full assignment + nprobe probe-set + per-list top-3
+    // independently in DuckDB; a trained-k-means quantizer keeps its
+    // recall bound in AnnMultimodalSpec, where no cross-engine twin is
+    // possible. The search runs through the DIR-BASED index store
+    // (buildIndexStore/topKIndexedStore — bucketed inverted lists, probe
+    // batch broadcast, zero corpus-side exchange). recall_ppm is exact
+    // integer ppm: hits × 1e6 div |brute set|.
+    Declared("q255_ivf_recall_audit",
+      (s, dir) => {
+        import graft.operators.AnnIvf
+        val e = emb(s, dir).select(col("vec_id"), col("e"))
+        val qs = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val centroids = Array.tabulate(8)(i =>
+          Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
+        val idxDir = SharedStages.scratchDir("q255") + "/idx"
+        AnnIvf.buildIndexStore(e, centroids, idxDir)
+        val brute = {
+          val scored = e.crossJoin(broadcast(qs))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("cos", cosine(col("e"), col("qe")))
+          groupedTopK(scored, "qid", 3, Seq(col("cos").desc, col("vec_id")))
+            .select(col("qid"), col("vec_id"))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTotal = brute.count()
+        val perProbe = Seq(1, 2, 4, 8).map { np =>
+          AnnIvf.topKIndexedStore(s, idxDir, qs, 3, centroids, nprobe = np)
+            .select(col("qid"), col("vec_id"))
+            .join(brute, Seq("qid", "vec_id"), "left_semi")
+            .agg(big(count(lit(1))).as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"))
+        }.reduce(_ unionByName _)
+        perProbe
+          .select(col("nprobe"), col("hits"),
+            big(expr(s"hits * 1000000L div ${nTotal}L")).as("recall_ppm"))
+          .orderBy(col("nprobe"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20),
+             |asg AS (SELECT vec_id, emb,
+             |  8 - list_position(list_reverse(emb[1:8]), list_max(emb[1:8])) AS cluster FROM e),
+             |qp AS (SELECT qid, qe,
+             |  list_transform(list_reverse(list_sort(list_transform(range(1, 9),
+             |    d -> {'v': qe[d], 'd': d - 1}))), x -> x.d) AS probe_order FROM q),
+             |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+             |brute AS (SELECT qid, vec_id FROM (
+             |    SELECT q.qid, e.vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.qid
+             |        ORDER BY list_cosine_similarity(e.emb, q.qe) DESC, e.vec_id) AS rn
+             |    FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 3),
+             |ivf AS (SELECT nprobe, qid, vec_id FROM (
+             |    SELECT np.nprobe, qp.qid, a.vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY np.nprobe, qp.qid
+             |        ORDER BY list_cosine_similarity(a.emb, qp.qe) DESC, a.vec_id) AS rn
+             |    FROM np, qp, asg a
+             |    WHERE a.vec_id <> qp.qid
+             |      AND list_contains(list_slice(qp.probe_order, 1, np.nprobe), a.cluster))
+             |  WHERE rn <= 3),
+             |tot AS (SELECT COUNT(*) AS n FROM brute)
+             |SELECT np.nprobe, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             |  CAST(COALESCE(h.hits, 0) * 1000000 // tot.n AS BIGINT) AS recall_ppm
+             |FROM np LEFT JOIN (
+             |    SELECT i.nprobe, COUNT(*) AS hits FROM ivf i
+             |    JOIN brute b USING (qid, vec_id) GROUP BY i.nprobe) h
+             |  ON h.nprobe = np.nprobe, tot
+             |ORDER BY np.nprobe""".stripMargin))
   )
 }

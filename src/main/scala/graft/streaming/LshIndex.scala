@@ -316,7 +316,17 @@ object LshIndex {
     // static index: no own-batch partition to exclude (probe-only), so the
     // snapshot filter uses an id no real batch carries
     val idx = storeOrEmpty(spark, indexDir, bban, Long.MinValue)
-    val hits = bban
+    Loader.writeBatchIdempotent(
+      decontaminationHits(bban, idx, threshold), hitsDir, batchId, markersDir)
+  }
+
+  /** Orientation-preserving (corpus doc → benchmark doc) hits between two
+    * banded sides — the probe join [[decontaminateSink]] and
+    * [[backfillDecontaminate]] share.
+    */
+  private def decontaminationHits(corpusBan: DataFrame, idx: DataFrame,
+      threshold: Double): DataFrame =
+    corpusBan
       .select(col("band_idx"), col("band"),
         col("doc_id").as("did"), col("sig").as("sig_p"))
       .join(idx.select(col("band_idx"), col("band"),
@@ -327,6 +337,43 @@ object LshIndex {
           .as("est_jaccard"))
       .dropDuplicates("doc_id", "bench_id")
       .filter(col("est_jaccard") >= threshold)
-    Loader.writeBatchIdempotent(hits, hitsDir, batchId, markersDir)
+
+  /** BENCHMARK-REVISION BACKFILL — the complement [[decontaminateSink]]
+    * leaves open: documents ingested BEFORE a benchmark update were only
+    * probed against the old index, so a revision would silently leave
+    * history unchecked. One idempotent operator composes the three steps:
+    *
+    *   1. REBUILD the static index from the new benchmark revision
+    *      ([[buildStaticIndex]] — a full overwrite, re-runnable);
+    *   2. RE-PROBE the entire ingested history. The corpus is probed as its
+    *      BANDED SIGNATURE STORE (the table [[processBatch]] maintains),
+    *      not as raw text: nothing re-signs, and since BOTH sides of the
+    *      probe join are bucketed on (band_idx, band), the join plans with
+    *      ZERO exchange on either side — at 100 TB the backfill shuffles
+    *      hits, never the corpus;
+    *   3. PUBLISH the full hit set under the new revision as the hits
+    *      table's `_rev=<revisionId>` partition (writeBatchIdempotent's
+    *      marker protocol): a replay rewrites the same partition, and the
+    *      LATEST revision partition is always a complete, authoritative
+    *      answer — consumers never merge across revisions.
+    *
+    * Returns the published hits. `hitsDir` may be the ingest sink's dir
+    * (revisions and ingest batches share the `_batch` partition space —
+    * pass a revisionId from a disjoint range, e.g. negatives) or a
+    * dedicated backfill dir; the latter keeps "flagged at ingest" and
+    * "flagged by revision N" separately queryable.
+    */
+  def backfillDecontaminate(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, bench: DataFrame, indexDir: String, hitsDir: String,
+      revisionId: Long, markersDir: String = null,
+      threshold: Double = 0.5): DataFrame = {
+    buildStaticIndex(bench, indexDir)
+    val corpusBan = storeOrEmpty(spark, storeDir,
+      banded(signatures(bench.select("doc_id", "text"))).limit(0), Long.MinValue)
+    val idx = storeOrEmpty(spark, indexDir, corpusBan, Long.MinValue)
+    Loader.writeBatchIdempotent(
+      decontaminationHits(corpusBan, idx, threshold), hitsDir, revisionId, markersDir)
+    spark.read.parquet(hitsDir)
+      .filter(col("_batch") === revisionId).drop("_batch")
   }
 }

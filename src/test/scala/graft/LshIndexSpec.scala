@@ -214,6 +214,69 @@ class LshIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(idsDir).select("doc_id").distinct().count() == 205L)
   }
 
+  test("benchmark-revision backfill: history re-probed, replay idempotent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "totally unrelated content about bucketed spark tables here"))
+      .toDF("doc_id", "text")
+    val bench1 = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (201L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val (store, pairs, idx, hits) =
+      (tmp("lsh-bf-store"), tmp("lsh-bf-pairs"), tmp("lsh-bf-idx"), tmp("lsh-bf-hits"))
+    val mk = tmp("lsh-bf-markers")
+    // history ingests FIRST (builds the signature store)...
+    LshIndex.processBatch(corpus.filter(col("doc_id") <= 2L), store, pairs, 0L)
+    LshIndex.processBatch(corpus.filter(col("doc_id") === 3L), store, pairs, 1L)
+    def hitSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bench_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ...revision 1 backfills: only doc 1 has a benchmark twin
+    val r1 = hitSet(LshIndex.backfillDecontaminate(spark, store, bench1, idx, hits, 1L, mk))
+    assert(r1 == Set(1L -> 101L))
+    // revision 2 adds bench 201 AFTER doc 2 was ingested: the backfill must
+    // flag the PRE-EXISTING doc — the case ingest-time decontamination
+    // alone can never catch
+    val r2 = hitSet(LshIndex.backfillDecontaminate(spark, store, bench2, idx, hits, 2L, mk))
+    assert(r2 == Set(1L -> 101L, 2L -> 201L))
+    // at-least-once replay of revision 2 rewrites nothing (marker) and
+    // returns the same authoritative set
+    val r2b = hitSet(LshIndex.backfillDecontaminate(spark, store, bench2, idx, hits, 2L, mk))
+    assert(r2b == r2)
+    // each revision partition stays a complete, separately-queryable answer
+    assert(hitSet(spark.read.parquet(hits).filter(col("_batch") === 1L)) == r1)
+  }
+
+  test("backfill work is flat in corpus-store size (both probe sides bucketed)") {
+    import spark.implicits._
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 9973)): _*).as("text"))
+    val bench = mkDocs(100000L, 100040L)
+    def backfillRecords(corpusDocs: Long): Long = {
+      val (store, pairs, idx, hits) = (tmp("lsh-bfw-store"), tmp("lsh-bfw-pairs"),
+        tmp("lsh-bfw-idx"), tmp("lsh-bfw-hits"))
+      LshIndex.processBatch(mkDocs(0L, corpusDocs), store, pairs, 0L)
+      shuffleRecordsDuring {
+        LshIndex.backfillDecontaminate(spark, store, bench, idx, hits, 0L).count()
+      }
+    }
+    val (small, big) = (backfillRecords(500L), backfillRecords(1500L))
+    info(s"backfill shuffle records: corpus@500 -> $small, corpus@1500 -> $big")
+    // the re-probe joins two tables bucketed on the SAME keys: a 3x corpus
+    // must not push its ~4000 extra banded rows through any exchange — the
+    // backfill's shuffle is the benchmark signing + the hit set, period
+    assert(big <= small + 400,
+      s"backfill work grew with the corpus store: $small -> $big — corpus re-shuffle?")
+  }
+
   test("decontaminate probe work is flat in benchmark-index size") {
     import spark.implicits._
     def mkDocs(from: Long, until: Long) =
