@@ -41,8 +41,13 @@ object RecursionQueries extends QueryModule {
       |  FROM chain c JOIN ord o ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1
       |)
       |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_chains,
-      |  CAST(ROUND(SUM(cum), 6) AS DECIMAL(18,6)) AS cum_price
+      |  CAST(ROUND(SUM(cum), 6) AS DECIMAL(38,6)) AS cum_price
       |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+  // ^ the OUTPUT cast is (38,6) — Protocol.DOut's rationale applies to raw
+  // SQL too: the depth-0 SUM(cum) reaches ~2.0e12 at sf10 (13 integer
+  // digits), a loud ANSI overflow under (18,6)'s 12. Recursion-internal
+  // arithmetic stays (18,6): per-customer cums are bounded by chain length
+  // × order price (~1e7), scale-free. Same text runs on DuckDB.
 
   private def runQ116(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
