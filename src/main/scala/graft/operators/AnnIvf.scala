@@ -215,15 +215,21 @@ object AnnIvf {
   }
 
   /** foreachBatch maintenance of the dir-based store (at-least-once safe by
-    * construction — see [[appendToIndexStore]]).
+    * construction — see [[appendToIndexStore]]). `compactEvery = n` runs
+    * [[compactIndexStore]] after every n-th batch inside the sink —
+    * foreachBatch serializes batches, so the compaction's single-writer
+    * contract holds with no external scheduler, and files-per-probe stays
+    * bounded for the life of the stream.
     */
   def maintainIndexStore(stream: DataFrame, centroids: Array[Array[Double]],
-      dir: String, checkpoint: String, buckets: Int = 8)
+      dir: String, checkpoint: String, buckets: Int = 8, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         appendToIndexStore(b, centroids, dir, id, buckets)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          compactIndexStore(b.sparkSession, dir, buckets)
       }
       .start()
 

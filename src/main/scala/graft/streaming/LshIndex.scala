@@ -278,10 +278,22 @@ object LshIndex {
 
   /** `foreachBatch` sink closing over the three dirs — plug straight into
     * `docs.writeStream.foreachBatch(LshIndex.nearDupSink(...))`.
+    *
+    * `compactEvery = n` (0 = never) runs [[compactStore]] after every n-th
+    * batch, INSIDE the sink — foreachBatch serializes batches, so the
+    * single-writer contract holds with no external scheduler, and the
+    * files-per-probe bound becomes a standing property of the stream
+    * instead of an operational chore. Compaction is content-preserving and
+    * crash-recovered on next open, so a replayed batch re-running it (or a
+    * crash mid-compaction) changes nothing.
     */
   def nearDupSink(storeDir: String, pairsDir: String, markersDir: String = null,
-      threshold: Double = 0.5): (DataFrame, Long) => Unit =
-    (batch, id) => processBatch(batch, storeDir, pairsDir, id, markersDir, threshold)
+      threshold: Double = 0.5, compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      processBatch(batch, storeDir, pairsDir, id, markersDir, threshold)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        compactStore(batch.sparkSession, storeDir)
+    }
 
   /** Build a STATIC banded signature index over a bounded document set —
     * the same bucketed layout the streaming store uses, for PROBE-ONLY

@@ -95,6 +95,34 @@ class AnnIvfStoreSpec extends AnyFunSuite {
       s"per-batch shuffle grew with the index: $rSmall -> $rBig — O(index) dedup term is back?")
   }
 
+  test("compactEvery policy: streamed maintenance keeps files bounded, answers unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("ivfstore-ce") + "/idx"
+    AnnIvf.buildIndexStore(vecs(0, 30), centroids, dir, buckets = 4)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIvf.maintainIndexStore(ms.toDF().toDF("vec_id", "e"), centroids,
+      dir, tmpDir("ivfstore-ce-ck"), buckets = 4, compactEvery = 1)
+    try {
+      for (b <- 0 until 3) {
+        ms.addData(vecs(30 + b * 20, 50 + b * 20).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 90L)
+    assert(BucketedStore.parquetFiles(spark, dir).size <= 4,
+      "per-batch compaction left an append pile")
+    val probes = vecs(0, 3).select(col("vec_id").as("qid"), col("e").as("qe"))
+    val full = tmpDir("ivfstore-ce-full") + "/idx"
+    AnnIvf.buildIndexStore(vecs(0, 90), centroids, full, buckets = 4)
+    def res(d: String) = AnnIvf.topKIndexedStore(spark, d, probes, 3, centroids,
+      nprobe = 2, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(dir) == res(full))
+  }
+
   test("streaming maintenance + restart-surviving registration") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -214,6 +214,37 @@ class LshIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(idsDir).select("doc_id").distinct().count() == 205L)
   }
 
+  test("compactEvery policy: files stay bounded for the stream's life; replay across a compaction converges") {
+    import spark.implicits._
+    import graft.streaming.BucketedStore
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 9973)): _*).as("text"))
+    val (store, pairs) = (tmp("lsh-ce-store"), tmp("lsh-ce-pairs"))
+    val mk = tmp("lsh-ce-markers")
+    val sink = LshIndex.nearDupSink(store, pairs, mk, compactEvery = 2)
+    for (b <- 0L until 6L) sink(mkDocs(b * 30, b * 30 + 30), b)
+    val idsDir = store.stripSuffix("/") + "_ids"
+    val files = BucketedStore.parquetFiles(spark, store).size +
+      BucketedStore.parquetFiles(spark, idsDir).size
+    // after the batch-5 compaction: one consolidated partition per table
+    // plus nothing newer — never the 6-batch append pile
+    info(s"files after 6 batches with compactEvery=2: $files")
+    assert(files <= 2 * LshIndex.StoreBuckets,
+      s"auto-compaction left $files files (want <= ${2 * LshIndex.StoreBuckets})")
+    assert(spark.read.parquet(idsDir).select("doc_id").distinct().count() == 180L)
+    // an at-least-once replay of the LAST batch lands AFTER its rows were
+    // folded into the consolidated partition: the pre-batch snapshot
+    // anti-join must empty the rewrite (rows live in the consolidation),
+    // never duplicate or drop them
+    sink(mkDocs(150L, 180L), 5L)
+    val st = spark.read.parquet(store)
+    assert(st.select("doc_id").distinct().count() == 180L)
+    assert(st.count() == st.select("doc_id", "band_idx").distinct().count(),
+      "replay across a compaction duplicated banded rows")
+  }
+
   test("benchmark-revision backfill: history re-probed, replay idempotent") {
     import spark.implicits._
     val corpus = Seq(
