@@ -24,7 +24,10 @@ object RetrievalQueries extends QueryModule {
   /** BM25 score_micro per matching doc (shared by q134 top-k and q168 RRF).
     * One postings-sized explode with the term filter applied map-side, df
     * via an unordered window over the postings (never a join-back — that
-    * would re-run the text scan), corpus stats a 1-row broadcast.
+    * would re-run the text scan), corpus stats a 1-row broadcast. The
+    * scoring itself lives in `RetrievalIndex.bm25FromPostings` — ONE
+    * implementation shared with the streaming maintained index (q258), so
+    * their equality is equality of inputs, not of two transcriptions.
     */
   private def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val withDl = Tables.load(s, dir, "documents")
@@ -34,17 +37,7 @@ object RetrievalQueries extends QueryModule {
     val tc = withDl.select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
       .where(col("t").isin(bmTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("t")).agg(count(lit(1)).as("c"))
-    val withDf = tc.withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
-    withDf.crossJoin(broadcast(stats))
-      .withColumn("idf2",
-        idiv((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) * lit(1000000L),
-          lit(2L) * col("df") + lit(1L)))
-      .withColumn("tfpart",
-        idiv(lit(22L) * col("c") * col("t_tokens") * lit(1000000L),
-          lit(10L) * col("c") * col("t_tokens") + lit(3L) * col("t_tokens")
-            + lit(9L) * col("dl") * col("n_docs")))
-      .groupBy(col("doc_id"))
-      .agg(sum(idiv(col("idf2") * col("tfpart"), lit(1000000L))).as("score_micro"))
+    graft.streaming.RetrievalIndex.bm25FromPostings(tc, stats)
   }
 
   /** Oracle twin of [[bm25Scores]]: CTE chain ending in `bm(doc_id, score_micro)`. */
@@ -87,6 +80,35 @@ object RetrievalQueries extends QueryModule {
           .orderBy(col("score_micro").desc, col("doc_id"))
           .limit(10)
           .select(col("doc_id"), big(col("score_micro")).as("score_micro"))
+      },
+      Some(s"""WITH $bmScoreSql
+              |SELECT doc_id, score_micro
+              |FROM bm ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // q258 — STREAMING BM25 over a MAINTAINED inverted index
+    // (streaming.RetrievalIndex): the corpus ingests as 4 micro-batches
+    // into a term-bucketed postings store + id sidecar + per-batch stats
+    // feed, then the SAME fixed query runs against the maintained index.
+    // Scoring is the one shared integer-micro implementation, so the
+    // streamed answer is byte-identical to batch q134 — same oracle. At
+    // 100 TB: ingest is batch-sized per batch (flat in corpus history,
+    // RetrievalIndexSpec), the query reads only the matched terms' buckets
+    // and its df window is exchange-free on the bucketed layout.
+    Declared("q258_stream_bm25",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val idxDir = SharedStages.scratchDir("q258") + "/idx"
+        // bucket width = the session's partition width (the q255 lesson:
+        // a store built at the gate's 8 buckets funnels the corpus-sized
+        // postings write through 8 tasks at 100× the data)
+        val buckets = math.min(320,
+          math.max(8, s.conf.get("spark.sql.shuffle.partitions", "8").toInt))
+        for (b <- 0L until 4L)
+          graft.streaming.RetrievalIndex.ingestBatch(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b), idxDir, b, buckets)
+        graft.streaming.RetrievalIndex.bm25(s, idxDir, bmTerms, 10, buckets)
+          .select(col("doc_id"), big(col("score_micro")).as("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
       },
       Some(s"""WITH $bmScoreSql
               |SELECT doc_id, score_micro

@@ -314,7 +314,15 @@ object VectorQueries extends QueryModule {
         val centroids = Array.tabulate(8)(i =>
           Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
         val idxDir = SharedStages.scratchDir("q255") + "/idx"
-        AnnIvf.buildIndexStore(e, centroids, idxDir)
+        // Bucket count scales with the session's partition width — the same
+        // partitions-grow-with-data posture as the sf100 rehearsal. A fixed
+        // 8 buckets at sf100 collapses the probed scan to 8 fat tasks whose
+        // per-task window sorts grow 10× per decade and spill (measured:
+        // 45×/decade task-s at 320 partitions); width-scaled buckets keep
+        // per-task volume constant. Results are bucket-count-invariant.
+        val buckets = math.min(320,
+          math.max(8, s.conf.get("spark.sql.shuffle.partitions", "8").toInt))
+        AnnIvf.buildIndexStore(e, centroids, idxDir, buckets)
         val brute = {
           val scored = e.crossJoin(broadcast(qs))
             .filter(col("vec_id") =!= col("qid"))
@@ -324,7 +332,8 @@ object VectorQueries extends QueryModule {
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nTotal = brute.count()
         val perProbe = Seq(1, 2, 4, 8).map { np =>
-          AnnIvf.topKIndexedStore(s, idxDir, qs, 3, centroids, nprobe = np)
+          AnnIvf.topKIndexedStore(s, idxDir, qs, 3, centroids, nprobe = np,
+              buckets = buckets)
             .select(col("qid"), col("vec_id"))
             .join(brute, Seq("qid", "vec_id"), "left_semi")
             .agg(big(count(lit(1))).as("hits"))
