@@ -31,10 +31,13 @@ import org.apache.spark.sql.functions.{col, lit}
   *    idempotent, so replay after ANY partial commit converges.
   *  - REGISTRATION survives restarts: catalog entries are session-lifetime
   *    (in-memory catalog), so a NEW session over an existing store dir
-  *    re-registers the table from the dir's own metadata (schema sniffed
-  *    from the parquet footers, bucket spec from the store's spec) instead
-  *    of silently degrading to an un-bucketed `read.parquet` that
-  *    re-shuffles the store on every probe.
+  *    re-registers the table from the dir's own metadata — schema sniffed
+  *    from the parquet footers, bucket WIDTH from the `_store_buckets`
+  *    marker stamped at creation (width is layout state: registering
+  *    under a mismatched width would silently lose join matches, so the
+  *    dir is authoritative over whatever spec the opener passes) —
+  *    instead of silently degrading to an un-bucketed `read.parquet`
+  *    that re-shuffles the store on every probe.
   *  - COMPACTION: appends write new files per bucket per batch, so FILE
   *    COUNT grows linearly with history even though shuffle stays flat —
   *    per-batch probe cost creeps back as open/seek overhead. `compact`
@@ -138,16 +141,19 @@ object BucketedStore {
     recover(spark, spec)
     val tbl = tableName(spec.dir)
     if (!spark.catalog.tableExists(tbl)) tryRegister(spark, spec)
-    val aligned = df.repartition(spec.buckets, spec.bucketCols.map(col): _*)
+    val nb = effectiveBuckets(spark, spec)
+    val aligned = df.repartition(nb, spec.bucketCols.map(col): _*)
       .withColumn("_batch", lit(batchId))
     if (!spark.catalog.tableExists(tbl)) {
       // first write creates table + dir in one job; a crash mid-create is
       // replayed through the insertInto branch once the dir exists
       aligned.write.mode("append").format("parquet")
         .partitionBy("_batch")
-        .bucketBy(spec.buckets, spec.bucketCols.head, spec.bucketCols.tail: _*)
+        .bucketBy(nb, spec.bucketCols.head, spec.bucketCols.tail: _*)
         .option("path", spec.dir)
         .saveAsTable(tbl)
+      // stamp the creation width — layout state the dir carries forever
+      writeMarker(fs(spark, spec.dir), spec.dir, BucketsMarker, nb.toLong)
     } else {
       val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -178,6 +184,26 @@ object BucketedStore {
   private def marker(dir: String, name: String) = new Path(dir, name)
   private val IntentMarker = "_compact_intent"
   private val CommitMarker = "_compact_commit"
+  private val BucketsMarker = "_store_buckets"
+
+  /** The store's TRUE bucket count — self-described by a marker written at
+    * creation, because bucket width is layout state: re-registering an
+    * existing store under a DIFFERENT width than it was built with would
+    * put every row in the "wrong" bucket from the reader's point of view
+    * and silently lose join matches. The marker is authoritative on open;
+    * `spec.buckets` only sizes a store that does not exist yet (legacy
+    * dirs without a marker adopt the opener's spec once, and the marker is
+    * stamped so the ambiguity never recurs).
+    */
+  private def effectiveBuckets(spark: SparkSession, spec: StoreSpec): Int = {
+    val f = fs(spark, spec.dir)
+    readMarker(f, spec.dir, BucketsMarker) match {
+      case Some(n) => n.toInt
+      case None =>
+        if (hasParquet(f, spec.dir)) writeMarker(f, spec.dir, BucketsMarker, spec.buckets.toLong)
+        spec.buckets
+    }
+  }
 
   private def writeMarker(f: FileSystem, dir: String, name: String, c: Long): Unit = {
     val os = f.create(marker(dir, name), true)
@@ -218,6 +244,7 @@ object BucketedStore {
     if (!spark.catalog.tableExists(tbl)) tryRegister(spark, spec)
     require(spark.catalog.tableExists(tbl),
       s"compact: ${spec.dir} holds a layout this store cannot claim")
+    val nb = effectiveBuckets(spark, spec)
     val c = nextBasePartition(spark, spec)
     writeMarker(f, spec.dir, IntentMarker, c)
     val scratch = spec.dir.stripSuffix("/") + "_compacting"
@@ -237,9 +264,9 @@ object BucketedStore {
     val auto = spark.conf.getOption("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try {
-      src.repartition(spec.buckets, spec.bucketCols.map(col): _*)
+      src.repartition(nb, spec.bucketCols.map(col): _*)
         .write.mode("overwrite").format("parquet")
-        .bucketBy(spec.buckets, spec.bucketCols.head, spec.bucketCols.tail: _*)
+        .bucketBy(nb, spec.bucketCols.head, spec.bucketCols.tail: _*)
         .option("path", scratch)
         .saveAsTable(scratchTbl)
     } finally auto match {
@@ -318,12 +345,15 @@ object BucketedStore {
     val dataCols = schema.fields.filterNot(_.name == "_batch")
       .map(fd => s"`${fd.name}` ${fd.dataType.sql}").mkString(", ")
     val tbl = tableName(spec.dir)
+    // the dir's own stamped width, never the (possibly mismatched) spec —
+    // registering under a wrong width would silently lose join matches
+    val nb = effectiveBuckets(spark, spec)
     spark.sql(
       s"""CREATE TABLE $tbl ($dataCols, `_batch` BIGINT)
          |USING parquet
          |PARTITIONED BY (_batch)
          |CLUSTERED BY (${spec.bucketCols.map(cn => s"`$cn`").mkString(", ")})
-         |INTO ${spec.buckets} BUCKETS
+         |INTO $nb BUCKETS
          |LOCATION '${spec.dir}'""".stripMargin)
     spark.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
     true

@@ -115,6 +115,30 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(BucketedStore.parquetFiles(spark, s.dir).size <= s.buckets)
   }
 
+  test("bucket width is the DIR's, not the opener's: a mismatched spec cannot corrupt joins") {
+    val dir = tmpDir("bs-width")
+    BucketedStore.appendBatch(mk(0, 100), StoreSpec(dir, Seq("grp"), 4), 0L)
+    // a restart opens the same store with the WRONG width (a config drift,
+    // a refactor changing a default): registration must adopt the dir's
+    // stamped width — a table registered INTO 8 BUCKETS over 4-bucket
+    // files would assign every row to the "wrong" bucket from the
+    // reader's view and bucketed joins would silently LOSE matches
+    spark.sql(s"DROP TABLE ${BucketedStore.tableName(dir)}")
+    val wrong = StoreSpec(dir, Seq("grp"), 8)
+    val probe = mk(0, 100).select(col("grp"), col("k").as("pk"))
+    val joined = probe.join(
+      BucketedStore.read(spark, wrong).get.drop("_batch"), Seq("grp"))
+    assert(joined.count() == mk(0, 100).groupBy("grp").count()
+      .agg(sum(col("count") * col("count"))).collect()(0).getLong(0),
+      "width-mismatched registration lost join matches")
+    // appends through the wrong spec keep the true width too
+    BucketedStore.appendBatch(mk(100, 110), wrong, 1L)
+    assert(rows(StoreSpec(dir, Seq("grp"), 4)).size == 110)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(BucketedStore.tableName(dir)))
+    assert(meta.bucketSpec.exists(_.numBuckets == 4), "dir width not authoritative")
+  }
+
   test("crash before the commit marker rolls BACK: the compaction never happened") {
     val s = spec(tmpDir("bs-crash-intent"))
     BucketedStore.appendBatch(mk(0, 40), s, 0L)
