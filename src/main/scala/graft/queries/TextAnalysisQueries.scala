@@ -258,6 +258,58 @@ object TextAnalysisQueries extends QueryModule {
              |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
              |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
+    // q259 — BPE TOKENIZER TRAINING (operators.BpeTrainer): the merge-
+    // learning LOOP on top of q81's one-round pair statistics — 3 rounds
+    // of count-adjacent-pairs → pick max (ties lexicographic) → greedy
+    // left-to-right merge across every document; the output merge table IS
+    // the trained tokenizer model. Spark applies merges with an in-row
+    // fold (codegen'd HOF, no explode of the rewritten corpus); the oracle
+    // replays the same three rounds in DuckDB with the islands form of the
+    // greedy rule (a merge position is a pair-match at ODD rank within its
+    // contiguous run of matches — equivalent to the left-to-right pass,
+    // window-expressible). Model-sized driver traffic only (1 row/round).
+    Declared("q259_bpe_train",
+      (s, dir) => {
+        graft.operators.BpeTrainer
+          .trainDF(s, Tables.load(s, dir, "documents").select("doc_id", "text"), 3)
+          .orderBy(col("merge_round"))
+      },
+      Some {
+        def round(n: Int, in: String): String =
+          s"""p$n AS (SELECT s.syms[t.i] AS l, s.syms[t.i+1] AS r
+             |  FROM $in s, UNNEST(range(1, len(s.syms))) AS t(i)),
+             |m$n AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM p$n
+             |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+             |h$n AS (SELECT s.doc_id, t.i,
+             |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY t.i) AS rn
+             |  FROM $in s, m$n m, UNNEST(range(1, len(s.syms))) AS t(i)
+             |  WHERE s.syms[t.i] = m.l AND s.syms[t.i+1] = m.r),
+             |k$n AS (SELECT doc_id, i FROM (
+             |    SELECT doc_id, i,
+             |      ROW_NUMBER() OVER (PARTITION BY doc_id, i - rn ORDER BY i) AS rk
+             |    FROM h$n) WHERE rk % 2 = 1),
+             |e$n AS (SELECT s.doc_id, t.i, s.syms[t.i] AS cur, s.syms[t.i+1] AS nxt
+             |  FROM $in s, UNNEST(range(1, len(s.syms) + 1)) AS t(i)),
+             |r$n AS (SELECT x.doc_id, list(x.sym ORDER BY x.i) AS syms FROM (
+             |    SELECT e.doc_id, e.i,
+             |      CASE WHEN k.i IS NOT NULL THEN e.cur || ' ' || e.nxt
+             |           ELSE e.cur END AS sym
+             |    FROM e$n e
+             |    LEFT JOIN k$n k ON k.doc_id = e.doc_id AND k.i = e.i
+             |    LEFT JOIN k$n k2 ON k2.doc_id = e.doc_id AND k2.i = e.i - 1
+             |    WHERE k2.i IS NULL) x
+             |  GROUP BY x.doc_id)""".stripMargin
+        s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS syms FROM documents),
+           |${round(1, "d0")},
+           |${round(2, "r1")},
+           |${round(3, "r2")}
+           |SELECT merge_round, lhs, rhs, pair_count FROM (
+           |  SELECT CAST(1 AS BIGINT) AS merge_round, l AS lhs, r AS rhs, c AS pair_count FROM m1
+           |  UNION ALL SELECT 2, l, r, c FROM m2
+           |  UNION ALL SELECT 3, l, r, c FROM m3)
+           |ORDER BY merge_round""".stripMargin
+      }),
+
     // q96 — INVERTED-INDEX (posting-list) CONSTRUCTION: term → document
     // frequency + the head of the sorted posting list, for index-worthy
     // terms (df ≥ 2, and df ≤ 78% of the corpus — terms above that are
