@@ -89,6 +89,24 @@ object BpeTrainer {
         col("pair_count"))
   }
 
+  /** ENCODE: tokenize (doc_id, text) with an already-trained merge table —
+    * the apply side of the model train() learns. Each merge is the same
+    * left-to-right greedy pass training used, applied in learning order, so
+    * encode(corpus, train(corpus, R)) reproduces training's final state by
+    * construction (the spec pins it). The scale story is the point: the
+    * whole encoder is R nested in-row folds inside ONE projection — a
+    * single shuffle-free corpus pass, embarrassingly parallel, no joins, no
+    * aggregates; the model rides into every task as R string literals
+    * (broadcast-by-plan, the way a real tokenizer ships its merge table).
+    *
+    * Returns (doc_id, syms) — the tokenized sequence per document.
+    */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(
+      docs.select(col("doc_id"), tokens(col("text")).as("syms"))) {
+      (df, m) => df.select(col("doc_id"), applyMerge(m.left, m.right).as("syms"))
+    }
+
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Left-to-right greedy single-pass merge of (a, b) over `syms`, in-row. */

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{shingles, tokens}
+
+/** Exact duplicated-span detection — the suffix-array-style substring dedup
+  * of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  * Better", arXiv:2107.06499) re-expressed as dataflow. Emits every MAXIMAL
+  * token span that occurs at least twice anywhere in the corpus (across
+  * documents or within one).
+  *
+  * The suffix-array insight a relational engine can use directly: any
+  * duplicated span of length ≥ W contains a duplicated W-gram, and a RUN of
+  * consecutive duplicated W-gram start positions IS the maximal span
+  * (run start .. run end + W−1). So the whole operator is:
+  *
+  *   posexplode W-token shingles (1-based positions)
+  *     → md5 the gram (the shuffle carries 32-hex keys, never text)
+  *     → global occurrence count ≥ 2           (map-side-partial hash agg)
+  *     → join positions back on the hash key   (hash equi-join)
+  *     → per-doc islands coalesce (pos − row_number over doc_id)
+  *     → (doc_id, span_start, span_end, span_tokens)
+  *
+  * Scale: no all-pairs term anywhere — the only quadratic-looking step, the
+  * occurrence count, is a hash aggregate over (hash, count) rows; the only
+  * per-document state is the islands window, partitioned by doc_id. Unlike
+  * MinHash this is EXACT: a 1-token edit inside a long duplicated span
+  * SPLITS the reported span in two (both halves still found), it cannot
+  * hide it. Documents shorter than W tokens have no W-gram and are out of
+  * scope by definition of the span width.
+  */
+object DupSpans {
+
+  /** W-gram occurrences of (doc_id, text) as (doc_id, pos, gh): 1-based
+    * token start position, md5 of the gram text (shuffles downstream carry
+    * 32-hex keys, never text). Documents shorter than `width` tokens have
+    * no W-gram and drop out here.
+    */
+  def grams(docs: DataFrame, width: Int): DataFrame = {
+    require(width >= 2, "span width must be at least 2 tokens")
+    docs
+      .select(col("doc_id"), col("text"))
+      .where(size(tokens(col("text"))) >= width)
+      .select(col("doc_id"),
+        posexplode(shingles(col("text"), width)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        md5(col("gram")).as("gh"))
+  }
+
+  /** Coalesce flagged gram start positions (doc_id, pos) into maximal
+    * spans: a run of consecutive start positions is one span of
+    * run-start .. run-end + W−1 (the islands pass, partitioned by doc_id).
+    */
+  def coalesceSpans(positions: DataFrame, width: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def big(c: Column): Column = c.cast("long")
+    positions
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(big(min(col("pos"))).as("span_start"),
+        big(max(col("pos")) + (width - 1)).as("span_end"),
+        big(max(col("pos")) + width - min(col("pos"))).as("span_tokens"))
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
+
+  /** Maximal duplicated spans of ≥ `width` tokens over (doc_id, text).
+    * Positions are 1-based token indices; span_tokens = end − start + 1.
+    */
+  def spans(docs: DataFrame, width: Int): DataFrame = {
+    val g = grams(docs, width)
+    val dup = g.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ")).where(col("occ") >= 2)
+    coalesceSpans(g.join(dup, "gh"), width)
+  }
+
+  /** Keep-first scrub accounting (q263): for every duplicated W-gram the
+    * globally first occurrence (min (doc_id, pos), encoded as
+    * doc_id·2^20 + pos so the order is one BIGINT comparison in any
+    * engine) survives; every other occurrence is redundant, and a token is
+    * removed iff some redundant occurrence covers it. Returns
+    * (doc_id, total_tokens, removed_tokens, kept_tokens) for every
+    * document that loses at least one token.
+    *
+    * Scale: first-occurrence selection is an aggregate MIN per gram hash —
+    * never a window over the gram partition, so a boilerplate gram with
+    * 10^6 occurrences still costs one (hash, min-key) row in the shuffle.
+    * The only expansion is `width` offsets per REDUNDANT occurrence.
+    */
+  def scrubCounts(docs: DataFrame, width: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"))
+      .where(size(tokens(col("text"))) >= width)
+    val g = grams(docs, width)
+      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+    val firsts = g.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"), min(col("okey")).as("first_key"))
+      .where(col("occ") >= 2)
+    val covered = g.join(firsts, "gh")
+      .where(col("okey") =!= col("first_key"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(width - 1))).as("o"),
+        col("pos"))
+      .select(col("doc_id"), (col("pos") + col("o")).as("tpos"))
+      .distinct()
+    base.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("total_tokens"))
+      .join(covered, "doc_id")
+      .groupBy(col("doc_id"), col("total_tokens"))
+      .agg(count(lit(1)).as("removed_tokens"))
+      .select(col("doc_id"), col("total_tokens"),
+        col("removed_tokens").cast("long").as("removed_tokens"),
+        (col("total_tokens") - col("removed_tokens")).cast("long").as("kept_tokens"))
+  }
+}

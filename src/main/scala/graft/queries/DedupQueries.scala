@@ -776,6 +776,118 @@ object DedupQueries extends QueryModule {
           |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) AS est_jaccard
           |  FROM cand_cb c JOIN sig sa ON sa.doc_id = c.did JOIN sig sb ON sb.doc_id = c.bid)
           |WHERE est_jaccard >= 0.5
-          |ORDER BY doc_id, bench_id""".stripMargin))
+          |ORDER BY doc_id, bench_id""".stripMargin)),
+
+    // q262 — EXACT DUPLICATED-SPAN DETECTION (operators.DupSpans): the
+    // suffix-array-style substring dedup of Lee et al. 2021
+    // (arXiv:2107.06499) — every MAXIMAL token span (width W=8) appearing
+    // at least twice anywhere in the corpus, found via the run-of-
+    // duplicated-W-grams equivalence. See the operator scaladoc for the
+    // full dataflow; unlike the MinHash family this is EXACT, and it is
+    // the one dedup variant that finds PARTIAL overlap (a copied paragraph
+    // inside an otherwise-unique document), which whole-document hashing
+    // and near-dup signatures both miss. DupSpanSpec pins maximality,
+    // internal repeats, the edit-splits-span law, and the no-cross-join
+    // plan shape.
+    Declared("q262_dup_spans",
+      (s, dir) =>
+        graft.operators.DupSpans
+          .spans(Tables.load(s, dir, "documents"), 8)
+          .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, t.i AS pos, md5(array_to_string(tk[t.i:t.i+7], ' ')) AS gh
+             |  FROM d, UNNEST(range(1, len(tk) - 6)) AS t(i) WHERE len(tk) >= 8),
+             |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+             |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+             |isl AS (SELECT doc_id, pos,
+             |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM h)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+             |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+             |FROM isl GROUP BY doc_id, grp
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // q263 — DUPLICATED-SPAN SCRUB with the keep-first policy
+    // (operators.DupSpans.scrubCounts): the REMOVAL side of q262, the way
+    // Lee et al. actually apply it — for every duplicated W-gram, the
+    // globally FIRST occurrence (min (doc_id, pos), encoded as one BIGINT
+    // so both engines order identically) stays; every other occurrence is
+    // redundant, and a token is removed iff some redundant occurrence
+    // covers it. Reported per affected document: total/removed/kept token
+    // counts. Scale: the only expansion anywhere is W offsets per
+    // REDUNDANT occurrence (not per token, not per gram); first-occurrence
+    // selection is an aggregate MIN per gram hash — no window over the
+    // (possibly hot) gram partition, so a boilerplate gram repeated 10^6
+    // times costs one (hash, min-key) row, and coverage distinct +
+    // per-doc counts key on doc_id.
+    Declared("q263_dup_span_scrub",
+      (s, dir) =>
+        graft.operators.DupSpans
+          .scrubCounts(Tables.load(s, dir, "documents"), 8)
+          .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, t.i AS pos, md5(array_to_string(tk[t.i:t.i+7], ' ')) AS gh
+             |  FROM d, UNNEST(range(1, len(tk) - 6)) AS t(i) WHERE len(tk) >= 8),
+             |c AS (SELECT gh, MIN(doc_id * 1048576 + pos) AS first_key
+             |  FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+             |r AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gh)
+             |  WHERE g.doc_id * 1048576 + g.pos <> c.first_key),
+             |cov AS (SELECT DISTINCT doc_id, pos + o.o AS tpos
+             |  FROM r, UNNEST(range(0, 8)) AS o(o))
+             |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS total_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS removed_tokens,
+             |  CAST(len(d.tk) - COUNT(*) AS BIGINT) AS kept_tokens
+             |FROM d JOIN cov ON cov.doc_id = d.doc_id
+             |GROUP BY d.doc_id, len(d.tk)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // q264 — STREAMING duplicated-span detection at ingest
+    // (streaming.DupSpanIndex): the maintained-index twin of q262/q263 and
+    // the FOURTH accumulated-state operator on the BucketedStore
+    // discipline. Corpus arrives as 4 deterministic micro-batches (doc_id
+    // mod 4, in order — the q254 harness convention); each batch flags
+    // every W-gram occurrence that repeats anything ALREADY INGESTED (an
+    // earlier batch, via the gh-bucketed gram store probe — store side
+    // exchange-free — or an earlier position in the same batch, via a
+    // batch-sized MIN per gram), appends its grams to the store, and
+    // writes the flags as a replay-idempotent partition. Flagged = not the
+    // globally FIRST occurrence in (batch, doc_id, pos) order — q263's
+    // keep-first rule with batch as the major key, which is what lets
+    // DuckDB replay the whole prefix semantics with one MIN per gram over
+    // an encoded BIGINT. Output: the flagged positions coalesced into
+    // maximal spans with the SAME islands pass as batch q262.
+    Declared("q264_stream_dup_spans",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val base = SharedStages.scratchDir("q264")
+        val (store, hits) = (s"$base/grams", s"$base/hits")
+        // bucket width = session partition width (the round-10 bucket-width
+        // law: a store built at a fixed 8 funnels corpus-sized scans
+        // through 8 fat tasks at 100x the data)
+        val buckets = math.min(320,
+          math.max(8, s.conf.get("spark.sql.shuffle.partitions", "8").toInt))
+        for (b <- 0L until 4L)
+          graft.streaming.DupSpanIndex.ingestBatch(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b), store, hits, b,
+            buckets = buckets)
+        graft.streaming.DupSpanIndex.spans(s, hits)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, t.i AS pos, md5(array_to_string(tk[t.i:t.i+7], ' ')) AS gh
+             |  FROM d, UNNEST(range(1, len(tk) - 6)) AS t(i) WHERE len(tk) >= 8),
+             |o AS (SELECT doc_id, pos, gh,
+             |    (doc_id % 4) * 1125899906842624 + doc_id * 1048576 + pos AS okey FROM g),
+             |c AS (SELECT gh, MIN(okey) AS first_key FROM o GROUP BY gh),
+             |f AS (SELECT o.doc_id, o.pos FROM o JOIN c USING (gh) WHERE o.okey <> c.first_key),
+             |isl AS (SELECT doc_id, pos,
+             |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM f)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+             |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+             |FROM isl GROUP BY doc_id, grp
+             |ORDER BY doc_id, span_start""".stripMargin))
   )
 }

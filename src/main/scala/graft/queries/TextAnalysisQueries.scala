@@ -26,6 +26,44 @@ object TextAnalysisQueries extends QueryModule {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** One unrolled BPE training round as DuckDB CTEs (shared by q259's model
+    * oracle and q261's encode oracle so the two can never drift on the
+    * greedy rule): count pairs in `in` → pick max (m$n) → greedy
+    * left-to-right merge (r$n) via the islands form — a merge position is a
+    * pair-match at ODD rank within its contiguous run of matches.
+    */
+  private def bpeRound(n: Int, in: String): String =
+    s"""p$n AS (SELECT s.syms[t.i] AS l, s.syms[t.i+1] AS r
+       |  FROM $in s, UNNEST(range(1, len(s.syms))) AS t(i)),
+       |m$n AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM p$n
+       |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+       |h$n AS (SELECT s.doc_id, t.i,
+       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY t.i) AS rn
+       |  FROM $in s, m$n m, UNNEST(range(1, len(s.syms))) AS t(i)
+       |  WHERE s.syms[t.i] = m.l AND s.syms[t.i+1] = m.r),
+       |k$n AS (SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id, i - rn ORDER BY i) AS rk
+       |    FROM h$n) WHERE rk % 2 = 1),
+       |e$n AS (SELECT s.doc_id, t.i, s.syms[t.i] AS cur, s.syms[t.i+1] AS nxt
+       |  FROM $in s, UNNEST(range(1, len(s.syms) + 1)) AS t(i)),
+       |r$n AS (SELECT x.doc_id, list(x.sym ORDER BY x.i) AS syms FROM (
+       |    SELECT e.doc_id, e.i,
+       |      CASE WHEN k.i IS NOT NULL THEN e.cur || ' ' || e.nxt
+       |           ELSE e.cur END AS sym
+       |    FROM e$n e
+       |    LEFT JOIN k$n k ON k.doc_id = e.doc_id AND k.i = e.i
+       |    LEFT JOIN k$n k2 ON k2.doc_id = e.doc_id AND k2.i = e.i - 1
+       |    WHERE k2.i IS NULL) x
+       |  GROUP BY x.doc_id)""".stripMargin
+
+  /** The three unrolled training rounds over `documents`, ending at r3. */
+  private val bpeThreeRounds =
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS syms FROM documents),
+       |${bpeRound(1, "d0")},
+       |${bpeRound(2, "r1")},
+       |${bpeRound(3, "r2")}""".stripMargin
+
   override val declared: Seq[Declared] = Seq(
 
     // q28 — language-ID heuristic vs labeled lang: confusion-matrix counts.
@@ -274,41 +312,41 @@ object TextAnalysisQueries extends QueryModule {
           .trainDF(s, Tables.load(s, dir, "documents").select("doc_id", "text"), 3)
           .orderBy(col("merge_round"))
       },
-      Some {
-        def round(n: Int, in: String): String =
-          s"""p$n AS (SELECT s.syms[t.i] AS l, s.syms[t.i+1] AS r
-             |  FROM $in s, UNNEST(range(1, len(s.syms))) AS t(i)),
-             |m$n AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM p$n
-             |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
-             |h$n AS (SELECT s.doc_id, t.i,
-             |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY t.i) AS rn
-             |  FROM $in s, m$n m, UNNEST(range(1, len(s.syms))) AS t(i)
-             |  WHERE s.syms[t.i] = m.l AND s.syms[t.i+1] = m.r),
-             |k$n AS (SELECT doc_id, i FROM (
-             |    SELECT doc_id, i,
-             |      ROW_NUMBER() OVER (PARTITION BY doc_id, i - rn ORDER BY i) AS rk
-             |    FROM h$n) WHERE rk % 2 = 1),
-             |e$n AS (SELECT s.doc_id, t.i, s.syms[t.i] AS cur, s.syms[t.i+1] AS nxt
-             |  FROM $in s, UNNEST(range(1, len(s.syms) + 1)) AS t(i)),
-             |r$n AS (SELECT x.doc_id, list(x.sym ORDER BY x.i) AS syms FROM (
-             |    SELECT e.doc_id, e.i,
-             |      CASE WHEN k.i IS NOT NULL THEN e.cur || ' ' || e.nxt
-             |           ELSE e.cur END AS sym
-             |    FROM e$n e
-             |    LEFT JOIN k$n k ON k.doc_id = e.doc_id AND k.i = e.i
-             |    LEFT JOIN k$n k2 ON k2.doc_id = e.doc_id AND k2.i = e.i - 1
-             |    WHERE k2.i IS NULL) x
-             |  GROUP BY x.doc_id)""".stripMargin
-        s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS syms FROM documents),
-           |${round(1, "d0")},
-           |${round(2, "r1")},
-           |${round(3, "r2")}
-           |SELECT merge_round, lhs, rhs, pair_count FROM (
-           |  SELECT CAST(1 AS BIGINT) AS merge_round, l AS lhs, r AS rhs, c AS pair_count FROM m1
-           |  UNION ALL SELECT 2, l, r, c FROM m2
-           |  UNION ALL SELECT 3, l, r, c FROM m3)
-           |ORDER BY merge_round""".stripMargin
-      }),
+      Some(bpeThreeRounds +
+        """
+          |SELECT merge_round, lhs, rhs, pair_count FROM (
+          |  SELECT CAST(1 AS BIGINT) AS merge_round, l AS lhs, r AS rhs, c AS pair_count FROM m1
+          |  UNION ALL SELECT 2, l, r, c FROM m2
+          |  UNION ALL SELECT 3, l, r, c FROM m3)
+          |ORDER BY merge_round""".stripMargin)),
+
+    // q261 — BPE ENCODE (operators.BpeTrainer.encode): the APPLY side of
+    // the model q259 trains — tokenize the corpus with the learned merge
+    // table and report per-document tokenizer output (token count and
+    // merged-symbol count after the R merges). The encoder
+    // is the scale story: R nested in-row greedy folds inside ONE
+    // projection — a single shuffle-free corpus pass with the model riding
+    // into every task as literals (how a real tokenizer ships its merges);
+    // the only shuffle anywhere is the training prefix it shares with
+    // q259. Oracle replays the same three unrolled rounds (shared CTE
+    // generator — the greedy rule literally cannot drift between the two
+    // queries) and reads the FINAL sequences instead of the model, which
+    // also pins encode(corpus, model) == training's end state.
+    Declared("q261_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val model = graft.operators.BpeTrainer.train(s, docs, 3)
+        graft.operators.BpeTrainer.encode(docs, model)
+          .select(col("doc_id"),
+            big(size(col("syms"))).as("n_tokens"),
+            big(size(filter(col("syms"), _.contains(" ")))).as("n_merged"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeThreeRounds +
+        """
+          |SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_filter(syms, s -> contains(s, ' '))) AS BIGINT) AS n_merged
+          |FROM r3 ORDER BY doc_id""".stripMargin)),
 
     // q96 — INVERTED-INDEX (posting-list) CONSTRUCTION: term → document
     // frequency + the head of the sorted posting list, for index-worthy

@@ -192,6 +192,24 @@ object TpchQueries extends QueryModule {
       |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 
+  /** Q12 (adapted: the fixture has no shipmode or commit/receipt dates —
+    * mode proxy = `l_returnflag IN ('A','R')`, "late" = shipped more than
+    * 30 days after the order, mirroring Q4's 60-day lateness adaptation):
+    * shipping-mode priority counts — the two-way conditional aggregate over
+    * the orders⨝lineitem join. Closes the last open slot of the TPC-H
+    * sweep: all 22 query SHAPES now run (Q1/Q13/Q17/Q20/Q21/Q22 as
+    * q02/q113/q110/q120/q111/q112, the rest in this module).
+    */
+  private val q260 =
+    """SELECT l_returnflag AS shipmode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'R')
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Deterministic derived `partsupp` — the fixture lacks the table, which
     * kept Q2/Q11 out of the sweep through round 9. The derivation is a
     * CLOSED FORM over (part × 4 supplier slots) both engines compute
@@ -260,7 +278,8 @@ object TpchQueries extends QueryModule {
     "q127_tpch_q9" -> q127, "q128_tpch_q10" -> q128, "q129_tpch_q14" -> q129,
     "q130_tpch_q15" -> q130, "q131_tpch_q16" -> q131, "q132_tpch_q18" -> q132,
     "q133_tpch_q19" -> q133,
-    "q256_tpch_q2" -> q256, "q257_tpch_q11" -> q257
+    "q256_tpch_q2" -> q256, "q257_tpch_q11" -> q257,
+    "q260_tpch_q12" -> q260
   ).map { case (name, sql) =>
     Declared(name, (s, dir) => run(s, dir, sql), Some(sql))
   }

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DupSpans
+
+/** STREAMING duplicated-span detection at ingest — the maintained-index
+  * twin of batch q262/q263 (`operators.DupSpans`), joining the LSH
+  * signature store, the IVF vector store and the BM25 inverted index as
+  * the fourth accumulated-state operator on the [[BucketedStore]]
+  * discipline: as each micro-batch of documents arrives, every W-gram
+  * occurrence that repeats ANYTHING already ingested (an earlier batch, or
+  * an earlier position inside this batch) is flagged immediately, and the
+  * flagged positions coalesce into maximal duplicated spans.
+  *
+  * Semantics — the keep-first rule under ARRIVAL order: an occurrence is
+  * flagged iff it is not the globally first occurrence of its gram in
+  * (batch, doc_id, pos) order. This is exactly q263's scrub rule with the
+  * batch as the major sort key, which is what makes the stream
+  * oracle-checkable: given the deterministic batching the declared query
+  * uses (doc_id mod 4, ingested in order), DuckDB can replay the whole
+  * prefix semantics with one MIN per gram over an encoded
+  * (batch, doc_id, pos) BIGINT.
+  *
+  * Layout:
+  *   - GRAM STORE `<dir>` (gh, doc_id, pos), bucketed by `gh`: per-batch
+  *     probes join it on `gh` with ZERO store-side exchange, and the
+  *     history-side distinct collapses inside the bucketed layout. Flat
+  *     per-batch work in store history — DupSpanIndexSpec pins it.
+  *   - HITS `<hitsDir>` (doc_id, pos) via `Loader.writeBatchIdempotent`
+  *     (`_batch` partition rewrite), so an at-least-once replay REWRITES
+  *     the batch's flags instead of duplicating them.
+  *
+  * Every write is a partition rewrite keyed by batchId and every read
+  * takes the pre-batch snapshot (`_batch =!= batchId`), so replay from any
+  * crash point converges — the [[BucketedStore]] failure model.
+  */
+object DupSpanIndex {
+
+  private def gramsSpec(dir: String, buckets: Int) =
+    BucketedStore.StoreSpec(dir, Seq("gh"), buckets)
+
+  /** Ingest one micro-batch of (doc_id, text): flag the non-first gram
+    * occurrences against history + this batch, append the batch's grams to
+    * the store, write the flags. Idempotent per batchId.
+    */
+  def ingestBatch(batch: DataFrame, dir: String, hitsDir: String,
+      batchId: Long, width: Int = 8, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val g = DupSpans.grams(batch, width)
+      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      g.count() // materialize once; probed, aggregated and appended below
+      // history = every gram hash seen in a STRICTLY earlier batch; the
+      // distinct collapses bucket-locally (store is bucketed on gh) and the
+      // probe join is exchange-free on the store side
+      val hist = BucketedStore.read(spark, gramsSpec(dir, buckets)) match {
+        case Some(st) => st.filter(col("_batch") =!= batchId)
+          .select(col("gh")).distinct().withColumn("in_hist", lit(true))
+        case None => g.select(col("gh")).limit(0).withColumn("in_hist", lit(true))
+      }
+      // within-batch first occurrence per gram (batch-sized aggregate)
+      val bmin = g.groupBy(col("gh")).agg(min(col("okey")).as("bmin"))
+      val flagged = g
+        .join(bmin, "gh")
+        .join(hist, Seq("gh"), "left_outer")
+        .where(col("in_hist").isNotNull || col("okey") =!= col("bmin"))
+        .select(col("doc_id"), col("pos"))
+      Loader.writeBatchIdempotent(flagged, hitsDir, batchId)
+      BucketedStore.appendBatch(
+        g.select(col("gh"), col("doc_id"), col("pos")),
+        gramsSpec(dir, buckets), batchId)
+    } finally g.unpersist()
+  }
+
+  /** foreachBatch sink; `compactEvery = n` compacts the gram store after
+    * every n-th batch (same policy contract as the other index sinks).
+    */
+  def ingestSink(dir: String, hitsDir: String, width: Int = 8,
+      buckets: Int = 8, compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      ingestBatch(batch, dir, hitsDir, id, width, buckets)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        BucketedStore.compact(batch.sparkSession, gramsSpec(dir, buckets))
+    }
+
+  /** The maximal ingest-time duplicated spans accumulated so far: the
+    * flagged positions, islands-coalesced per document (the same
+    * `DupSpans.coalesceSpans` the batch operator uses).
+    */
+  def spans(spark: SparkSession, hitsDir: String, width: Int = 8): DataFrame =
+    DupSpans.coalesceSpans(Loader.readTable(spark, hitsDir), width)
+}

@@ -49,6 +49,32 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(merges(d, 5) == Seq((1, "a", "b", 1L)))
   }
 
+  test("encode with the trained model reproduces training's final state") {
+    // q261's core law: encode(corpus, train(corpus, R)) applies the same
+    // greedy pass in learning order, so it must land exactly where the
+    // training loop ended. Hand case: merges are (a,b) then ("a b","a b");
+    // doc1 "a b a b c" -> ["a b a b","c"], doc2 "z a b" -> ["z","a b"].
+    val d = docs((1L, "a b a b c"), (2L, "z a b"))
+    val model = BpeTrainer.train(spark, d, 2)
+    val got = BpeTrainer.encode(d, model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+    assert(got == List(
+      (1L, List("a b a b", "c")),
+      (2L, List("z", "a b"))))
+  }
+
+  test("encode is one shuffle-free projection (the scale claim)") {
+    // The encoder is R nested in-row folds in a single Project — no joins,
+    // no aggregates, no exchange. A regression that sneaks a shuffle into
+    // the apply path (e.g. joining the model instead of inlining it) turns
+    // the embarrassingly-parallel pass into a cluster-wide reshuffle.
+    val d = docs((1L, "a b a b c"), (2L, "z a b"))
+    val model = BpeTrainer.train(spark, d, 2)
+    val plan = BpeTrainer.encode(d, model).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must be shuffle-free:\n$plan")
+  }
+
   test("the fold cannot chain-merge within one round") {
     // merge (a,b) over "a a b b": pairs (a,a),(a,b),(b,b) all count 1;
     // lexicographic winner is (a,a). Next round on ["a a","b","b"]:

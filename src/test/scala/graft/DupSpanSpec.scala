@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DupSpans
+
+/** Pins the duplicated-span operator (q262) on hand-checkable corpora:
+  * maximal-run coalescing, within-document repeats, the edit-splits-span
+  * law (exactness), the short-document scope rule, and the plan shape
+  * (hash equi-join on the gram hash — never a cross join).
+  */
+class DupSpanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def spans(width: Int, rows: (Long, String)*) = {
+    import spark.implicits._
+    DupSpans.spans(rows.toDF("doc_id", "text"), width)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("a shared 4-token span at width 3 coalesces to one maximal span per doc") {
+    // d1 and d2 share "p q r s" (4 tokens); its two 3-grams are each
+    // duplicated, their positions are consecutive, and the islands pass
+    // must report ONE span covering all 4 tokens in each document.
+    val got = spans(3, 1L -> "p q r s t", 2L -> "x p q r s y")
+    assert(got == Seq((1L, 1L, 4L, 4L), (2L, 2L, 5L, 4L)))
+  }
+
+  test("a repeat WITHIN one document is found (two separate spans)") {
+    // "a a a" occurs at positions 1 and 6 of the same doc — non-adjacent,
+    // so two maximal spans, no cross-document partner needed.
+    val got = spans(3, 1L -> "a a a b c a a a")
+    assert(got == Seq((1L, 1L, 3L, 3L), (1L, 6L, 8L, 3L)))
+  }
+
+  test("a 1-token edit SPLITS a long duplicated span — both halves still found") {
+    // d4/d5 differ only at token 4; the shared prefix and suffix are each
+    // reported, the edit position itself is in neither. This is the
+    // exactness law MinHash cannot give: partial overlap is localized.
+    val got = spans(3, 4L -> "m n o p q r s", 5L -> "m n o X q r s")
+    assert(got == Seq(
+      (4L, 1L, 3L, 3L), (4L, 5L, 7L, 3L),
+      (5L, 1L, 3L, 3L), (5L, 5L, 7L, 3L)))
+  }
+
+  test("documents shorter than the width are out of scope; unique docs emit nothing") {
+    val got = spans(3, 1L -> "u v", 2L -> "totally unique words here", 3L -> "u v")
+    // doc 1 and 3 are identical but only 2 tokens long — below width 3 no
+    // W-gram exists, so by the span-width definition nothing is reported.
+    assert(got.isEmpty)
+  }
+
+  test("plan shape: gram-hash equi-join, no cross join, doc-partitioned window") {
+    import spark.implicits._
+    val df = DupSpans.spans(
+      Seq(1L -> "p q r s t", 2L -> "x p q r s y").toDF("doc_id", "text"), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "duplicated-gram join must be an equi-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "duplicated-gram join must be an equi-join")
+  }
+}
