@@ -16,11 +16,11 @@ import graft.functions.TextFunctions.tokens
   * Greedy semantics (the standard ones): pair counts include overlapping
   * occurrences; application is a single left-to-right pass per document,
   * so a run like `x x x x` under merge (x,x) becomes `xx xx` (positions
-  * 1 and 3 — odd ranks within a contiguous match run). The in-row fold
-  * implements exactly that rule: merge when the accumulator's LAST symbol
-  * equals the left part and the incoming symbol equals the right part — a
-  * freshly-merged symbol can never re-match the left part within the same
-  * round (it is strictly longer than it), so the fold cannot chain-merge.
+  * 1 and 3 — odd ranks within a contiguous match run). [[applyMerge]]
+  * implements exactly that rule on MATCH POSITIONS over the round's
+  * original symbols (keep a match unless its left neighbour was just
+  * kept), so a freshly-merged symbol can never feed a further merge
+  * within the same round — chain-merging is impossible by construction.
   *
   * Scale shape: each round is one corpus-wide pair aggregate (map-side
   * partial counts, TakeOrdered(1) — never a global sort) plus one in-row
@@ -65,8 +65,7 @@ object BpeTrainer {
         else {
           val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += Merge(r, a, b, c)
-          val next = seqs
-            .select(col("doc_id"), applyMerge(a, b).as("syms"))
+          val next = applyMerge(seqs, a, b)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           next.count()
           seqs.unpersist()
@@ -104,17 +103,49 @@ object BpeTrainer {
   def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
     merges.foldLeft(
       docs.select(col("doc_id"), tokens(col("text")).as("syms"))) {
-      (df, m) => df.select(col("doc_id"), applyMerge(m.left, m.right).as("syms"))
+      (df, m) => applyMerge(df, m.left, m.right)
     }
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** Left-to-right greedy single-pass merge of (a, b) over `syms`, in-row. */
-  private def applyMerge(a: String, b: String) = expr(
-    s"""aggregate(syms, cast(array() as array<string>),
-       |  (acc, x) -> CASE
-       |    WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(a)}
-       |         AND x = ${sqlLit(b)}
-       |    THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(a + " " + b)}))
-       |    ELSE concat(acc, array(x)) END)""".stripMargin)
+  /** Left-to-right greedy single-pass merge of (a, b) over `syms`, in-row,
+    * staged so the per-document cost is O(len + matches²) instead of the
+    * naive fold's O(len²):
+    *
+    *   1. `kept` — match positions (a cheap filter over pair indices)
+    *      folded down to the GREEDY subset: drop a match whose left
+    *      neighbour was just kept (the odd-rank-within-run rule; the fold
+    *      copies only the match array, which is empty for almost every
+    *      (doc, pair) — the original formulation folded the WHOLE token
+    *      array with a copy per element, and its allocation bill was the
+    *      dominant term of the sf10 decade run: 1,785 task-s / 143 s GC,
+    *      16× the sf1 cost, against ~6× for every data-sized stage);
+    *   2. one rebuild pass — emit the merged symbol at kept positions,
+    *      skip their right halves, copy everything else.
+    *
+    * Semantics are pinned byte-identical to the old fold by BpeTrainerSpec
+    * (overlap runs, chain-merge impossibility) and the q259/q261 oracles.
+    */
+  private def applyMerge(df: DataFrame, a: String, b: String): DataFrame = {
+    val kept = expr(
+      s"""CASE WHEN size(syms) < 2 THEN cast(array() as array<int>) ELSE
+         |  aggregate(
+         |    filter(sequence(1, size(syms) - 1),
+         |      i -> element_at(syms, i) = ${sqlLit(a)}
+         |           AND element_at(syms, i + 1) = ${sqlLit(b)}),
+         |    cast(array() as array<int>),
+         |    (acc, i) -> IF(size(acc) > 0 AND element_at(acc, -1) = i - 1,
+         |                   acc, concat(acc, array(i))))
+         |END""".stripMargin)
+    val rebuilt = expr(
+      s"""CASE WHEN size(kept) = 0 THEN syms ELSE
+         |  filter(transform(sequence(1, size(syms)), j ->
+         |    CASE WHEN array_contains(kept, j) THEN ${sqlLit(a + " " + b)}
+         |         WHEN array_contains(kept, j - 1) THEN cast(null as string)
+         |         ELSE element_at(syms, j) END),
+         |    x -> x IS NOT NULL)
+         |END""".stripMargin)
+    df.select(col("doc_id"), col("syms"), kept.as("kept"))
+      .select(col("doc_id"), rebuilt.as("syms"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.ColumnOps.idiv
+import graft.functions.ColumnOps.{idiv, ppm}
 import graft.functions.TextFunctions._
 import graft.model.Tables
 import Protocol._
@@ -347,6 +347,48 @@ object TextAnalysisQueries extends QueryModule {
           |SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_tokens,
           |  CAST(len(list_filter(syms, s -> contains(s, ' '))) AS BIGINT) AS n_merged
           |FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // q265 — BIGRAM-LM FAMILIARITY SCORE (the perplexity-filter analog of
+    // real pretraining pipelines — fit a cheap LM on the corpus, score
+    // every document, and the low-familiarity tail is the noise/outlier
+    // cut): per-document mean of p(b|a) over its token bigrams, where
+    // p(b|a) = c(a,b)/c(a·) from the corpus's own bigram counts — kept in
+    // EXACT integer micro space (ppm + integer div) because ln/exp would
+    // fork the engines at the last ulp; the micro-mean is order-isomorphic
+    // to the standard per-token log-score for ranking/thresholding
+    // purposes, which is all the filter consumes. Scale: the model is two
+    // vocabulary-sized aggregates (map-side partials); scoring joins each
+    // bigram OCCURRENCE to its two model rows by key — occurrence-sized
+    // shuffle, and on a deployment the model tables broadcast.
+    Declared("q265_bigram_familiarity",
+      (s, dir) => {
+        val pairs = Tables.load(s, dir, "documents")
+          .where(size(tokens(col("text"))) >= 2)
+          .select(col("doc_id"), explode(shingles(col("text"), 2)).as("pair"))
+        val cPair = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c_pair"))
+        val cLeft = cPair
+          .groupBy(substring_index(col("pair"), " ", 1).as("l"))
+          .agg(sum(col("c_pair")).as("c_left"))
+        pairs.join(cPair, "pair")
+          .withColumn("l", substring_index(col("pair"), " ", 1))
+          .join(cLeft, "l")
+          .withColumn("p_micro", ppm(col("c_pair"), col("c_left")))
+          .groupBy(col("doc_id"))
+          .agg(big(count(lit(1))).as("n_bigrams"),
+            big(idiv(sum(col("p_micro")), count(lit(1)))).as("score_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |p AS (SELECT doc_id, tk[t.i] || ' ' || tk[t.i+1] AS pair, tk[t.i] AS l
+             |  FROM d, UNNEST(range(1, len(tk))) AS t(i) WHERE len(tk) >= 2),
+             |cp AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_pair FROM p GROUP BY pair),
+             |cl AS (SELECT l, CAST(SUM(c_pair) AS BIGINT) AS c_left
+             |  FROM (SELECT split_part(pair, ' ', 1) AS l, c_pair FROM cp) GROUP BY l),
+             |sc AS (SELECT p.doc_id, (1000000 * cp.c_pair) // cl.c_left AS p_micro
+             |  FROM p JOIN cp USING (pair) JOIN cl ON cl.l = p.l)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS score_micro
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // q96 — INVERTED-INDEX (posting-list) CONSTRUCTION: term → document
     // frequency + the head of the sorted posting list, for index-worthy
