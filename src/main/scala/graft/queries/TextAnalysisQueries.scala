@@ -358,8 +358,13 @@ object TextAnalysisQueries extends QueryModule {
     // to the standard per-token log-score for ranking/thresholding
     // purposes, which is all the filter consumes. Scale: the model is two
     // vocabulary-sized aggregates (map-side partials); scoring joins each
-    // bigram OCCURRENCE to its two model rows by key — occurrence-sized
-    // shuffle, and on a deployment the model tables broadcast.
+    // bigram OCCURRENCE to its two model rows by key, with the model
+    // tables EXPLICITLY broadcast — vocabulary is Heaps'-law bounded, and
+    // leaving the choice to the auto-threshold is a measured cliff: at
+    // sf100 the pair table (554k rows ≈ 22 MB) crossed the 10 MB default,
+    // AQE flipped both joins to SMJ, and the engine sorted 265M occurrence
+    // rows by string key twice — 4,410 task-s where the broadcast plan
+    // needs none of it (BASELINE.md round-10 part 3).
     Declared("q265_bigram_familiarity",
       (s, dir) => {
         val pairs = Tables.load(s, dir, "documents")
@@ -369,9 +374,9 @@ object TextAnalysisQueries extends QueryModule {
         val cLeft = cPair
           .groupBy(substring_index(col("pair"), " ", 1).as("l"))
           .agg(sum(col("c_pair")).as("c_left"))
-        pairs.join(cPair, "pair")
+        pairs.join(broadcast(cPair), "pair")
           .withColumn("l", substring_index(col("pair"), " ", 1))
-          .join(cLeft, "l")
+          .join(broadcast(cLeft), "l")
           .withColumn("p_micro", ppm(col("c_pair"), col("c_left")))
           .groupBy(col("doc_id"))
           .agg(big(count(lit(1))).as("n_bigrams"),
