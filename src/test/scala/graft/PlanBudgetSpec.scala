@@ -80,6 +80,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     ("q117_fixpoint_chain", 2, 0, 0),
     ("q34_ngram_jaccard", 3, 2, 0),
     ("q32_minhash_pairs", 1, 0, 0),
+    // r10 part 3: dup-span family + the bigram model. q262: gram-count agg
+    // + window + final sort; the dup-set join-back broadcasts statically
+    // (post-agg estimate; at scale AQE re-decides — sf100 ran it as SMJ
+    // against a 25M-row dup set, correctly). q263: + the coverage distinct.
+    ("q262_dup_spans", 3, 1, 0),
+    ("q263_dup_span_scrub", 4, 2, 0),
+    // q265's TWO broadcasts are the pinned lesson: the model tables must
+    // broadcast (the sf100 SMJ flip cost 2x the whole query — BASELINE.md
+    // r10 part 3); a regression to 0 broadcasts here is that cliff back.
+    ("q265_bigram_familiarity", 4, 2, 0),
+    ("q260_tpch_q12", 2, 1, 0),
     ("q01_filter_project", 1, 0, 0))
 
   test("top-query physical plans match their pinned exchange/cache budgets") {
