@@ -115,4 +115,38 @@ object DupSpans {
         col("removed_tokens").cast("long").as("removed_tokens"),
         (col("total_tokens") - col("removed_tokens")).cast("long").as("kept_tokens"))
   }
+
+  /** The REWRITE itself (q266): for every document the keep-first scrub
+    * touches, cut the covered tokens out and emit the cleaned text — the
+    * artifact a curation pipeline actually writes back out. The covered
+    * positions collapse to one per-doc cut set (collect_set — bounded by
+    * the doc's own length), and the rebuild is one in-row index filter, so
+    * past the q263 stages this adds only doc-sized work on AFFECTED
+    * documents.
+    */
+  def scrubbedText(docs: DataFrame, width: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"))
+      .where(size(tokens(col("text"))) >= width)
+    val g = grams(docs, width)
+      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+    val firsts = g.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"), min(col("okey")).as("first_key"))
+      .where(col("occ") >= 2)
+    val cuts = g.join(firsts, "gh")
+      .where(col("okey") =!= col("first_key"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(width - 1))).as("o"), col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos") + col("o")).as("cuts"))
+    base.join(cuts, "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("tk"), col("cuts"))
+      .select(col("doc_id"),
+        expr("""filter(transform(sequence(1, size(tk)), j ->
+                  IF(array_contains(cuts, j), cast(null as string), element_at(tk, j))),
+                x -> x IS NOT NULL)""").as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        md5(array_join(col("kept"), " ")).as("scrubbed_md5"))
+  }
 }

@@ -888,6 +888,37 @@ object DedupQueries extends QueryModule {
              |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
              |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
              |FROM isl GROUP BY doc_id, grp
-             |ORDER BY doc_id, span_start""".stripMargin))
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // q266 — DUPLICATED-SPAN SCRUB REWRITE (DupSpans.scrubbedText): the
+    // third leg of the family — q262 detects, q263 accounts, q266 emits
+    // the CLEANED TEXT a curation pipeline writes back out: covered
+    // positions collapse to one per-doc cut set and one in-row index
+    // filter rebuilds the document; output is the kept-token count plus
+    // the md5 of the scrubbed text (md5 is bit-identical cross-engine, so
+    // the oracle checks the rewritten BYTES, not just counts). Only
+    // affected documents appear — past q263's stages this adds doc-sized
+    // work on those docs alone.
+    Declared("q266_dup_span_rewrite",
+      (s, dir) =>
+        graft.operators.DupSpans
+          .scrubbedText(Tables.load(s, dir, "documents"), 8)
+          .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, t.i AS pos, md5(array_to_string(tk[t.i:t.i+7], ' ')) AS gh
+             |  FROM d, UNNEST(range(1, len(tk) - 6)) AS t(i) WHERE len(tk) >= 8),
+             |c AS (SELECT gh, MIN(doc_id * 1048576 + pos) AS first_key
+             |  FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+             |r AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gh)
+             |  WHERE g.doc_id * 1048576 + g.pos <> c.first_key),
+             |cuts AS (SELECT doc_id, list(DISTINCT pos + o.o) AS cuts
+             |  FROM r, UNNEST(range(0, 8)) AS o(o) GROUP BY doc_id),
+             |sc AS (SELECT d.doc_id,
+             |    list_transform(list_filter(range(1, len(d.tk) + 1),
+             |      j -> NOT list_contains(c.cuts, j)), j -> d.tk[j]) AS kept
+             |  FROM d JOIN cuts c USING (doc_id))
+             |SELECT doc_id, CAST(len(kept) AS BIGINT) AS kept_tokens,
+             |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
+             |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }

@@ -81,6 +81,30 @@ class DupSpanIndexSpec extends AnyFunSuite {
       s"per-batch shuffle grew with the store: $rSmall -> $rBig")
   }
 
+  test("bucketed layout survives a driver restart: re-registered, still flat") {
+    import spark.implicits._
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 9973)): _*).as("text"))
+    val (store, hits) = (tmp("dsi-restart-store"), tmp("dsi-restart-hits"))
+    DupSpanIndex.ingestBatch(mkDocs(0L, 600L), store, hits, 0L)
+    val rReg = shuffleRecordsDuring {
+      DupSpanIndex.ingestBatch(mkDocs(10000L, 10005L), store, hits, 1L)
+    }
+    // a NEW session's in-memory catalog has no table entries; DROP on the
+    // external table (files stay) simulates exactly that state
+    spark.sql(s"DROP TABLE ${BucketedStore.tableName(store)}")
+    val rNew = shuffleRecordsDuring {
+      DupSpanIndex.ingestBatch(mkDocs(20000L, 20005L), store, hits, 2L)
+    }
+    info(s"tiny-batch shuffle records: registered -> $rReg, after restart -> $rNew")
+    // the failure mode this pins: an un-registered store degrading to a
+    // plain read whose probe re-shuffles all ~600x5 gram rows per batch
+    assert(rNew <= rReg + 400,
+      s"restart lost the bucketed layout: $rReg -> $rNew shuffle records")
+  }
+
   test("compaction preserves the answer and bounds the store's file count") {
     val (store, hits) = (tmp("dsi-comp-store"), tmp("dsi-comp-hits"))
     val sink = DupSpanIndex.ingestSink(store, hits, width = 3, compactEvery = 4)

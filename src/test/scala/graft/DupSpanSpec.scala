@@ -53,6 +53,27 @@ class DupSpanSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("scrub rewrite: later copy loses the span, kept tokens preserve order") {
+    import spark.implicits._
+    // doc 1 owns the first occurrence of the shared 3-token span; doc 2's
+    // copy is cut, leaving its unique frame tokens in original order. A
+    // FULLY duplicated doc scrubs to the empty string (md5(""), the
+    // cross-engine constant — DuckDB's array_to_string(empty) is NULL, so
+    // the oracle COALESCEs; this test pins the Spark side of that law).
+    val d = Seq(1L -> "p q r", 2L -> "x p q r y", 3L -> "p q r")
+      .toDF("doc_id", "text")
+    val got = graft.operators.DupSpans.scrubbedText(d, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    val frameMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 untouched (first occurrence) -> absent; doc 2 keeps "x y";
+    // doc 3 (exact later copy) scrubs to empty
+    assert(got == List((2L, 2L, frameMd5), (3L, 0L, emptyMd5)))
+  }
+
   test("plan shape: gram-hash equi-join, no cross join, doc-partitioned window") {
     import spark.implicits._
     val df = DupSpans.spans(
