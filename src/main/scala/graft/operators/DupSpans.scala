@@ -125,16 +125,28 @@ object DupSpans {
     * documents.
     */
   def scrubbedText(docs: DataFrame, width: Int): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), col("text"))
-      .where(size(tokens(col("text"))) >= width)
     val g = grams(docs, width)
       .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
     val firsts = g.groupBy(col("gh"))
       .agg(count(lit(1)).as("occ"), min(col("okey")).as("first_key"))
       .where(col("occ") >= 2)
-    val cuts = g.join(firsts, "gh")
+    val flagged = g.join(firsts, "gh")
       .where(col("okey") =!= col("first_key"))
+      .select(col("doc_id"), col("pos"))
+    rebuildWithout(docs, flagged, width)
+  }
+
+  /** Shared rewrite stage (q266 batch, q267 streaming): given flagged gram
+    * START positions (doc_id, pos), expand each to its `width` covered
+    * token positions, collapse to one per-doc cut set, and rebuild the
+    * text with one in-row index filter. Emits (doc_id, kept_tokens,
+    * scrubbed_md5) for the documents that lose at least one token.
+    */
+  def rebuildWithout(docs: DataFrame, flagged: DataFrame, width: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"))
+      .where(size(tokens(col("text"))) >= width)
+    val cuts = flagged
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(width - 1))).as("o"), col("pos"))
       .groupBy(col("doc_id"))

@@ -919,6 +919,48 @@ object DedupQueries extends QueryModule {
              |  FROM d JOIN cuts c USING (doc_id))
              |SELECT doc_id, CAST(len(kept) AS BIGINT) AS kept_tokens,
              |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // q267 — STREAMING SCRUB REWRITE (DupSpanIndex.scrubbedText): the
+    // artifact leg of the streaming family — q264's ingest-order flags
+    // drive the SAME shared rebuild stage as batch q266, so the streamed
+    // pipeline now produces the cleaned corpus itself, not just the flag
+    // set. Under arrival-order semantics the removal is strictly stronger
+    // for late arrivals (a doc arriving after its duplicate partner loses
+    // the whole shared span; the first arrival keeps it), which is
+    // exactly what an at-ingest curation pipe wants: history is immutable,
+    // only the newcomer is cut. Oracle = q264's arrival-order flagged set
+    // composed with q266's rewrite CTEs, rewritten bytes checked via
+    // cross-engine md5.
+    Declared("q267_stream_dup_scrub",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val base = SharedStages.scratchDir("q267")
+        val (store, hits) = (s"$base/grams", s"$base/hits")
+        val buckets = math.min(320,
+          math.max(8, s.conf.get("spark.sql.shuffle.partitions", "8").toInt))
+        for (b <- 0L until 4L)
+          graft.streaming.DupSpanIndex.ingestBatch(
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b), store, hits, b,
+            buckets = buckets)
+        graft.streaming.DupSpanIndex.scrubbedText(s, docs, hits)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |g AS (SELECT doc_id, t.i AS pos, md5(array_to_string(tk[t.i:t.i+7], ' ')) AS gh
+             |  FROM d, UNNEST(range(1, len(tk) - 6)) AS t(i) WHERE len(tk) >= 8),
+             |o AS (SELECT doc_id, pos, gh,
+             |    (doc_id % 4) * 1125899906842624 + doc_id * 1048576 + pos AS okey FROM g),
+             |c AS (SELECT gh, MIN(okey) AS first_key FROM o GROUP BY gh),
+             |f AS (SELECT o.doc_id, o.pos FROM o JOIN c USING (gh) WHERE o.okey <> c.first_key),
+             |cuts AS (SELECT doc_id, list(DISTINCT pos + x.o) AS cuts
+             |  FROM f, UNNEST(range(0, 8)) AS x(o) GROUP BY doc_id),
+             |sc AS (SELECT d.doc_id,
+             |    list_transform(list_filter(range(1, len(d.tk) + 1),
+             |      j -> NOT list_contains(c.cuts, j)), j -> d.tk[j]) AS kept
+             |  FROM d JOIN cuts c USING (doc_id))
+             |SELECT doc_id, CAST(len(kept) AS BIGINT) AS kept_tokens,
+             |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
              |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }

@@ -92,4 +92,13 @@ object DupSpanIndex {
     */
   def spans(spark: SparkSession, hitsDir: String, width: Int = 8): DataFrame =
     DupSpans.coalesceSpans(Loader.readTable(spark, hitsDir), width)
+
+  /** The CLEANED corpus under ingest-order scrubbing (q267): rebuild every
+    * affected document without the tokens its flagged gram occurrences
+    * cover — the same shared rewrite stage as batch q266, driven by the
+    * arrival-order flags instead of the global keep-first set.
+    */
+  def scrubbedText(spark: SparkSession, docs: DataFrame, hitsDir: String,
+      width: Int = 8): DataFrame =
+    DupSpans.rebuildWithout(docs, Loader.readTable(spark, hitsDir), width)
 }

@@ -74,6 +74,39 @@ class DupSpanSpec extends AnyFunSuite {
     assert(got == List((2L, 2L, frameMd5), (3L, 0L, emptyMd5)))
   }
 
+  test("randomized law: spans equal the brute-force reference on 30 corpora") {
+    import spark.implicits._
+    // Scala-side reference: duplicated W-windows by exact string equality,
+    // runs coalesced per doc — independent logic, no md5, no SQL.
+    def reference(docs: Seq[(Long, String)], w: Int): Set[(Long, Long, Long, Long)] = {
+      val grams = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ")
+        if (tk.length < w) Seq.empty
+        else (0 to tk.length - w).map(i => (id, i + 1, tk.slice(i, i + w).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+      grams.filter(g => dup(g._3)).groupBy(_._1).flatMap { case (id, hs) =>
+        val ps = hs.map(_._2).sorted
+        // coalesce consecutive start positions into maximal runs
+        ps.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (s, e) => (id, s.toLong, (e + w - 1).toLong, (e + w - s).toLong) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 30) {
+      // small vocab + short docs force dup-rich corpora with overlap runs
+      val vocab = Vector("a", "b", "c", "d")
+      val docs = (1L to (3 + rnd.nextInt(5)).toLong).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = DupSpans.spans(docs.toDF("doc_id", "text"), 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == reference(docs, 3), s"trial $trial diverged on corpus: $docs")
+    }
+  }
+
   test("plan shape: gram-hash equi-join, no cross join, doc-partitioned window") {
     import spark.implicits._
     val df = DupSpans.spans(
