@@ -961,6 +961,46 @@ object DedupQueries extends QueryModule {
              |  FROM d JOIN cuts c USING (doc_id))
              |SELECT doc_id, CAST(len(kept) AS BIGINT) AS kept_tokens,
              |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
-             |FROM sc ORDER BY doc_id""".stripMargin))
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // q268 — DUPLICATED-SPAN WIDTH PROFILE: the tuning artifact behind the
+    // W=8 choice everywhere else in the family — duplicated-gram count,
+    // flagged occurrences and affected documents at W ∈ {4, 8, 16, 32},
+    // the curve a practitioner reads to trade recall (small W flags more)
+    // against span precision (large W only catches long verbatim copies).
+    // Lee et al. use 50 BPE tokens ≈ this order of magnitude. One
+    // gram-count aggregate per width (4 corpus passes — the widths cannot
+    // share shingles; at 100 TB this is 4 scans of a 1-pass-each profile
+    // job, embarrassingly parallel, run once per corpus snapshot).
+    Declared("q268_dup_width_profile",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        Seq(4, 8, 16, 32).map { w =>
+          val g = graft.operators.DupSpans.grams(docs, w)
+          val dup = g.groupBy(col("gh"))
+            .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+          val flagged = g.join(dup.select("gh"), "gh")
+          dup.agg(big(count(lit(1))).as("dup_grams")).crossJoin(
+            flagged.agg(big(count(lit(1))).as("flagged_occ"),
+              big(countDistinct(col("doc_id"))).as("affected_docs")))
+            .select(lit(w.toLong).as("w"), col("dup_grams"),
+              col("flagged_occ"), col("affected_docs"))
+        }.reduce(_ unionAll _).orderBy(col("w"))
+      },
+      Some {
+        def arm(w: Int) =
+          s"""g$w AS (SELECT doc_id, md5(array_to_string(tk[t.i:t.i+${w - 1}], ' ')) AS gh
+             |  FROM d, UNNEST(range(1, len(tk) - ${w - 2})) AS t(i) WHERE len(tk) >= $w),
+             |c$w AS (SELECT gh FROM g$w GROUP BY gh HAVING COUNT(*) >= 2),
+             |m$w AS (SELECT CAST($w AS BIGINT) AS w,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$w) AS dup_grams,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g$w JOIN c$w USING (gh)) AS flagged_occ,
+             |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM g$w JOIN c$w USING (gh)) AS affected_docs)""".stripMargin
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |${Seq(4, 8, 16, 32).map(arm).mkString(",\n")}
+           |SELECT * FROM m4 UNION ALL SELECT * FROM m8
+           |UNION ALL SELECT * FROM m16 UNION ALL SELECT * FROM m32
+           |ORDER BY w""".stripMargin
+      })
   )
 }
