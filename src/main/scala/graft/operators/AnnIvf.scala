@@ -92,8 +92,9 @@ object AnnIvf {
     * corpus) and joins straight onto the stored lists.
     */
   def buildIndex(emb: DataFrame, centroids: Array[Array[Double]],
-      table: String, buckets: Int = 8): Unit =
-    BucketedTables.writeBucketed(assign(emb, centroids), table, "cluster", buckets)
+      table: String, buckets: Int = 0): Unit =
+    BucketedTables.writeBucketed(assign(emb, centroids), table, "cluster",
+      graft.streaming.BucketedStore.resolveWidth(emb.sparkSession, buckets))
 
   /** INCREMENTAL index maintenance: assign a batch of NEW vectors to their
     * centroids and APPEND into the existing bucketed index table (the
@@ -127,7 +128,7 @@ object AnnIvf {
     * as the index doubles). Prefer the store API for streaming maintenance.
     */
   def appendToIndex(batch: DataFrame, centroids: Array[Array[Double]],
-      table: String, buckets: Int = 8, dedupVecIds: Boolean = false): Unit = {
+      table: String, buckets: Int = 0, dedupVecIds: Boolean = false): Unit = {
     val assigned = assign(batch, centroids)
     val toWrite =
       if (dedupVecIds)
@@ -135,7 +136,9 @@ object AnnIvf {
           Seq("vec_id"), "left_anti")
       else assigned
     toWrite.write.mode("append").format("parquet")
-      .bucketBy(buckets, "cluster").saveAsTable(table)
+      .bucketBy(graft.streaming.BucketedStore.resolveWidth(batch.sparkSession, buckets),
+        "cluster")
+      .saveAsTable(table)
   }
 
   /** Streaming twin of [[appendToIndex]]: maintain the index from an
@@ -146,7 +149,7 @@ object AnnIvf {
     * transactional table format.
     */
   def maintainIndexStream(stream: DataFrame, centroids: Array[Array[Double]],
-      table: String, checkpoint: String, buckets: Int = 8,
+      table: String, checkpoint: String, buckets: Int = 0,
       dedupVecIds: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
@@ -177,11 +180,12 @@ object AnnIvf {
     * is one store.
     */
   def buildIndexStore(emb: DataFrame, centroids: Array[Array[Double]],
-      dir: String, buckets: Int = 8): Unit = {
+      dir: String, buckets: Int = 0): Unit = {
+    val width = BucketedStore.resolveWidth(emb.sparkSession, buckets)
     val assigned = assign(emb, centroids)
-    BucketedStore.overwrite(assigned, storeSpec(dir, buckets))
+    BucketedStore.overwrite(assigned, storeSpec(dir, width))
     BucketedStore.overwrite(assigned.select(col("vec_id")).dropDuplicates("vec_id"),
-      idsSpec(dir, buckets))
+      idsSpec(dir, width))
   }
 
   /** INCREMENTAL maintenance of the dir-based store — the scale path that
@@ -198,9 +202,10 @@ object AnnIvf {
     * shuffle records stay flat as the accumulated index doubles.
     */
   def appendToIndexStore(batch: DataFrame, centroids: Array[Array[Double]],
-      dir: String, batchId: Long, buckets: Int = 8): Unit = {
+      dir: String, batchId: Long, buckets: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val priorIds = BucketedStore.read(spark, idsSpec(dir, buckets)) match {
+    val width = BucketedStore.resolveWidth(spark, buckets)
+    val priorIds = BucketedStore.read(spark, idsSpec(dir, width)) match {
       case Some(ids) => ids.filter(col("_batch") =!= batchId).select(col("vec_id"))
       case None => batch.select(col("vec_id")).limit(0)
     }
@@ -208,9 +213,9 @@ object AnnIvf {
       .join(priorIds, Seq("vec_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      BucketedStore.appendBatch(fresh, storeSpec(dir, buckets), batchId)
+      BucketedStore.appendBatch(fresh, storeSpec(dir, width), batchId)
       BucketedStore.appendBatch(fresh.select(col("vec_id")).dropDuplicates("vec_id"),
-        idsSpec(dir, buckets), batchId)
+        idsSpec(dir, width), batchId)
     } finally fresh.unpersist()
   }
 
@@ -222,7 +227,7 @@ object AnnIvf {
     * bounded for the life of the stream.
     */
   def maintainIndexStore(stream: DataFrame, centroids: Array[Array[Double]],
-      dir: String, checkpoint: String, buckets: Int = 8, compactEvery: Int = 0)
+      dir: String, checkpoint: String, buckets: Int = 0, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -236,44 +241,68 @@ object AnnIvf {
   /** Bucket-preserving compaction of the dir-based store + sidecar (the
     * read-side file-count prune; see [[graft.streaming.BucketedStore.compact]]).
     */
-  def compactIndexStore(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
-    BucketedStore.compact(spark, storeSpec(dir, buckets))
-    BucketedStore.compact(spark, idsSpec(dir, buckets))
+  def compactIndexStore(spark: SparkSession, dir: String, buckets: Int = 0): Unit = {
+    val width = BucketedStore.resolveWidth(spark, buckets)
+    BucketedStore.compact(spark, storeSpec(dir, width))
+    BucketedStore.compact(spark, idsSpec(dir, width))
   }
 
-  /** [[topKIndexed]] over the dir-based store. */
+  /** [[topKIndexed]] over the dir-based store, with the scan PRUNED to the
+    * probed inverted lists: the distinct probed cluster ids are collected
+    * first (a driver-side set bounded by the centroid count k — the model
+    * is already a driver object, so this is model-sized traffic, not data)
+    * and pushed as a `cluster IN (...)` filter onto the store read. The
+    * store is bucketed BY cluster, so the IN predicate engages BUCKET
+    * PRUNING (`SelectedBucketsCount` in the scan node): a search touches
+    * only the probed lists' buckets — at 100 TB, nprobe/k of the index
+    * instead of all of it on every query batch. AnnIvfStoreSpec pins the
+    * pruned-scan shape; q255's recall audit pins answer equality.
+    */
   def topKIndexedStore(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, centroids: Array[Array[Double]], nprobe: Int = 2,
-      buckets: Int = 8): DataFrame = {
-    val cands = BucketedStore.read(spark, storeSpec(dir, buckets))
+      buckets: Int = 0): DataFrame = {
+    val cands = BucketedStore.read(spark,
+        storeSpec(dir, BucketedStore.resolveWidth(spark, buckets)))
       .getOrElse(sys.error(s"no index store at $dir")).drop("_batch")
     val qs = queries
       .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
-    val scored = cands.join(broadcast(qs), "cluster")
+    val probed = probedClusters(qs)
+    val scored = cands.filter(col("cluster").isin(probed: _*))
+      .join(broadcast(qs), "cluster")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe")))
     groupedTopK(scored, "qid", k, Seq(col("cos").desc, col("vec_id")))
       .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
   }
 
+  /** The distinct cluster ids a probe batch touches — collected driver-side
+    * (sanction: bounded by the centroid count, which already lives on the
+    * driver as the model) so the id set can be pushed as a scan filter.
+    */
+  private def probedClusters(qs: DataFrame): Seq[Any] =
+    qs.select(col("cluster")).distinct().collect().map(_.get(0)).toSeq
+
   /** Search a prebuilt index: a pure equi-join of the (bounded, broadcast)
     * probe batch onto the stored lists — the corpus side streams with NO
     * shuffle exchange because the probe side broadcasts (pinned by
     * ScaleOpsSpec); the only shuffle in the plan is groupedTopK's
-    * k·partitions-row partial top-k merge. The bucketing-by-cluster is NOT
-    * what makes this plan shuffle-free — it buys (a) bucket-pruned scans
-    * when a cluster-key filter is pushed (probe only nprobe/k of the data)
-    * and (b) an exchange-free sort-merge fallback if a probe batch ever
-    * outgrows broadcast. At 100 TB this is the IVF search you want: index
-    * built once per corpus version, per-batch cost independent of corpus
-    * assignment.
+    * k·partitions-row partial top-k merge. The probed cluster ids are
+    * pushed as an IN filter onto the scan (see [[topKIndexedStore]]), so
+    * the bucketing-by-cluster buys (a) BUCKET-PRUNED scans — only the
+    * probed lists' buckets are read, nprobe/k of the index — and (b) an
+    * exchange-free sort-merge fallback if a probe batch ever outgrows
+    * broadcast. At 100 TB this is the IVF search you want: index built
+    * once per corpus version, per-batch cost independent of corpus
+    * assignment and scan cost proportional to the probed lists.
     */
   def topKIndexed(spark: SparkSession, table: String, queries: DataFrame,
       k: Int, centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
     val cands = spark.table(table)
     val qs = queries
       .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
-    val scored = cands.join(broadcast(qs), "cluster")
+    val probed = probedClusters(qs)
+    val scored = cands.filter(col("cluster").isin(probed: _*))
+      .join(broadcast(qs), "cluster")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe")))
     groupedTopK(scored, "qid", k, Seq(col("cos").desc, col("vec_id")))

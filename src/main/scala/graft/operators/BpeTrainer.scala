@@ -106,11 +106,39 @@ object BpeTrainer {
       (df, m) => applyMerge(df, m.left, m.right)
     }
 
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** A Spark SQL string literal for a DATA-DERIVED symbol: backslashes must
+    * be doubled BEFORE quote-doubling — Spark's parser processes backslash
+    * escapes inside literals by default (`escapedStringLiterals=false`), so
+    * a learned merge symbol containing `\` would otherwise parse as an
+    * escape sequence and the expr-built merge would match the wrong bytes
+    * (or fail to parse). BpeTrainerSpec pins a backslash-bearing corpus.
+    */
+  /** ENCODE AT INGEST — the apply-at-ingest leg of the tokenizer story
+    * (train offline with [[train]], ship the merge table, tokenize every
+    * micro-batch the moment it arrives): a foreachBatch sink running
+    * [[encode]] on the batch and writing (doc_id, syms) idempotently via
+    * `Loader.writeBatchIdempotent` (`_batch` partition rewrite + commit
+    * marker — an at-least-once replay rewrites its own partition). Because
+    * [[encode]] is per-row (one shuffle-free projection, model inlined as
+    * literals), the union of per-batch outputs is byte-identical to
+    * encoding the whole corpus in one batch — which is exactly what the
+    * q269 gate pins against q261's oracle. `markersDir` follows the
+    * writeBatchIdempotent contract (tie it to the checkpoint).
+    */
+  def encodeSink(merges: Seq[Merge], outDir: String, markersDir: String = null)
+      : (DataFrame, Long) => Unit = (batch, id) =>
+    graft.streaming.Loader.writeBatchIdempotent(
+      encode(batch.select(col("doc_id"), col("text")), merges), outDir, id, markersDir)
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   /** Left-to-right greedy single-pass merge of (a, b) over `syms`, in-row,
-    * staged so the per-document cost is O(len + matches²) instead of the
-    * naive fold's O(len²):
+    * staged so the per-document cost is O(len·matches) worst-case —
+    * O(len + matches²) for the fold itself plus the rebuild's
+    * array_contains(kept, j) probe per position — instead of the naive
+    * fold's O(len²) ALLOCATIONS (the term that actually hurt: copying the
+    * whole token array per element):
     *
     *   1. `kept` — match positions (a cheap filter over pair indices)
     *      folded down to the GREEDY subset: drop a match whose left
@@ -121,7 +149,11 @@ object BpeTrainer {
     *      dominant term of the sf10 decade run: 1,785 task-s / 143 s GC,
     *      16× the sf1 cost, against ~6× for every data-sized stage);
     *   2. one rebuild pass — emit the merged symbol at kept positions,
-    *      skip their right halves, copy everything else.
+    *      skip their right halves, copy everything else. Its per-position
+    *      array_contains probe is a linear scan of `kept`, so the rebuild
+    *      is len·matches comparisons of ints — no allocation; matches per
+    *      (doc, pair) are near-zero in practice, and the decade runs bound
+    *      the real cost (6.5×/decade after this staging).
     *
     * Semantics are pinned byte-identical to the old fold by BpeTrainerSpec
     * (overlap runs, chain-merge impossibility) and the q259/q261 oracles.

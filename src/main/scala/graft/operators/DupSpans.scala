@@ -77,11 +77,22 @@ object DupSpans {
     coalesceSpans(g.join(dup, "gh"), width)
   }
 
+  /** The keep-first ordering key of an occurrence: the STRUCT
+    * (doc_id, pos), compared lexicographically — an aggregate MIN over it
+    * picks the globally first occurrence at any document length or id
+    * range. (Earlier rounds packed the pair into one BIGINT,
+    * doc_id·2^20 + pos, which silently mis-ordered once a document passed
+    * 2^20 tokens or doc_ids passed 2^30 — real at the 100 TB posture this
+    * operator advertises. The struct is exact; the DuckDB oracle texts keep
+    * the packed BIGINT because every oracle SF is orders of magnitude
+    * inside those bounds, noted at each oracle.)
+    */
+  private[graft] def orderKey: Column = struct(col("doc_id"), col("pos"))
+
   /** Keep-first scrub accounting (q263): for every duplicated W-gram the
-    * globally first occurrence (min (doc_id, pos), encoded as
-    * doc_id·2^20 + pos so the order is one BIGINT comparison in any
-    * engine) survives; every other occurrence is redundant, and a token is
-    * removed iff some redundant occurrence covers it. Returns
+    * globally first occurrence (MIN over the (doc_id, pos) struct — see
+    * [[orderKey]]) survives; every other occurrence is redundant, and a
+    * token is removed iff some redundant occurrence covers it. Returns
     * (doc_id, total_tokens, removed_tokens, kept_tokens) for every
     * document that loses at least one token.
     *
@@ -95,7 +106,7 @@ object DupSpans {
       .select(col("doc_id"), col("text"))
       .where(size(tokens(col("text"))) >= width)
     val g = grams(docs, width)
-      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+      .withColumn("okey", orderKey)
     val firsts = g.groupBy(col("gh"))
       .agg(count(lit(1)).as("occ"), min(col("okey")).as("first_key"))
       .where(col("occ") >= 2)
@@ -126,7 +137,7 @@ object DupSpans {
     */
   def scrubbedText(docs: DataFrame, width: Int): DataFrame = {
     val g = grams(docs, width)
-      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+      .withColumn("okey", orderKey)
     val firsts = g.groupBy(col("gh"))
       .agg(count(lit(1)).as("occ"), min(col("okey")).as("first_key"))
       .where(col("occ") >= 2)

@@ -668,18 +668,19 @@ object DedupQueries extends QueryModule {
         val (src, store, pairs, ck) =
           (s"$base/src", s"$base/store", s"$base/pairs", s"$base/ck")
         docs.repartition(4).write.mode("overwrite").parquet(src)
-        SharedStages.withShufflePartitions(s, 8) {
-          val q = s.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
-            .writeStream
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow())
-            .option("checkpointLocation", ck)
-            .foreachBatch(graft.streaming.LshIndex.nearDupSink(
-              store, pairs, s"$ck/graft_commits"))
-            .start()
-          q.awaitTermination()
-        }
+        // no partition-width wrap (round 11): the store builds at the
+        // session's width per the bucket-width law — the gate's 8-cpu
+        // harness still lands on 8, and the decade runs get 32/320
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch(graft.streaming.LshIndex.nearDupSink(
+            store, pairs, s"$ck/graft_commits"))
+          .start()
+        q.awaitTermination()
         graft.streaming.Loader.readTable(s, pairs)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -811,8 +812,11 @@ object DedupQueries extends QueryModule {
     // q263 — DUPLICATED-SPAN SCRUB with the keep-first policy
     // (operators.DupSpans.scrubCounts): the REMOVAL side of q262, the way
     // Lee et al. actually apply it — for every duplicated W-gram, the
-    // globally FIRST occurrence (min (doc_id, pos), encoded as one BIGINT
-    // so both engines order identically) stays; every other occurrence is
+    // globally FIRST occurrence (MIN over the (doc_id, pos) STRUCT on the
+    // engine side — exact at any document length; the oracle packs the
+    // pair into one BIGINT, doc_id*2^20+pos, which orders identically for
+    // every fixture SF since fixture docs are << 2^20 tokens and doc_ids
+    // << 2^30) stays; every other occurrence is
     // redundant, and a token is removed iff some redundant occurrence
     // covers it. Reported per affected document: total/removed/kept token
     // counts. Scale: the only expansion anywhere is W offsets per
@@ -862,15 +866,13 @@ object DedupQueries extends QueryModule {
         val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
         val base = SharedStages.scratchDir("q264")
         val (store, hits) = (s"$base/grams", s"$base/hits")
-        // bucket width = session partition width (the round-10 bucket-width
-        // law: a store built at a fixed 8 funnels corpus-sized scans
-        // through 8 fat tasks at 100x the data)
-        val buckets = math.min(320,
-          math.max(8, s.conf.get("spark.sql.shuffle.partitions", "8").toInt))
+        // bucket width = session partition width — the operator default
+        // since round 11 (the round-10 bucket-width law: a store built at
+        // a fixed 8 funnels corpus-sized scans through 8 fat tasks at
+        // 100x the data)
         for (b <- 0L until 4L)
           graft.streaming.DupSpanIndex.ingestBatch(
-            docs.filter(pmod(col("doc_id"), lit(4L)) === b), store, hits, b,
-            buckets = buckets)
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b), store, hits, b)
         graft.streaming.DupSpanIndex.spans(s, hits)
           .orderBy(col("doc_id"), col("span_start"))
       },
@@ -937,12 +939,9 @@ object DedupQueries extends QueryModule {
         val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
         val base = SharedStages.scratchDir("q267")
         val (store, hits) = (s"$base/grams", s"$base/hits")
-        val buckets = math.min(320,
-          math.max(8, s.conf.get("spark.sql.shuffle.partitions", "8").toInt))
         for (b <- 0L until 4L)
           graft.streaming.DupSpanIndex.ingestBatch(
-            docs.filter(pmod(col("doc_id"), lit(4L)) === b), store, hits, b,
-            buckets = buckets)
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b), store, hits, b)
         graft.streaming.DupSpanIndex.scrubbedText(s, docs, hits)
           .orderBy(col("doc_id"))
       },
@@ -968,24 +967,38 @@ object DedupQueries extends QueryModule {
     // flagged occurrences and affected documents at W ∈ {4, 8, 16, 32},
     // the curve a practitioner reads to trade recall (small W flags more)
     // against span precision (large W only catches long verbatim copies).
-    // Lee et al. use 50 BPE tokens ≈ this order of magnitude. One
-    // gram-count aggregate per width (4 corpus passes — the widths cannot
-    // share shingles; at 100 TB this is 4 scans of a 1-pass-each profile
-    // job, embarrassingly parallel, run once per corpus snapshot).
+    // Lee et al. use 50 BPE tokens ≈ this order of magnitude. ONE corpus
+    // scan for all four widths (round-11 rewrite of the round-10 4-scan
+    // version): every width's grams explode out of a single projection
+    // tagged by w, aggregate once to per-(w, gram, doc) counts — the
+    // MATERIALIZED frame both the dup-gram filter and the profile read, so
+    // the corpus text is read exactly once and everything after is
+    // aggregate-sized. No windows over the (possibly hot) gram partition:
+    // dup selection is an aggregate-and-join, same discipline as q262.
     Declared("q268_dup_width_profile",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
-        Seq(4, 8, 16, 32).map { w =>
-          val g = graft.operators.DupSpans.grams(docs, w)
-          val dup = g.groupBy(col("gh"))
-            .agg(count(lit(1)).as("n")).where(col("n") >= 2)
-          val flagged = g.join(dup.select("gh"), "gh")
-          dup.agg(big(count(lit(1))).as("dup_grams")).crossJoin(
-            flagged.agg(big(count(lit(1))).as("flagged_occ"),
-              big(countDistinct(col("doc_id"))).as("affected_docs")))
-            .select(lit(w.toLong).as("w"), col("dup_grams"),
-              col("flagged_occ"), col("affected_docs"))
-        }.reduce(_ unionAll _).orderBy(col("w"))
+        val widths = Seq(4, 8, 16, 32)
+        val tagged = docs
+          .select(col("doc_id"), size(tokens(col("text"))).as("len"),
+            explode(flatten(array(widths.map(w =>
+              transform(shingles(col("text"), w),
+                gr => struct(lit(w.toLong).as("w"), md5(gr).as("gh")))): _*))).as("t"))
+          // shingles() degrades a too-short doc to one whole-text shingle;
+          // the span family defines those documents OUT of scope per width
+          .where(col("len") >= col("t.w"))
+          .select(col("doc_id"), col("t.w").as("w"), col("t.gh").as("gh"))
+        val perDoc = tagged.groupBy(col("w"), col("gh"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dup = perDoc.groupBy(col("w"), col("gh"))
+          .agg(sum(col("c")).as("n")).where(col("n") >= 2)
+        perDoc.join(dup.select("w", "gh"), Seq("w", "gh"))
+          .groupBy(col("w"))
+          .agg(big(countDistinct(col("gh"))).as("dup_grams"),
+            big(sum(col("c"))).as("flagged_occ"),
+            big(countDistinct(col("doc_id"))).as("affected_docs"))
+          .orderBy(col("w"))
       },
       Some {
         def arm(w: Int) =

@@ -98,15 +98,14 @@ object RetrievalQueries extends QueryModule {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
         val idxDir = SharedStages.scratchDir("q258") + "/idx"
-        // bucket width = the session's partition width (the q255 lesson:
-        // a store built at the gate's 8 buckets funnels the corpus-sized
+        // bucket width = the session's partition width — the operator
+        // default since round 11 (bucket-width law; the q255 lesson: a
+        // store built at the gate's 8 buckets funnels the corpus-sized
         // postings write through 8 tasks at 100× the data)
-        val buckets = math.min(320,
-          math.max(8, s.conf.get("spark.sql.shuffle.partitions", "8").toInt))
         for (b <- 0L until 4L)
           graft.streaming.RetrievalIndex.ingestBatch(
-            docs.filter(pmod(col("doc_id"), lit(4L)) === b), idxDir, b, buckets)
-        graft.streaming.RetrievalIndex.bm25(s, idxDir, bmTerms, 10, buckets)
+            docs.filter(pmod(col("doc_id"), lit(4L)) === b), idxDir, b)
+        graft.streaming.RetrievalIndex.bm25(s, idxDir, bmTerms, 10)
           .select(col("doc_id"), big(col("score_micro")).as("score_micro"))
           .orderBy(col("score_micro").desc, col("doc_id"))
       },

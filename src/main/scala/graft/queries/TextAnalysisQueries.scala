@@ -348,6 +348,37 @@ object TextAnalysisQueries extends QueryModule {
           |  CAST(len(list_filter(syms, s -> contains(s, ' '))) AS BIGINT) AS n_merged
           |FROM r3 ORDER BY doc_id""".stripMargin)),
 
+    // q269 — STREAMING BPE ENCODE AT INGEST (BpeTrainer.encodeSink): the
+    // apply-at-ingest leg that completes the tokenizer's maintained-store
+    // story — q259 trains the model offline, and every arriving micro-batch
+    // is tokenized immediately, its (doc_id, syms) sequences written as a
+    // replay-idempotent `_batch` partition (the shape every real pipeline
+    // runs: train once, apply at ingest, persist tokenized sequences).
+    // Because encode is per-row and shuffle-free, the 4-batch union must be
+    // byte-identical to the one-shot batch encode — the same oracle as
+    // q261, which is the gate's whole point. Per-batch cost: the batch's
+    // own projection + one partition write; nothing reads or grows with
+    // the accumulated output.
+    Declared("q269_stream_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val model = graft.operators.BpeTrainer.train(s, docs, 3)
+        val base = SharedStages.scratchDir("q269")
+        val sink = graft.operators.BpeTrainer.encodeSink(model, s"$base/toks", s"$base/mk")
+        for (b <- 0L until 4L)
+          sink(docs.filter(pmod(col("doc_id"), lit(4L)) === b), b)
+        graft.streaming.Loader.readTable(s, s"$base/toks")
+          .select(col("doc_id"),
+            big(size(col("syms"))).as("n_tokens"),
+            big(size(filter(col("syms"), _.contains(" ")))).as("n_merged"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeThreeRounds +
+        """
+          |SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_filter(syms, s -> contains(s, ' '))) AS BIGINT) AS n_merged
+          |FROM r3 ORDER BY doc_id""".stripMargin)),
+
     // q265 — BIGRAM-LM FAMILIARITY SCORE (the perplexity-filter analog of
     // real pretraining pipelines — fit a cheap LM on the corpus, score
     // every document, and the low-familiarity tail is the noise/outlier

@@ -314,15 +314,13 @@ object VectorQueries extends QueryModule {
         val centroids = Array.tabulate(8)(i =>
           Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
         val idxDir = SharedStages.scratchDir("q255") + "/idx"
-        // Bucket count scales with the session's partition width — the same
-        // partitions-grow-with-data posture as the sf100 rehearsal. A fixed
-        // 8 buckets at sf100 collapses the probed scan to 8 fat tasks whose
-        // per-task window sorts grow 10× per decade and spill (measured:
-        // 45×/decade task-s at 320 partitions); width-scaled buckets keep
-        // per-task volume constant. Results are bucket-count-invariant.
-        val buckets = math.min(320,
-          math.max(8, s.conf.get("spark.sql.shuffle.partitions", "8").toInt))
-        AnnIvf.buildIndexStore(e, centroids, idxDir, buckets)
+        // Bucket count scales with the session's partition width — since
+        // round 11 that is the OPERATOR's default (BucketedStore.sessionWidth,
+        // the codified bucket-width law): a fixed 8 buckets at sf100
+        // collapsed the probed scan to 8 fat spilling tasks (measured
+        // 45×/decade); width-scaled buckets keep per-task volume constant.
+        // Results are bucket-count-invariant.
+        AnnIvf.buildIndexStore(e, centroids, idxDir)
         val brute = {
           val scored = e.crossJoin(broadcast(qs))
             .filter(col("vec_id") =!= col("qid"))
@@ -332,8 +330,7 @@ object VectorQueries extends QueryModule {
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nTotal = brute.count()
         val perProbe = Seq(1, 2, 4, 8).map { np =>
-          AnnIvf.topKIndexedStore(s, idxDir, qs, 3, centroids, nprobe = np,
-              buckets = buckets)
+          AnnIvf.topKIndexedStore(s, idxDir, qs, 3, centroids, nprobe = np)
             .select(col("qid"), col("vec_id"))
             .join(brute, Seq("qid", "vec_id"), "left_semi")
             .agg(big(count(lit(1))).as("hits"))

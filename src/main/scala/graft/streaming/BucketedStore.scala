@@ -59,6 +59,30 @@ object BucketedStore {
   /** Identity of a store: its directory, probe-join bucket keys, width. */
   final case class StoreSpec(dir: String, bucketCols: Seq[String], buckets: Int = 8)
 
+  /** The BUCKET-WIDTH LAW (round 10, DEPLOY.md): store width is cluster
+    * geometry, not a constant. A store built at a fixed small width funnels
+    * its corpus-sized scans through that many fat tasks no matter how many
+    * executors the cluster has — the sf100 rehearsals measured 45×/decade
+    * on a fixed-8 store where width-from-partitions restored single digits.
+    * The session's shuffle-partition setting IS the deployment's statement
+    * of parallelism, so a new store derives its width from it, clamped to
+    * [8, 320] (below 8 the probe joins lose all parallelism; above 320 the
+    * per-bucket files of a gate-sized store degenerate to empty-file
+    * overhead). Existing stores are untouched: width is layout state the
+    * dir carries in its `_store_buckets` marker, authoritative on open.
+    */
+  def sessionWidth(spark: SparkSession): Int =
+    math.min(320,
+      math.max(8, spark.conf.get("spark.sql.shuffle.partitions", "8").toInt))
+
+  /** Resolve a caller-supplied width: positive = explicit, anything else =
+    * derive from the session per [[sessionWidth]]. Operators take
+    * `buckets: Int = 0` so the law is their default and an explicit width
+    * stays one parameter away.
+    */
+  def resolveWidth(spark: SparkSession, buckets: Int): Int =
+    if (buckets > 0) buckets else sessionWidth(spark)
+
   /** Partition id for consolidated data (full rebuilds, migrated legacy
     * layouts, compaction output): strictly negative, below every real
     * batch id, decreasing with each compaction so the consolidation never

@@ -46,18 +46,25 @@ object DupSpanIndex {
     * the store, write the flags. Idempotent per batchId.
     */
   def ingestBatch(batch: DataFrame, dir: String, hitsDir: String,
-      batchId: Long, width: Int = 8, buckets: Int = 8): Unit = {
+      batchId: Long, width: Int = 8, buckets: Int = 0): Unit = {
     val spark = batch.sparkSession
+    val nb = BucketedStore.resolveWidth(spark, buckets)
     val g = DupSpans.grams(batch, width)
-      .withColumn("okey", col("doc_id") * lit(1048576L) + col("pos"))
+      .withColumn("okey", DupSpans.orderKey)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       g.count() // materialize once; probed, aggregated and appended below
-      // history = every gram hash seen in a STRICTLY earlier batch; the
-      // distinct collapses bucket-locally (store is bucketed on gh) and the
-      // probe join is exchange-free on the store side
-      val hist = BucketedStore.read(spark, gramsSpec(dir, buckets)) match {
-        case Some(st) => st.filter(col("_batch") =!= batchId)
+      // history = every gram hash seen in a STRICTLY earlier batch
+      // (`_batch < batchId` — consolidated compaction partitions live at
+      // negative ids, so they always count as earlier; a replay of an
+      // earlier batch after later ones exist sees only its true prefix,
+      // never future-batch grams). The distinct collapses bucket-locally
+      // (store is bucketed on gh) and the probe join is exchange-free on
+      // the store side. Replay across a COMPACTION is the one unsupported
+      // case — the consolidation folds all batches together, same as the
+      // other index operators.
+      val hist = BucketedStore.read(spark, gramsSpec(dir, nb)) match {
+        case Some(st) => st.filter(col("_batch") < batchId)
           .select(col("gh")).distinct().withColumn("in_hist", lit(true))
         case None => g.select(col("gh")).limit(0).withColumn("in_hist", lit(true))
       }
@@ -71,7 +78,7 @@ object DupSpanIndex {
       Loader.writeBatchIdempotent(flagged, hitsDir, batchId)
       BucketedStore.appendBatch(
         g.select(col("gh"), col("doc_id"), col("pos")),
-        gramsSpec(dir, buckets), batchId)
+        gramsSpec(dir, nb), batchId)
     } finally g.unpersist()
   }
 
@@ -79,11 +86,15 @@ object DupSpanIndex {
     * every n-th batch (same policy contract as the other index sinks).
     */
   def ingestSink(dir: String, hitsDir: String, width: Int = 8,
-      buckets: Int = 8, compactEvery: Int = 0): (DataFrame, Long) => Unit =
+      buckets: Int = 0, compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, id) => {
       ingestBatch(batch, dir, hitsDir, id, width, buckets)
-      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-        BucketedStore.compact(batch.sparkSession, gramsSpec(dir, buckets))
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+        BucketedStore.compact(batch.sparkSession, gramsSpec(dir,
+          BucketedStore.resolveWidth(batch.sparkSession, buckets)))
+        // fold the flag FEED's per-batch partitions on the same policy
+        Loader.compactBatches(batch.sparkSession, hitsDir)
+      }
     }
 
   /** The maximal ingest-time duplicated spans accumulated so far: the

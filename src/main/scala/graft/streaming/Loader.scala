@@ -73,6 +73,7 @@ object Loader {
     // markers may live on a different filesystem than the table (checkpoint
     // on HDFS, table on S3) — resolve the FS from the marker path itself
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverFeedCompaction(spark, tableDir)
     if (!fs.exists(marker)) {
       df.withColumn("_batch", lit(batchId))
         .write.mode("overwrite")
@@ -83,9 +84,117 @@ object Loader {
     }
   }
 
-  /** Read the loaded table back (hides the `_batch` bookkeeping column). */
-  def readTable(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame =
+  /** Read the loaded table back (hides the `_batch` bookkeeping column).
+    * Runs feed-compaction crash recovery first (a no-op unless a previous
+    * [[compactBatches]] died between its markers).
+    */
+  def readTable(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
+    recoverFeedCompaction(spark, tableDir)
     spark.read.parquet(tableDir).drop("_batch")
+  }
+
+  private val FeedIntent = "_feed_compact_intent"
+  private val FeedCommit = "_feed_compact_commit"
+
+  private def feedPartitionIds(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch="))
+      .map(_.getPath.getName.stripPrefix("_batch=").toLong)
+  }
+
+  private def writeFeedMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      name: String, c: Long): Unit = {
+    val os = fs.create(new Path(dir, name), true)
+    try os.write(c.toString.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def readFeedMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      name: String): Option[Long] = {
+    val p = new Path(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Collapse a `writeBatchIdempotent` table's one-partition-per-batch
+    * append history into a single consolidated `_batch=-N` partition — the
+    * read-side prune for the FEEDS next to the index stores' own
+    * `BucketedStore.compact`: hit/flag tables (LSH pairs, dup-span flags,
+    * decontamination hits) and per-batch delta feeds (the BM25 stats rows)
+    * all grow FILE COUNT linearly with batch count even though each file
+    * is tiny, and every read folds all of them. After compaction the file
+    * count is proportional to the DATA (the scan's split bin-packing),
+    * not the history.
+    *
+    * Crash-safe with the same intent/commit discipline as
+    * `BucketedStore.compact`: consolidated rows are staged in a scratch
+    * dir, published by ONE atomic rename, and the commit marker is the
+    * linearization point — [[recoverFeedCompaction]] (run on every
+    * [[readTable]]/[[writeBatchIdempotent]]) rolls an interrupted run back
+    * (no commit ⇒ the consolidation never happened) or forward (commit ⇒
+    * finish the source-partition deletes). Single writer: run from the
+    * feed's owning sink between batches.
+    *
+    * Replay contract: a batch replayed AFTER its partition was folded into
+    * a consolidation is only safe when its commit marker survives (markers
+    * are untouched here — they live at the top level or in the caller's
+    * markersDir): the marker skips the rewrite. A marker-less replay
+    * across a compaction would re-append the batch's rows next to the
+    * consolidated copy — same unsupported case as every index store.
+    */
+  def compactBatches(spark: SparkSession, tableDir: String): Unit = {
+    recoverFeedCompaction(spark, tableDir)
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = feedPartitionIds(fs, tableDir)
+    if (ids.size <= 1) return // nothing to fold
+    val c = math.min(0L, ids.min) - 1L
+    val scratch = tableDir.stripSuffix("/") + "_compacting"
+    fs.delete(new Path(scratch), true)
+    val src = spark.read.parquet(tableDir).drop("_batch")
+    val expect = src.count()
+    src.write.mode("overwrite").parquet(scratch)
+    val got = spark.read.parquet(scratch).count()
+    require(got == expect, s"feed compaction audit failed: $expect rows in, $got out")
+    writeFeedMarker(fs, tableDir, FeedIntent, c)
+    require(fs.rename(new Path(scratch), new Path(tableDir, s"_batch=$c")),
+      s"feed compaction publish rename failed: $scratch -> $tableDir/_batch=$c")
+    writeFeedMarker(fs, tableDir, FeedCommit, c)
+    finishFeedCompaction(fs, tableDir, c)
+  }
+
+  private def finishFeedCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String, c: Long): Unit = {
+    feedPartitionIds(fs, tableDir).filter(_ != c)
+      .foreach(id => fs.delete(new Path(tableDir, s"_batch=$id"), true))
+    fs.delete(new Path(tableDir, FeedCommit), false)
+    fs.delete(new Path(tableDir, FeedIntent), false)
+  }
+
+  /** Feed-compaction crash recovery — no-op unless a [[compactBatches]]
+    * died between its markers. Intent without commit rolls back (the
+    * consolidated partition never became visible: delete it and the
+    * scratch); commit rolls forward (finish the source deletes).
+    */
+  def recoverFeedCompaction(spark: SparkSession, tableDir: String): Unit = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(tableDir))) return
+    readFeedMarker(fs, tableDir, FeedCommit) match {
+      case Some(c) => finishFeedCompaction(fs, tableDir, c)
+      case None => readFeedMarker(fs, tableDir, FeedIntent) match {
+        case Some(c) =>
+          fs.delete(new Path(tableDir, s"_batch=$c"), true)
+          fs.delete(new Path(tableDir.stripSuffix("/") + "_compacting"), true)
+          fs.delete(new Path(tableDir, FeedIntent), false)
+        case None => ()
+      }
+    }
+  }
 
   /** Corrupt-tolerant read of the staging TSV contract (quote-free,
     * header-free — `main.py:61-67`): PERMISSIVE mode nulls the typed

@@ -56,12 +56,18 @@ object LshIndex {
 
   import DedupQueries.{BANDS, K, ROWS}
 
-  /** Bucket count of the signature store table. Fixed at table creation;
-    * a deployment sizes it to the executor count (it bounds probe-side
-    * shuffle width), the gate keeps it aligned with the 8-partition
-    * streaming harness.
+  /** Bucket count a fresh store is created at when the caller passes none:
+    * the session-derived width of [[BucketedStore.sessionWidth]] — the
+    * round-10 bucket-width law, applied to the flagship store too (its
+    * previous hardcoded 8 was the exact fixed-geometry trap the q255/q258
+    * sf100 runs measured at 45×/14.8× per decade). Width only matters at
+    * CREATION: an existing dir's `_store_buckets` marker is authoritative
+    * on every open, so changing the session setting never corrupts a store.
+    * The gate harness runs its streaming queries under 8 shuffle
+    * partitions, so gate stores still build at 8.
     */
-  val StoreBuckets = 8
+  def defaultBuckets(spark: org.apache.spark.sql.SparkSession): Int =
+    BucketedStore.sessionWidth(spark)
 
   /** (doc_id, sig: array<bigint>) 16-lane MinHash signatures for an
     * arbitrary (doc_id, text) frame — the DataFrame-in form of
@@ -109,25 +115,29 @@ object LshIndex {
   }
 
   /** StoreSpec of the banded signature store for a dir. */
-  private def storeSpec(storeDir: String) =
-    BucketedStore.StoreSpec(storeDir, Seq("band_idx", "band"), StoreBuckets)
+  private def storeSpec(storeDir: String, width: Int) =
+    BucketedStore.StoreSpec(storeDir, Seq("band_idx", "band"), width)
 
   /** StoreSpec of the doc_id sidecar for a dir. */
-  private def idsSpec(storeDir: String) =
-    BucketedStore.StoreSpec(idsDir(storeDir), Seq("doc_id"), StoreBuckets)
+  private def idsSpec(storeDir: String, width: Int) =
+    BucketedStore.StoreSpec(idsDir(storeDir), Seq("doc_id"), width)
 
   /** One micro-batch against the index: emit every pair this batch
     * completes into `pairsDir`, then append the batch's signatures to
     * `storeDir`. Idempotent on replay (see object doc). `markersDir`
     * follows `writeBatchIdempotent`'s contract — tie it to the CHECKPOINT
     * so a checkpoint reset also resets the pair commit markers.
+    * `buckets` sizes a store that does not exist yet (0 = the session-
+    * derived width of the bucket-width law); an existing dir's stamped
+    * width always wins.
     */
   def processBatch(batch: DataFrame, storeDir: String, pairsDir: String,
       batchId: Long, markersDir: String = null,
-      threshold: Double = 0.5): Unit = {
+      threshold: Double = 0.5, buckets: Int = 0): Unit = {
     val spark = batch.sparkSession
+    val width = BucketedStore.resolveWidth(spark, buckets)
     val bbanAll = banded(signatures(batch.select("doc_id", "text")))
-    val storeBan = storeOrEmpty(spark, storeDir, bbanAll, batchId)
+    val storeBan = storeOrEmpty(spark, storeDir, bbanAll, batchId, width)
     // Re-arrivals (a doc_id already in the store arriving again in a LATER
     // batch, not just a replay) are no-ops BY CONSTRUCTION: the probe side
     // is anti-joined against the stored doc_ids before any pair is
@@ -143,7 +153,7 @@ object LshIndex {
     // batchId`), so a replay after a partial commit anti-joins against the
     // pre-batch state, not its own half-written rows.
     val bban = bbanAll
-      .join(storedIds(spark, storeDir, storeBan, batchId), Seq("doc_id"), "left_anti")
+      .join(storedIds(spark, storeDir, storeBan, batchId, width), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bban.count() // materialize once; probed up to twice below
@@ -159,11 +169,11 @@ object LshIndex {
       // independently replay-idempotent — no cross-write crash window.
       val fresh = bban.dropDuplicates("doc_id", "band_idx")
         .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
-      BucketedStore.appendBatch(fresh, storeSpec(storeDir), batchId)
+      BucketedStore.appendBatch(fresh, storeSpec(storeDir, width), batchId)
       // id sidecar (batch-sized write): keeps the NEXT batch's re-arrival
       // anti-join exchange-free on the store side
       BucketedStore.appendBatch(bban.select(col("doc_id")).dropDuplicates("doc_id"),
-        idsSpec(storeDir), batchId)
+        idsSpec(storeDir, width), batchId)
     } finally bban.unpersist()
   }
 
@@ -177,9 +187,11 @@ object LshIndex {
     * store's owner between batches — the deployment prune the round-9
     * scaladoc promised, now an operator.
     */
-  def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String): Unit = {
-    BucketedStore.compact(spark, storeSpec(storeDir))
-    BucketedStore.compact(spark, idsSpec(storeDir))
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      buckets: Int = 0): Unit = {
+    val width = BucketedStore.resolveWidth(spark, buckets)
+    BucketedStore.compact(spark, storeSpec(storeDir, width))
+    BucketedStore.compact(spark, idsSpec(storeDir, width))
   }
 
   /** The stored doc_id set for the re-arrival anti-join (pre-batch
@@ -188,8 +200,8 @@ object LshIndex {
     * legacy/foreign store dir).
     */
   private def storedIds(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, storeBan: DataFrame, batchId: Long): DataFrame =
-    BucketedStore.read(spark, idsSpec(storeDir)) match {
+      storeDir: String, storeBan: DataFrame, batchId: Long, width: Int): DataFrame =
+    BucketedStore.read(spark, idsSpec(storeDir, width)) match {
       case Some(ids) =>
         ids.filter(col("_batch") =!= batchId).select(col("doc_id"))
       case None =>
@@ -219,8 +231,8 @@ object LshIndex {
     * fallback.
     */
   private def storeOrEmpty(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, like: DataFrame, batchId: Long): DataFrame =
-    BucketedStore.read(spark, storeSpec(storeDir)) match {
+      storeDir: String, like: DataFrame, batchId: Long, width: Int): DataFrame =
+    BucketedStore.read(spark, storeSpec(storeDir, width)) match {
       case Some(df) => df.filter(col("_batch") =!= batchId)
         .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
       case None =>
@@ -241,8 +253,8 @@ object LshIndex {
           spark.read.parquet(topFiles.toIndexedSeq: _*)
             .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
         else {
-          migrateLegacyStore(spark, storeDir, fs, topFiles, legacyQ)
-          storeOrEmpty(spark, storeDir, like, batchId)
+          migrateLegacyStore(spark, storeDir, fs, topFiles, legacyQ, width)
+          storeOrEmpty(spark, storeDir, like, batchId, width)
         }
     }
 
@@ -261,7 +273,8 @@ object LshIndex {
     */
   private def migrateLegacyStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, fs: org.apache.hadoop.fs.FileSystem,
-      topFiles: Array[String], legacyQ: org.apache.hadoop.fs.Path): Unit = {
+      topFiles: Array[String], legacyQ: org.apache.hadoop.fs.Path,
+      width: Int): Unit = {
     fs.mkdirs(legacyQ)
     topFiles.foreach { f =>
       val src = new org.apache.hadoop.fs.Path(f)
@@ -270,9 +283,9 @@ object LshIndex {
     val legacy = spark.read.parquet(legacyQ.toString)
     val bandedRows = banded(legacy.select(col("doc_id"), col("sig")))
       .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
-    BucketedStore.appendBatch(bandedRows, storeSpec(storeDir), -1L)
+    BucketedStore.appendBatch(bandedRows, storeSpec(storeDir, width), -1L)
     BucketedStore.appendBatch(legacy.select(col("doc_id")).dropDuplicates("doc_id"),
-      idsSpec(storeDir), -1L)
+      idsSpec(storeDir, width), -1L)
     fs.delete(legacyQ, true)
   }
 
@@ -288,11 +301,16 @@ object LshIndex {
     * crash mid-compaction) changes nothing.
     */
   def nearDupSink(storeDir: String, pairsDir: String, markersDir: String = null,
-      threshold: Double = 0.5, compactEvery: Int = 0): (DataFrame, Long) => Unit =
+      threshold: Double = 0.5, compactEvery: Int = 0, buckets: Int = 0)
+      : (DataFrame, Long) => Unit =
     (batch, id) => {
-      processBatch(batch, storeDir, pairsDir, id, markersDir, threshold)
-      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-        compactStore(batch.sparkSession, storeDir)
+      processBatch(batch, storeDir, pairsDir, id, markersDir, threshold, buckets)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+        compactStore(batch.sparkSession, storeDir, buckets)
+        // the pair FEED accumulates one partition per batch too — fold it
+        // on the same policy (markers survive, so replays stay skipped)
+        Loader.compactBatches(batch.sparkSession, pairsDir)
+      }
     }
 
   /** Build a STATIC banded signature index over a bounded document set —
@@ -300,9 +318,10 @@ object LshIndex {
     * consumers (q253's benchmark set): every later probe join reads the
     * index exchange-free, and the index is written exactly once.
     */
-  def buildStaticIndex(docs: DataFrame, dir: String): Unit =
+  def buildStaticIndex(docs: DataFrame, dir: String, buckets: Int = 0): Unit =
     BucketedStore.overwrite(
-      banded(signatures(docs.select("doc_id", "text"))), storeSpec(dir))
+      banded(signatures(docs.select("doc_id", "text"))),
+      storeSpec(dir, BucketedStore.resolveWidth(docs.sparkSession, buckets)))
 
   /** STREAMING DECONTAMINATION sink: probe each micro-batch of corpus
     * documents against a static benchmark index ([[buildStaticIndex]]) and
@@ -321,13 +340,14 @@ object LshIndex {
     * benchmark index is built once per benchmark revision.
     */
   def decontaminateSink(indexDir: String, hitsDir: String,
-      markersDir: String = null, threshold: Double = 0.5)
+      markersDir: String = null, threshold: Double = 0.5, buckets: Int = 0)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val spark = batch.sparkSession
     val bban = banded(signatures(batch.select("doc_id", "text")))
     // static index: no own-batch partition to exclude (probe-only), so the
     // snapshot filter uses an id no real batch carries
-    val idx = storeOrEmpty(spark, indexDir, bban, Long.MinValue)
+    val idx = storeOrEmpty(spark, indexDir, bban, Long.MinValue,
+      BucketedStore.resolveWidth(spark, buckets))
     Loader.writeBatchIdempotent(
       decontaminationHits(bban, idx, threshold), hitsDir, batchId, markersDir)
   }
@@ -378,11 +398,12 @@ object LshIndex {
   def backfillDecontaminate(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, bench: DataFrame, indexDir: String, hitsDir: String,
       revisionId: Long, markersDir: String = null,
-      threshold: Double = 0.5): DataFrame = {
-    buildStaticIndex(bench, indexDir)
+      threshold: Double = 0.5, buckets: Int = 0): DataFrame = {
+    val width = BucketedStore.resolveWidth(spark, buckets)
+    buildStaticIndex(bench, indexDir, width)
     val corpusBan = storeOrEmpty(spark, storeDir,
-      banded(signatures(bench.select("doc_id", "text"))).limit(0), Long.MinValue)
-    val idx = storeOrEmpty(spark, indexDir, corpusBan, Long.MinValue)
+      banded(signatures(bench.select("doc_id", "text"))).limit(0), Long.MinValue, width)
+    val idx = storeOrEmpty(spark, indexDir, corpusBan, Long.MinValue, width)
     Loader.writeBatchIdempotent(
       decontaminationHits(corpusBan, idx, threshold), hitsDir, revisionId, markersDir)
     spark.read.parquet(hitsDir)

@@ -61,9 +61,10 @@ object RetrievalIndex {
     * the stored postings and the stats feed consistent forever.
     */
   def ingestBatch(batch: DataFrame, dir: String, batchId: Long,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val priorIds = BucketedStore.read(spark, idsSpec(dir, buckets)) match {
+    val width = BucketedStore.resolveWidth(spark, buckets)
+    val priorIds = BucketedStore.read(spark, idsSpec(dir, width)) match {
       case Some(ids) => ids.filter(col("_batch") =!= batchId).select(col("doc_id"))
       case None => batch.select(col("doc_id")).limit(0)
     }
@@ -76,8 +77,8 @@ object RetrievalIndex {
       val postings = fresh
         .select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
         .groupBy(col("t"), col("doc_id"), col("dl")).agg(count(lit(1)).as("c"))
-      BucketedStore.appendBatch(postings, postingsSpec(dir, buckets), batchId)
-      BucketedStore.appendBatch(fresh.select(col("doc_id")), idsSpec(dir, buckets), batchId)
+      BucketedStore.appendBatch(postings, postingsSpec(dir, width), batchId)
+      BucketedStore.appendBatch(fresh.select(col("doc_id")), idsSpec(dir, width), batchId)
       Loader.writeBatchIdempotent(
         fresh.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("t_tokens")),
         statsDir(dir), batchId)
@@ -88,20 +89,25 @@ object RetrievalIndex {
     * after every n-th batch inside the serialized sink (the same policy
     * contract as [[LshIndex.nearDupSink]]).
     */
-  def ingestSink(dir: String, buckets: Int = 8, compactEvery: Int = 0)
+  def ingestSink(dir: String, buckets: Int = 0, compactEvery: Int = 0)
       : (DataFrame, Long) => Unit = (batch, id) => {
     ingestBatch(batch, dir, id, buckets)
     if (compactEvery > 0 && (id + 1) % compactEvery == 0)
       compact(batch.sparkSession, dir, buckets)
   }
 
-  /** Bucket-preserving compaction of postings + sidecar (the stats feed is
-    * batch-row-sized; fold cost is metadata-level until a deployment
-    * prunes it with the same `_batch` partition-collapse if ever needed).
+  /** Bucket-preserving compaction of postings + sidecar, plus the
+    * `_batch`-collapse prune of the stats FEED: the stats rows are two
+    * BIGINTs per batch, but each batch is its own parquet FILE, so query
+    * cost creeps back as open/seek overhead with history length — the same
+    * read-side term the store compaction kills, closed with
+    * `Loader.compactBatches` (crash-safe, recovery on next read).
     */
-  def compact(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
-    BucketedStore.compact(spark, postingsSpec(dir, buckets))
-    BucketedStore.compact(spark, idsSpec(dir, buckets))
+  def compact(spark: SparkSession, dir: String, buckets: Int = 0): Unit = {
+    val width = BucketedStore.resolveWidth(spark, buckets)
+    BucketedStore.compact(spark, postingsSpec(dir, width))
+    BucketedStore.compact(spark, idsSpec(dir, width))
+    Loader.compactBatches(spark, statsDir(dir))
   }
 
   /** EXACT integer-micro BM25 (k1=1.2, b=0.75) from a postings frame
@@ -131,12 +137,13 @@ object RetrievalIndex {
     * the bucketed layout, stats folded from the per-batch feed.
     */
   def bm25(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
-      buckets: Int = 8): DataFrame = {
-    val posts = BucketedStore.read(spark, postingsSpec(dir, buckets))
+      buckets: Int = 0): DataFrame = {
+    val posts = BucketedStore.read(spark,
+        postingsSpec(dir, BucketedStore.resolveWidth(spark, buckets)))
       .getOrElse(sys.error(s"no retrieval index at $dir"))
       .filter(col("t").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("t"), col("c"))
-    val stats = spark.read.parquet(statsDir(dir))
+    val stats = Loader.readTable(spark, statsDir(dir))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tokens")).as("t_tokens"))
     bm25FromPostings(posts, stats)
       .orderBy(col("score_micro").desc, col("doc_id"))

@@ -75,6 +75,24 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"encode must be shuffle-free:\n$plan")
   }
 
+  test("data-derived symbols with backslashes and quotes survive the expr round-trip") {
+    // The merge is applied through string-interpolated SQL literals, and
+    // Spark's parser processes backslash escapes inside literals — a
+    // learned symbol like `\n` (two characters) must match itself, not an
+    // escape sequence. Corpus: the pair (\n, it's) dominates; training
+    // must learn it and encode must merge exactly those occurrences.
+    val d = docs((1L, """\n it's \n it's q"""), (2L, """p \n it's"""))
+    val model = BpeTrainer.train(spark, d, 1)
+    assert(model.map(m => (m.left, m.right, m.pair_count)) ==
+      Seq(("""\n""", "it's", 3L)))
+    val got = BpeTrainer.encode(d, model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+    assert(got == List(
+      (1L, List("""\n it's""", """\n it's""", "q")),
+      (2L, List("p", """\n it's"""))))
+  }
+
   test("the fold cannot chain-merge within one round") {
     // merge (a,b) over "a a b b": pairs (a,a),(a,b),(b,b) all count 1;
     // lexicographic winner is (a,a). Next round on ["a a","b","b"]:

@@ -115,6 +115,11 @@ class DupSpanIndexSpec extends AnyFunSuite {
     sink(df(9L -> "brand new closing words"), 3L) // triggers the compact
     val files = BucketedStore.parquetFiles(spark, store).size
     assert(files <= 8, s"compaction should leave <= bucket-count files, got $files")
+    // the flag FEED folds too (round 11): one consolidated partition
+    val hitParts = new java.io.File(hits).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
+    assert(hitParts.size == 1,
+      s"hits feed kept its per-batch partition pile: ${hitParts.map(_.getName)}")
     assert(spanSet(hits) == before, "compaction must not change the flags")
     // and the compacted store still probes correctly: one more dup arrives
     sink(df(13L -> "p q r s t"), 4L)

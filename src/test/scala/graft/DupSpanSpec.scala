@@ -107,6 +107,23 @@ class DupSpanSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-first stays correct past 2^20-token documents (struct order key)") {
+    import spark.implicits._
+    // doc 0 carries the duplicated 3-gram at a position BEYOND 2^20; doc 1
+    // carries it at pos 1. True keep-first order: doc 0 (smaller doc_id)
+    // is first, doc 1 is the redundant copy. The retired packed-BIGINT key
+    // (doc_id*2^20 + pos) aliased here — 0*2^20 + (2^20+pad+1) for doc 0
+    // vs 1*2^20 + 1 for doc 1 — and silently flagged doc 0 instead; the
+    // struct MIN has no such bound.
+    val pad = 1048590 // > 2^20 filler tokens ahead of the duplicated gram
+    val big = (1 to pad).map("u" + _).mkString(" ") + " dup1 dup2 dup3"
+    val out = DupSpans.scrubCounts(
+        Seq(0L -> big, 1L -> "dup1 dup2 dup3").toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out == Map(1L -> 3L),
+      s"the LATER copy (doc 1) must lose the span, got $out")
+  }
+
   test("plan shape: gram-hash equi-join, no cross join, doc-partitioned window") {
     import spark.implicits._
     val df = DupSpans.spans(

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Loader
+
+/** Pins the `_batch`-collapse prune for the writeBatchIdempotent FEEDS
+  * (hit/flag tables, per-batch delta rows) — the read-side file-count
+  * growth term next to the index stores' own BucketedStore.compact:
+  * content-preserving, marker-respecting, crash-recovered on next read.
+  */
+class FeedCompactionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def rows(dir: String) =
+    Loader.readTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def batch(from: Long, until: Long) = {
+    import spark.implicits._
+    (from until until).map(i => (i, i * 10)).toDF("k", "v")
+  }
+
+  private def partitions(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
+      .map(_.getName)
+
+  private def parquetFiles(dir: String): Int =
+    graft.streaming.BucketedStore.parquetFiles(spark, dir).size
+
+  test("compaction folds the append history into one partition, content identical") {
+    val dir = tmp("feed-compact")
+    for (b <- 0L until 6L) Loader.writeBatchIdempotent(batch(b * 10, b * 10 + 10), dir, b)
+    val before = rows(dir)
+    val filesBefore = parquetFiles(dir)
+    assert(partitions(dir).size == 6)
+    Loader.compactBatches(spark, dir)
+    assert(partitions(dir) == Seq("_batch=-1"), "one consolidated partition expected")
+    assert(rows(dir) == before, "compaction must not change the feed's content")
+    val filesAfter = parquetFiles(dir)
+    info(s"feed files: $filesBefore -> $filesAfter")
+    assert(filesAfter < filesBefore,
+      "compaction must fold the per-batch file pile into data-proportional files")
+    // a second compaction on an already-folded feed is a no-op
+    Loader.compactBatches(spark, dir)
+    assert(rows(dir) == before)
+  }
+
+  test("a marker-guarded replay AFTER compaction stays skipped (no duplicates)") {
+    val dir = tmp("feed-replay")
+    for (b <- 0L until 3L) Loader.writeBatchIdempotent(batch(b * 10, b * 10 + 10), dir, b)
+    val before = rows(dir)
+    Loader.compactBatches(spark, dir)
+    // at-least-once replay of batch 1: its _committed_1 marker lives at the
+    // table top level and compaction leaves markers alone — the write skips
+    Loader.writeBatchIdempotent(batch(10, 20), dir, 1L)
+    assert(rows(dir) == before, "replay across a compaction duplicated feed rows")
+    assert(Loader.readTable(spark, dir).count() == 30L)
+  }
+
+  test("crash before the commit marker rolls BACK: the consolidation never happened") {
+    val dir = tmp("feed-rollback")
+    for (b <- 0L until 3L) Loader.writeBatchIdempotent(batch(b * 10, b * 10 + 10), dir, b)
+    val before = rows(dir)
+    // simulate: consolidated partition published, intent written, CRASH
+    // before the commit marker
+    batch(0, 30).write.mode("overwrite").parquet(s"$dir/_staged")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // move staged files into a _batch=-1 partition dir (what the rename does)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_batch=-1"))
+    new java.io.File(s"$dir/_staged").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+        new org.apache.hadoop.fs.Path(s"$dir/_batch=-1/${f.getName}")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staged"), true)
+    val os = fs.create(new org.apache.hadoop.fs.Path(dir, "_feed_compact_intent"), true)
+    os.write("-1".getBytes("UTF-8")); os.close()
+    // next read recovers: the orphan consolidation is rolled back
+    assert(rows(dir) == before, "rollback must restore the pre-compaction view")
+    assert(!partitions(dir).contains("_batch=-1"))
+  }
+
+  test("crash after the commit marker rolls FORWARD: source partitions finish dying") {
+    val dir = tmp("feed-rollfwd")
+    for (b <- 0L until 3L) Loader.writeBatchIdempotent(batch(b * 10, b * 10 + 10), dir, b)
+    val before = rows(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a complete consolidated partition + commit marker, CRASH before the
+    // source-partition deletes
+    batch(0, 30).write.mode("overwrite").parquet(s"$dir/_staged")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_batch=-1"))
+    new java.io.File(s"$dir/_staged").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+        new org.apache.hadoop.fs.Path(s"$dir/_batch=-1/${f.getName}")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staged"), true)
+    val os = fs.create(new org.apache.hadoop.fs.Path(dir, "_feed_compact_commit"), true)
+    os.write("-1".getBytes("UTF-8")); os.close()
+    // next read rolls forward: only the consolidation survives, no dupes
+    assert(rows(dir) == before)
+    assert(partitions(dir) == Seq("_batch=-1"))
+    assert(Loader.readTable(spark, dir).count() == 30L)
+  }
+}

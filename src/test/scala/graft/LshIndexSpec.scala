@@ -120,7 +120,7 @@ class LshIndexSpec extends AnyFunSuite {
         .dropDuplicates("id_a", "id_b"), pairs, 1L, mk)
     BucketedStore.appendBatch(
       bban1.select("doc_id", "sig", "band_idx", "band"),
-      BucketedStore.StoreSpec(store, Seq("band_idx", "band"), LshIndex.StoreBuckets), 1L)
+      BucketedStore.StoreSpec(store, Seq("band_idx", "band"), LshIndex.defaultBuckets(spark)), 1L)
     // at-least-once replay of the whole batch
     LshIndex.processBatch(b1, store, pairs, 1L, mk)
     // store: one row per (doc, band), never doubled; sidecar complete
@@ -195,7 +195,7 @@ class LshIndexSpec extends AnyFunSuite {
     val idsDir = store.stripSuffix("/") + "_ids"
     val before = BucketedStore.parquetFiles(spark, store).size +
       BucketedStore.parquetFiles(spark, idsDir).size
-    assert(before > 2 * LshIndex.StoreBuckets,
+    assert(before > 2 * LshIndex.defaultBuckets(spark),
       s"append history should have accumulated files, got $before")
     val contentBefore = spark.read.parquet(store)
       .select("doc_id", "band_idx", "band").collect()
@@ -203,9 +203,9 @@ class LshIndexSpec extends AnyFunSuite {
     LshIndex.compactStore(spark, store)
     val after = BucketedStore.parquetFiles(spark, store).size +
       BucketedStore.parquetFiles(spark, idsDir).size
-    info(s"files per probe: $before -> $after (buckets=${LshIndex.StoreBuckets})")
-    assert(after <= 2 * LshIndex.StoreBuckets,
-      s"compaction left $after files (want <= ${2 * LshIndex.StoreBuckets})")
+    info(s"files per probe: $before -> $after (buckets=${LshIndex.defaultBuckets(spark)})")
+    assert(after <= 2 * LshIndex.defaultBuckets(spark),
+      s"compaction left $after files (want <= ${2 * LshIndex.defaultBuckets(spark)})")
     assert(spark.read.parquet(store)
       .select("doc_id", "band_idx", "band").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == contentBefore)
@@ -231,8 +231,8 @@ class LshIndexSpec extends AnyFunSuite {
     // after the batch-5 compaction: one consolidated partition per table
     // plus nothing newer — never the 6-batch append pile
     info(s"files after 6 batches with compactEvery=2: $files")
-    assert(files <= 2 * LshIndex.StoreBuckets,
-      s"auto-compaction left $files files (want <= ${2 * LshIndex.StoreBuckets})")
+    assert(files <= 2 * LshIndex.defaultBuckets(spark),
+      s"auto-compaction left $files files (want <= ${2 * LshIndex.defaultBuckets(spark)})")
     assert(spark.read.parquet(idsDir).select("doc_id").distinct().count() == 180L)
     // an at-least-once replay of the LAST batch lands AFTER its rows were
     // folded into the consolidated partition: the pre-batch snapshot
@@ -243,6 +243,43 @@ class LshIndexSpec extends AnyFunSuite {
     assert(st.select("doc_id").distinct().count() == 180L)
     assert(st.count() == st.select("doc_id", "band_idx").distinct().count(),
       "replay across a compaction duplicated banded rows")
+  }
+
+  test("store width is a parameter (bucket-width law): stamped at creation, authoritative after") {
+    import spark.implicits._
+    import graft.streaming.BucketedStore
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 9973)): _*).as("text"))
+    val (store, pairs) = (tmp("lsh-width-store"), tmp("lsh-width-pairs"))
+    // build at an explicit non-default width — the knob a 2x-larger cluster
+    // turns; before this round the flagship store could only ever be 8
+    LshIndex.processBatch(mkDocs(0L, 200L), store, pairs, 0L, null, 0.5, buckets = 16)
+    def stamped(dir: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_store_buckets")), "UTF-8").trim
+    assert(stamped(store) == "16", "creation width must be stamped on the dir")
+    assert(stamped(store.stripSuffix("/") + "_ids") == "16")
+    // a batch arriving from a DIFFERENT session geometry (the default width)
+    // must follow the stamped width, not silently re-bucket
+    LshIndex.processBatch(mkDocs(200L, 220L), store, pairs, 1L)
+    assert(stamped(store) == "16")
+    // compaction preserves the stamped width: one consolidated file per bucket
+    LshIndex.compactStore(spark, store)
+    val files = BucketedStore.parquetFiles(spark, store).size
+    assert(files == 16, s"compacted store should hold one file per stamped bucket, got $files")
+
+    // and the ANSWER is width-independent: the dup-bearing fixture split
+    // across a 16-bucket store equals the one-shot batch pairs
+    val all = docs
+    val (store2, pairs2) = (tmp("lsh-width-store2"), tmp("lsh-width-pairs2"))
+    LshIndex.processBatch(all.filter(col("doc_id").isin(1L, 3L)), store2, pairs2,
+      0L, null, 0.5, buckets = 16)
+    LshIndex.processBatch(all.filter(col("doc_id").isin(2L, 4L, 5L)), store2, pairs2, 1L)
+    val oneShot = pairSet(LshIndex.pairsBetween(
+      LshIndex.banded(LshIndex.signatures(all)),
+      LshIndex.banded(LshIndex.signatures(all))))
+    assert(pairSet(graft.streaming.Loader.readTable(spark, pairs2)) == oneShot)
   }
 
   test("benchmark-revision backfill: history re-probed, replay idempotent") {

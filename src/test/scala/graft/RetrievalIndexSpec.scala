@@ -127,6 +127,12 @@ class RetrievalIndexSpec extends AnyFunSuite {
       BucketedStore.parquetFiles(spark, dir.stripSuffix("/") + "_ids").size
     info(s"files after 6 batches with compactEvery=2: $files")
     assert(files <= 16, s"auto-compaction left $files files")
+    // the stats FEED folds too (round 11): one file per batch would make
+    // query cost creep with history even though each file is 2 BIGINTs
+    val statsFiles = BucketedStore.parquetFiles(spark,
+      dir.stripSuffix("/") + "_stats").size
+    info(s"stats-feed files after 6 batches: $statsFiles")
+    assert(statsFiles < 6, s"stats feed kept its per-batch file pile ($statsFiles)")
     // the compacted index still answers == the batch scorer
     val all = mkDocs(0L, 300L)
     assert(scores(dir, Seq("w0101", "w1202")) == batchScores(all, Seq("w0101", "w1202")))
