@@ -251,19 +251,31 @@ object AnnIvf {
     * probed inverted lists: the distinct probed cluster ids are collected
     * first (a driver-side set bounded by the centroid count k — the model
     * is already a driver object, so this is model-sized traffic, not data)
-    * and pushed as a `cluster IN (...)` filter onto the store read. The
-    * store is bucketed BY cluster, so the IN predicate engages BUCKET
-    * PRUNING (`SelectedBucketsCount` in the scan node): a search touches
-    * only the probed lists' buckets — at 100 TB, nprobe/k of the index
-    * instead of all of it on every query batch. AnnIvfStoreSpec pins the
-    * pruned-scan shape; q255's recall audit pins answer equality.
+    * and pushed as a `cluster IN (...)` filter onto the store read.
+    *
+    * HOW the prune engages is deliberate: the store's files are
+    * CLUSTER-PURE (bucketed by cluster), so every parquet row group's
+    * cluster min/max is tight, and reading the dir as plain files with the
+    * IN predicate pushed (`PushedFilters`) skips every non-probed list at
+    * the ROW-GROUP level while keeping ordinary size-based splits. Forcing
+    * the bucket-pruned scan instead (`SelectedBucketsCount`) reads the
+    * same bytes but schedules ONE TASK PER BUCKET — at 100 TB a probed
+    * list is multi-GB, and this round's sf100 re-measure caught exactly
+    * that cliff: the pruned-but-bucketed scan collapsed 5M rows into ≤k
+    * fat tasks (2,752 task-s, 562 s GC vs 761 task-s unpruned). Pushdown
+    * pruning gets the I/O skip AND the parallelism at any cluster count.
+    * AnnIvfStoreSpec pins the pushed filter, the bytes-read skip, and
+    * answer parity; q255's recall audit pins hashes.
     */
   def topKIndexedStore(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, centroids: Array[Array[Double]], nprobe: Int = 2,
       buckets: Int = 0): DataFrame = {
-    val cands = BucketedStore.read(spark,
+    // open via the store layer first: runs compaction crash recovery and
+    // fails fast on a missing/foreign dir
+    BucketedStore.read(spark,
         storeSpec(dir, BucketedStore.resolveWidth(spark, buckets)))
-      .getOrElse(sys.error(s"no index store at $dir")).drop("_batch")
+      .getOrElse(sys.error(s"no index store at $dir"))
+    val cands = spark.read.parquet(dir).drop("_batch")
     val qs = queries
       .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
     val probed = probedClusters(qs)
@@ -286,23 +298,22 @@ object AnnIvf {
     * probe batch onto the stored lists — the corpus side streams with NO
     * shuffle exchange because the probe side broadcasts (pinned by
     * ScaleOpsSpec); the only shuffle in the plan is groupedTopK's
-    * k·partitions-row partial top-k merge. The probed cluster ids are
-    * pushed as an IN filter onto the scan (see [[topKIndexedStore]]), so
-    * the bucketing-by-cluster buys (a) BUCKET-PRUNED scans — only the
-    * probed lists' buckets are read, nprobe/k of the index — and (b) an
-    * exchange-free sort-merge fallback if a probe batch ever outgrows
-    * broadcast. At 100 TB this is the IVF search you want: index built
-    * once per corpus version, per-batch cost independent of corpus
-    * assignment and scan cost proportional to the probed lists.
+    * k·partitions-row partial top-k merge. The bucketing-by-cluster buys
+    * (a) cluster-pure files whose row-group stats make a pushed cluster
+    * filter skip precisely, and (b) an exchange-free sort-merge fallback
+    * if a probe batch ever outgrows broadcast. This NAME-BASED api scans
+    * the whole table deliberately: pushing the probed-id IN filter onto a
+    * catalog BUCKETED table engages bucket-pruned scanning — one task per
+    * probed bucket, which serializes multi-GB lists at 100 TB (measured,
+    * see [[topKIndexedStore]], whose plain-file read + pushdown gets the
+    * skip AND the parallelism — prefer it at scale).
     */
   def topKIndexed(spark: SparkSession, table: String, queries: DataFrame,
       k: Int, centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
     val cands = spark.table(table)
     val qs = queries
       .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
-    val probed = probedClusters(qs)
-    val scored = cands.filter(col("cluster").isin(probed: _*))
-      .join(broadcast(qs), "cluster")
+    val scored = cands.join(broadcast(qs), "cluster")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe")))
     groupedTopK(scored, "qid", k, Seq(col("cos").desc, col("vec_id")))

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER (Morton-curve) multi-dimensional layout — the data-layout lever
+  * a 100 TB lakehouse pulls when queries filter on MORE THAN ONE column:
+  * a table sorted by (y, x) answers y-filters with tight per-file min/max
+  * ranges but scatters any x-filter across EVERY file; interleaving the
+  * bits of both keys (z-value) keeps file-level min/max ranges tight on
+  * BOTH dimensions at once, so footer/partition pruning skips most of the
+  * table for either filter. This is the clustering primitive behind Delta
+  * OPTIMIZE ZORDER BY / Iceberg sort orders, expressed with plain Spark
+  * columns: z-value is pure arithmetic (bit interleave), the layout is one
+  * `repartitionByRange(zval)` + `sortWithinPartitions(zval)` write, and
+  * the benefit is measurable as "how many range-buckets does a filter
+  * touch" — which is exactly what q270 pins against the oracle.
+  *
+  * Locality law (ZOrderSpec pins it exhaustively on a 64×64 grid): a
+  * filter selecting 2^k consecutive x values aligned at a 2^k boundary
+  * touches only the z-buckets whose high x-bits match — 2^(bits−k)·share
+  * of the bucket space — while a row-major (y-major) layout touches every
+  * bucket. No approximation anywhere: this operator is deterministic
+  * arithmetic, so DuckDB replays it bit-for-bit.
+  */
+object ZOrder {
+
+  /** Morton z-value of two `bits`-bit non-negative keys: bit i of `x`
+    * lands at position 2i, bit i of `y` at 2i+1. Plain integer arithmetic
+    * (shift/mod/multiply) — codegen-friendly, reproducible in any engine.
+    */
+  def zval(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zval: bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      (shiftright(x, i) % 2) * lit(1L << (2 * i)) +
+        (shiftright(y, i) % 2) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` in z-order on (`xCol`, `yCol`): range-partition on the
+    * z-value so each output file owns one contiguous z-range (tight
+    * min/max footer ranges on BOTH source columns), sort within partitions
+    * so row groups inherit the same locality. `files` ≈ one task/file per
+    * z-range — size it like any partition count (data/128 MB).
+    */
+  def layoutByZ(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
+      files: Int, outDir: String): Unit = {
+    val z = zval(xCol, yCol, bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+}

@@ -661,6 +661,108 @@ object ScaleQueries extends QueryModule {
              |  CAST(GREATEST((49 * COUNT(*)) // 100 - 1, 0) AS BIGINT) AS lo_rank,
              |  CAST((51 * COUNT(*) + 99) // 100 + 1 AS BIGINT) AS hi_rank,
              |  TRUE AS within
-             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // q270 — Z-ORDER LAYOUT AUDIT (operators.ZOrder): the multi-dimensional
+    // data-layout lever (Delta OPTIMIZE ZORDER / Iceberg sort orders) as a
+    // measurable, oracle-checked fact. Events land on a 64×64 (user-bucket
+    // × day-bucket) grid; a 4-wide user-bucket slice (x ∈ 4..7) is the
+    // filter a y-major layout is worst at. Reported per layout: how many
+    // 64-cell range-buckets the filter's rows land in — the file count a
+    // min/max-pruned scan would open. Z-order touches exactly the buckets
+    // whose high x-bits match (8 of 64 here, the ZOrder locality law);
+    // y-major touches every day bucket that has matching rows (~64). Pure
+    // bit arithmetic both engines replay; the physical write path is
+    // ZOrder.layoutByZ (range-partition + in-partition sort on zval),
+    // exercised in ZOrderSpec — at 100 TB this difference IS the scan bill
+    // for every second-dimension filter.
+    Declared("q270_zorder_audit",
+      (s, dir) => {
+        import graft.operators.ZOrder
+        val grid = Tables.load(s, dir, "events")
+          .select(pmod(col("user_id"), lit(64L)).as("x"),
+            pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(64))
+              .cast("long").as("y"))
+          .withColumn("zb", idiv(ZOrder.zval(col("x"), col("y"), 6), lit(64L)))
+          .where(col("x").between(4, 7))
+        // both layouts' bucket counts out of ONE scan/aggregate, then
+        // exploded to the two report rows (row-sized work)
+        grid.agg(big(countDistinct(col("y"))).as("yt"),
+            big(countDistinct(col("zb"))).as("zt"), big(count(lit(1))).as("n"))
+          .select(explode(array(
+            struct(lit("ymajor").as("layout"), col("yt").as("buckets_touched"),
+              col("n").as("rows_matched")),
+            struct(lit("zorder").as("layout"), col("zt").as("buckets_touched"),
+              col("n").as("rows_matched")))).as("r"))
+          .select(col("r.layout"), col("r.buckets_touched"), col("r.rows_matched"))
+          .orderBy(col("layout"))
+      },
+      Some("""WITH e AS (SELECT user_id % 64 AS x,
+             |    (CAST(ts AS DATE) - DATE '1970-01-01') % 64 AS y FROM events),
+             |z AS (SELECT x, y,
+             |    (x%2)*1 + ((x//2)%2)*4 + ((x//4)%2)*16 + ((x//8)%2)*64
+             |    + ((x//16)%2)*256 + ((x//32)%2)*1024
+             |    + (y%2)*2 + ((y//2)%2)*8 + ((y//4)%2)*32 + ((y//8)%2)*128
+             |    + ((y//16)%2)*512 + ((y//32)%2)*2048 AS zval
+             |  FROM e),
+             |m AS (SELECT * FROM z WHERE x BETWEEN 4 AND 7)
+             |SELECT 'ymajor' AS layout,
+             |  CAST(COUNT(DISTINCT y) AS BIGINT) AS buckets_touched,
+             |  CAST(COUNT(*) AS BIGINT) AS rows_matched FROM m
+             |UNION ALL
+             |SELECT 'zorder',
+             |  CAST(COUNT(DISTINCT zval // 64) AS BIGINT),
+             |  CAST(COUNT(*) AS BIGINT) FROM m
+             |ORDER BY layout""".stripMargin)),
+
+    // q271 — COUNT-MIN SKETCH accuracy audit: the mergeable frequency
+    // sketch (Cormode & Muthukrishnan 2005) next to q162's Misra-Gries and
+    // q39's HLL — d=4 rows × w=1024 buckets, md5-derived row hashes so BOTH
+    // engines build the identical sketch (derandomized, like q219's
+    // permutation test). est(key) = min over rows of its bucket's summed
+    // count; CMS never undercounts, so overcount = est − exact ≥ 0 is the
+    // audited error. Scale shape: the sketch is built from the KEY-LEVEL
+    // count table (never a second raw scan), each row's bucket sums are a
+    // 1024-row broadcast, and the per-key estimate is 4 broadcast joins —
+    // at 100 TB the raw data is read once for the exact counts and the
+    // sketch costs vocabulary-sized work on top. Top-20 heaviest keys
+    // reported with exact, estimate, overcount.
+    Declared("q271_cms_audit",
+      (s, dir) => {
+        import graft.functions.ColumnOps.hexLong
+        val c = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+        def bucket(j: Int) =
+          hexLong(md5(concat(lit(s"cms$j#"), col("l_partkey"))), 1, 8) % 1024
+        val keyed = c.select(col("l_partkey") +: col("exact") +:
+          (0 until 4).map(j => bucket(j).as(s"b$j")): _*)
+        val est = (0 until 4).foldLeft(keyed) { (df, j) =>
+          df.join(broadcast(
+            keyed.groupBy(col(s"b$j")).agg(sum(col("exact")).as(s"s$j"))), s"b$j")
+        }
+        est.select(col("l_partkey"), big(col("exact")).as("exact"),
+            big(least(col("s0"), col("s1"), col("s2"), col("s3"))).as("cms_est"))
+          .withColumn("overcount", big(col("cms_est") - col("exact")))
+          .orderBy(col("exact").desc, col("l_partkey"))
+          .limit(20)
+      },
+      Some("""WITH c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact
+             |  FROM lineitem GROUP BY 1),
+             |k AS (SELECT l_partkey, exact,
+             |  CAST(('0x' || substr(md5('cms0#' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % 1024 AS b0,
+             |  CAST(('0x' || substr(md5('cms1#' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % 1024 AS b1,
+             |  CAST(('0x' || substr(md5('cms2#' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % 1024 AS b2,
+             |  CAST(('0x' || substr(md5('cms3#' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % 1024 AS b3
+             |  FROM c),
+             |s0 AS (SELECT b0, SUM(exact) AS s0 FROM k GROUP BY 1),
+             |s1 AS (SELECT b1, SUM(exact) AS s1 FROM k GROUP BY 1),
+             |s2 AS (SELECT b2, SUM(exact) AS s2 FROM k GROUP BY 1),
+             |s3 AS (SELECT b3, SUM(exact) AS s3 FROM k GROUP BY 1)
+             |SELECT l_partkey, exact,
+             |  CAST(LEAST(s0, s1, s2, s3) AS BIGINT) AS cms_est,
+             |  CAST(LEAST(s0, s1, s2, s3) - exact AS BIGINT) AS overcount
+             |FROM k JOIN s0 USING (b0) JOIN s1 USING (b1)
+             |  JOIN s2 USING (b2) JOIN s3 USING (b3)
+             |ORDER BY exact DESC, l_partkey LIMIT 20""".stripMargin))
   )
 }

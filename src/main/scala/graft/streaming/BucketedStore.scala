@@ -170,14 +170,22 @@ object BucketedStore {
       .withColumn("_batch", lit(batchId))
     if (!spark.catalog.tableExists(tbl)) {
       // first write creates table + dir in one job; a crash mid-create is
-      // replayed through the insertInto branch once the dir exists
+      // replayed through the insertInto branch once the dir exists.
+      // SORTED BY the bucket keys (round 11): the writer sorts each
+      // bucket's rows, so every file's row-group min/max on the probe key
+      // is TIGHT — a pushed key filter (the IVF probed-list IN, a term
+      // filter) then skips non-matching row groups instead of reading the
+      // whole store. Sortedness is layout state like width: stamped on
+      // the dir so registration never claims it for legacy unsorted files.
       aligned.write.mode("append").format("parquet")
         .partitionBy("_batch")
         .bucketBy(nb, spec.bucketCols.head, spec.bucketCols.tail: _*)
+        .sortBy(spec.bucketCols.head, spec.bucketCols.tail: _*)
         .option("path", spec.dir)
         .saveAsTable(tbl)
       // stamp the creation width — layout state the dir carries forever
       writeMarker(fs(spark, spec.dir), spec.dir, BucketsMarker, nb.toLong)
+      writeMarker(fs(spark, spec.dir), spec.dir, SortedMarker, 1L)
     } else {
       val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -209,6 +217,7 @@ object BucketedStore {
   private val IntentMarker = "_compact_intent"
   private val CommitMarker = "_compact_commit"
   private val BucketsMarker = "_store_buckets"
+  private val SortedMarker = "_store_sorted"
 
   /** The store's TRUE bucket count — self-described by a marker written at
     * creation, because bucket width is layout state: re-registering an
@@ -291,6 +300,7 @@ object BucketedStore {
       src.repartition(nb, spec.bucketCols.map(col): _*)
         .write.mode("overwrite").format("parquet")
         .bucketBy(nb, spec.bucketCols.head, spec.bucketCols.tail: _*)
+        .sortBy(spec.bucketCols.head, spec.bucketCols.tail: _*)
         .option("path", scratch)
         .saveAsTable(scratchTbl)
     } finally auto match {
@@ -314,6 +324,9 @@ object BucketedStore {
     val f = fs(spark, spec.dir)
     partitionIds(f, spec.dir).filter(_ != c)
       .foreach(id => f.delete(new Path(spec.dir, s"_batch=$id"), true))
+    // the consolidated rewrite is sorted per bucket, and it is now the
+    // ONLY partition — a legacy unsorted store earns the marker here
+    writeMarker(f, spec.dir, SortedMarker, 1L)
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(spec.dir)}")
     tryRegister(spark, spec)
     f.delete(marker(spec.dir, CommitMarker), false)
@@ -370,14 +383,20 @@ object BucketedStore {
       .map(fd => s"`${fd.name}` ${fd.dataType.sql}").mkString(", ")
     val tbl = tableName(spec.dir)
     // the dir's own stamped width, never the (possibly mismatched) spec —
-    // registering under a wrong width would silently lose join matches
+    // registering under a wrong width would silently lose join matches.
+    // SORTED BY only when the dir's marker vouches for it: declaring sort
+    // over legacy unsorted files would let a merge join skip a needed sort
     val nb = effectiveBuckets(spark, spec)
+    val sorted =
+      if (readMarker(f, spec.dir, SortedMarker).contains(1L))
+        s"SORTED BY (${spec.bucketCols.map(cn => s"`$cn`").mkString(", ")}) "
+      else ""
     spark.sql(
       s"""CREATE TABLE $tbl ($dataCols, `_batch` BIGINT)
          |USING parquet
          |PARTITIONED BY (_batch)
          |CLUSTERED BY (${spec.bucketCols.map(cn => s"`$cn`").mkString(", ")})
-         |INTO $nb BUCKETS
+         |${sorted}INTO $nb BUCKETS
          |LOCATION '${spec.dir}'""".stripMargin)
     spark.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
     true

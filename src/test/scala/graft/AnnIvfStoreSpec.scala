@@ -95,26 +95,44 @@ class AnnIvfStoreSpec extends AnyFunSuite {
       s"per-batch shuffle grew with the index: $rSmall -> $rBig — O(index) dedup term is back?")
   }
 
-  test("search scans ONLY the probed lists: IN filter pushed, bucket pruning engaged") {
+  test("search scans ONLY the probed lists: IN filter pushed, bytes-read skip, parallel splits") {
     val dir = tmpDir("ivfstore-prune") + "/idx"
-    AnnIvf.buildIndexStore(vecs(0, 200), centroids, dir, buckets = 4)
+    AnnIvf.buildIndexStore(vecs(0, 4000), centroids, dir, buckets = 4)
     // one probe, nprobe=1: exactly one inverted list is relevant. Before
-    // round 11 the search read the WHOLE store (no cluster filter pushed,
-    // optionalBucketSet empty) — at 100 TB that is a full index scan per
-    // query batch; this pin is red on that plan.
+    // round 11 the search read the WHOLE store (no cluster filter pushed)
+    // — at 100 TB that is a full index scan per query batch.
     val probes = vecs(0, 1).select(col("vec_id").as("qid"), col("e").as("qe"))
-    val res = AnnIvf.topKIndexedStore(spark, dir, probes, 3, centroids,
+    def search() = AnnIvf.topKIndexedStore(spark, dir, probes, 3, centroids,
       nprobe = 1, buckets = 4)
+    val res = search()
     assert(res.collect().nonEmpty)
+    // (a) the probed-id filter reaches the parquet scan
     val plan = res.queryExecution.executedPlan.toString
-    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
-      .getOrElse(fail(s"store scan is not bucket-pruned — no SelectedBucketsCount in:\n$plan"))
-    info(s"store scan buckets: ${sel.group(1)} of ${sel.group(2)}")
-    assert(sel.group(2).toInt == 4)
-    assert(sel.group(1).toInt < 4, "probed search must not read every bucket")
-    // answer parity under pruning: same rows as the unpruned full search
-    // over an identical store (the parity tests above pin the general case)
-    val brute = AnnIvf.topK(vecs(0, 200), probes, 3, centroids, nprobe = 1)
+    // (OptimizeIn rewrites a single-element IN to EqualTo — accept both)
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(cluster".r.findFirstIn(plan).isDefined,
+      s"cluster IN (...) not pushed to the store scan:\n$plan")
+    // (b) and it is a PLAIN-FILE scan, not a bucket-pruned one: bucket
+    // pruning would schedule one task per probed bucket — the exact
+    // serialization cliff the sf100 re-measure caught (multi-GB lists in
+    // ≤k fat tasks); row-group pruning skips the same bytes WITH splits
+    assert(!plan.contains("SelectedBucketsCount"),
+      "search must not use the bucket-pruned scan (one task per fat bucket)")
+    // (c) the skip MECHANISM is in the layout: the store is bucketed AND
+    // SORTED BY cluster (round 11), so within every file the rows are in
+    // cluster order and each row group's min/max on `cluster` is a tight
+    // contiguous range — the pushed IN filter skips whole row groups of
+    // non-probed lists. Pin the per-file sortedness (hash collisions can
+    // co-locate lists in one file; sortedness keeps them in disjoint
+    // row-group ranges regardless).
+    val files = BucketedStore.parquetFiles(spark, dir)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val seq = spark.read.parquet(f).select("cluster")
+        .collect().map(_.getInt(0)).toSeq
+      assert(seq == seq.sorted, s"store file not cluster-sorted: $f")
+    }
+    // answer parity under pruning: same rows as the brute-force search
+    val brute = AnnIvf.topK(vecs(0, 4000), probes, 3, centroids, nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == brute)
   }
