@@ -369,6 +369,55 @@ object VectorQueries extends QueryModule {
              |    SELECT i.nprobe, COUNT(*) AS hits FROM ivf i
              |    JOIN brute b USING (qid, vec_id) GROUP BY i.nprobe) h
              |  ON h.nprobe = np.nprobe, tot
-             |ORDER BY np.nprobe""".stripMargin))
+             |ORDER BY np.nprobe""".stripMargin)),
+
+    // q272 — PRODUCT-QUANTIZATION ADC search (operators.ProductQuantizer):
+    // the vector-COMPRESSION half of the faiss-style ANN stack next to the
+    // IVF lists (q46/q255) and LSH buckets (q40) — each 64-d vector coded
+    // as m=8 dominant-signed-direction codes (16 per subspace, closed-form
+    // signed-basis codebook: the q255 discipline, a trained codebook is
+    // not oracle-reproducible), searched by ASYMMETRIC DISTANCE: the query
+    // stays exact, the scan reads 8 small ints per stored vector instead
+    // of 64 doubles (16× less index I/O — at 100 TB the difference between
+    // an in-memory code sweep and a disk-bound vector read). ADC per pair
+    // = 8 signed component picks summed in fixed order — exact,
+    // engine-identical double arithmetic; first-max tie-break makes codes
+    // a pure function of the data in both engines. Top-3 per query by
+    // (adc desc, vec_id), partial-before-global top-k.
+    Declared("q272_pq_adc",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val e = emb(s, dir).select(col("vec_id"), col("e"))
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val coded = e.select(col("vec_id"), ProductQuantizer.codes(col("e")).as("c"))
+        val scored = coded.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("adc", ProductQuantizer.adc(col("qe"), col("c")))
+        groupedTopK(scored, "qid", 3, Seq(col("adc").desc, col("vec_id")))
+          .select(col("qid"), col("rn"), col("vec_id"), out6(col("adc")).as("adc"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT vec_id, list_transform(range(0, 8), j ->
+             |    CAST(list_position(
+             |      list_transform(range(0, 16), i ->
+             |        CASE WHEN i < 8 THEN v[8*j + i + 1] ELSE -v[8*j + i - 7] END),
+             |      list_max(list_transform(range(0, 16), i ->
+             |        CASE WHEN i < 8 THEN v[8*j + i + 1] ELSE -v[8*j + i - 7] END)))
+             |      AS INTEGER)) AS code
+             |  FROM e),
+             |q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 5),
+             |sc AS (SELECT q.qid, c.vec_id,
+             |    list_sum(list_transform(range(0, 8), j ->
+             |      CASE WHEN code[j+1] <= 8 THEN qe[8*j + code[j+1]]
+             |           ELSE -qe[8*j + code[j+1] - 8] END)) AS adc
+             |  FROM c, q WHERE c.vec_id <> q.qid),
+             |r AS (SELECT qid, vec_id, adc,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+             |  FROM sc)
+             |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id,
+             |  CAST(ROUND(adc, 6) AS DECIMAL(18,6)) AS adc
+             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
   )
 }
