@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps.hexLong
+
+/** COUNT-MIN SKETCH as MAINTAINED STREAMING STATE (Cormode &
+  * Muthukrishnan 2005). CMS is a LINEAR sketch — sketch(A ∪ B) =
+  * sketch(A) + sketch(B) cell-wise — so the maintained form is just a
+  * per-batch DELTA feed: each micro-batch contributes its own d×w
+  * bucket-sum rows (≤ d·w rows per batch, a few KB — never key-cardinality
+  * state), written replay-idempotently, and a query folds the feed with
+  * one (row, bucket) aggregate before the per-key min. The fold equals the
+  * one-shot batch sketch BY LINEARITY, which is exactly what the q273 gate
+  * pins (byte-identical to q271's batch oracle).
+  *
+  * Hashes are md5-derived (derandomized — both engines and every batch
+  * split build the identical sketch). 100 TB shape: per-batch work is the
+  * batch's own key-count aggregate + a d·w-row write; query cost is the
+  * feed fold (d·w·batches rows, prunable with `Loader.compactBatches`)
+  * plus d broadcast-sized lookups per audited key.
+  */
+object CountMinSketch {
+
+  /** Row-j bucket of a key (j derandomizes the hash family). */
+  def bucket(key: Column, j: Int, w: Int): Column =
+    hexLong(md5(concat(lit(s"cms$j#"), key)), 1, 8) % w
+
+  /** The d×w sketch DELTA of one batch of raw key occurrences:
+    * (j, b, s) rows, s = occurrences of keys hashing to bucket b in row j.
+    */
+  def delta(batch: DataFrame, keyCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    val counts = batch.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    counts.select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), bucket(col(keyCol), j, w).as("b"))): _*)).as("jb"),
+        col("c"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(sum(col("c")).as("s"))
+  }
+
+  /** Ingest one micro-batch: write its sketch delta as a replay-idempotent
+    * `_batch` partition (at-least-once safe — the feed rewrites its own
+    * partition, markers skip committed batches).
+    */
+  def ingestBatch(batch: DataFrame, keyCol: String, feedDir: String,
+      batchId: Long, markersDir: String = null, d: Int = 4, w: Int = 1024): Unit =
+    graft.streaming.Loader.writeBatchIdempotent(
+      delta(batch, keyCol, d, w), feedDir, batchId, markersDir)
+
+  /** foreachBatch sink; `compactEvery = n` folds the feed's per-batch
+    * partitions with `Loader.compactBatches` (content-preserving — the
+    * fold is a sum either way).
+    */
+  def ingestSink(keyCol: String, feedDir: String, markersDir: String = null,
+      d: Int = 4, w: Int = 1024, compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      ingestBatch(batch, keyCol, feedDir, id, markersDir, d, w)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        graft.streaming.Loader.compactBatches(batch.sparkSession, feedDir)
+    }
+
+  /** CMS estimates for a frame of keys against the maintained feed:
+    * fold the deltas to the current d×w sketch, look every key up in its
+    * d buckets, min across rows. Returns `keys` + an `est` column.
+    */
+  def estimates(spark: SparkSession, feedDir: String, keys: DataFrame,
+      keyCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    val sketch = graft.streaming.Loader.readTable(spark, feedDir)
+      .groupBy(col("j"), col("b")).agg(sum(col("s")).as("sum"))
+    keys.select(col("*"), explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), bucket(col(keyCol), j, w).as("b"))): _*)).as("jb"))
+      .select(col("*"), col("jb.j").as("j"), col("jb.b").as("b")).drop("jb")
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(col("sum")).as("est"))
+  }
+}

@@ -967,38 +967,35 @@ object DedupQueries extends QueryModule {
     // flagged occurrences and affected documents at W ∈ {4, 8, 16, 32},
     // the curve a practitioner reads to trade recall (small W flags more)
     // against span precision (large W only catches long verbatim copies).
-    // Lee et al. use 50 BPE tokens ≈ this order of magnitude. ONE corpus
-    // scan for all four widths (round-11 rewrite of the round-10 4-scan
-    // version): every width's grams explode out of a single projection
-    // tagged by w, aggregate once to per-(w, gram, doc) counts — the
-    // MATERIALIZED frame both the dup-gram filter and the profile read, so
-    // the corpus text is read exactly once and everything after is
-    // aggregate-sized. No windows over the (possibly hot) gram partition:
-    // dup selection is an aggregate-and-join, same discipline as q262.
+    // Lee et al. use 50 BPE tokens ≈ this order of magnitude. One
+    // gram-count aggregate per width — four INDEPENDENT corpus arms,
+    // DELIBERATELY not fused: round 11 implemented and MEASURED the
+    // tempting one-scan rewrite (all widths' grams tagged out of a single
+    // projection into one per-(w, gram, doc) aggregate) and it lost
+    // 1.5×-2.3× at sf10 (persist variant 6,520 task-s, ReusedExchange
+    // variant 9,087 vs 3,940 for the arms — BASELINE round-11): corpus
+    // TEXT I/O is a rounding error next to the intrinsic gram explode +
+    // md5 + aggregate work, which both shapes pay, while fusing trades
+    // the arms' tight per-gram aggregation (gh keys, massive map-side
+    // reduction) for a near-reductionless (w, gh, doc_id) aggregate plus
+    // a multi-distinct Expand. Each arm's gram subtree feeds both its
+    // dup-count and its join-back through AQE's ReusedExchange, so an arm
+    // costs ONE gram shuffle. The lesson is recorded where the next
+    // optimizer will look: measure before fusing scans.
     Declared("q268_dup_width_profile",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
-        val widths = Seq(4, 8, 16, 32)
-        val tagged = docs
-          .select(col("doc_id"), size(tokens(col("text"))).as("len"),
-            explode(flatten(array(widths.map(w =>
-              transform(shingles(col("text"), w),
-                gr => struct(lit(w.toLong).as("w"), md5(gr).as("gh")))): _*))).as("t"))
-          // shingles() degrades a too-short doc to one whole-text shingle;
-          // the span family defines those documents OUT of scope per width
-          .where(col("len") >= col("t.w"))
-          .select(col("doc_id"), col("t.w").as("w"), col("t.gh").as("gh"))
-        val perDoc = tagged.groupBy(col("w"), col("gh"), col("doc_id"))
-          .agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dup = perDoc.groupBy(col("w"), col("gh"))
-          .agg(sum(col("c")).as("n")).where(col("n") >= 2)
-        perDoc.join(dup.select("w", "gh"), Seq("w", "gh"))
-          .groupBy(col("w"))
-          .agg(big(countDistinct(col("gh"))).as("dup_grams"),
-            big(sum(col("c"))).as("flagged_occ"),
-            big(countDistinct(col("doc_id"))).as("affected_docs"))
-          .orderBy(col("w"))
+        Seq(4, 8, 16, 32).map { w =>
+          val g = graft.operators.DupSpans.grams(docs, w)
+          val dup = g.groupBy(col("gh"))
+            .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+          val flagged = g.join(dup.select("gh"), "gh")
+          dup.agg(big(count(lit(1))).as("dup_grams")).crossJoin(
+            flagged.agg(big(count(lit(1))).as("flagged_occ"),
+              big(countDistinct(col("doc_id"))).as("affected_docs")))
+            .select(lit(w.toLong).as("w"), col("dup_grams"),
+              col("flagged_occ"), col("affected_docs"))
+        }.reduce(_ unionAll _).orderBy(col("w"))
       },
       Some {
         def arm(w: Int) =

@@ -763,6 +763,52 @@ object ScaleQueries extends QueryModule {
              |  CAST(LEAST(s0, s1, s2, s3) - exact AS BIGINT) AS overcount
              |FROM k JOIN s0 USING (b0) JOIN s1 USING (b1)
              |  JOIN s2 USING (b2) JOIN s3 USING (b3)
+             |ORDER BY exact DESC, l_partkey LIMIT 20""".stripMargin)),
+
+    // q273 — STREAMING Count-Min sketch maintenance (operators.
+    // CountMinSketch): the mergeable-sketch-as-maintained-state pattern —
+    // CMS is a LINEAR sketch, so the maintained form is a per-batch d×w
+    // DELTA feed (≤4096 rows/batch, never key-cardinality state) written
+    // replay-idempotently; a query folds the feed (one (row, bucket)
+    // aggregate) and min-picks per key. By linearity the fold equals the
+    // one-shot batch sketch EXACTLY under any batch split — which is the
+    // gate: q273 shares q271's oracle byte-for-byte. Per-batch cost is the
+    // batch's own key-count aggregate + a few-KB write; the feed's file
+    // growth is prunable with Loader.compactBatches (the sink's
+    // compactEvery knob).
+    Declared("q273_stream_cms",
+      (s, dir) => {
+        import graft.operators.CountMinSketch
+        val li = Tables.load(s, dir, "lineitem").select(col("l_partkey"))
+        val feed = SharedStages.scratchDir("q273") + "/cms"
+        for (b <- 0L until 4L)
+          CountMinSketch.ingestBatch(
+            li.filter(pmod(col("l_partkey"), lit(4L)) === b), "l_partkey", feed, b)
+        val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+        CountMinSketch.estimates(s, feed, exact, "l_partkey")
+          .select(col("l_partkey"), big(col("exact")).as("exact"),
+            big(col("est")).as("cms_est"),
+            big(col("est") - col("exact")).as("overcount"))
+          .orderBy(col("exact").desc, col("l_partkey"))
+          .limit(20)
+      },
+      Some("""WITH c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact
+             |  FROM lineitem GROUP BY 1),
+             |k AS (SELECT l_partkey, exact,
+             |  CAST(('0x' || substr(md5('cms0#' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % 1024 AS b0,
+             |  CAST(('0x' || substr(md5('cms1#' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % 1024 AS b1,
+             |  CAST(('0x' || substr(md5('cms2#' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % 1024 AS b2,
+             |  CAST(('0x' || substr(md5('cms3#' || l_partkey::VARCHAR), 1, 8)) AS BIGINT) % 1024 AS b3
+             |  FROM c),
+             |s0 AS (SELECT b0, SUM(exact) AS s0 FROM k GROUP BY 1),
+             |s1 AS (SELECT b1, SUM(exact) AS s1 FROM k GROUP BY 1),
+             |s2 AS (SELECT b2, SUM(exact) AS s2 FROM k GROUP BY 1),
+             |s3 AS (SELECT b3, SUM(exact) AS s3 FROM k GROUP BY 1)
+             |SELECT l_partkey, exact,
+             |  CAST(LEAST(s0, s1, s2, s3) AS BIGINT) AS cms_est,
+             |  CAST(LEAST(s0, s1, s2, s3) - exact AS BIGINT) AS overcount
+             |FROM k JOIN s0 USING (b0) JOIN s1 USING (b1)
+             |  JOIN s2 USING (b2) JOIN s3 USING (b3)
              |ORDER BY exact DESC, l_partkey LIMIT 20""".stripMargin))
   )
 }

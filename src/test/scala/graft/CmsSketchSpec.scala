@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CountMinSketch
+
+/** Pins the maintained Count-Min sketch (q273's operator): linearity
+  * (stream fold == one-shot sketch under any batch split), CMS's
+  * never-undercount guarantee, replay idempotence of the delta feed, and
+  * feed compaction preserving estimates.
+  */
+class CmsSketchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def keys(from: Long, until: Long, repeats: Int) = {
+    import spark.implicits._
+    (from until until).flatMap(k => Seq.fill(repeats + (k % 3).toInt)(k))
+      .toDF("k")
+  }
+
+  private def estMap(feed: String, ks: org.apache.spark.sql.DataFrame) =
+    CountMinSketch.estimates(spark, feed, ks.distinct(), "k", d = 4, w = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("stream fold equals the one-shot sketch (linearity) and never undercounts") {
+    val all = keys(0, 300, 2)
+    val split = tmpDir("cms-split") + "/feed"
+    val whole = tmpDir("cms-whole") + "/feed"
+    for (b <- 0L until 3L)
+      CountMinSketch.ingestBatch(all.filter(pmod(col("k"), lit(3L)) === b),
+        "k", split, b, d = 4, w = 64)
+    CountMinSketch.ingestBatch(all, "k", whole, 0L, d = 4, w = 64)
+    val (es, ew) = (estMap(split, all), estMap(whole, all))
+    assert(es == ew, "batch-split sketch diverged from the one-shot sketch")
+    // CMS guarantee: est >= exact, always
+    val exact = all.groupBy("k").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    exact.foreach { case (k, c) =>
+      assert(es(k) >= c, s"CMS undercounted key $k: est ${es(k)} < exact $c")
+    }
+  }
+
+  test("replayed batch rewrites its delta partition; compaction preserves estimates") {
+    val all = keys(0, 200, 1)
+    val feed = tmpDir("cms-replay") + "/feed"
+    val sink = CountMinSketch.ingestSink("k", feed, d = 4, w = 64, compactEvery = 3)
+    for (b <- 0L until 3L) sink(all.filter(pmod(col("k"), lit(3L)) === b), b)
+    val before = estMap(feed, all)
+    // at-least-once replay of the last batch AFTER its delta was folded by
+    // the compaction: the commit marker skips the write — no double count
+    sink(all.filter(pmod(col("k"), lit(3L)) === 2L), 2L)
+    assert(estMap(feed, all) == before, "replay across compaction changed the sketch")
+    val parts = new java.io.File(feed).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
+    assert(parts.length == 1, s"compaction should leave one folded partition, got ${parts.length}")
+  }
+}
