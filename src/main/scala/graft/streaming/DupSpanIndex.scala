@@ -33,7 +33,10 @@ import graft.operators.DupSpans
   *     the batch's flags instead of duplicating them.
   *
   * Every write is a partition rewrite keyed by batchId and every read
-  * takes the pre-batch snapshot (`_batch =!= batchId`), so replay from any
+  * takes the STRICTLY-EARLIER snapshot (`_batch < batchId` — negative
+  * consolidated partitions always count as earlier, and a replay of an
+  * earlier batch after later ones exist sees only its true prefix, never
+  * future-batch grams), so replay from any
   * crash point converges — the [[BucketedStore]] failure model.
   */
 object DupSpanIndex {
