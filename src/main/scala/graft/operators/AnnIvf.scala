@@ -129,15 +129,27 @@ object AnnIvf {
     */
   def appendToIndex(batch: DataFrame, centroids: Array[Array[Double]],
       table: String, buckets: Int = 0, dedupVecIds: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    // width is LAYOUT STATE: an existing table's own bucket spec is
+    // authoritative (the catalog twin of the dir store's _store_buckets
+    // marker) — appending at the session-derived width from a session with
+    // different shuffle partitions would make Spark reject every batch
+    // ("Specified bucketing does not match that of the existing table")
+    val width =
+      if (spark.catalog.tableExists(table))
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .bucketSpec.map(_.numBuckets)
+          .getOrElse(graft.streaming.BucketedStore.resolveWidth(spark, buckets))
+      else graft.streaming.BucketedStore.resolveWidth(spark, buckets)
     val assigned = assign(batch, centroids)
     val toWrite =
       if (dedupVecIds)
-        assigned.join(batch.sparkSession.table(table).select("vec_id"),
+        assigned.join(spark.table(table).select("vec_id"),
           Seq("vec_id"), "left_anti")
       else assigned
     toWrite.write.mode("append").format("parquet")
-      .bucketBy(graft.streaming.BucketedStore.resolveWidth(batch.sparkSession, buckets),
-        "cluster")
+      .bucketBy(width, "cluster")
       .saveAsTable(table)
   }
 

@@ -106,13 +106,6 @@ object BpeTrainer {
       (df, m) => applyMerge(df, m.left, m.right)
     }
 
-  /** A Spark SQL string literal for a DATA-DERIVED symbol: backslashes must
-    * be doubled BEFORE quote-doubling — Spark's parser processes backslash
-    * escapes inside literals by default (`escapedStringLiterals=false`), so
-    * a learned merge symbol containing `\` would otherwise parse as an
-    * escape sequence and the expr-built merge would match the wrong bytes
-    * (or fail to parse). BpeTrainerSpec pins a backslash-bearing corpus.
-    */
   /** ENCODE AT INGEST — the apply-at-ingest leg of the tokenizer story
     * (train offline with [[train]], ship the merge table, tokenize every
     * micro-batch the moment it arrives): a foreachBatch sink running
@@ -130,6 +123,13 @@ object BpeTrainer {
     graft.streaming.Loader.writeBatchIdempotent(
       encode(batch.select(col("doc_id"), col("text")), merges), outDir, id, markersDir)
 
+  /** A Spark SQL string literal for a DATA-DERIVED symbol: backslashes must
+    * be doubled BEFORE quote-doubling — Spark's parser processes backslash
+    * escapes inside literals by default (`escapedStringLiterals=false`), so
+    * a learned merge symbol containing `\` would otherwise parse as an
+    * escape sequence and the expr-built merge would match the wrong bytes
+    * (or fail to parse). BpeTrainerSpec pins a backslash-bearing corpus.
+    */
   private def sqlLit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 

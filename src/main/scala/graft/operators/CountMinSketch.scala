@@ -63,6 +63,12 @@ object CountMinSketch {
   /** CMS estimates for a frame of keys against the maintained feed:
     * fold the deltas to the current d×w sketch, look every key up in its
     * d buckets, min across rows. Returns `keys` + an `est` column.
+    *
+    * The sketch is stored SPARSE (only touched buckets have rows), so the
+    * lookup is a LEFT join with an empty-bucket value of 0: an un-ingested
+    * key whose buckets are all empty gets the correct CMS estimate 0 —
+    * an inner join would silently drop it (or, with a partial collision,
+    * min over only its colliding buckets and over-report).
     */
   def estimates(spark: SparkSession, feedDir: String, keys: DataFrame,
       keyCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
@@ -71,8 +77,8 @@ object CountMinSketch {
     keys.select(col("*"), explode(array((0 until d).map(j =>
         struct(lit(j).as("j"), bucket(col(keyCol), j, w).as("b"))): _*)).as("jb"))
       .select(col("*"), col("jb.j").as("j"), col("jb.b").as("b")).drop("jb")
-      .join(broadcast(sketch), Seq("j", "b"))
+      .join(broadcast(sketch), Seq("j", "b"), "left_outer")
       .groupBy(keys.columns.map(col): _*)
-      .agg(min(col("sum")).as("est"))
+      .agg(min(coalesce(col("sum"), lit(0L))).as("est"))
   }
 }

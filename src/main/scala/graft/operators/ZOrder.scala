@@ -31,9 +31,14 @@ object ZOrder {
     */
   def zval(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"zval: bits must be in [1,31], got $bits")
+    // pmod, not %: a negative key would contribute -1 bits and corrupt the
+    // interleave silently. Keys are expected PRE-BUCKETIZED to
+    // [0, 2^bits) — like any fixed-width curve, values ≥ 2^bits alias
+    // modulo the domain (x and x + 2^bits interleave identically), so
+    // callers bucketize first (q270: pmod(user_id, 64)).
     (0 until bits).map { i =>
-      (shiftright(x, i) % 2) * lit(1L << (2 * i)) +
-        (shiftright(y, i) % 2) * lit(1L << (2 * i + 1))
+      pmod(shiftright(x, i), lit(2)) * lit(1L << (2 * i)) +
+        pmod(shiftright(y, i), lit(2)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
   }
 

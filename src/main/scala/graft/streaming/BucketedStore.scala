@@ -129,7 +129,7 @@ object BucketedStore {
     }
   }
 
-  private def partitionIds(f: FileSystem, dir: String): Seq[Long] = {
+  private[streaming] def partitionIds(f: FileSystem, dir: String): Seq[Long] = {
     val p = new Path(dir)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
@@ -146,10 +146,24 @@ object BucketedStore {
     * the pre-batch snapshot); partition pruning makes that filter free.
     */
   def read(spark: SparkSession, spec: StoreSpec): Option[DataFrame] = {
-    recover(spark, spec)
+    // NON-MUTATING: a pending compaction (in-flight in the owning process,
+    // or crashed) is handled by VIEW — commit present ⇒ only the
+    // consolidated partition is real; intent-only ⇒ the consolidation
+    // never happened. Physical roll-back/forward runs at the next WRITER
+    // entry (appendBatch/overwrite/compact), so a reader in another
+    // process can never destroy an in-flight compaction's work.
+    val f = fs(spark, spec.dir)
+    val pending: Option[(Long, Boolean)] =
+      readMarker(f, spec.dir, CommitMarker).map((_, true))
+        .orElse(readMarker(f, spec.dir, IntentMarker).map((_, false)))
     val tbl = tableName(spec.dir)
     if (!spark.catalog.tableExists(tbl)) tryRegister(spark, spec)
-    if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl)) else None
+    if (!spark.catalog.tableExists(tbl)) None
+    else Some(pending match {
+      case Some((c, true))  => spark.table(tbl).filter(col("_batch") === c)
+      case Some((c, false)) => spark.table(tbl).filter(col("_batch") =!= c)
+      case None => spark.table(tbl)
+    })
   }
 
   /** Idempotent per-batch append: the batch's rows land in (and on replay
@@ -233,17 +247,63 @@ object BucketedStore {
     readMarker(f, spec.dir, BucketsMarker) match {
       case Some(n) => n.toInt
       case None =>
-        if (hasParquet(f, spec.dir)) writeMarker(f, spec.dir, BucketsMarker, spec.buckets.toLong)
-        spec.buckets
+        if (!hasParquet(f, spec.dir)) spec.buckets
+        else {
+          // A markerless dir WITH data is a pre-marker legacy store whose
+          // creation width is unknown — and since round 11 the opener's
+          // spec.buckets is usually the SESSION-derived width, which need
+          // not match (blind adoption would register the files under the
+          // wrong bucket count and silently lose join matches). Recover
+          // the width by VERIFICATION: the bucket id in each file's name
+          // must equal pmod(murmur3(bucketCols), width) for every row —
+          // functions.hash IS the bucketing hash — so check candidate
+          // widths (the opener's spec, the historical pre-marker 8, and
+          // max-file-suffix+1) against sampled files and stamp the one
+          // that verifies. Refusal beats corruption if none do.
+          val n = verifyLegacyWidth(spark, spec)
+          writeMarker(f, spec.dir, BucketsMarker, n.toLong)
+          n
+        }
     }
   }
 
-  private def writeMarker(f: FileSystem, dir: String, name: String, c: Long): Unit = {
+  private def verifyLegacyWidth(spark: SparkSession, spec: StoreSpec): Int = {
+    val bucketIdRe = "_(\\d+)\\.".r
+    val files = parquetFiles(spark, spec.dir)
+      .flatMap { fp =>
+        val name = new Path(fp).getName
+        bucketIdRe.findFirstMatchIn(name).map(m => (fp, m.group(1).toInt))
+      }
+    require(files.nonEmpty,
+      s"store ${spec.dir} has data but no bucket-named files and no " +
+        s"$BucketsMarker marker — cannot recover its bucket width")
+    val probe = files.sortBy(-_._2).take(4) // highest suffixes discriminate best
+    val maxSfx = files.map(_._2).max
+    def verifies(n: Int): Boolean = n > maxSfx && probe.forall { case (fp, sfx) =>
+      val df = spark.read.parquet(fp)
+      spec.bucketCols.forall(df.columns.contains) && {
+        val got = df.limit(10000)
+          .select(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(
+              spec.bucketCols.map(col): _*), lit(n)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        got == Seq(sfx)
+      }
+    }
+    Seq(spec.buckets, 8, maxSfx + 1).distinct.find(verifies).getOrElse(
+      throw new IllegalStateException(
+        s"store ${spec.dir}: no $BucketsMarker marker and none of the " +
+          s"candidate widths (${spec.buckets}, 8, ${maxSfx + 1}) verify " +
+          "against the files' bucket ids — re-open with the creation width " +
+          "passed explicitly so it can be stamped"))
+  }
+
+  private[streaming] def writeMarker(f: FileSystem, dir: String, name: String, c: Long): Unit = {
     val os = f.create(marker(dir, name), true)
     try os.write(c.toString.getBytes("UTF-8")) finally os.close()
   }
 
-  private def readMarker(f: FileSystem, dir: String, name: String): Option[Long] = {
+  private[streaming] def readMarker(f: FileSystem, dir: String, name: String): Option[Long] = {
     val p = marker(dir, name)
     if (!f.exists(p)) None
     else {
@@ -329,8 +389,13 @@ object BucketedStore {
     writeMarker(f, spec.dir, SortedMarker, 1L)
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(spec.dir)}")
     tryRegister(spark, spec)
-    f.delete(marker(spec.dir, CommitMarker), false)
+    // INTENT dies before COMMIT: a crash between the deletes leaves
+    // commit-only (rolls forward, idempotent); the reverse order would
+    // leave intent-only AFTER the source partitions are gone, and the
+    // next open's "rollback" would delete the consolidated partition —
+    // the store's only remaining copy.
     f.delete(marker(spec.dir, IntentMarker), false)
+    f.delete(marker(spec.dir, CommitMarker), false)
   }
 
   /** Compaction crash recovery — runs on every open; a no-op unless a
@@ -347,6 +412,9 @@ object BucketedStore {
           f.delete(new Path(spec.dir, s"_batch=$c"), true)
           f.delete(new Path(spec.dir.stripSuffix("/") + "_compacting"), true)
           spark.sql(s"DROP TABLE IF EXISTS ${tableName(spec.dir)}_compacting")
+          // a non-mutating reader may have registered the table WITH the
+          // orphan partition — drop it so the next use re-registers clean
+          spark.sql(s"DROP TABLE IF EXISTS ${tableName(spec.dir)}")
           f.delete(marker(spec.dir, IntentMarker), false)
         case None => ()
       }

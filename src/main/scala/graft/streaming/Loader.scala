@@ -85,42 +85,51 @@ object Loader {
   }
 
   /** Read the loaded table back (hides the `_batch` bookkeeping column).
-    * Runs feed-compaction crash recovery first (a no-op unless a previous
-    * [[compactBatches]] died between its markers).
+    * Reads are NON-MUTATING: a compaction that is pending (in-flight in
+    * the owning process, or crashed) is handled by VIEW — commit marker
+    * present ⇒ the consolidated partition is authoritative (sources are
+    * semantically dead, read only `_batch=c`); intent without commit ⇒
+    * the consolidation never happened (exclude `_batch=c`). Physical
+    * roll-back/forward happens at the next WRITER operation
+    * (writeBatchIdempotent / compactBatches), so a reader in another
+    * process can never destroy an in-flight compaction's work.
     */
   def readTable(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
-    recoverFeedCompaction(spark, tableDir)
-    spark.read.parquet(tableDir).drop("_batch")
+    val df = spark.read.parquet(tableDir)
+    val viewed = pendingFeedCompaction(spark, tableDir) match {
+      case Some((c, true))  => df.filter(col("_batch") === c)
+      case Some((c, false)) => df.filter(col("_batch") =!= c)
+      case None => df
+    }
+    viewed.drop("_batch")
+  }
+
+  /** Non-mutating marker view of a pending feed compaction:
+    * Some((target partition, committed?)); None when no compaction is
+    * pending.
+    */
+  private def pendingFeedCompaction(spark: SparkSession,
+      tableDir: String): Option[(Long, Boolean)] = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(tableDir))) None
+    else readFeedMarker(fs, tableDir, FeedCommit).map((_, true))
+      .orElse(readFeedMarker(fs, tableDir, FeedIntent).map((_, false)))
   }
 
   private val FeedIntent = "_feed_compact_intent"
   private val FeedCommit = "_feed_compact_commit"
 
+  // marker/partition plumbing shared with the index stores — ONE
+  // implementation (BucketedStore's), so the crash-window ordering rules
+  // live in one place
   private def feedPartitionIds(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[Long] = {
-    val p = new Path(dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch="))
-      .map(_.getPath.getName.stripPrefix("_batch=").toLong)
-  }
+      dir: String): Seq[Long] = BucketedStore.partitionIds(fs, dir)
 
   private def writeFeedMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      name: String, c: Long): Unit = {
-    val os = fs.create(new Path(dir, name), true)
-    try os.write(c.toString.getBytes("UTF-8")) finally os.close()
-  }
+      name: String, c: Long): Unit = BucketedStore.writeMarker(fs, dir, name, c)
 
   private def readFeedMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      name: String): Option[Long] = {
-    val p = new Path(dir, name)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+      name: String): Option[Long] = BucketedStore.readMarker(fs, dir, name)
 
   /** Collapse a `writeBatchIdempotent` table's one-partition-per-batch
     * append history into a single consolidated `_batch=-N` partition — the
@@ -135,11 +144,13 @@ object Loader {
     * Crash-safe with the same intent/commit discipline as
     * `BucketedStore.compact`: consolidated rows are staged in a scratch
     * dir, published by ONE atomic rename, and the commit marker is the
-    * linearization point — [[recoverFeedCompaction]] (run on every
-    * [[readTable]]/[[writeBatchIdempotent]]) rolls an interrupted run back
-    * (no commit ⇒ the consolidation never happened) or forward (commit ⇒
-    * finish the source-partition deletes). Single writer: run from the
-    * feed's owning sink between batches.
+    * linearization point — [[recoverFeedCompaction]] (run on every WRITER
+    * entry: [[writeBatchIdempotent]]/[[compactBatches]]) rolls an
+    * interrupted run back (no commit ⇒ the consolidation never happened)
+    * or forward (commit ⇒ finish the source-partition deletes), while
+    * READERS only view through the markers ([[readTable]]) and never
+    * mutate. Single writer: run from the feed's owning sink between
+    * batches.
     *
     * Replay contract: a batch replayed AFTER its partition was folded into
     * a consolidation is only safe when its commit marker survives (markers
@@ -172,8 +183,13 @@ object Loader {
       tableDir: String, c: Long): Unit = {
     feedPartitionIds(fs, tableDir).filter(_ != c)
       .foreach(id => fs.delete(new Path(tableDir, s"_batch=$id"), true))
-    fs.delete(new Path(tableDir, FeedCommit), false)
+    // INTENT must die BEFORE COMMIT: a crash between the two deletes then
+    // leaves commit-only, which recovery rolls FORWARD (idempotent). The
+    // reverse order leaves intent-only with the sources already gone —
+    // recovery would "roll back" by deleting the consolidated partition,
+    // i.e. the feed's only remaining copy.
     fs.delete(new Path(tableDir, FeedIntent), false)
+    fs.delete(new Path(tableDir, FeedCommit), false)
   }
 
   /** Feed-compaction crash recovery — no-op unless a [[compactBatches]]

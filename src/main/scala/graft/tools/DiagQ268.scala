@@ -39,23 +39,38 @@ object DiagQ268 {
       df.write.format("noop").mode("overwrite").save()
 
     val docs = graft.model.Tables.load(spark, dir, "documents").select("doc_id", "text")
+    import graft.functions.TextFunctions.{shingles, tokens}
     import graft.queries.Protocol.big
 
-    timed("old-4scan") {
-      force(Seq(4, 8, 16, 32).map { w =>
-        val g = graft.operators.DupSpans.grams(docs, w)
-        val dup = g.groupBy(col("gh"))
-          .agg(count(lit(1)).as("n")).where(col("n") >= 2)
-        val flagged = g.join(dup.select("gh"), "gh")
-        dup.agg(big(count(lit(1))).as("dup_grams")).crossJoin(
-          flagged.agg(big(count(lit(1))).as("flagged_occ"),
-            big(countDistinct(col("doc_id"))).as("affected_docs")))
-          .select(lit(w.toLong).as("w"), col("dup_grams"),
-            col("flagged_occ"), col("affected_docs"))
-      }.reduce(_ unionAll _).orderBy(col("w")))
-    }
-    timed("new-1scan") {
+    // the SHIPPED shape (q268 as declared: four independent per-width arms)
+    timed("4scan-arms (shipped)") {
       force(graft.SparkEntry.queries("q268_dup_width_profile")(spark, dir))
+    }
+    // the RETIRED fused one-scan shape, kept inline so the A/B that
+    // retired it stays reproducible: all widths' grams tagged out of one
+    // projection into a shared per-(w, gram, doc) aggregate (measured
+    // 1.5-2.3× worse at sf10 — see BASELINE round-11)
+    timed("fused-1scan (retired)") {
+      val widths = Seq(4, 8, 16, 32)
+      val tagged = docs
+        .select(col("doc_id"), size(tokens(col("text"))).as("len"),
+          explode(flatten(array(widths.map(w =>
+            transform(shingles(col("text"), w),
+              gr => struct(lit(w.toLong).as("w"), md5(gr).as("gh")))): _*))).as("t"))
+        .where(col("len") >= col("t.w"))
+        .select(col("doc_id"), col("t.w").as("w"), col("t.gh").as("gh"))
+      val perDoc = tagged.groupBy(col("w"), col("gh"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dup = perDoc.groupBy(col("w"), col("gh"))
+        .agg(sum(col("c")).as("n")).where(col("n") >= 2)
+      force(perDoc.join(dup.select("w", "gh"), Seq("w", "gh"))
+        .groupBy(col("w"))
+        .agg(big(countDistinct(col("gh"))).as("dup_grams"),
+          big(sum(col("c"))).as("flagged_occ"),
+          big(countDistinct(col("doc_id"))).as("affected_docs"))
+        .orderBy(col("w")))
+      perDoc.unpersist()
     }
     spark.stop()
   }

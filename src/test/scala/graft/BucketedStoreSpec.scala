@@ -156,9 +156,17 @@ class BucketedStoreSpec extends AnyFunSuite {
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
       spark.sparkContext.hadoopConfiguration)
     spark.sql(s"DROP TABLE IF EXISTS ${BucketedStore.tableName(s.dir)}")
-    // recovery on open must delete the orphan — NOT read it as duplicates
+    // a READ views through the intent marker (orphan excluded, never read
+    // as duplicates) WITHOUT mutating — a reader in another process must
+    // not destroy an in-flight compaction
     assert(rows(s) == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_intent")),
+      "read must not mutate recovery state")
+    // the next WRITER operation rolls the orphan back physically
+    BucketedStore.appendBatch(mk(40, 45), s, 1L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_intent")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_batch=-1")))
+    assert(rows(s).size == 45)
   }
 
   test("crash after the commit marker rolls FORWARD: source partitions finish dying") {
@@ -179,10 +187,15 @@ class BucketedStoreSpec extends AnyFunSuite {
       os.write("-1".getBytes("UTF-8")); os.close()
     }
     spark.sql(s"DROP TABLE IF EXISTS ${BucketedStore.tableName(s.dir)}")
-    // recovery on open: the consolidated copy wins, the source dies —
-    // content identical, never doubled
+    // a READ views through the commit marker: the consolidated copy is
+    // authoritative, the stale source is invisible — and nothing mutates
     assert(rows(s) == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_commit")),
+      "read must not mutate recovery state")
+    // the next WRITER operation rolls forward: source partitions die
+    BucketedStore.appendBatch(mk(40, 45), s, 1L)
     assert(!fs.exists(src))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_commit")))
+    assert(rows(s).size == 45)
   }
 }

@@ -39,6 +39,19 @@ class CmsSketchSpec extends AnyFunSuite {
     exact.foreach { case (k, c) =>
       assert(es(k) >= c, s"CMS undercounted key $k: est ${es(k)} < exact $c")
     }
+    // a NEVER-ingested key must still get an estimate (the sketch is
+    // stored sparse: empty buckets mean 0, not a dropped row) — and with
+    // w=64 and 300 ingested keys every bucket is occupied, so this pins
+    // the left-join shape via a tiny disjoint sketch instead
+    import spark.implicits._
+    val tiny = tmpDir("cms-unseen") + "/feed"
+    CountMinSketch.ingestBatch(Seq(1L).toDF("k"), "k", tiny, 0L, d = 4, w = 64)
+    val unseen = CountMinSketch.estimates(spark, tiny,
+        (900L until 910L).map(Tuple1(_)).toSeq.toDF("k"), "k", d = 4, w = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(unseen.size == 10, s"un-ingested keys dropped from estimates: $unseen")
+    assert(unseen.values.forall(v => v == 0L || v == 1L),
+      s"unseen keys can at most collide with the single ingested count: $unseen")
   }
 
   test("replayed batch rewrites its delta partition; compaction preserves estimates") {

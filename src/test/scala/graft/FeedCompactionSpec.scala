@@ -81,9 +81,13 @@ class FeedCompactionSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staged"), true)
     val os = fs.create(new org.apache.hadoop.fs.Path(dir, "_feed_compact_intent"), true)
     os.write("-1".getBytes("UTF-8")); os.close()
-    // next read recovers: the orphan consolidation is rolled back
-    assert(rows(dir) == before, "rollback must restore the pre-compaction view")
+    // a READ views through the intent marker (orphan excluded) WITHOUT
+    // mutating; the next WRITER operation rolls the orphan back
+    assert(rows(dir) == before, "rollback view must match the pre-compaction content")
+    assert(partitions(dir).contains("_batch=-1"), "read must not mutate recovery state")
+    Loader.writeBatchIdempotent(batch(100, 110), dir, 9L)
     assert(!partitions(dir).contains("_batch=-1"))
+    assert(rows(dir) == before ++ (100L until 110L).map(i => (i, i * 10)).toSet)
   }
 
   test("crash after the commit marker rolls FORWARD: source partitions finish dying") {
@@ -103,9 +107,14 @@ class FeedCompactionSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staged"), true)
     val os = fs.create(new org.apache.hadoop.fs.Path(dir, "_feed_compact_commit"), true)
     os.write("-1".getBytes("UTF-8")); os.close()
-    // next read rolls forward: only the consolidation survives, no dupes
+    // a READ views through the commit marker (consolidation authoritative,
+    // stale sources invisible, no dupes) WITHOUT mutating; the next WRITER
+    // operation finishes the source deletes
     assert(rows(dir) == before)
-    assert(partitions(dir) == Seq("_batch=-1"))
     assert(Loader.readTable(spark, dir).count() == 30L)
+    assert(partitions(dir).size > 1, "read must not mutate recovery state")
+    Loader.writeBatchIdempotent(batch(100, 110), dir, 9L)
+    assert(partitions(dir).toSet == Set("_batch=-1", "_batch=9"))
+    assert(Loader.readTable(spark, dir).count() == 40L)
   }
 }
