@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** A persistent STREAMING INDEX STORE: a parquet table bucketed on its probe
   * join keys, partitioned by writing micro-batch (`_batch`), with
@@ -138,7 +138,13 @@ object BucketedStore {
   }
 
   /** Open the store for reading: the registered bucketed table, registered
-    * on the fly in a fresh session. Runs compaction crash recovery first.
+    * on the fly in a fresh session. NON-MUTATING: this never runs physical
+    * compaction recovery — a pending compaction (in-flight in the owning
+    * process, or crashed) is handled by VIEW over the markers (commit
+    * present ⇒ only the consolidated partition is real; intent-only ⇒ the
+    * consolidation never happened). Physical roll-back/forward runs only at
+    * WRITER entry points (appendBatch/overwrite/compact), so a reader in
+    * another process can never destroy an in-flight compaction's work.
     * None ⇔ the dir holds no data (or holds a layout this store cannot
     * claim — not bucket-named files, missing bucket columns; the caller
     * owns any legacy fallback). The frame INCLUDES `_batch` so callers can
@@ -146,12 +152,6 @@ object BucketedStore {
     * the pre-batch snapshot); partition pruning makes that filter free.
     */
   def read(spark: SparkSession, spec: StoreSpec): Option[DataFrame] = {
-    // NON-MUTATING: a pending compaction (in-flight in the owning process,
-    // or crashed) is handled by VIEW — commit present ⇒ only the
-    // consolidated partition is real; intent-only ⇒ the consolidation
-    // never happened. Physical roll-back/forward runs at the next WRITER
-    // entry (appendBatch/overwrite/compact), so a reader in another
-    // process can never destroy an in-flight compaction's work.
     val f = fs(spark, spec.dir)
     val pending: Option[(Long, Boolean)] =
       readMarker(f, spec.dir, CommitMarker).map((_, true))
@@ -160,10 +160,40 @@ object BucketedStore {
     if (!spark.catalog.tableExists(tbl)) tryRegister(spark, spec)
     if (!spark.catalog.tableExists(tbl)) None
     else Some(pending match {
-      case Some((c, true))  => spark.table(tbl).filter(col("_batch") === c)
+      case Some((c, true)) =>
+        // a foreign process's compaction committed AFTER this session
+        // registered the table: the session catalog has no partition
+        // `_batch=c` yet (RECOVER PARTITIONS only ran at registration), so
+        // filtering without a resync would prune to zero partitions and
+        // silently read an empty store. Resync is cheap (one dir listing)
+        // and only runs in the transient commit-pending window.
+        spark.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
+        spark.table(tbl).filter(col("_batch") === c)
       case Some((c, false)) => spark.table(tbl).filter(col("_batch") =!= c)
       case None => spark.table(tbl)
     })
+  }
+
+  /** PATH-BASED (non-catalog) read of the store dir with the same
+    * pending-compaction marker view [[read]] applies — for callers that
+    * deliberately avoid the registered bucketed table (e.g. the IVF probed
+    * search, where a pushed filter over a catalog bucketed table engages
+    * one-task-per-bucket scanning). Reading the dir raw WITHOUT this view
+    * double-counts during a pending compaction: between the commit marker
+    * and the source-partition deletes (or after a crashed intent rename),
+    * both the consolidated partition and the source partitions are on disk.
+    * The `_batch` filter is partition pruning on the path reader — free.
+    */
+  def readFiles(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val df = spark.read.parquet(dir)
+    readMarker(f, dir, CommitMarker) match {
+      case Some(c) => df.filter(col("_batch") === c)
+      case None => readMarker(f, dir, IntentMarker) match {
+        case Some(c) => df.filter(col("_batch") =!= c)
+        case None => df
+      }
+    }
   }
 
   /** Idempotent per-batch append: the batch's rows land in (and on replay
@@ -173,14 +203,26 @@ object BucketedStore {
     * repartition's hash is the same Murmur3 family bucketing uses, so rows
     * align task-per-bucket. The extra exchange is batch-sized: flat in
     * store history, which is the property that matters.
+    *
+    * Replay ACROSS a compaction (a crash restoring an old checkpoint after
+    * a maintenance compaction folded the batch's partition away): the
+    * batch's rows already live inside the consolidation, so rewriting
+    * `_batch=batchId` would put a second copy next to them. The
+    * [[compactionFrontier]] marker makes such a replay a NO-OP — sound
+    * because batch content is deterministic (the same assumption partition
+    * rewrites already make) and because compaction only ever runs on
+    * prefix-complete state (the single-writer contract: a half-written
+    * batch is always replayed before the owner's next maintenance window).
     */
   def appendBatch(df: DataFrame, spec: StoreSpec, batchId: Long): Unit = {
     val spark = df.sparkSession
     recover(spark, spec)
+    if (compactionFrontier(spark, spec.dir).exists(batchId <= _)) return
     val tbl = tableName(spec.dir)
     if (!spark.catalog.tableExists(tbl)) tryRegister(spark, spec)
     val nb = effectiveBuckets(spark, spec)
     val aligned = df.repartition(nb, spec.bucketCols.map(col): _*)
+      .withColumn("_src_batch", lit(batchId)) // survives compaction
       .withColumn("_batch", lit(batchId))
     if (!spark.catalog.tableExists(tbl)) {
       // first write creates table + dir in one job; a crash mid-create is
@@ -232,6 +274,51 @@ object BucketedStore {
   private val CommitMarker = "_compact_commit"
   private val BucketsMarker = "_store_buckets"
   private val SortedMarker = "_store_sorted"
+  private val FrontierMarker = "_store_frontier"
+
+  /** The row's ORIGINAL writing batch id — the column that SURVIVES
+    * compaction. Stores written since round 12 carry `_src_batch` as a data
+    * column (stamped by [[appendBatch]], preserved verbatim by [[compact]]);
+    * the partition column `_batch` is collapsed to the consolidation id by
+    * compaction and is only the original id for never-compacted partitions.
+    * Legacy stores (no `_src_batch`) fall back to `_batch` — their
+    * pre-compaction rows coalesce from `_batch` at the next compact, and
+    * rows already inside a legacy consolidation keep the consolidation id
+    * (strictly negative ⇒ they count as "earlier than everything", the
+    * documented legacy semantics).
+    */
+  def srcBatchCol(df: DataFrame): org.apache.spark.sql.Column =
+    if (df.columns.contains("_src_batch")) coalesce(col("_src_batch"), col("_batch"))
+    else col("_batch")
+
+  /** The STRICTLY-EARLIER snapshot of a store frame: only rows whose
+    * original batch id precedes `batchId`. Unlike a bare
+    * `col("_batch") < batchId`, this survives compaction — a replayed batch
+    * sees its true prefix even when that prefix (and the batch itself, and
+    * its successors) have been folded into a consolidated partition.
+    */
+  def strictlyBefore(df: DataFrame, batchId: Long): DataFrame =
+    df.filter(srcBatchCol(df) < batchId)
+
+  /** The PRE-BATCH snapshot of a store frame: everything except the batch's
+    * own rows — by ORIGINAL batch id, so a replay after compaction still
+    * excludes its own (now folded) rows instead of anti-joining against
+    * itself.
+    */
+  def excludeBatch(df: DataFrame, batchId: Long): DataFrame =
+    df.filter(srcBatchCol(df) =!= batchId)
+
+  /** The compaction FRONTIER: the highest REAL (≥ 0) batch id ever folded
+    * into a consolidated partition — permanent layout state like the width
+    * marker. A replayed batch at or below it is already inside the store
+    * (its rows ride in a consolidation, or — if the folding compaction
+    * rolled back — still in their own partition, which the roll-back never
+    * touches), so [[appendBatch]] treats such a replay as a no-op instead
+    * of writing a duplicate copy next to the consolidation. None ⇔ the
+    * store was never compacted over real batches.
+    */
+  def compactionFrontier(spark: SparkSession, dir: String): Option[Long] =
+    readMarker(fs(spark, dir), dir, FrontierMarker)
 
   /** The store's TRUE bucket count — self-described by a marker written at
     * creation, because bucket width is layout state: re-registering an
@@ -340,11 +427,31 @@ object BucketedStore {
     val nb = effectiveBuckets(spark, spec)
     val c = nextBasePartition(spark, spec)
     writeMarker(f, spec.dir, IntentMarker, c)
+    // advance the frontier BEFORE anything moves: from here on the folded
+    // batches' rows are guaranteed present whichever way a crash falls
+    // (roll-back never touches the untouched source partitions; roll-forward
+    // keeps the consolidation), so a replay ≤ frontier is safely a no-op.
+    partitionIds(f, spec.dir).filter(_ >= 0).maxOption.foreach { maxReal =>
+      val next = math.max(maxReal,
+        readMarker(f, spec.dir, FrontierMarker).getOrElse(Long.MinValue))
+      writeMarker(f, spec.dir, FrontierMarker, next)
+    }
     val scratch = spec.dir.stripSuffix("/") + "_compacting"
     val scratchTbl = tbl + "_compacting"
     spark.sql(s"DROP TABLE IF EXISTS $scratchTbl")
     f.delete(new Path(scratch), true)
-    val src = spark.table(tbl).drop("_batch")
+    // preserve each row's ORIGINAL batch id through the consolidation:
+    // `_src_batch` rides as a data column (legacy rows materialize it from
+    // their partition id; rows inside a legacy consolidation keep its
+    // negative id — "earlier than everything", the documented legacy
+    // semantics), so strictly-earlier and exclude-own-batch snapshots keep
+    // working after the partition structure is folded away.
+    val tblDf = spark.table(tbl)
+    val withSrc =
+      if (tblDf.columns.contains("_src_batch"))
+        tblDf.withColumn("_src_batch", coalesce(col("_src_batch"), col("_batch")))
+      else tblDf.withColumn("_src_batch", col("_batch"))
+    val src = withSrc.drop("_batch")
     val expect = src.count()
     // Force the BUCKETED scan for the rewrite: task i reads exactly the
     // files of bucket i and writes bucket i's one consolidated file — the

@@ -67,7 +67,7 @@ object DupSpanIndex {
       // case — the consolidation folds all batches together, same as the
       // other index operators.
       val hist = BucketedStore.read(spark, gramsSpec(dir, nb)) match {
-        case Some(st) => st.filter(col("_batch") < batchId)
+        case Some(st) => BucketedStore.strictlyBefore(st, batchId)
           .select(col("gh")).distinct().withColumn("in_hist", lit(true))
         case None => g.select(col("gh")).limit(0).withColumn("in_hist", lit(true))
       }

@@ -74,8 +74,16 @@ object Loader {
     // on HDFS, table on S3) — resolve the FS from the marker path itself
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverFeedCompaction(spark, tableDir)
-    if (!fs.exists(marker)) {
-      df.withColumn("_batch", lit(batchId))
+    // a batch at or below the feed's compaction frontier is already inside
+    // a consolidated partition — a MARKER-LESS replay of it (an old
+    // checkpoint restored after maintenance compaction, which resets the
+    // checkpoint-tied markers) must not re-append its rows next to the
+    // folded copy. Same no-op contract as BucketedStore.appendBatch.
+    val tfs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = readFeedMarker(tfs, tableDir, FeedFrontier).exists(batchId <= _)
+    if (!fs.exists(marker) && !folded) {
+      df.withColumn("_src_batch", lit(batchId)) // survives feed compaction
+        .withColumn("_batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch")
@@ -101,7 +109,26 @@ object Loader {
       case Some((c, false)) => df.filter(col("_batch") =!= c)
       case None => df
     }
-    viewed.drop("_batch")
+    viewed.drop("_batch").drop("_src_batch")
+  }
+
+  /** [[readTable]], tolerating a feed that never materialized — a sink
+    * whose every batch was empty writes no files at all (a parquet write
+    * of zero rows creates nothing), and a bare read would fail schema
+    * inference. None ⇔ no data yet; the caller owns the empty-frame shape.
+    */
+  def readTableIfAny(spark: SparkSession,
+      tableDir: String): Option[org.apache.spark.sql.DataFrame] = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (any) Some(readTable(spark, tableDir)) else None
   }
 
   /** Non-mutating marker view of a pending feed compaction:
@@ -118,6 +145,7 @@ object Loader {
 
   private val FeedIntent = "_feed_compact_intent"
   private val FeedCommit = "_feed_compact_commit"
+  private val FeedFrontier = "_feed_frontier"
 
   // marker/partition plumbing shared with the index stores — ONE
   // implementation (BucketedStore's), so the crash-window ordering rules
@@ -165,9 +193,27 @@ object Loader {
     val ids = feedPartitionIds(fs, tableDir)
     if (ids.size <= 1) return // nothing to fold
     val c = math.min(0L, ids.min) - 1L
+    // advance the replay frontier before anything moves (whichever way a
+    // crash falls, the folded batches' rows stay present — roll-back leaves
+    // the sources untouched, roll-forward keeps the consolidation), so a
+    // marker-less replay ≤ frontier is safely skipped by
+    // [[writeBatchIdempotent]]. Permanent state, like the store's own.
+    ids.filter(_ >= 0).maxOption.foreach { maxReal =>
+      writeFeedMarker(fs, tableDir, FeedFrontier, math.max(maxReal,
+        readFeedMarker(fs, tableDir, FeedFrontier).getOrElse(Long.MinValue)))
+    }
     val scratch = tableDir.stripSuffix("/") + "_compacting"
     fs.delete(new Path(scratch), true)
-    val src = spark.read.parquet(tableDir).drop("_batch")
+    // `_src_batch` (each row's original batch id) rides through as a data
+    // column so revision/prefix reads survive the fold; legacy rows
+    // materialize it from their partition id
+    val raw = spark.read.parquet(tableDir)
+    val src = (
+      if (raw.columns.contains("_src_batch"))
+        raw.withColumn("_src_batch",
+          org.apache.spark.sql.functions.coalesce(col("_src_batch"), col("_batch")))
+      else raw.withColumn("_src_batch", col("_batch"))
+    ).drop("_batch")
     val expect = src.count()
     src.write.mode("overwrite").parquet(scratch)
     val got = spark.read.parquet(scratch).count()

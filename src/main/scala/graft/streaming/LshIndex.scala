@@ -203,7 +203,7 @@ object LshIndex {
       storeDir: String, storeBan: DataFrame, batchId: Long, width: Int): DataFrame =
     BucketedStore.read(spark, idsSpec(storeDir, width)) match {
       case Some(ids) =>
-        ids.filter(col("_batch") =!= batchId).select(col("doc_id"))
+        BucketedStore.excludeBatch(ids, batchId).select(col("doc_id"))
       case None =>
         val p = new org.apache.hadoop.fs.Path(idsDir(storeDir))
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -233,7 +233,7 @@ object LshIndex {
   private def storeOrEmpty(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, like: DataFrame, batchId: Long, width: Int): DataFrame =
     BucketedStore.read(spark, storeSpec(storeDir, width)) match {
-      case Some(df) => df.filter(col("_batch") =!= batchId)
+      case Some(df) => BucketedStore.excludeBatch(df, batchId)
         .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
       case None =>
         val p = new org.apache.hadoop.fs.Path(storeDir)
@@ -406,7 +406,10 @@ object LshIndex {
     val idx = storeOrEmpty(spark, indexDir, corpusBan, Long.MinValue, width)
     Loader.writeBatchIdempotent(
       decontaminationHits(corpusBan, idx, threshold), hitsDir, revisionId, markersDir)
-    spark.read.parquet(hitsDir)
-      .filter(col("_batch") === revisionId).drop("_batch")
+    val hits = spark.read.parquet(hitsDir)
+    // by ORIGINAL batch id, so the revision's hits stay addressable after a
+    // feed compaction folds its partition into a consolidation
+    hits.filter(BucketedStore.srcBatchCol(hits) === revisionId)
+      .drop("_batch").drop("_src_batch")
   }
 }

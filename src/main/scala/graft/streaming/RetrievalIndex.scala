@@ -65,7 +65,7 @@ object RetrievalIndex {
     val spark = batch.sparkSession
     val width = BucketedStore.resolveWidth(spark, buckets)
     val priorIds = BucketedStore.read(spark, idsSpec(dir, width)) match {
-      case Some(ids) => ids.filter(col("_batch") =!= batchId).select(col("doc_id"))
+      case Some(ids) => BucketedStore.excludeBatch(ids, batchId).select(col("doc_id"))
       case None => batch.select(col("doc_id")).limit(0)
     }
     val fresh = batch.select(col("doc_id"), tokens(col("text")).as("tk"))

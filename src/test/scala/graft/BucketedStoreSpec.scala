@@ -198,4 +198,93 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_commit")))
     assert(rows(s).size == 45)
   }
+
+  test("commit-pending view survives a STALE registration (foreign-process compaction)") {
+    val s = spec(tmpDir("bs-stale-reg"))
+    BucketedStore.appendBatch(mk(0, 40), s, 0L)
+    // register the table in THIS session first — the long-lived reader
+    val want = rows(s)
+    // now a FOREIGN process compacts: consolidated partition appears +
+    // commit marker lands, but this session's catalog entry predates both
+    // (its RECOVER PARTITIONS ran at registration, so it knows nothing of
+    // _batch=-1). The commit view must resync, not prune to zero.
+    val fs = new org.apache.hadoop.fs.Path(s.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s.dir, "_batch=0")
+    val dst = new org.apache.hadoop.fs.Path(s.dir, "_batch=-1")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    Seq("_compact_intent", "_compact_commit").foreach { m =>
+      val os = fs.create(new org.apache.hadoop.fs.Path(s.dir, m), true)
+      os.write("-1".getBytes("UTF-8")); os.close()
+    }
+    // NOTE: no DROP TABLE here — the registration is deliberately stale
+    assert(rows(s) == want,
+      "stale-catalog commit view read an empty (or duplicated) store")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_commit")),
+      "read must not mutate recovery state")
+    BucketedStore.appendBatch(mk(40, 45), s, 1L) // writer rolls forward
+    assert(rows(s).size == 45)
+  }
+
+  test("replay ACROSS a compaction: frontier no-op + snapshots that survive the fold") {
+    val s = spec(tmpDir("bs-frontier"))
+    for (b <- 0L until 4L)
+      BucketedStore.appendBatch(mk(b * 10, b * 10 + 10), s, b)
+    val want = rows(s)
+    // strictly-earlier and pre-batch snapshots BEFORE the fold (baseline)
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    assert(ks(BucketedStore.strictlyBefore(BucketedStore.read(spark, s).get, 2L))
+      == (0L until 20L).toSet)
+    BucketedStore.compact(spark, s)
+    assert(BucketedStore.compactionFrontier(spark, s.dir).contains(3L))
+    // the SAME snapshots after the fold: `_src_batch` keeps per-row batch
+    // ids addressable though the partition structure is gone — this is what
+    // lets an order-dependent reader (the dup-span history) replay exactly
+    val st = BucketedStore.read(spark, s).get
+    assert(ks(BucketedStore.strictlyBefore(st, 2L)) == (0L until 20L).toSet,
+      "strictly-earlier snapshot did not survive compaction")
+    assert(ks(BucketedStore.excludeBatch(st, 2L))
+      == ((0L until 20L) ++ (30L until 40L)).toSet,
+      "pre-batch snapshot did not survive compaction")
+    // marker-less replay of a FOLDED batch (old checkpoint restored after
+    // maintenance compaction): a partition rewrite would put a second copy
+    // next to the consolidation — the frontier makes it a no-op
+    BucketedStore.appendBatch(mk(10, 20), s, 1L)
+    assert(rows(s) == want, "cross-compaction replay duplicated store rows")
+    // batches ABOVE the frontier still append normally
+    BucketedStore.appendBatch(mk(40, 45), s, 4L)
+    assert(rows(s).size == 45)
+    // and a second compaction folds the new batch too, frontier advancing
+    BucketedStore.compact(spark, s)
+    assert(BucketedStore.compactionFrontier(spark, s.dir).contains(4L))
+    BucketedStore.appendBatch(mk(40, 45), s, 4L) // replay of the newly folded batch
+    assert(rows(s).size == 45)
+  }
+
+  test("readFiles (path-based) applies the pending-compaction marker view") {
+    val s = spec(tmpDir("bs-readfiles"))
+    BucketedStore.appendBatch(mk(0, 40), s, 0L)
+    val want = BucketedStore.readFiles(spark, s.dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(want == (0L until 40L).toSet)
+    val fs = new org.apache.hadoop.fs.Path(s.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s.dir, "_batch=0")
+    val dst = new org.apache.hadoop.fs.Path(s.dir, "_batch=-1")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    def count() = BucketedStore.readFiles(spark, s.dir).count()
+    // intent-only: the orphan consolidated copy is invisible
+    val intent = fs.create(new org.apache.hadoop.fs.Path(s.dir, "_compact_intent"), true)
+    intent.write("-1".getBytes("UTF-8")); intent.close()
+    assert(count() == 40L, "intent-pending raw read double-counted")
+    // commit-pending: only the consolidated copy is real
+    val commit = fs.create(new org.apache.hadoop.fs.Path(s.dir, "_compact_commit"), true)
+    commit.write("-1".getBytes("UTF-8")); commit.close()
+    assert(count() == 40L, "commit-pending raw read double-counted")
+    // a raw read WITHOUT the view sees both copies — the bug the view closes
+    assert(spark.read.parquet(s.dir).count() == 80L)
+  }
 }

@@ -55,6 +55,33 @@ class DupSpanIndexSpec extends AnyFunSuite {
     assert(storeRows == 6L, s"3 grams per doc x 2 docs expected, got $storeRows")
   }
 
+  test("an EARLIER batch replays after compaction: exact prefix snapshot, no duplicates") {
+    val (store, hits) = (tmp("dsi-cross-store"), tmp("dsi-cross-hits"))
+    DupSpanIndex.ingestBatch(df(4L -> "p q r s t"), store, hits, 0L, width = 3)
+    DupSpanIndex.ingestBatch(df(1L -> "p q r s t"), store, hits, 1L, width = 3)
+    DupSpanIndex.ingestBatch(df(9L -> "j k l m n"), store, hits, 2L, width = 3)
+    val before = spanSet(hits)
+    // maintenance compaction folds all three batches (store AND hits feed)
+    BucketedStore.compact(spark, BucketedStore.StoreSpec(store, Seq("gh")))
+    graft.streaming.Loader.compactBatches(spark, hits)
+    // a crash restores an OLD checkpoint: batch 1 replays, and the hits
+    // feed's _committed_1 marker is gone (markers are checkpoint-tied in a
+    // deployment — simulate by deleting it). The round-11 contract called
+    // this unsupported; now the strictly-earlier snapshot reads `_src_batch`
+    // THROUGH the consolidation (sees batch 0 only, never batch 2's grams)
+    // and both writes no-op at the compaction frontier.
+    new java.io.File(hits, "_committed_1").delete()
+    DupSpanIndex.ingestBatch(df(1L -> "p q r s t"), store, hits, 1L, width = 3)
+    assert(spanSet(hits) == before,
+      "cross-compaction replay changed the flagged spans")
+    val st = BucketedStore.read(spark, BucketedStore.StoreSpec(store, Seq("gh"))).get
+    assert(st.count() == 9L,
+      "cross-compaction replay duplicated gram-store rows")
+    // and ingest continues normally above the frontier
+    DupSpanIndex.ingestBatch(df(2L -> "p q r s t"), store, hits, 3L, width = 3)
+    assert(spanSet(hits) == before + ((2L, 1L, 5L, 5L)))
+  }
+
   test("per-batch work stays flat as the gram store grows") {
     import spark.implicits._
     // distinct texts: id-salted words keep cross-doc gram overlap at zero,

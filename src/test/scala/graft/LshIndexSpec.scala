@@ -245,6 +245,45 @@ class LshIndexSpec extends AnyFunSuite {
       "replay across a compaction duplicated banded rows")
   }
 
+  test("an EARLIER batch replays after compaction: store and pair feed both converge") {
+    import spark.implicits._
+    import graft.streaming.BucketedStore
+    // consecutive ids share text (exact twins), so every batch EMITS pairs —
+    // the feed side of the convergence claim needs a non-empty feed
+    def mkDocs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 11).map(i =>
+          concat(lit(s"w$i"),
+            ((col("id") - pmod(col("id"), lit(2L))) * 31 + i) % 9973)): _*).as("text"))
+    val (store, pairs) = (tmp("lsh-cross-store"), tmp("lsh-cross-pairs"))
+    val mk = tmp("lsh-cross-markers")
+    for (b <- 0L until 3L)
+      LshIndex.processBatch(mkDocs(b * 30, b * 30 + 30), store, pairs, b, mk)
+    val pairsBefore = spark.read.parquet(pairs)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    LshIndex.compactStore(spark, store)
+    graft.streaming.Loader.compactBatches(spark, pairs)
+    // old checkpoint restored: batch 1 replays with its checkpoint-tied
+    // pair marker GONE. The pair feed must skip at the frontier (a rewrite
+    // would re-emit batch 1's pairs next to the folded copy — and worse,
+    // the replay's probe snapshot now contains batch 2, so the re-emitted
+    // set would not even match the original); the store and sidecar
+    // appends must no-op the same way.
+    new java.io.File(mk, "_committed_1").delete()
+    LshIndex.processBatch(mkDocs(30, 60), store, pairs, 1L, mk)
+    assert(spark.read.parquet(pairs).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == pairsBefore,
+      "cross-compaction replay changed the emitted pairs")
+    val st = spark.read.parquet(store)
+    assert(st.select("doc_id").distinct().count() == 90L)
+    assert(st.count() == st.select("doc_id", "band_idx").distinct().count(),
+      "cross-compaction replay duplicated banded store rows")
+    // ingest continues above the frontier
+    LshIndex.processBatch(mkDocs(90, 120), store, pairs, 3L, mk)
+    assert(spark.read.parquet(store).select("doc_id").distinct().count() == 120L)
+  }
+
   test("store width is a parameter (bucket-width law): stamped at creation, authoritative after") {
     import spark.implicits._
     import graft.streaming.BucketedStore
