@@ -137,8 +137,10 @@ object AnnIvf {
     // ("Specified bucketing does not match that of the existing table")
     val width =
       if (spark.catalog.tableExists(table))
+        // parse, don't wrap: TableIdentifier("db.tbl") would look up an
+        // UNQUALIFIED name containing a dot and throw NoSuchTableException
         spark.sessionState.catalog
-          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
           .bucketSpec.map(_.numBuckets)
           .getOrElse(graft.streaming.BucketedStore.resolveWidth(spark, buckets))
       else graft.streaming.BucketedStore.resolveWidth(spark, buckets)
@@ -218,7 +220,7 @@ object AnnIvf {
     val spark = batch.sparkSession
     val width = BucketedStore.resolveWidth(spark, buckets)
     val priorIds = BucketedStore.read(spark, idsSpec(dir, width)) match {
-      case Some(ids) => ids.filter(col("_batch") =!= batchId).select(col("vec_id"))
+      case Some(ids) => BucketedStore.excludeBatch(ids, batchId).select(col("vec_id"))
       case None => batch.select(col("vec_id")).limit(0)
     }
     val fresh = assign(batch, centroids)
@@ -259,6 +261,122 @@ object AnnIvf {
     BucketedStore.compact(spark, idsSpec(dir, width))
   }
 
+  /** StoreSpec of the PQ-codes sidecar (bucketed by cluster like the main
+    * store — the probed ADC search prunes on the same key).
+    */
+  private def codesSpec(dir: String, buckets: Int) =
+    StoreSpec(dir.stripSuffix("/") + "_codes", Seq("cluster"), buckets)
+
+  private def codesDir(dir: String): String = dir.stripSuffix("/") + "_codes"
+
+  /** Build the IVF-PQ composition (the faiss shape): the inverted-list
+    * store + id sidecar of [[buildIndexStore]] PLUS a PQ-codes sidecar —
+    * (vec_id, cluster, c: array<int>) bucketed by cluster — so the probed
+    * search can run ASYMMETRIC DISTANCE over m small ints per vector
+    * instead of d doubles: q272's 16× index-I/O saving composed with
+    * q255's probed-list prune. The raw-vector store stays next to the
+    * codes for exact re-ranking. One corpus assignment feeds all three
+    * tables (persisted once).
+    */
+  def buildIndexStorePq(emb: DataFrame, centroids: Array[Array[Double]],
+      dir: String, buckets: Int = 0, m: Int = 8, dsub: Int = 8): Unit = {
+    val width = BucketedStore.resolveWidth(emb.sparkSession, buckets)
+    val assigned = assign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      BucketedStore.overwrite(assigned, storeSpec(dir, width))
+      BucketedStore.overwrite(
+        assigned.select(col("vec_id")).dropDuplicates("vec_id"),
+        idsSpec(dir, width))
+      BucketedStore.overwrite(
+        assigned.select(col("vec_id"), col("cluster"),
+          ProductQuantizer.codes(col("e"), m, dsub).as("c")),
+        codesSpec(dir, width))
+    } finally assigned.unpersist()
+  }
+
+  /** INCREMENTAL maintenance of the IVF-PQ store — [[appendToIndexStore]]
+    * plus the codes sidecar: the batch's fresh vectors are PQ-coded at
+    * ingest (one in-row projection — the vector twin of the tokenizer's
+    * encode-at-ingest leg) and appended as the batch's own partition in
+    * all three tables. Same idempotence story: each write is a partition
+    * rewrite over the PRE-batch snapshot, so replay from any crash point
+    * (including between the three writes) converges.
+    */
+  def appendToIndexStorePq(batch: DataFrame, centroids: Array[Array[Double]],
+      dir: String, batchId: Long, buckets: Int = 0,
+      m: Int = 8, dsub: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val width = BucketedStore.resolveWidth(spark, buckets)
+    val priorIds = BucketedStore.read(spark, idsSpec(dir, width)) match {
+      case Some(ids) => BucketedStore.excludeBatch(ids, batchId).select(col("vec_id"))
+      case None => batch.select(col("vec_id")).limit(0)
+    }
+    val fresh = assign(batch, centroids)
+      .join(priorIds, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      BucketedStore.appendBatch(fresh, storeSpec(dir, width), batchId)
+      BucketedStore.appendBatch(fresh.select(col("vec_id")).dropDuplicates("vec_id"),
+        idsSpec(dir, width), batchId)
+      BucketedStore.appendBatch(
+        fresh.select(col("vec_id"), col("cluster"),
+          ProductQuantizer.codes(col("e"), m, dsub).as("c")),
+        codesSpec(dir, width), batchId)
+    } finally fresh.unpersist()
+  }
+
+  /** foreachBatch maintenance of the IVF-PQ store (the streaming leg of
+    * the composition — vectors are coded the moment they arrive, so the
+    * ADC-searchable index is always current). Same at-least-once safety
+    * and compaction policy as [[maintainIndexStore]].
+    */
+  def maintainIndexStorePq(stream: DataFrame, centroids: Array[Array[Double]],
+      dir: String, checkpoint: String, buckets: Int = 0, compactEvery: Int = 0,
+      m: Int = 8, dsub: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendToIndexStorePq(b, centroids, dir, id, buckets, m, dsub)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          compactIndexStore(b.sparkSession, dir, buckets)
+          BucketedStore.compact(b.sparkSession,
+            codesSpec(dir, BucketedStore.resolveWidth(b.sparkSession, buckets)))
+        }
+      }
+      .start()
+
+  /** Probed ADC search — the read side of the IVF-PQ composition: the
+    * probed-cluster IN filter is pushed onto a PLAIN-FILE read of the
+    * CODES sidecar (the same prune law as [[topKIndexedStore]], for the
+    * same measured reason — a catalog bucket-pruned scan serializes into
+    * one task per probed list), and the scan that survives pruning reads
+    * m small ints per candidate instead of d doubles. The query batch
+    * broadcasts with its exact vectors; scoring is [[ProductQuantizer.adc]]
+    * (fixed-order, engine-identical). At 100 TB this is the faiss
+    * IVFADC read path: probed lists × compressed codes, no corpus-side
+    * exchange, partial top-k merge only.
+    */
+  def topKIndexedStoreAdc(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int = 2,
+      buckets: Int = 0, m: Int = 8, dsub: Int = 8): DataFrame = {
+    BucketedStore.read(spark,
+        codesSpec(dir, BucketedStore.resolveWidth(spark, buckets)))
+      .getOrElse(sys.error(s"no PQ codes sidecar at ${codesDir(dir)}"))
+    val cands = BucketedStore.readFiles(spark, codesDir(dir))
+      .drop("_batch", "_src_batch")
+    val qs = queries
+      .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
+    val probed = probedClusters(qs)
+    val scored = cands.filter(col("cluster").isin(probed: _*))
+      .join(broadcast(qs), "cluster")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", ProductQuantizer.adc(col("qe"), col("c"), m, dsub))
+    groupedTopK(scored, "qid", k, Seq(col("adc").desc, col("vec_id")))
+      .select(col("qid"), col("rn"), col("vec_id"), col("adc"))
+  }
+
   /** [[topKIndexed]] over the dir-based store, with the scan PRUNED to the
     * probed inverted lists: the distinct probed cluster ids are collected
     * first (a driver-side set bounded by the centroid count k — the model
@@ -282,12 +400,17 @@ object AnnIvf {
   def topKIndexedStore(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, centroids: Array[Array[Double]], nprobe: Int = 2,
       buckets: Int = 0): DataFrame = {
-    // open via the store layer first: runs compaction crash recovery and
-    // fails fast on a missing/foreign dir
+    // open via the store layer first: fails fast on a missing/foreign dir.
+    // read() is NON-mutating (markers are handled by view, not recovery),
+    // so the plain-file read below must apply the SAME pending-compaction
+    // view — a raw read during the commit-to-delete window would see both
+    // the consolidated partition and the source partitions and silently
+    // double-count every candidate. readFiles carries that view while
+    // keeping the path-based (non-catalog) scan the prune law requires.
     BucketedStore.read(spark,
         storeSpec(dir, BucketedStore.resolveWidth(spark, buckets)))
       .getOrElse(sys.error(s"no index store at $dir"))
-    val cands = spark.read.parquet(dir).drop("_batch")
+    val cands = BucketedStore.readFiles(spark, dir).drop("_batch", "_src_batch")
     val qs = queries
       .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
     val probed = probedClusters(qs)

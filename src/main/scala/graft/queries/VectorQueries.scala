@@ -418,6 +418,139 @@ object VectorQueries extends QueryModule {
              |  FROM sc)
              |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id,
              |  CAST(ROUND(adc, 6) AS DECIMAL(18,6)) AS adc
-             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // q275 — IVF-PQ COMPOSITION (AnnIvf.buildIndexStorePq +
+    // topKIndexedStoreAdc): the faiss IVFADC shape — q272's 16× code
+    // compression RUNNING INSIDE q255's probed-list prune, which is what a
+    // 100 TB ANN deployment actually executes (probed lists × compressed
+    // codes; the full-corpus ADC sweep of q272 and the raw-vector probed
+    // scan of q255 are each only half the story). Recall@3 of the probed
+    // ADC search vs the exact brute-force cosine top-3, per nprobe — the
+    // composition's accuracy/cost trade as a pinned number. Same closed
+    // forms as its parents (unit-basis coarse quantizer, signed-basis PQ
+    // codebook, fixed-order ADC), so DuckDB replays assignment + probing +
+    // coding + ADC ranking end to end.
+    Declared("q275_ivf_pq_adc",
+      (s, dir) => {
+        import graft.operators.AnnIvf
+        val e = emb(s, dir).select(col("vec_id"), col("e"))
+        val qs = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val centroids = Array.tabulate(8)(i =>
+          Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
+        val idxDir = SharedStages.scratchDir("q275") + "/idx"
+        AnnIvf.buildIndexStorePq(e, centroids, idxDir)
+        val brute = {
+          val scored = e.crossJoin(broadcast(qs))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("cos", cosine(col("e"), col("qe")))
+          groupedTopK(scored, "qid", 3, Seq(col("cos").desc, col("vec_id")))
+            .select(col("qid"), col("vec_id"))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTotal = brute.count()
+        val perProbe = Seq(1, 2, 4, 8).map { np =>
+          AnnIvf.topKIndexedStoreAdc(s, idxDir, qs, 3, centroids, nprobe = np)
+            .select(col("qid"), col("vec_id"))
+            .join(brute, Seq("qid", "vec_id"), "left_semi")
+            .agg(big(count(lit(1))).as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"))
+        }.reduce(_ unionByName _)
+        perProbe
+          .select(col("nprobe"), col("hits"),
+            big(expr(s"hits * 1000000L div ${nTotal}L")).as("recall_ppm"))
+          .orderBy(col("nprobe"))
+      },
+      Some(ivfPqRecallOracle)),
+
+    // q276 — STREAMING PQ-CODE MAINTENANCE (AnnIvf.appendToIndexStorePq):
+    // the encode-at-ingest leg for vectors, completing the symmetry the
+    // tokenizer got in q269 — arriving vectors are assigned AND PQ-coded
+    // the moment they land, each batch an idempotent partition rewrite in
+    // all three tables (lists, ids, codes), so the ADC-searchable index is
+    // always current. The 4-batch incremental build must be byte-identical
+    // to q275's one-shot build — same oracle, which is the gate's whole
+    // point (and transitively pins replay/convergence: the store content,
+    // not the build path, determines every answer).
+    Declared("q276_stream_pq_maintain",
+      (s, dir) => {
+        import graft.operators.AnnIvf
+        val e = emb(s, dir).select(col("vec_id"), col("e"))
+        val qs = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val centroids = Array.tabulate(8)(i =>
+          Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
+        val idxDir = SharedStages.scratchDir("q276") + "/idx"
+        for (b <- 0L until 4L)
+          AnnIvf.appendToIndexStorePq(
+            e.filter(pmod(col("vec_id"), lit(4L)) === b), centroids, idxDir, b)
+        val brute = {
+          val scored = e.crossJoin(broadcast(qs))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("cos", cosine(col("e"), col("qe")))
+          groupedTopK(scored, "qid", 3, Seq(col("cos").desc, col("vec_id")))
+            .select(col("qid"), col("vec_id"))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTotal = brute.count()
+        val perProbe = Seq(1, 2, 4, 8).map { np =>
+          AnnIvf.topKIndexedStoreAdc(s, idxDir, qs, 3, centroids, nprobe = np)
+            .select(col("qid"), col("vec_id"))
+            .join(brute, Seq("qid", "vec_id"), "left_semi")
+            .agg(big(count(lit(1))).as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"))
+        }.reduce(_ unionByName _)
+        perProbe
+          .select(col("nprobe"), col("hits"),
+            big(expr(s"hits * 1000000L div ${nTotal}L")).as("recall_ppm"))
+          .orderBy(col("nprobe"))
+      },
+      Some(ivfPqRecallOracle))
   )
+
+  /** Shared q275/q276 oracle: q255's assignment/probing CTEs composed with
+    * q272's coding/ADC CTEs — the probed ADC top-3 vs exact brute-force
+    * cosine top-3, per nprobe. One string, two gates: the batch build and
+    * the 4-batch incremental build must answer identically.
+    */
+  private def ivfPqRecallOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20),
+      |asg AS (SELECT vec_id, emb,
+      |  8 - list_position(list_reverse(emb[1:8]), list_max(emb[1:8])) AS cluster FROM e),
+      |c AS (SELECT vec_id, list_transform(range(0, 8), j ->
+      |    CAST(list_position(
+      |      list_transform(range(0, 16), i ->
+      |        CASE WHEN i < 8 THEN emb[8*j + i + 1] ELSE -emb[8*j + i - 7] END),
+      |      list_max(list_transform(range(0, 16), i ->
+      |        CASE WHEN i < 8 THEN emb[8*j + i + 1] ELSE -emb[8*j + i - 7] END)))
+      |      AS INTEGER)) AS code
+      |  FROM e),
+      |qp AS (SELECT qid, qe,
+      |  list_transform(list_reverse(list_sort(list_transform(range(1, 9),
+      |    d -> {'v': qe[d], 'd': d - 1}))), x -> x.d) AS probe_order FROM q),
+      |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+      |brute AS (SELECT qid, vec_id FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid
+      |        ORDER BY list_cosine_similarity(e.emb, q.qe) DESC, e.vec_id) AS rn
+      |    FROM e, q WHERE e.vec_id <> q.qid) WHERE rn <= 3),
+      |ivf AS (SELECT nprobe, qid, vec_id FROM (
+      |    SELECT np.nprobe, qp.qid, a.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY np.nprobe, qp.qid
+      |        ORDER BY list_sum(list_transform(range(0, 8), j ->
+      |          CASE WHEN cc.code[j+1] <= 8 THEN qp.qe[8*j + cc.code[j+1]]
+      |               ELSE -qp.qe[8*j + cc.code[j+1] - 8] END)) DESC,
+      |          a.vec_id) AS rn
+      |    FROM np, qp, asg a JOIN c cc USING (vec_id)
+      |    WHERE a.vec_id <> qp.qid
+      |      AND list_contains(list_slice(qp.probe_order, 1, np.nprobe), a.cluster))
+      |  WHERE rn <= 3),
+      |tot AS (SELECT COUNT(*) AS n FROM brute)
+      |SELECT np.nprobe, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |  CAST(COALESCE(h.hits, 0) * 1000000 // tot.n AS BIGINT) AS recall_ppm
+      |FROM np LEFT JOIN (
+      |    SELECT i.nprobe, COUNT(*) AS hits FROM ivf i
+      |    JOIN brute b USING (qid, vec_id) GROUP BY i.nprobe) h
+      |  ON h.nprobe = np.nprobe, tot
+      |ORDER BY np.nprobe""".stripMargin
 }

@@ -137,6 +137,94 @@ class AnnIvfStoreSpec extends AnyFunSuite {
     assert(res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == brute)
   }
 
+  test("IVF-PQ codes sidecar: probed ADC search prunes like the raw search, incremental equals batch") {
+    // 64-d vectors (the PQ default geometry m=8, dsub=8), directions keyed
+    // by id so assignment and codes are stable
+    def v64(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("vec_id"),
+        array((0 until 64).map(d =>
+          (pmod(col("id") * (d * 7 + 3), lit(11L)) + lit(d % 5 + 1)).cast("double")): _*)
+          .as("e"))
+    val cents = Array.tabulate(4)(i =>
+      Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
+    val batchDir = tmpDir("ivfpq-batch") + "/idx"
+    AnnIvf.buildIndexStorePq(v64(0, 200), cents, batchDir, buckets = 4)
+    val streamDir = tmpDir("ivfpq-stream") + "/idx"
+    for (b <- 0L until 4L)
+      AnnIvf.appendToIndexStorePq(
+        v64(0, 200).filter(pmod(col("vec_id"), lit(4L)) === b),
+        cents, streamDir, b, buckets = 4)
+    // replay of a middle batch (store + ids + codes all rewrite) converges
+    AnnIvf.appendToIndexStorePq(
+      v64(0, 200).filter(pmod(col("vec_id"), lit(4L)) === 1L),
+      cents, streamDir, 1L, buckets = 4)
+    val probes = v64(0, 3).select(col("vec_id").as("qid"), col("e").as("qe"))
+    def adcRes(d: String) = AnnIvf.topKIndexedStoreAdc(spark, d, probes, 3, cents,
+      nprobe = 2, buckets = 4)
+    assert(adcRes(batchDir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      == adcRes(streamDir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet,
+      "incremental IVF-PQ build diverged from the one-shot build")
+    // the codes sidecar has no duplicate vec_ids after the replay
+    val codes = spark.read.parquet(batchDir.stripSuffix("/") + "_codes")
+    assert(codes.count() == 200L)
+    assert(spark.read.parquet(streamDir.stripSuffix("/") + "_codes")
+      .groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    // prune law, same as the raw-vector search: pushed filter over a
+    // PLAIN-FILE read — never the one-task-per-bucket catalog scan
+    val res = adcRes(batchDir)
+    assert(res.collect().nonEmpty)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(cluster".r.findFirstIn(plan).isDefined,
+      s"cluster IN (...) not pushed to the codes scan:\n$plan")
+    assert(!plan.contains("SelectedBucketsCount"),
+      "ADC search must not use the bucket-pruned scan")
+    // the scan is the COMPRESSION leg: the codes read schema carries the
+    // m-int code column, never the 64-double vector
+    assert("ReadSchema:[^\\n]*c:array<int>".r.findFirstIn(plan).isDefined
+      || plan.contains("c#"), s"codes scan did not read the code column:\n$plan")
+    assert(!("ReadSchema:[^\\n]*e:array<double>".r.findFirstIn(plan).isDefined),
+      s"ADC search read raw vectors from the codes scan:\n$plan")
+    // and the RAW store next door still serves the exact probed search —
+    // the composition keeps both legs (codes for the sweep, vectors for
+    // exact re-rank) in one store family
+    val raw = AnnIvf.topKIndexedStore(spark, batchDir, probes, 3, cents,
+      nprobe = 2, buckets = 4)
+    assert(raw.collect().nonEmpty)
+  }
+
+  test("search during a pending compaction: the commit window never double-counts") {
+    val dir = tmpDir("ivfstore-pending") + "/idx"
+    AnnIvf.buildIndexStore(vecs(0, 200), centroids, dir, buckets = 4)
+    val probes = vecs(0, 3).select(col("vec_id").as("qid"), col("e").as("qe"))
+    def res() = AnnIvf.topKIndexedStore(spark, dir, probes, 3, centroids,
+      nprobe = 2, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = res()
+    // simulate the crash window the round-11 hardening claims to support:
+    // a compaction's consolidated partition is renamed in and the commit
+    // marker written, but the source partitions are not yet deleted — BOTH
+    // copies of every row are on disk. A raw-parquet search here would
+    // score every candidate twice (ties shift, counts double).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(dir, "_batch=-1")
+    val dst = new org.apache.hadoop.fs.Path(dir, "_batch=-2")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    Seq("_compact_intent", "_compact_commit").foreach { m =>
+      val os = fs.create(new org.apache.hadoop.fs.Path(dir, m), true)
+      os.write("-2".getBytes("UTF-8")); os.close()
+    }
+    assert(res() == want, "pending-compaction search saw duplicated candidates")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact_commit")),
+      "search must not mutate recovery state (it may run in a reader process)")
+    // intent-only window (crash before commit): the orphan is invisible
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_compact_commit"), false)
+    assert(res() == want, "intent-pending search saw the orphan partition")
+  }
+
   test("compactEvery policy: streamed maintenance keeps files bounded, answers unchanged") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
