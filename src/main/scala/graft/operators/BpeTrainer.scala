@@ -88,6 +88,124 @@ object BpeTrainer {
         col("pair_count"))
   }
 
+  /** How many ranked candidates a batched round scans: the SELECTION WINDOW
+    * is part of the model definition (both the trainer and any replaying
+    * oracle must scan the same bounded prefix of the count-ranked pair list,
+    * or a deep conflict chain would make them diverge), and it bounds the
+    * per-round driver traffic to `8·beam` model-sized rows.
+    */
+  def selectionWindow(beam: Int): Int = 8 * beam
+
+  /** Greedy SYMBOL-DISJOINT selection over a count-ranked candidate window —
+    * the rule that makes batched learning well-defined: scanning candidates
+    * in (count DESC, lhs, rhs) order, accept a pair unless any of its THREE
+    * strings — lhs, rhs, and the joined symbol `lhs + " " + rhs` it would
+    * mint — collides with any of the three strings of an already-accepted
+    * pair, stopping after `beam` acceptances.
+    *
+    * Why three strings and not two: pair counts are measured ONCE at round
+    * start, and a merge (a, b) leaves every pair disjoint from it untouched
+    * (adjacency of symbols other than a/b cannot change), so disjoint
+    * accepted merges apply with their counted occurrences intact and in any
+    * order. But the minted symbol "a b" may ALREADY be a vocabulary symbol
+    * (a previous round's merge), and a same-round candidate ("a b", x)
+    * would then match occurrences the (a, b) merge creates mid-round —
+    * breaking both the count contract and order-independence. Including the
+    * joined string in the used-set closes that hole from both directions.
+    */
+  private[graft] def selectDisjoint(cands: Seq[(String, String, Long)],
+      beam: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val out = Seq.newBuilder[(String, String, Long)]
+    var taken = 0
+    val it = cands.iterator
+    while (taken < beam && it.hasNext) {
+      val cand @ (a, b, _) = it.next()
+      val trio = Seq(a, b, a + " " + b)
+      if (!trio.exists(used)) {
+        out += cand
+        used ++= trio
+        taken += 1
+      }
+    }
+    out.result()
+  }
+
+  /** BATCHED training — the fix for sequential [[train]]'s merges × corpus
+    * coupling (one corpus-wide pair aggregate PER MERGE means a real
+    * tokenizer's ~32k merges cost ~32k corpus scans): each of `outerRounds`
+    * rounds runs ONE pair aggregate, collects the top-[[selectionWindow]]
+    * candidates (model-sized driver traffic), greedily accepts up to `beam`
+    * SYMBOL-DISJOINT pairs per [[selectDisjoint]], and applies them as a
+    * chained in-row fold — so up to `outerRounds · beam` merges cost
+    * `outerRounds` corpus aggregates (BpeTrainerSpec pins the law).
+    *
+    * Semantics vs sequential BPE (documented, deliberate): within a round,
+    * every accepted pair's count is its round-START count — exact, because
+    * disjointness means earlier same-round merges cannot touch it — but a
+    * symbol minted mid-round cannot win again until the NEXT round, where
+    * sequential BPE would let it compete immediately. `beam = 1` degenerates
+    * to exactly [[train]] (the spec pins bit-parity). Merge numbering is the
+    * global learning order, so the model table is drop-in for [[encode]].
+    *
+    * Returns (merge table, number of corpus pair-aggregates performed) —
+    * the scan count is the law the caller buys this variant for.
+    */
+  def trainBatched(spark: SparkSession, docs: DataFrame, outerRounds: Int,
+      beam: Int): (Seq[Merge], Int) = {
+    require(outerRounds >= 1, "need at least one round")
+    require(beam >= 1, "beam must be positive")
+    var seqs = docs
+      .select(col("doc_id"), tokens(col("text")).as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    seqs.count()
+    val merges = Seq.newBuilder[Merge]
+    var scans = 0
+    var learned = 0
+    try {
+      var n = 1
+      var exhausted = false
+      while (n <= outerRounds && !exhausted) {
+        val cands = seqs
+          .select(explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+          .select(col("p.l"), col("p.r"))
+          .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(selectionWindow(beam)).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        scans += 1
+        if (cands.isEmpty) exhausted = true
+        else {
+          val accepted = selectDisjoint(cands, beam)
+          val next = accepted.foldLeft(seqs) { (df, m) =>
+            learned += 1
+            merges += Merge(learned, m._1, m._2, m._3)
+            applyMerge(df, m._1, m._2)
+          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          seqs.unpersist()
+          seqs = next
+          n += 1
+        }
+      }
+      (merges.result(), scans)
+    } finally seqs.unpersist()
+  }
+
+  /** [[trainBatched]]'s merge table as a DataFrame (same shape as
+    * [[trainDF]] — the batched model is drop-in for [[encode]]).
+    */
+  def trainBatchedDF(spark: SparkSession, docs: DataFrame, outerRounds: Int,
+      beam: Int): DataFrame = {
+    import spark.implicits._
+    trainBatched(spark, docs, outerRounds, beam)._1
+      .toDF("merge_round", "lhs", "rhs", "pair_count")
+      .select(col("merge_round").cast("long"), col("lhs"), col("rhs"),
+        col("pair_count"))
+  }
+
   /** ENCODE: tokenize (doc_id, text) with an already-trained merge table —
     * the apply side of the model train() learns. Each merge is the same
     * left-to-right greedy pass training used, applied in learning order, so

@@ -26,36 +26,89 @@ object TextAnalysisQueries extends QueryModule {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
-  /** One unrolled BPE training round as DuckDB CTEs (shared by q259's model
-    * oracle and q261's encode oracle so the two can never drift on the
-    * greedy rule): count pairs in `in` → pick max (m$n) → greedy
-    * left-to-right merge (r$n) via the islands form — a merge position is a
-    * pair-match at ODD rank within its contiguous run of matches.
+  /** One greedy left-to-right merge APPLICATION as DuckDB CTEs: rewrite the
+    * sequences of `in` under the (zero-or-one-row) merge relation `mrel`
+    * (columns l, r), producing `r$tag`, via the islands form — a merge
+    * position is a pair-match at ODD rank within its contiguous run of
+    * matches. An EMPTY `mrel` rebuilds the input unchanged (h/k are empty),
+    * which is what lets the batched oracle unroll a fixed number of
+    * application slots per round regardless of how many pairs a round's
+    * disjointness scan actually accepted. Shared by the sequential and
+    * batched training oracles AND the encode oracles so the greedy rule can
+    * never drift between any of them.
+    */
+  private def bpeApply(tag: String, in: String, mrel: String): String =
+    s"""h$tag AS (SELECT s.doc_id, t.i,
+       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY t.i) AS rn
+       |  FROM $in s, $mrel m, UNNEST(range(1, len(s.syms))) AS t(i)
+       |  WHERE s.syms[t.i] = m.l AND s.syms[t.i+1] = m.r),
+       |k$tag AS (SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id, i - rn ORDER BY i) AS rk
+       |    FROM h$tag) WHERE rk % 2 = 1),
+       |e$tag AS (SELECT s.doc_id, t.i, s.syms[t.i] AS cur, s.syms[t.i+1] AS nxt
+       |  FROM $in s, UNNEST(range(1, len(s.syms) + 1)) AS t(i)),
+       |r$tag AS (SELECT x.doc_id, list(x.sym ORDER BY x.i) AS syms FROM (
+       |    SELECT e.doc_id, e.i,
+       |      CASE WHEN k.i IS NOT NULL THEN e.cur || ' ' || e.nxt
+       |           ELSE e.cur END AS sym
+       |    FROM e$tag e
+       |    LEFT JOIN k$tag k ON k.doc_id = e.doc_id AND k.i = e.i
+       |    LEFT JOIN k$tag k2 ON k2.doc_id = e.doc_id AND k2.i = e.i - 1
+       |    WHERE k2.i IS NULL) x
+       |  GROUP BY x.doc_id)""".stripMargin
+
+  /** One unrolled SEQUENTIAL BPE training round (shared by q259's model
+    * oracle and q261's encode oracle): count pairs in `in` → pick max (m$n,
+    * ties lexicographic) → one greedy application ([[bpeApply]]) → r$n.
     */
   private def bpeRound(n: Int, in: String): String =
     s"""p$n AS (SELECT s.syms[t.i] AS l, s.syms[t.i+1] AS r
        |  FROM $in s, UNNEST(range(1, len(s.syms))) AS t(i)),
        |m$n AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM p$n
        |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
-       |h$n AS (SELECT s.doc_id, t.i,
-       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY t.i) AS rn
-       |  FROM $in s, m$n m, UNNEST(range(1, len(s.syms))) AS t(i)
-       |  WHERE s.syms[t.i] = m.l AND s.syms[t.i+1] = m.r),
-       |k$n AS (SELECT doc_id, i FROM (
-       |    SELECT doc_id, i,
-       |      ROW_NUMBER() OVER (PARTITION BY doc_id, i - rn ORDER BY i) AS rk
-       |    FROM h$n) WHERE rk % 2 = 1),
-       |e$n AS (SELECT s.doc_id, t.i, s.syms[t.i] AS cur, s.syms[t.i+1] AS nxt
-       |  FROM $in s, UNNEST(range(1, len(s.syms) + 1)) AS t(i)),
-       |r$n AS (SELECT x.doc_id, list(x.sym ORDER BY x.i) AS syms FROM (
-       |    SELECT e.doc_id, e.i,
-       |      CASE WHEN k.i IS NOT NULL THEN e.cur || ' ' || e.nxt
-       |           ELSE e.cur END AS sym
-       |    FROM e$n e
-       |    LEFT JOIN k$n k ON k.doc_id = e.doc_id AND k.i = e.i
-       |    LEFT JOIN k$n k2 ON k2.doc_id = e.doc_id AND k2.i = e.i - 1
-       |    WHERE k2.i IS NULL) x
-       |  GROUP BY x.doc_id)""".stripMargin
+       |${bpeApply(n.toString, in, s"m$n")}""".stripMargin
+
+  /** One unrolled BATCHED BPE training round (q274's oracle — replays
+    * `BpeTrainer.trainBatched` exactly): ONE pair count over `in`, the top
+    * [[graft.operators.BpeTrainer.selectionWindow]] candidates ranked
+    * (count DESC, l, r), a RECURSIVE greedy scan accepting symbol-disjoint
+    * pairs (the used-set carries each accepted pair's lhs, rhs AND minted
+    * joined symbol — [[graft.operators.BpeTrainer.selectDisjoint]]'s trio
+    * rule) up to `beam`, then `beam` chained application slots. Slots past
+    * the round's acceptance count have an empty merge relation and rebuild
+    * unchanged. Ends at `rb${n}_$beam`. Callers must put RECURSIVE on the
+    * enclosing WITH.
+    */
+  private def bpeBatchedRound(n: Int, in: String, beam: Int): String = {
+    val window = graft.operators.BpeTrainer.selectionWindow(beam)
+    val ok = s"(s.taken < $beam AND NOT list_has_any(s.used, " +
+      "[c.l, c.r, c.l || ' ' || c.r]))"
+    val head =
+      s"""pb$n AS (SELECT s.syms[t.i] AS l, s.syms[t.i+1] AS r
+         |  FROM $in s, UNNEST(range(1, len(s.syms))) AS t(i)),
+         |cb$n AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c,
+         |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l, r) AS rk
+         |  FROM pb$n GROUP BY l, r
+         |  QUALIFY rk <= $window),
+         |sb$n(rk, l, r, c, took, taken, used) AS (
+         |  SELECT rk, l, r, c, TRUE, 1, [l, r, l || ' ' || r]
+         |  FROM cb$n WHERE rk = 1
+         |  UNION ALL
+         |  SELECT c.rk, c.l, c.r, c.c, $ok,
+         |    s.taken + CASE WHEN $ok THEN 1 ELSE 0 END,
+         |    CASE WHEN $ok THEN s.used || [c.l, c.r, c.l || ' ' || c.r]
+         |         ELSE s.used END
+         |  FROM sb$n s JOIN cb$n c ON c.rk = s.rk + 1),
+         |ab$n AS (SELECT l, r, c, ROW_NUMBER() OVER (ORDER BY rk) AS k
+         |  FROM sb$n WHERE took)""".stripMargin
+    val applies = (1 to beam).map { k =>
+      val src = if (k == 1) in else s"rb${n}_${k - 1}"
+      s"""mb${n}_$k AS (SELECT l, r FROM ab$n WHERE k = $k),
+         |${bpeApply(s"b${n}_$k", src, s"mb${n}_$k")}""".stripMargin
+    }
+    (head +: applies).mkString(",\n")
+  }
 
   /** The three unrolled training rounds over `documents`, ending at r3. */
   private val bpeThreeRounds =
@@ -378,6 +431,37 @@ object TextAnalysisQueries extends QueryModule {
           |SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_tokens,
           |  CAST(len(list_filter(syms, s -> contains(s, ' '))) AS BIGINT) AS n_merged
           |FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // q274 — BATCHED BPE TRAINING (BpeTrainer.trainBatched): the fix for
+    // sequential training's merges × corpus coupling — a real tokenizer's
+    // ~32k merges would mean ~32k corpus scans under q259's
+    // one-aggregate-per-merge loop. Each round here runs ONE corpus pair
+    // aggregate and accepts up to `beam` SYMBOL-DISJOINT pairs from the
+    // top-8·beam ranked window (disjointness over lhs, rhs AND the minted
+    // joined symbol, so same-round merges provably cannot interact and
+    // round-start counts stay exact at application time): 2 rounds × beam 2
+    // ⇒ up to 4 merges for 2 scans. The oracle replays the EXACT variant —
+    // ranked window, recursive greedy disjoint scan, chained application
+    // slots — so the documented batched semantics (a mid-round minted
+    // symbol competes only from the next round) are pinned, not approximated.
+    // BpeTrainerSpec pins the scan-count law and beam=1 ≡ sequential parity.
+    Declared("q274_bpe_train_batched",
+      (s, dir) => {
+        graft.operators.BpeTrainer
+          .trainBatchedDF(s,
+            Tables.load(s, dir, "documents").select("doc_id", "text"),
+            outerRounds = 2, beam = 2)
+          .orderBy(col("merge_round"))
+      },
+      Some(
+        s"""WITH RECURSIVE d0 AS (SELECT doc_id, string_split(text, ' ') AS syms FROM documents),
+           |${bpeBatchedRound(1, "d0", 2)},
+           |${bpeBatchedRound(2, "rb1_2", 2)}
+           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, k) AS BIGINT) AS merge_round,
+           |  l AS lhs, r AS rhs, c AS pair_count
+           |FROM (SELECT 1 AS rnd, k, l, r, c FROM ab1
+           |      UNION ALL SELECT 2 AS rnd, k, l, r, c FROM ab2)
+           |ORDER BY merge_round""".stripMargin)),
 
     // q265 — BIGRAM-LM FAMILIARITY SCORE (the perplexity-filter analog of
     // real pretraining pipelines — fit a cheap LM on the corpus, score

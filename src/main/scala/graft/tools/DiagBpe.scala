@@ -76,6 +76,24 @@ object DiagBpe {
         .select(col("doc_id"), size(col("syms")).as("n")))
     }
     seqs.unpersist()
+
+    // SEQUENTIAL vs BATCHED training A/B (round 12): same target of 4
+    // merges — one corpus aggregate per merge vs one per round at beam 2.
+    // The scan count is the law; the seconds show what it buys at this SF.
+    t("train-seq-4merges") {
+      val ms = graft.operators.BpeTrainer.train(spark, docs, 4)
+      println(s"[diag]   sequential: ${ms.length} merges, 4 corpus aggregates")
+    }
+    t("train-batched-2x2") {
+      val (ms, scans) =
+        graft.operators.BpeTrainer.trainBatched(spark, docs, outerRounds = 2, beam = 2)
+      println(s"[diag]   batched: ${ms.length} merges, $scans corpus aggregates")
+    }
+    t("train-batched-2x4") {
+      val (ms, scans) =
+        graft.operators.BpeTrainer.trainBatched(spark, docs, outerRounds = 2, beam = 4)
+      println(s"[diag]   batched: ${ms.length} merges, $scans corpus aggregates")
+    }
     spark.stop()
   }
 }
