@@ -60,6 +60,60 @@ object CountMinSketch {
         graft.streaming.Loader.compactBatches(batch.sparkSession, feedDir)
     }
 
+  /** SKETCH-THEN-VERIFY heavy-hitter ingest — the standard production
+    * composition of the maintained sketch (q273) and exact verification
+    * (q162's discipline): after folding the batch's delta into the feed,
+    * estimate ONLY the batch's own distinct keys (batch-sized work — the
+    * corpus key space is never enumerated) and append those whose estimate
+    * crosses `threshold` to a CANDIDATES feed.
+    *
+    * The SUPERSET guarantee (CmsSketchSpec pins it): CMS never
+    * undercounts, and a key's estimate after its LAST containing batch is
+    * at least its full exact count — so every true heavy hitter lands in
+    * the candidates feed by the time its last occurrence arrives. The
+    * candidate set may carry false positives (collisions, keys that
+    * crossed on estimate only); the EXACT verify pass — a count over the
+    * candidate keys alone, semi-joined before the aggregate — kills them.
+    * A replayed batch may even record MORE candidates than the original
+    * run (its estimate now sees later batches): still a superset, still
+    * killed by verify, so the final answer is replay-invariant without any
+    * coordination between the two feeds.
+    *
+    * 100 TB shape: per batch, one delta write + one batch-keys estimate
+    * (d broadcast lookups); the expensive exact confirm runs on demand
+    * over candidates only — at a sane (threshold, w) the candidate set is
+    * heavy-hitter-sized, so the verify aggregate's map side drops almost
+    * every row at the semi-join.
+    */
+  def ingestHeavyHitters(batch: DataFrame, keyCol: String, feedDir: String,
+      candDir: String, threshold: Long, batchId: Long,
+      markersDir: String = null, d: Int = 4, w: Int = 1024): Unit = {
+    val spark = batch.sparkSession
+    ingestBatch(batch, keyCol, feedDir, batchId, markersDir, d, w)
+    val cands = estimates(spark, feedDir,
+        batch.select(col(keyCol)).distinct(), keyCol, d, w)
+      .filter(col("est") >= threshold)
+    graft.streaming.Loader.writeBatchIdempotent(cands, candDir, batchId)
+  }
+
+  /** The EXACT heavy hitters: count only the candidate keys the sketch
+    * surfaced (semi-join before the aggregate — the scan's map side drops
+    * non-candidates), keep those truly at/above `threshold`. Equals the
+    * plain GROUP BY … HAVING truth by the superset guarantee.
+    */
+  def verifiedHeavyHitters(spark: SparkSession, raw: DataFrame, keyCol: String,
+      candDir: String, threshold: Long): DataFrame = {
+    // a feed whose every batch was empty (nothing ever crossed the
+    // threshold) never materializes files — by the superset guarantee the
+    // true hitter set is then empty too
+    val cands = graft.streaming.Loader.readTableIfAny(spark, candDir)
+      .map(_.select(col(keyCol)).distinct())
+      .getOrElse(raw.select(col(keyCol)).limit(0))
+    raw.join(broadcast(cands), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("exact"))
+      .filter(col("exact") >= threshold)
+  }
+
   /** CMS estimates for a frame of keys against the maintained feed:
     * fold the deltas to the current d×w sketch, look every key up in its
     * d buckets, min across rows. Returns `keys` + an `est` column.

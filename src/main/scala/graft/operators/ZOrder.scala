@@ -31,14 +31,17 @@ object ZOrder {
     */
   def zval(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"zval: bits must be in [1,31], got $bits")
-    // pmod, not %: a negative key would contribute -1 bits and corrupt the
-    // interleave silently. Keys are expected PRE-BUCKETIZED to
-    // [0, 2^bits) — like any fixed-width curve, values ≥ 2^bits alias
-    // modulo the domain (x and x + 2^bits interleave identically), so
-    // callers bucketize first (q270: pmod(user_id, 64)).
+    // Wrap into the domain EXPLICITLY: like any fixed-width curve, values
+    // ≥ 2^bits alias modulo the domain (x and x + 2^bits interleave
+    // identically) and a negative key would contribute -1 bits — both
+    // silent locality collapses for a caller that forgot to bucketize.
+    // pmod here is the identity for already-bucketized keys (every current
+    // caller: q270/q277 pmod first), so the wrap changes nothing for them
+    // while making the aliasing rule the operator's own, not a footgun.
+    val (xw, yw) = (pmod(x, lit(1L << bits)), pmod(y, lit(1L << bits)))
     (0 until bits).map { i =>
-      pmod(shiftright(x, i), lit(2)) * lit(1L << (2 * i)) +
-        pmod(shiftright(y, i), lit(2)) * lit(1L << (2 * i + 1))
+      pmod(shiftright(xw, i), lit(2)) * lit(1L << (2 * i)) +
+        pmod(shiftright(yw, i), lit(2)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
   }
 

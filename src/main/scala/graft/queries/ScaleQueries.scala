@@ -715,6 +715,34 @@ object ScaleQueries extends QueryModule {
              |  CAST(COUNT(*) AS BIGINT) FROM m
              |ORDER BY layout""".stripMargin)),
 
+    // q277 — Z-ORDER ROUTED SLICE: q270 audits the layout arithmetically;
+    // this query actually READS through it — a 4×4 (user-bucket ×
+    // day-bucket) slice of events served from the physically z-ordered
+    // files (SharedStages.zorderEventsPath: stored x/y columns,
+    // ZOrder.layoutByZ write). Both predicates push to the parquet scan,
+    // and because every file owns one contiguous Morton range, the
+    // row-group min/max on x AND y are tight simultaneously — the scan
+    // skips all but the handful of files whose z-range intersects the
+    // slice (ZOrderSpec pins files-touched z vs y-major at a ≥4× gap; the
+    // y-major layout answers the same query by opening nearly every
+    // file). At 100 TB this is Delta OPTIMIZE ZORDER's read path; the
+    // oracle computes the slice from raw events.
+    Declared("q277_zorder_slice",
+      (s, dir) => {
+        s.read.parquet(SharedStages.zorderEventsPath(s, dir))
+          .filter(col("x").between(4, 7) && col("y").between(8, 11))
+          .groupBy(col("event_type"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("value")))).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+             |FROM (SELECT event_type, value, user_id % 64 AS x,
+             |        (CAST(ts AS DATE) - DATE '1970-01-01') % 64 AS y FROM events)
+             |WHERE x BETWEEN 4 AND 7 AND y BETWEEN 8 AND 11
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // q271 — COUNT-MIN SKETCH accuracy audit: the mergeable frequency
     // sketch (Cormode & Muthukrishnan 2005) next to q162's Misra-Gries and
     // q39's HLL — d=4 rows × w=1024 buckets, md5-derived row hashes so BOTH
@@ -809,6 +837,36 @@ object ScaleQueries extends QueryModule {
              |  CAST(LEAST(s0, s1, s2, s3) - exact AS BIGINT) AS overcount
              |FROM k JOIN s0 USING (b0) JOIN s1 USING (b1)
              |  JOIN s2 USING (b2) JOIN s3 USING (b3)
-             |ORDER BY exact DESC, l_partkey LIMIT 20""".stripMargin))
+             |ORDER BY exact DESC, l_partkey LIMIT 20""".stripMargin)),
+
+    // q278 — CMS-GUIDED EXACT HEAVY HITTERS (CountMinSketch.
+    // ingestHeavyHitters + verifiedHeavyHitters): the sketch-then-verify
+    // production pattern composing q273's maintained sketch with exact
+    // confirmation — at ingest each batch's own keys are estimated against
+    // the folded sketch and the ones crossing the threshold land in a
+    // candidates feed (CMS never undercounts ⇒ the feed SUPERSET-covers
+    // the true heavy hitters, CmsSketchSpec pins the law); the exact
+    // verify counts ONLY candidate keys (broadcast semi-join ahead of the
+    // aggregate). The oracle is the plain GROUP BY … HAVING truth, which
+    // is the whole point: sketch candidates + exact confirm ≡ the naive
+    // full aggregate, at a fraction of its shuffle once keys ≫ hitters.
+    Declared("q278_cms_heavy_hitters",
+      (s, dir) => {
+        import graft.operators.CountMinSketch
+        val ev = Tables.load(s, dir, "events").select(col("user_id"))
+        val base = SharedStages.scratchDir("q278")
+        val (feed, cand) = (s"$base/cms", s"$base/cand")
+        val threshold = 60L
+        for (b <- 0L until 4L)
+          CountMinSketch.ingestHeavyHitters(
+            ev.filter(pmod(col("user_id"), lit(4L)) === b),
+            "user_id", feed, cand, threshold, b)
+        CountMinSketch.verifiedHeavyHitters(s, ev, "user_id", cand, threshold)
+          .select(col("user_id"), big(col("exact")).as("exact"))
+          .orderBy(col("exact").desc, col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact
+             |FROM events GROUP BY 1 HAVING COUNT(*) >= 60
+             |ORDER BY exact DESC, user_id""".stripMargin))
   )
 }

@@ -130,6 +130,27 @@ object SharedStages {
         .write.mode("overwrite").partitionBy("d").parquet(out)
     }
 
+  /** Events Z-ORDERED on the (user-bucket, day-bucket) grid — the layout
+    * q270 audits arithmetically, materialized physically for q277's routed
+    * slice query: the bucket coordinates are STORED columns (a pushed
+    * filter needs real columns — a pmod expression never reaches the
+    * footer stats), the write is ZOrder.layoutByZ (range-partition +
+    * in-partition sort on the Morton value), so every file owns one
+    * contiguous z-range and its row-group min/max is tight on BOTH
+    * dimensions. 32 files ≈ the session's parallelism at gate SF; at
+    * 100 TB the same layout sizes files at data/128 MB.
+    */
+  def zorderEventsPath(s: SparkSession, dir: String): String =
+    materializePath(s, dir, "events-zorder") { out =>
+      graft.operators.ZOrder.layoutByZ(
+        Tables.load(s, dir, "events")
+          .withColumn("x", pmod(col("user_id"), lit(64L)))
+          .withColumn("y",
+            pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+              lit(64)).cast("long")),
+        col("x"), col("y"), bits = 6, files = 32, outDir = out)
+    }
+
   /** Tiny calendar dimension over the event-date domain (one row per
     * distinct day, with day-of-week attributes) — the broadcastable dim
     * side whose FILTERED join against the partitioned fact must trigger

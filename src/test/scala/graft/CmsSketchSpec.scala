@@ -68,4 +68,42 @@ class CmsSketchSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
     assert(parts.length == 1, s"compaction should leave one folded partition, got ${parts.length}")
   }
+
+  test("sketch-then-verify: candidates SUPERSET-cover the true hitters; verify equals the truth") {
+    import spark.implicits._
+    // skewed stream: keys 0..9 are heavy (60+ occurrences each, spread
+    // over all batches), 10..199 are background noise (1-3 each)
+    val heavy = (0L until 10L).flatMap(k => Seq.fill(60 + (k % 5).toInt)(k))
+    val noise = (10L until 200L).flatMap(k => Seq.fill(1 + (k % 3).toInt)(k))
+    val all = (heavy ++ noise).toDF("k")
+    val base = tmpDir("cms-hh")
+    val (feed, cand) = (s"$base/feed", s"$base/cand")
+    val threshold = 50L
+    for (b <- 0L until 4L)
+      CountMinSketch.ingestHeavyHitters(all.filter(pmod(col("k"), lit(4L)) === b),
+        "k", feed, cand, threshold, b, d = 4, w = 64)
+    val exact = all.groupBy("k").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val trueHitters = exact.filter(_._2 >= threshold).keySet
+    assert(trueHitters == (0L until 10L).toSet) // the corpus is as designed
+    val candidates = graft.streaming.Loader.readTable(spark, cand)
+      .select("k").distinct().collect().map(_.getLong(0)).toSet
+    // the LAW: CMS never undercounts, and a heavy key's estimate at its
+    // last containing batch is >= its full exact count — so the candidate
+    // feed must cover every true hitter, no matter the batch split
+    assert(trueHitters.subsetOf(candidates),
+      s"candidates missed true hitters: ${trueHitters -- candidates}")
+    // exact verify kills every false positive: equals the plain truth
+    val verified = CountMinSketch.verifiedHeavyHitters(spark, all, "k", cand, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(verified == exact.filter(_._2 >= threshold),
+      "verified heavy hitters diverged from GROUP BY ... HAVING truth")
+    // and a REPLAYED batch (whose estimates now see later batches) may only
+    // GROW the candidate set — the verified answer must not move
+    CountMinSketch.ingestHeavyHitters(all.filter(pmod(col("k"), lit(4L)) === 1L),
+      "k", feed, cand, threshold, 1L, d = 4, w = 64)
+    val verified2 = CountMinSketch.verifiedHeavyHitters(spark, all, "k", cand, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(verified2 == verified, "replay changed the verified heavy hitters")
+  }
 }
