@@ -688,24 +688,40 @@ object EventQueries extends QueryModule {
     // q22/q66. Pins the full produce→seek→consume→parse path bit-exactly:
     // the broker route must be indistinguishable from reading the table.
     // Doubles survive the text hop because Double.toString round-trips.
-    // The driver-side produce loop is harness scaffolding (same sanction as
-    // the replay-source writes): a deployment's producer is the upstream
-    // system, not the query.
+    // The producer runs DISTRIBUTED — one task per topic-partition (rows
+    // hash-routed so a partition never splits across tasks, sorted and
+    // segment-chunked inside the task; no driver-side collect), and the
+    // idempotent-producer guard (expectedStart) makes a task RETRY converge
+    // instead of duplicating segments.
     Declared("q104_logtopic_ingest",
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val base = SharedStages.scratchDir("q104")
         val (topic, out, ck) = (s"$base/topic", s"$base/out", s"$base/ck")
-        val rows = Tables.load(s, dir, "events")
+        Tables.load(s, dir, "events")
           .select(col("event_id"), unix_micros(col("ts")).as("us"),
             col("event_type"), col("value"))
-          .collect()
-        rows.groupBy(r => (r.getLong(0) % 3).toInt).foreach { case (p, rs) =>
-          rs.sortBy(_.getLong(0))
-            .map(r => s"${r.getLong(1)}\t${r.getString(2)}\t${r.getDouble(3)}")
-            .grouped(1500)
-            .foreach(chunk => graft.sources.LogTopic.append(topic, p, chunk.toSeq))
-        }
+          .withColumn("p", pmod(col("event_id"), lit(3L)).cast("int"))
+          .repartition(3, col("p"))
+          .sortWithinPartitions(col("p"), col("event_id"))
+          .foreachPartition { (it: java.util.Iterator[org.apache.spark.sql.Row]) =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var curP = -1
+            var off = 0L
+            def flush(): Unit = if (buf.nonEmpty) {
+              graft.sources.LogTopic.append(topic, curP, buf.toSeq, Some(off))
+              off += buf.size
+              buf.clear()
+            }
+            while (it.hasNext) {
+              val r = it.next()
+              val p = r.getInt(4)
+              if (p != curP) { flush(); curP = p; off = 0L }
+              buf += s"${r.getLong(1)}\t${r.getString(2)}\t${r.getDouble(3)}"
+              if (buf.size == 1500) flush()
+            }
+            flush()
+          }
         val stream = s.readStream.format("graft.sources.LogTopicProvider")
           .option("path", topic)
           .option("maxPerTrigger", "4000")
