@@ -377,6 +377,41 @@ object AnnIvf {
       .select(col("qid"), col("rn"), col("vec_id"), col("adc"))
   }
 
+  /** The COMPLETE faiss read path (IVFADC + refine): the probed ADC sweep
+    * produces a `shortlist`-sized candidate set per query from the
+    * compressed codes, and only those candidates' RAW vectors are read
+    * back for an exact cosine re-rank. Both scans push the probed-cluster
+    * filter over plain files; the re-rank's vector read additionally
+    * prunes to the shortlist ids (broadcast join — query-batch-sized), so
+    * the d-double vectors are touched for shortlist·queries rows, never
+    * the corpus. This is the standard accuracy recovery for PQ's
+    * quantization error: ADC decides WHO is close, exact vectors decide
+    * the ORDER.
+    */
+  def topKIndexedStoreAdcRerank(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, shortlist: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 2, buckets: Int = 0,
+      m: Int = 8, dsub: Int = 8): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = topKIndexedStoreAdc(spark, dir, queries, shortlist, centroids,
+        nprobe, buckets, m, dsub)
+      .select(col("qid"), col("vec_id"))
+      .join(queries.select(col("qid"), col("qe")), "qid")
+    BucketedStore.read(spark,
+        storeSpec(dir, BucketedStore.resolveWidth(spark, buckets)))
+      .getOrElse(sys.error(s"no index store at $dir"))
+    val qs = queries
+      .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
+    val probed = probedClusters(qs)
+    val raw = BucketedStore.readFiles(spark, dir).drop("_batch", "_src_batch")
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id"), col("e"))
+    val scored = raw.join(broadcast(short), "vec_id")
+      .withColumn("cos", VectorFunctions.cosine(col("e"), col("qe")))
+    groupedTopK(scored, "qid", k, Seq(col("cos").desc, col("vec_id")))
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
+
   /** [[topKIndexed]] over the dir-based store, with the scan PRUNED to the
     * probed inverted lists: the distinct probed cluster ids are collected
     * first (a driver-side set bounded by the centroid count k — the model

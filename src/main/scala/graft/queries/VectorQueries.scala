@@ -504,7 +504,67 @@ object VectorQueries extends QueryModule {
             big(expr(s"hits * 1000000L div ${nTotal}L")).as("recall_ppm"))
           .orderBy(col("nprobe"))
       },
-      Some(ivfPqRecallOracle))
+      Some(ivfPqRecallOracle)),
+
+    // q279 — IVF-PQ + EXACT RE-RANK (AnnIvf.topKIndexedStoreAdcRerank):
+    // the COMPLETE faiss read path — probed ADC over the compressed codes
+    // produces a shortlist of 10 per query, and only those candidates'
+    // raw vectors are read back (probed-cluster filter + broadcast
+    // shortlist join) for the exact cosine top-3. ADC decides WHO is
+    // close from m small ints; exact vectors decide the ORDER — the
+    // standard recovery for PQ's quantization error, and the shape where
+    // a 100 TB deployment touches d-double vectors for shortlist·queries
+    // rows only. Closed forms throughout, so the oracle replays coding,
+    // probing, shortlist ranking and the exact re-rank end to end.
+    Declared("q279_ivf_pq_rerank",
+      (s, dir) => {
+        import graft.operators.AnnIvf
+        val e = emb(s, dir).select(col("vec_id"), col("e"))
+        val qs = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val centroids = Array.tabulate(8)(i =>
+          Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
+        val idxDir = SharedStages.scratchDir("q279") + "/idx"
+        AnnIvf.buildIndexStorePq(e, centroids, idxDir)
+        AnnIvf.topKIndexedStoreAdcRerank(s, idxDir, qs, k = 3, shortlist = 10,
+            centroids, nprobe = 2)
+          .select(col("qid"), col("rn"), col("vec_id"), out6(col("cos")).as("cos"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20),
+             |asg AS (SELECT vec_id, emb,
+             |  8 - list_position(list_reverse(emb[1:8]), list_max(emb[1:8])) AS cluster FROM e),
+             |c AS (SELECT vec_id, list_transform(range(0, 8), j ->
+             |    CAST(list_position(
+             |      list_transform(range(0, 16), i ->
+             |        CASE WHEN i < 8 THEN emb[8*j + i + 1] ELSE -emb[8*j + i - 7] END),
+             |      list_max(list_transform(range(0, 16), i ->
+             |        CASE WHEN i < 8 THEN emb[8*j + i + 1] ELSE -emb[8*j + i - 7] END)))
+             |      AS INTEGER)) AS code
+             |  FROM e),
+             |qp AS (SELECT qid, qe,
+             |  list_transform(list_reverse(list_sort(list_transform(range(1, 9),
+             |    d -> {'v': qe[d], 'd': d - 1}))), x -> x.d) AS probe_order FROM q),
+             |sl AS (SELECT qid, vec_id FROM (
+             |    SELECT qp.qid, a.vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY qp.qid
+             |        ORDER BY list_sum(list_transform(range(0, 8), j ->
+             |          CASE WHEN cc.code[j+1] <= 8 THEN qp.qe[8*j + cc.code[j+1]]
+             |               ELSE -qp.qe[8*j + cc.code[j+1] - 8] END)) DESC,
+             |          a.vec_id) AS rn
+             |    FROM qp, asg a JOIN c cc USING (vec_id)
+             |    WHERE a.vec_id <> qp.qid
+             |      AND list_contains(list_slice(qp.probe_order, 1, 2), a.cluster))
+             |  WHERE rn <= 10),
+             |r AS (SELECT s.qid, s.vec_id,
+             |    list_cosine_similarity(e.emb, q.qe) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY s.qid
+             |      ORDER BY list_cosine_similarity(e.emb, q.qe) DESC, s.vec_id) AS rn
+             |  FROM sl s JOIN e ON e.vec_id = s.vec_id JOIN q ON q.qid = s.qid)
+             |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id,
+             |  CAST(ROUND(cos, 6) AS DECIMAL(18,6)) AS cos
+             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
   )
 
   /** Shared q275/q276 oracle: q255's assignment/probing CTEs composed with

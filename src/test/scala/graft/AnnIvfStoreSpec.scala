@@ -194,6 +194,47 @@ class AnnIvfStoreSpec extends AnyFunSuite {
     assert(raw.collect().nonEmpty)
   }
 
+  test("ADC shortlist + exact re-rank: order is exact cosine within the ADC candidate set") {
+    def v64(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("vec_id"),
+        array((0 until 64).map(d =>
+          (pmod(col("id") * (d * 7 + 3), lit(11L)) + lit(d % 5 + 1)).cast("double")): _*)
+          .as("e"))
+    val cents = Array.tabulate(4)(i =>
+      Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
+    val dir = tmpDir("ivfpq-rerank") + "/idx"
+    AnnIvf.buildIndexStorePq(v64(0, 200), cents, dir, buckets = 4)
+    val probes = v64(0, 3).select(col("vec_id").as("qid"), col("e").as("qe"))
+    val got = AnnIvf.topKIndexedStoreAdcRerank(spark, dir, probes,
+        k = 3, shortlist = 8, cents, nprobe = 2, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // reference: take the SAME ADC shortlist, re-rank it by exact cosine
+    // computed independently here — the re-rank must be a pure reorder of
+    // the shortlist, never reach outside it
+    val short = AnnIvf.topKIndexedStoreAdc(spark, dir, probes, 8, cents,
+        nprobe = 2, buckets = 4)
+      .select(col("qid"), col("vec_id"))
+    val ref = short
+      .join(v64(0, 200), "vec_id")
+      .join(probes, "qid")
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("e"), col("qe")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toList
+    assert(got.toSet == ref.toSet,
+      s"re-rank diverged from exact-cosine-over-shortlist:\n$got\nvs\n$ref")
+    assert(got.nonEmpty)
+    // the re-rank's raw-vector read keeps the probed-cluster prune
+    val plan = AnnIvf.topKIndexedStoreAdcRerank(spark, dir, probes,
+        3, 8, cents, nprobe = 2, buckets = 4)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(cluster".r.findFirstIn(plan).isDefined,
+      s"probed filter missing from the re-rank scan:\n$plan")
+  }
+
   test("search during a pending compaction: the commit window never double-counts") {
     val dir = tmpDir("ivfstore-pending") + "/idx"
     AnnIvf.buildIndexStore(vecs(0, 200), centroids, dir, buckets = 4)
