@@ -93,6 +93,68 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Fixture/test helper: deterministic grayscale JPEG — the standard
+      * crawl container, LOSSY by design. The codec is the JDK's own
+      * (`javax.imageio` ships a JPEG reader+writer in java.desktop), so
+      * decode stays pure-JVM like the PNG path; what changes is the
+      * CONTRACT — decoded samples approximate the source, so gates assert
+      * exact structure (dims, pixel counts) plus a bounded distortion,
+      * never exact luma.
+      */
+    def encodeGrayJpeg(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xFF); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Fixture/test helper: deterministic grayscale TIFF — the archival
+      * container (JDK-bundled reader+writer since 9, pure-JVM). LOSSLESS:
+      * decoded samples read back exactly, so TIFF gates share PNG's
+      * exact-luma oracle contract rather than JPEG's bounded-distortion one.
+      */
+    def encodeGrayTiff(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xFF); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "tiff", bos)
+      bos.toByteArray
+    }
+
+    /** Sum of |decoded − reference(x, y)| over a decoded grayscale image —
+      * the lossy-codec distortion audit (integer, deterministic given the
+      * decoder).
+      */
+    def absErrSum(img: java.awt.image.BufferedImage, ref: (Int, Int) => Int): Long = {
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += math.abs(raster.getSample(x, y, 0) - (ref(x, y) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       decodedCount += 1
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

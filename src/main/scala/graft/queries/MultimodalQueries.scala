@@ -413,6 +413,96 @@ object MultimodalQueries extends QueryModule {
              |  CAST(SUM(CASE WHEN b >= 32 THEN CAST(bit AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
              |  CAST(SUM(CASE WHEN b < 32 THEN CAST(bit AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp_lo,
              |  CAST(SUM(bit) AS BIGINT) AS n_set
-             |FROM bits GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin))
+             |FROM bits GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // q280 — REAL JPEG DECODE (the standard crawl container): the JDK's
+    // own javax.imageio JPEG codec (java.desktop — still pure-JVM, no
+    // native libs), closing most of the "standard containers" seam the
+    // round-11 survey marked external. JPEG is LOSSY, so the gate contract
+    // changes shape: a smooth per-doc gradient (base + 5x + 3y, clamped —
+    // DCT-friendly, so 8x8 block error stays small) is JPEG-encoded and
+    // decoded back; the oracle replays the EXACT structural facts (dims
+    // recovered from the bytes, pixel counts) and the distortion is a
+    // VERIFIED CLAIM — mean |decoded−source| <= 4/px — computed Spark-side
+    // and asserted as a boolean column (the q238 "within" discipline for
+    // engine-specific numerics). A decoder that misread dimensions,
+    // dropped pixels, or produced garbage luma hash-mismatches or flips
+    // the claim.
+    Declared("q280_jpeg_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).orderBy(col("doc_id")).limit(nAssets)
+        val rows = ids.as[Long].mapPartitions { it =>
+          val codec = new Multimodal.ImageCodec
+          it.map { id =>
+            val w = 16 + (id % 9).toInt
+            val h = 16 + (id % 7).toInt
+            def src(x: Int, y: Int): Int =
+              math.min(255, (id % 32).toInt * 2 + x * 5 + y * 3)
+            val jpg = codec.encodeGrayJpeg(w, h, src)
+            val img = codec.decode(jpg) // dims recovered from bytes alone
+            val (dw, dh, _) = codec.stats(img)
+            val err = codec.absErrSum(img, src)
+            (id, dw, dh, dw.toLong * dh, err * 1000000L / (dw.toLong * dh))
+          }
+        }.toDF("media_id", "width", "height", "n_px", "mae_micro")
+        rows.select(col("media_id"), col("width"), col("height"),
+            big(col("n_px")).as("n_px"),
+            (col("mae_micro") <= 4000000L).as("within_tol"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""SELECT doc_id AS media_id,
+             |  CAST(16 + doc_id % 9 AS INT) AS width,
+             |  CAST(16 + doc_id % 7 AS INT) AS height,
+             |  CAST((16 + doc_id % 9) * (16 + doc_id % 7) AS BIGINT) AS n_px,
+             |  TRUE AS within_tol
+             |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $nAssets)
+             |ORDER BY media_id""".stripMargin)),
+
+    // q281 — REAL TIFF ROUND-TRIP (the archival container, JDK-bundled
+    // reader+writer since Java 9 — still pure-JVM): TIFF is LOSSLESS, so
+    // unlike q280's JPEG this gate carries q86's full exact-luma oracle —
+    // per-doc pixels from a closed form, encoded to real TIFF bytes,
+    // decoded back, and the SUM of recovered luminance must match the
+    // formula bit-exactly in DuckDB. Distinct dims/formula from q86 so a
+    // container mix-up (PNG bytes where TIFF was claimed) cannot
+    // cross-pass.
+    Declared("q281_tiff_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).orderBy(col("doc_id")).limit(nAssets)
+        val media = ids.as[Long].mapPartitions { it =>
+          val codec = new Multimodal.ImageCodec
+          it.map { id =>
+            val w = 6 + (id % 11).toInt
+            val h = 6 + (id % 5).toInt
+            val tif = codec.encodeGrayTiff(w, h,
+              (x, y) => ((id * 29 + x * 5 + y * 11) % 256).toInt)
+            Multimodal.MediaRow(id, "image", tif, 0, 0, 0, "tiff")
+          }
+        }
+        Multimodal.decodeImageStats(media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            big(col("n_px")).as("n_px"), big(col("sum_luma")).as("sum_luma"),
+            out6(dec(col("sum_luma")) / dec(col("n_px"))).as("mean_luma"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH ids AS (SELECT doc_id, CAST(6 + doc_id % 11 AS INT) AS w,
+             |                    CAST(6 + doc_id % 5 AS INT) AS h
+             |             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $nAssets)),
+             |     px AS (SELECT i.doc_id, i.w, i.h,
+             |                   (i.doc_id*29 + x.range*5 + y.range*11) % 256 AS g
+             |            FROM ids i
+             |            JOIN range(0, 17) x ON x.range < i.w
+             |            JOIN range(0, 17) y ON y.range < i.h)
+             |SELECT doc_id AS media_id, w AS width, h AS height,
+             |  CAST(COUNT(*) AS BIGINT) AS n_px,
+             |  CAST(SUM(g) AS BIGINT) AS sum_luma,
+             |  CAST(ROUND(CAST(SUM(g) AS DECIMAL(18,6)) / CAST(COUNT(*) AS DECIMAL(18,6)), 6)
+             |       AS DECIMAL(18,6)) AS mean_luma
+             |FROM px GROUP BY doc_id, w, h
+             |ORDER BY media_id""".stripMargin))
   )
 }

@@ -125,6 +125,30 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(back.toSeq == samples.toSeq)
   }
 
+  test("multimodal: JPEG (lossy) decode recovers structure exactly, luma within bound") {
+    // the standard crawl container, via the JDK's own codec (pure-JVM):
+    // dims and pixel counts must be EXACT facts recovered from the bytes;
+    // luma is approximate by design — assert the distortion bound the
+    // q280 gate claims (mean |decoded − source| ≤ 4/px on a DCT-friendly
+    // gradient) and that the bound is MEANINGFUL (the decode is not just
+    // returning the source: some pixel differs, because JPEG quantizes)
+    val codec = new Multimodal.ImageCodec
+    for (id <- 0L until 12L) {
+      val w = 16 + (id % 9).toInt
+      val h = 16 + (id % 7).toInt
+      def src(x: Int, y: Int): Int = math.min(255, (id % 32).toInt * 2 + x * 5 + y * 3)
+      val img = codec.decode(codec.encodeGrayJpeg(w, h, src))
+      assert((img.getWidth, img.getHeight) == (w, h), s"dims lost for id=$id")
+      val err = codec.absErrSum(img, src)
+      assert(err <= 4L * w * h, s"id=$id: mean abs err ${err.toDouble / (w * h)} > 4")
+    }
+    // lossiness is real: a high-frequency pattern must show NONZERO error
+    val noisy = codec.decode(codec.encodeGrayJpeg(16, 16,
+      (x, y) => if ((x + y) % 2 == 0) 0 else 255))
+    assert(codec.absErrSum(noisy, (x, y) => if ((x + y) % 2 == 0) 0 else 255) > 0,
+      "checkerboard survived JPEG bit-exact — not a lossy codec?")
+  }
+
   test("integration: decode -> feature -> ANN search over media assets") {
     import spark.implicits._
     // near-duplicate media: asset i and i+100 share bytes (same image), so
