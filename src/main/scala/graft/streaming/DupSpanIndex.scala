@@ -33,11 +33,13 @@ import graft.operators.DupSpans
   *     the batch's flags instead of duplicating them.
   *
   * Every write is a partition rewrite keyed by batchId and every read
-  * takes the STRICTLY-EARLIER snapshot (`_batch < batchId` — negative
-  * consolidated partitions always count as earlier, and a replay of an
-  * earlier batch after later ones exist sees only its true prefix, never
-  * future-batch grams), so replay from any
-  * crash point converges — the [[BucketedStore]] failure model.
+  * takes the STRICTLY-EARLIER snapshot by ORIGINAL batch id
+  * ([[BucketedStore.strictlyBefore]] — `_src_batch` survives compaction,
+  * so a replay of an earlier batch sees only its true prefix, never
+  * future-batch grams, even after the partitions were folded), and a
+  * replay of an already-FOLDED batch no-ops at the store/feed frontier —
+  * so replay from any crash point, including across a maintenance
+  * compaction, converges: the [[BucketedStore]] failure model.
   */
 object DupSpanIndex {
 
@@ -57,15 +59,15 @@ object DupSpanIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       g.count() // materialize once; probed, aggregated and appended below
-      // history = every gram hash seen in a STRICTLY earlier batch
-      // (`_batch < batchId` — consolidated compaction partitions live at
-      // negative ids, so they always count as earlier; a replay of an
-      // earlier batch after later ones exist sees only its true prefix,
-      // never future-batch grams). The distinct collapses bucket-locally
-      // (store is bucketed on gh) and the probe join is exchange-free on
-      // the store side. Replay across a COMPACTION is the one unsupported
-      // case — the consolidation folds all batches together, same as the
-      // other index operators.
+      // history = every gram hash seen in a STRICTLY earlier batch, by
+      // ORIGINAL batch id (BucketedStore.strictlyBefore reads `_src_batch`
+      // through consolidations): a replay of an earlier batch sees only
+      // its true prefix — never future-batch grams — even AFTER a
+      // maintenance compaction folded the partitions (round 12; the
+      // cross-compaction replay itself then no-ops at the store/feed
+      // frontier, DupSpanIndexSpec pins both ends). The distinct collapses
+      // bucket-locally (store is bucketed on gh) and the probe join is
+      // exchange-free on the store side.
       val hist = BucketedStore.read(spark, gramsSpec(dir, nb)) match {
         case Some(st) => BucketedStore.strictlyBefore(st, batchId)
           .select(col("gh")).distinct().withColumn("in_hist", lit(true))

@@ -181,11 +181,13 @@ object Loader {
     * batches.
     *
     * Replay contract: a batch replayed AFTER its partition was folded into
-    * a consolidation is only safe when its commit marker survives (markers
-    * are untouched here — they live at the top level or in the caller's
-    * markersDir): the marker skips the rewrite. A marker-less replay
-    * across a compaction would re-append the batch's rows next to the
-    * consolidated copy — same unsupported case as every index store.
+    * a consolidation is skipped twice over — by its commit marker when it
+    * survives (markers are untouched here), and since round 12 by the
+    * `_feed_frontier` marker even when the markers were reset with a
+    * restored checkpoint: the frontier records the highest real batch id
+    * ever folded, and [[writeBatchIdempotent]] no-ops at or below it
+    * (FeedCompactionSpec pins the marker-less case). `_src_batch` rides
+    * through the fold so by-revision reads stay addressable.
     */
   def compactBatches(spark: SparkSession, tableDir: String): Unit = {
     recoverFeedCompaction(spark, tableDir)

@@ -27,13 +27,16 @@ import graft.queries.{DedupQueries, Protocol}
   * commit marker), and the signature store and its id sidecar are
   * [[BucketedStore]]s whose per-batch append REWRITES the batch's own
   * `_batch` partition. Both per-batch reads take the PRE-batch snapshot
-  * (`_batch =!= batchId`, a free partition-pruned filter), so a replayed
-  * batch sees exactly what the original run saw no matter where the crash
-  * fell: after the pair write (marker skips it, store partitions rewrite
-  * to identical content), between the two store writes (each partition
-  * rewrite converges independently — the crash window the round-9 bare
-  * `mode("append")` layout had, where a replay re-appended already-stored
-  * banded rows), or before anything committed (clean re-run).
+  * by ORIGINAL batch id ([[BucketedStore.excludeBatch]] — `_src_batch`
+  * survives compaction), so a replayed batch sees exactly what the
+  * original run saw no matter where the crash fell: after the pair write
+  * (marker skips it, store partitions rewrite to identical content),
+  * between the two store writes (each partition rewrite converges
+  * independently — the crash window the round-9 bare `mode("append")`
+  * layout had, where a replay re-appended already-stored banded rows), or
+  * before anything committed (clean re-run). A replay ACROSS a
+  * maintenance compaction (old checkpoint restored after the fold)
+  * no-ops at the store/feed frontier markers — LshIndexSpec pins it.
   *
   * 100 TB shape: candidate generation is the banded equi-join — never
   * all-pairs — and per-batch cost is the batch's own signing plus one probe
