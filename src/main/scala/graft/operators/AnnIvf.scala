@@ -364,11 +364,29 @@ object AnnIvf {
     BucketedStore.read(spark,
         codesSpec(dir, BucketedStore.resolveWidth(spark, buckets)))
       .getOrElse(sys.error(s"no PQ codes sidecar at ${codesDir(dir)}"))
-    val cands = BucketedStore.readFiles(spark, codesDir(dir))
-      .drop("_batch", "_src_batch")
+    val (qs, probed) = probeSide(queries, centroids, nprobe)
+    adcTopK(spark, dir, qs, probed, k, m, dsub)
+  }
+
+  /** The probe side of an indexed search, built ONCE per search: the
+    * exploded (query × probed-cluster) frame and the distinct probed ids
+    * (one driver collect — model-sized; see [[probedClusters]]).
+    */
+  private def probeSide(queries: DataFrame, centroids: Array[Array[Double]],
+      nprobe: Int): (DataFrame, Seq[Any]) = {
     val qs = queries
       .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
-    val probed = probedClusters(qs)
+    (qs, probedClusters(qs))
+  }
+
+  /** ADC scoring core over a prepared probe side (shared by the plain ADC
+    * search and the re-rank's shortlist stage, so the re-rank never pays
+    * the probe collect twice).
+    */
+  private def adcTopK(spark: SparkSession, dir: String, qs: DataFrame,
+      probed: Seq[Any], k: Int, m: Int, dsub: Int): DataFrame = {
+    val cands = BucketedStore.readFiles(spark, codesDir(dir))
+      .drop("_batch", "_src_batch")
     val scored = cands.filter(col("cluster").isin(probed: _*))
       .join(broadcast(qs), "cluster")
       .filter(col("vec_id") =!= col("qid"))
@@ -393,16 +411,17 @@ object AnnIvf {
       centroids: Array[Array[Double]], nprobe: Int = 2, buckets: Int = 0,
       m: Int = 8, dsub: Int = 8): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val short = topKIndexedStoreAdc(spark, dir, queries, shortlist, centroids,
-        nprobe, buckets, m, dsub)
+    // validate both stores and build the probe side ONCE — the shortlist
+    // stage and the re-rank scan share the same probed-cluster set
+    val width = BucketedStore.resolveWidth(spark, buckets)
+    BucketedStore.read(spark, codesSpec(dir, width))
+      .getOrElse(sys.error(s"no PQ codes sidecar at ${codesDir(dir)}"))
+    BucketedStore.read(spark, storeSpec(dir, width))
+      .getOrElse(sys.error(s"no index store at $dir"))
+    val (qs, probed) = probeSide(queries, centroids, nprobe)
+    val short = adcTopK(spark, dir, qs, probed, shortlist, m, dsub)
       .select(col("qid"), col("vec_id"))
       .join(queries.select(col("qid"), col("qe")), "qid")
-    BucketedStore.read(spark,
-        storeSpec(dir, BucketedStore.resolveWidth(spark, buckets)))
-      .getOrElse(sys.error(s"no index store at $dir"))
-    val qs = queries
-      .withColumn("cluster", explode(nearest(col("qe"), centroids, nprobe)))
-    val probed = probedClusters(qs)
     val raw = BucketedStore.readFiles(spark, dir).drop("_batch", "_src_batch")
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id"), col("e"))

@@ -93,7 +93,14 @@ object CountMinSketch {
     val cands = estimates(spark, feedDir,
         batch.select(col(keyCol)).distinct(), keyCol, d, w)
       .filter(col("est") >= threshold)
-    graft.streaming.Loader.writeBatchIdempotent(cands, candDir, batchId)
+    // the candidates feed follows the SAME marker regime as the sketch
+    // feed (a sibling of the caller's markersDir — distinct from the
+    // sketch's own `_committed_N` names): if one is checkpoint-tied, both
+    // are, so a marker-reset reprocess re-runs BOTH writes and the
+    // superset guarantee can never be broken by half-stale markers.
+    val candMarkers =
+      if (markersDir == null) null else markersDir.stripSuffix("/") + "_cand"
+    graft.streaming.Loader.writeBatchIdempotent(cands, candDir, batchId, candMarkers)
   }
 
   /** The EXACT heavy hitters: count only the candidate keys the sketch

@@ -39,6 +39,44 @@ object VectorQueries extends QueryModule {
       .filter(col("rn") <= k)
   }
 
+  /** Shared Spark side of q275/q276 (mirroring their shared DuckDB oracle
+    * [[ivfPqRecallOracle]]): build the IVF-PQ store via the caller's
+    * `build` step, then audit the probed ADC search's recall@3 against the
+    * exact brute-force cosine top-3 per nprobe. The per-nprobe hit counts
+    * are materialized EAGERLY (4 rows — driver-sized) so the brute frame's
+    * persist can be released before returning.
+    */
+  private def pqRecallAudit(s: SparkSession, dir: String, scratchKey: String)
+      (build: (DataFrame, Array[Array[Double]], String) => Unit): DataFrame = {
+    import graft.operators.AnnIvf
+    import s.implicits._
+    val e = emb(s, dir).select(col("vec_id"), col("e"))
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val centroids = Array.tabulate(8)(i =>
+      Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
+    val idxDir = SharedStages.scratchDir(scratchKey) + "/idx"
+    build(e, centroids, idxDir)
+    val brute = {
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine(col("e"), col("qe")))
+      groupedTopK(scored, "qid", 3, Seq(col("cos").desc, col("vec_id")))
+        .select(col("qid"), col("vec_id"))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTotal = brute.count()
+      val hits = Seq(1, 2, 4, 8).map { np =>
+        val h = AnnIvf.topKIndexedStoreAdc(s, idxDir, qs, 3, centroids, nprobe = np)
+          .select(col("qid"), col("vec_id"))
+          .join(brute, Seq("qid", "vec_id"), "left_semi")
+          .count()
+        (np.toLong, h, h * 1000000L / nTotal)
+      }
+      hits.toDF("nprobe", "hits", "recall_ppm").orderBy(col("nprobe"))
+    } finally brute.unpersist()
+  }
+
   override val declared: Seq[Declared] = Seq(
 
     // Q26 — 5 nearest neighbours of vec_id=0 by cosine (brute force, exact).
@@ -432,34 +470,8 @@ object VectorQueries extends QueryModule {
     // codebook, fixed-order ADC), so DuckDB replays assignment + probing +
     // coding + ADC ranking end to end.
     Declared("q275_ivf_pq_adc",
-      (s, dir) => {
-        import graft.operators.AnnIvf
-        val e = emb(s, dir).select(col("vec_id"), col("e"))
-        val qs = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("e").as("qe"))
-        val centroids = Array.tabulate(8)(i =>
-          Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
-        val idxDir = SharedStages.scratchDir("q275") + "/idx"
-        AnnIvf.buildIndexStorePq(e, centroids, idxDir)
-        val brute = {
-          val scored = e.crossJoin(broadcast(qs))
-            .filter(col("vec_id") =!= col("qid"))
-            .withColumn("cos", cosine(col("e"), col("qe")))
-          groupedTopK(scored, "qid", 3, Seq(col("cos").desc, col("vec_id")))
-            .select(col("qid"), col("vec_id"))
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nTotal = brute.count()
-        val perProbe = Seq(1, 2, 4, 8).map { np =>
-          AnnIvf.topKIndexedStoreAdc(s, idxDir, qs, 3, centroids, nprobe = np)
-            .select(col("qid"), col("vec_id"))
-            .join(brute, Seq("qid", "vec_id"), "left_semi")
-            .agg(big(count(lit(1))).as("hits"))
-            .select(lit(np.toLong).as("nprobe"), col("hits"))
-        }.reduce(_ unionByName _)
-        perProbe
-          .select(col("nprobe"), col("hits"),
-            big(expr(s"hits * 1000000L div ${nTotal}L")).as("recall_ppm"))
-          .orderBy(col("nprobe"))
+      (s, dir) => pqRecallAudit(s, dir, "q275") { (e, centroids, idxDir) =>
+        graft.operators.AnnIvf.buildIndexStorePq(e, centroids, idxDir)
       },
       Some(ivfPqRecallOracle)),
 
@@ -473,36 +485,10 @@ object VectorQueries extends QueryModule {
     // point (and transitively pins replay/convergence: the store content,
     // not the build path, determines every answer).
     Declared("q276_stream_pq_maintain",
-      (s, dir) => {
-        import graft.operators.AnnIvf
-        val e = emb(s, dir).select(col("vec_id"), col("e"))
-        val qs = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("e").as("qe"))
-        val centroids = Array.tabulate(8)(i =>
-          Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
-        val idxDir = SharedStages.scratchDir("q276") + "/idx"
+      (s, dir) => pqRecallAudit(s, dir, "q276") { (e, centroids, idxDir) =>
         for (b <- 0L until 4L)
-          AnnIvf.appendToIndexStorePq(
+          graft.operators.AnnIvf.appendToIndexStorePq(
             e.filter(pmod(col("vec_id"), lit(4L)) === b), centroids, idxDir, b)
-        val brute = {
-          val scored = e.crossJoin(broadcast(qs))
-            .filter(col("vec_id") =!= col("qid"))
-            .withColumn("cos", cosine(col("e"), col("qe")))
-          groupedTopK(scored, "qid", 3, Seq(col("cos").desc, col("vec_id")))
-            .select(col("qid"), col("vec_id"))
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nTotal = brute.count()
-        val perProbe = Seq(1, 2, 4, 8).map { np =>
-          AnnIvf.topKIndexedStoreAdc(s, idxDir, qs, 3, centroids, nprobe = np)
-            .select(col("qid"), col("vec_id"))
-            .join(brute, Seq("qid", "vec_id"), "left_semi")
-            .agg(big(count(lit(1))).as("hits"))
-            .select(lit(np.toLong).as("nprobe"), col("hits"))
-        }.reduce(_ unionByName _)
-        perProbe
-          .select(col("nprobe"), col("hits"),
-            big(expr(s"hits * 1000000L div ${nTotal}L")).as("recall_ppm"))
-          .orderBy(col("nprobe"))
       },
       Some(ivfPqRecallOracle)),
 

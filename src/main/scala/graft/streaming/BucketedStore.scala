@@ -147,9 +147,12 @@ object BucketedStore {
     * another process can never destroy an in-flight compaction's work.
     * None ⇔ the dir holds no data (or holds a layout this store cannot
     * claim — not bucket-named files, missing bucket columns; the caller
-    * owns any legacy fallback). The frame INCLUDES `_batch` so callers can
-    * exclude a replaying batch's own rows (`col("_batch") =!= batchId` is
-    * the pre-batch snapshot); partition pruning makes that filter free.
+    * owns any legacy fallback). The frame includes the batch bookkeeping
+    * columns; take snapshots through [[excludeBatch]] (pre-batch) or
+    * [[strictlyBefore]] (strictly earlier) — NEVER a bare
+    * `col("_batch") =!= batchId`, which anti-joins a replayed batch
+    * against its own rows once a compaction has folded them (the helpers
+    * read `_src_batch`, which survives the fold).
     */
   def read(spark: SparkSession, spec: StoreSpec): Option[DataFrame] = {
     val f = fs(spark, spec.dir)
@@ -217,7 +220,17 @@ object BucketedStore {
   def appendBatch(df: DataFrame, spec: StoreSpec, batchId: Long): Unit = {
     val spark = df.sparkSession
     recover(spark, spec)
-    if (compactionFrontier(spark, spec.dir).exists(batchId <= _)) return
+    // Frontier scope: REAL (≥ 0) batch ids only — the streaming micro-batch
+    // id space, which foreachBatch assigns monotonically. The guard cannot
+    // distinguish a replay from a first-time batch, so monotone assignment
+    // is part of the contract: a first-time id at or below the frontier
+    // would be dropped as a replay. NEGATIVE ids are deliberate publish
+    // channels (rebuild bases, migrations, backfill revisions) and stay
+    // writable after a compaction — their replay guard is the caller's
+    // marker protocol, and a feed that both publishes negative ids and
+    // compacts should use a dedicated dir (see compactBatches).
+    if (batchId >= 0 && compactionFrontier(spark, spec.dir).exists(batchId <= _))
+      return
     val tbl = tableName(spec.dir)
     if (!spark.catalog.tableExists(tbl)) tryRegister(spark, spec)
     val nb = effectiveBuckets(spark, spec)

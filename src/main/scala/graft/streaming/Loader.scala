@@ -58,7 +58,16 @@ object Loader {
     * CHECKPOINT — not the table — so resetting the checkpoint (a routine
     * reprocess) also resets the markers: replayed batchIds then re-run and
     * dynamically overwrite their own `_batch=` partitions instead of being
-    * silently skipped against a stale marker.
+    * silently skipped against a stale marker. ONE carve-out since the
+    * round-12 frontier: batches already FOLDED by [[compactBatches]]
+    * (real ids at/below `_feed_frontier`) stay skipped even after a
+    * marker reset — their rows live inside a consolidated partition that
+    * a partition overwrite cannot replace, so a rewrite would duplicate,
+    * and the skip is what makes an old-checkpoint restore converge. A
+    * DELIBERATE reprocess that must change folded data therefore targets
+    * a fresh (or cleared) table dir — which was already true before the
+    * frontier existed: reprocessing different rows into a compacted feed
+    * would land them next to the fold, not replace it.
     *
     * `df` MUST derive from the SOURCE (as it does inside foreachBatch) —
     * never from the target table: the dynamic overwrite deletes the very
@@ -74,13 +83,16 @@ object Loader {
     // on HDFS, table on S3) — resolve the FS from the marker path itself
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverFeedCompaction(spark, tableDir)
-    // a batch at or below the feed's compaction frontier is already inside
-    // a consolidated partition — a MARKER-LESS replay of it (an old
-    // checkpoint restored after maintenance compaction, which resets the
-    // checkpoint-tied markers) must not re-append its rows next to the
-    // folded copy. Same no-op contract as BucketedStore.appendBatch.
+    // a REAL (≥ 0) batch at or below the feed's compaction frontier is
+    // already inside a consolidated partition — a MARKER-LESS replay of it
+    // (an old checkpoint restored after maintenance compaction, which
+    // resets the checkpoint-tied markers) must not re-append its rows next
+    // to the folded copy. Same no-op contract and scope as
+    // BucketedStore.appendBatch: negative ids (backfill revisions, rebuild
+    // bases) are deliberate publish channels and stay writable.
     val tfs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val folded = readFeedMarker(tfs, tableDir, FeedFrontier).exists(batchId <= _)
+    val folded = batchId >= 0 &&
+      readFeedMarker(tfs, tableDir, FeedFrontier).exists(batchId <= _)
     if (!fs.exists(marker) && !folded) {
       df.withColumn("_src_batch", lit(batchId)) // survives feed compaction
         .withColumn("_batch", lit(batchId))

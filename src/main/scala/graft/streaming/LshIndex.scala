@@ -394,9 +394,17 @@ object LshIndex {
     *
     * Returns the published hits. `hitsDir` may be the ingest sink's dir
     * (revisions and ingest batches share the `_batch` partition space —
-    * pass a revisionId from a disjoint range, e.g. negatives) or a
-    * dedicated backfill dir; the latter keeps "flagged at ingest" and
-    * "flagged by revision N" separately queryable.
+    * pass a revisionId from a disjoint range, e.g. negatives; negative ids
+    * sit OUTSIDE the feed's compaction frontier, so a republish stays
+    * possible after maintenance compactions) or a dedicated backfill dir;
+    * the latter keeps "flagged at ingest" and "flagged by revision N"
+    * separately queryable — and is the right choice when the dir is ever
+    * compacted, because folding conflates revision partitions. Revisions
+    * published BEFORE the `_src_batch` upgrade lose their per-row ids to
+    * the fold (legacy rows adopt the consolidation id); recovery is to
+    * re-run this operator — it rebuilds the full hit set from the
+    * signature store, so republishing under the revision id (into a fresh
+    * dir if the old one was compacted) restores addressability.
     */
   def backfillDecontaminate(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, bench: DataFrame, indexDir: String, hitsDir: String,

@@ -90,6 +90,11 @@ class ZOrderSpec extends AnyFunSuite {
     // matching row (what a min/max pruner must open; row groups inside
     // other files skip via the pushed filter over the stored x column).
     val dir = "/root/testdata/sf0.1"
+    // the bytes-touched contrast needs sf0.1's row volume (sf0.001's ~30
+    // distinct days barely populate the grid); skip, don't fail, where the
+    // larger fixture was not generated
+    assume(new java.io.File(dir, "events.parquet").exists(),
+      s"$dir fixture not present")
     val ev = graft.model.Tables.load(spark, dir, "events")
       .withColumn("x", pmod(col("user_id"), lit(64L)))
       .withColumn("y",
