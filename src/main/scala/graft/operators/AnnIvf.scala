@@ -248,17 +248,22 @@ object AnnIvf {
       .foreachBatch { (b: DataFrame, id: Long) =>
         appendToIndexStore(b, centroids, dir, id, buckets)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-          compactIndexStore(b.sparkSession, dir, buckets)
+          compactIndexStore(b.sparkSession, dir, buckets, upTo = id)
       }
       .start()
 
   /** Bucket-preserving compaction of the dir-based store + sidecar (the
     * read-side file-count prune; see [[graft.streaming.BucketedStore.compact]]).
+    * `upTo` bounds the fold to batches ≤ it — in-sink maintenance passes
+    * the just-committed batch id so a crash-partial later partition (an
+    * old-checkpoint restore mid-replay) can never be fossilized by the
+    * fold's frontier advance.
     */
-  def compactIndexStore(spark: SparkSession, dir: String, buckets: Int = 0): Unit = {
+  def compactIndexStore(spark: SparkSession, dir: String, buckets: Int = 0,
+      upTo: Long = Long.MaxValue): Unit = {
     val width = BucketedStore.resolveWidth(spark, buckets)
-    BucketedStore.compact(spark, storeSpec(dir, width))
-    BucketedStore.compact(spark, idsSpec(dir, width))
+    BucketedStore.compact(spark, storeSpec(dir, width), upTo)
+    BucketedStore.compact(spark, idsSpec(dir, width), upTo)
   }
 
   /** StoreSpec of the PQ-codes sidecar (bucketed by cluster like the main
@@ -340,9 +345,10 @@ object AnnIvf {
       .foreachBatch { (b: DataFrame, id: Long) =>
         appendToIndexStorePq(b, centroids, dir, id, buckets, m, dsub)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-          compactIndexStore(b.sparkSession, dir, buckets)
+          compactIndexStore(b.sparkSession, dir, buckets, upTo = id)
           BucketedStore.compact(b.sparkSession,
-            codesSpec(dir, BucketedStore.resolveWidth(b.sparkSession, buckets)))
+            codesSpec(dir, BucketedStore.resolveWidth(b.sparkSession, buckets)),
+            upTo = id)
         }
       }
       .start()

@@ -57,7 +57,8 @@ object CountMinSketch {
     (batch, id) => {
       ingestBatch(batch, keyCol, feedDir, id, markersDir, d, w)
       if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-        graft.streaming.Loader.compactBatches(batch.sparkSession, feedDir)
+        graft.streaming.Loader.compactBatches(batch.sparkSession, feedDir,
+          upTo = id)
     }
 
   /** SKETCH-THEN-VERIFY heavy-hitter ingest — the standard production

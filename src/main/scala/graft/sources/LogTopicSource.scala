@@ -108,6 +108,18 @@ object LogTopic {
     * of the head: a lost segment) still fails loudly. None keeps fire-and-
     * forget semantics for callers with their own dedup.
     *
+    * SHARED-FILESYSTEM CONTRACT: the topic dir is plain `java.io.File` —
+    * a producer task running on an executor writes to the filesystem the
+    * EXECUTOR sees. Distributed producers (q104's foreachPartition) are
+    * therefore only correct when all executors share the topic directory
+    * (local mode, NFS/shared scratch); a real multi-host deployment puts
+    * the topic on the shared store or runs one producer per broker-local
+    * dir, exactly as Kafka does. The tmp stage is ATTEMPT-UNIQUE (task
+    * attempt id when on an executor) so a speculative or zombie duplicate
+    * attempt of the same producer task can never interleave bytes with the
+    * original in one tmp file — both stage privately; `expectedStart` +
+    * the atomic rename then serialize a single winner.
+    *
     * @return true if a segment was written, false for an idempotent-retry
     *         no-op
     */
@@ -126,11 +138,20 @@ object LogTopic {
             s"producer gap on p=$p: expected to append at $e but head is $start")
         case _ =>
       }
-      val tmp = new java.io.File(pd, s".seg-$start-${records.size}.log.tmp")
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(-1L)
+      val uniq = s"$attempt-${Thread.currentThread().getId}"
+      val tmp = new java.io.File(pd, s".seg-$start-${records.size}-$uniq.log.tmp")
       val w = new java.io.PrintWriter(tmp, "UTF-8")
       try records.foreach(w.println) finally w.close()
       val fin = new java.io.File(pd, s"seg-$start-${records.size}.log")
-      require(tmp.renameTo(fin), s"segment publish failed: $fin")
+      // two attempts may both reach here with identical content; renameTo
+      // fails for the loser once the winner's segment exists — same rows,
+      // so losing is a success (clean up the stage and report published)
+      if (!tmp.renameTo(fin)) {
+        require(fin.exists(), s"segment publish failed: $fin")
+        tmp.delete()
+      }
       true
     }
   }

@@ -171,7 +171,11 @@ object BucketedStore {
         // silently read an empty store. Resync is cheap (one dir listing)
         // and only runs in the transient commit-pending window.
         spark.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
-        spark.table(tbl).filter(col("_batch") === c)
+        // a BOUNDED fold (upTo marker) leaves real partitions above the
+        // bound intact and unfolded — they stay visible next to the
+        // consolidation (with upTo = MaxValue this is just `=== c`)
+        val upTo = readMarker(f, spec.dir, UpToMarker).getOrElse(Long.MaxValue)
+        spark.table(tbl).filter(col("_batch") === c || col("_batch") > upTo)
       case Some((c, false)) => spark.table(tbl).filter(col("_batch") =!= c)
       case None => spark.table(tbl)
     })
@@ -191,7 +195,9 @@ object BucketedStore {
     val f = fs(spark, dir)
     val df = spark.read.parquet(dir)
     readMarker(f, dir, CommitMarker) match {
-      case Some(c) => df.filter(col("_batch") === c)
+      case Some(c) =>
+        val upTo = readMarker(f, dir, UpToMarker).getOrElse(Long.MaxValue)
+        df.filter(col("_batch") === c || col("_batch") > upTo)
       case None => readMarker(f, dir, IntentMarker) match {
         case Some(c) => df.filter(col("_batch") =!= c)
         case None => df
@@ -213,9 +219,12 @@ object BucketedStore {
     * `_batch=batchId` would put a second copy next to them. The
     * [[compactionFrontier]] marker makes such a replay a NO-OP — sound
     * because batch content is deterministic (the same assumption partition
-    * rewrites already make) and because compaction only ever runs on
-    * prefix-complete state (the single-writer contract: a half-written
-    * batch is always replayed before the owner's next maintenance window).
+    * rewrites already make) and because the frontier only ever covers
+    * batches whose rows are COMPLETE in the store: in-sink maintenance
+    * passes its just-committed batch id as [[compact]]'s `upTo` bound, so
+    * a crash-partial partition ABOVE the replay position (an
+    * old-checkpoint restore) is never folded or frontier-covered — its
+    * eventual replay still rewrites it.
     */
   def appendBatch(df: DataFrame, spec: StoreSpec, batchId: Long): Unit = {
     val spark = df.sparkSession
@@ -229,8 +238,19 @@ object BucketedStore {
     // writable after a compaction — their replay guard is the caller's
     // marker protocol, and a feed that both publishes negative ids and
     // compacts should use a dedicated dir (see compactBatches).
-    if (batchId >= 0 && compactionFrontier(spark, spec.dir).exists(batchId <= _))
+    if (batchId >= 0 && compactionFrontier(spark, spec.dir).exists(batchId <= _)) {
+      // a correct replay of a folded batch — but also indistinguishable
+      // from a CONTRACT VIOLATION (a fresh checkpoint restarting ids at 0
+      // against an already-compacted store). Log loudly so an accidental
+      // reset is diagnosable instead of a silent drop.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"appendBatch(${spec.dir}, batch=$batchId): no-op — batch id is at/" +
+          s"below the compaction frontier ${compactionFrontier(spark, spec.dir).get}. " +
+          "Correct for a replay of a folded batch; if this is a FIRST-TIME " +
+          "batch (checkpoint reset against a compacted store), its rows were " +
+          "just dropped — reprocess into a fresh store dir.")
       return
+    }
     val tbl = tableName(spec.dir)
     if (!spark.catalog.tableExists(tbl)) tryRegister(spark, spec)
     val nb = effectiveBuckets(spark, spec)
@@ -285,6 +305,7 @@ object BucketedStore {
   private def marker(dir: String, name: String) = new Path(dir, name)
   private val IntentMarker = "_compact_intent"
   private val CommitMarker = "_compact_commit"
+  private val UpToMarker = "_compact_upto"
   private val BucketsMarker = "_store_buckets"
   private val SortedMarker = "_store_sorted"
   private val FrontierMarker = "_store_frontier"
@@ -428,8 +449,25 @@ object BucketedStore {
     * (no commit marker ⇒ delete the orphan `_batch=C`, nothing happened) or
     * forward (commit marker ⇒ finish the deletes). Readers never see
     * duplicates because reads go through [[read]], which recovers first.
+    *
+    * `upTo` BOUNDS the fold to real partitions with id ≤ upTo (negative
+    * consolidation/base partitions always fold). Maintenance sinks MUST
+    * pass their just-committed batch id here: after an old-checkpoint
+    * restore, the disk can hold a CRASH-PARTIAL partition whose id is
+    * above the replay position — an unbounded fold would swallow its
+    * partial rows into the consolidation and advance the frontier over it,
+    * turning the batch's eventual replay into a no-op (partial rows
+    * permanent, missing rows silently lost). Bounded, such later
+    * partitions stay intact on disk and their replay's partition rewrite
+    * still replaces them. The bound is persisted (`_compact_upto`) so
+    * crash recovery deletes exactly the folded sources, and the
+    * commit-pending read view keeps unfolded later partitions visible.
+    * The default (MaxValue) keeps the legacy whole-store fold for
+    * offline/manual compaction, where prefix-complete state is the
+    * caller's contract.
     */
-  def compact(spark: SparkSession, spec: StoreSpec): Unit = {
+  def compact(spark: SparkSession, spec: StoreSpec,
+      upTo: Long = Long.MaxValue): Unit = {
     recover(spark, spec)
     val f = fs(spark, spec.dir)
     if (!hasParquet(f, spec.dir)) return
@@ -437,14 +475,20 @@ object BucketedStore {
     if (!spark.catalog.tableExists(tbl)) tryRegister(spark, spec)
     require(spark.catalog.tableExists(tbl),
       s"compact: ${spec.dir} holds a layout this store cannot claim")
+    val allIds = partitionIds(f, spec.dir)
+    val foldIds = allIds.filter(id => id < 0 || id <= upTo)
+    if (foldIds.isEmpty) return // bound excludes everything: nothing to fold
     val nb = effectiveBuckets(spark, spec)
     val c = nextBasePartition(spark, spec)
     writeMarker(f, spec.dir, IntentMarker, c)
+    writeMarker(f, spec.dir, UpToMarker, upTo)
     // advance the frontier BEFORE anything moves: from here on the folded
     // batches' rows are guaranteed present whichever way a crash falls
     // (roll-back never touches the untouched source partitions; roll-forward
     // keeps the consolidation), so a replay ≤ frontier is safely a no-op.
-    partitionIds(f, spec.dir).filter(_ >= 0).maxOption.foreach { maxReal =>
+    // Only ids inside the fold bound advance it — a later (possibly
+    // crash-partial, not-yet-replayed) partition must stay replayable.
+    foldIds.filter(_ >= 0).maxOption.foreach { maxReal =>
       val next = math.max(maxReal,
         readMarker(f, spec.dir, FrontierMarker).getOrElse(Long.MinValue))
       writeMarker(f, spec.dir, FrontierMarker, next)
@@ -460,6 +504,7 @@ object BucketedStore {
     // semantics), so strictly-earlier and exclude-own-batch snapshots keep
     // working after the partition structure is folded away.
     val tblDf = spark.table(tbl)
+      .filter(col("_batch") < 0 || col("_batch") <= upTo) // the fold bound
     val withSrc =
       if (tblDf.columns.contains("_src_batch"))
         tblDf.withColumn("_src_batch", coalesce(col("_src_batch"), col("_batch")))
@@ -502,7 +547,11 @@ object BucketedStore {
     */
   private def finishCompaction(spark: SparkSession, spec: StoreSpec, c: Long): Unit = {
     val f = fs(spark, spec.dir)
-    partitionIds(f, spec.dir).filter(_ != c)
+    // delete exactly the FOLDED sources: the persisted bound (MaxValue for
+    // unbounded/legacy folds) keeps real partitions above it — unfolded,
+    // possibly awaiting replay — alive on disk
+    val upTo = readMarker(f, spec.dir, UpToMarker).getOrElse(Long.MaxValue)
+    partitionIds(f, spec.dir).filter(id => id != c && (id < 0 || id <= upTo))
       .foreach(id => f.delete(new Path(spec.dir, s"_batch=$id"), true))
     // the consolidated rewrite is sorted per bucket, and it is now the
     // ONLY partition — a legacy unsorted store earns the marker here
@@ -516,6 +565,9 @@ object BucketedStore {
     // the store's only remaining copy.
     f.delete(marker(spec.dir, IntentMarker), false)
     f.delete(marker(spec.dir, CommitMarker), false)
+    // last: a stale upTo with neither intent nor commit is inert (readers
+    // only consult it while a compaction is pending)
+    f.delete(marker(spec.dir, UpToMarker), false)
   }
 
   /** Compaction crash recovery — runs on every open; a no-op unless a
@@ -536,6 +588,7 @@ object BucketedStore {
           // orphan partition — drop it so the next use re-registers clean
           spark.sql(s"DROP TABLE IF EXISTS ${tableName(spec.dir)}")
           f.delete(marker(spec.dir, IntentMarker), false)
+          f.delete(marker(spec.dir, UpToMarker), false)
         case None => ()
       }
     }

@@ -95,10 +95,12 @@ object DupSpanIndex {
     (batch, id) => {
       ingestBatch(batch, dir, hitsDir, id, width, buckets)
       if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+        // bounded to the just-committed batch: a crash-partial LATER
+        // partition (old-checkpoint restore mid-replay) stays replayable
         BucketedStore.compact(batch.sparkSession, gramsSpec(dir,
-          BucketedStore.resolveWidth(batch.sparkSession, buckets)))
+          BucketedStore.resolveWidth(batch.sparkSession, buckets)), upTo = id)
         // fold the flag FEED's per-batch partitions on the same policy
-        Loader.compactBatches(batch.sparkSession, hitsDir)
+        Loader.compactBatches(batch.sparkSession, hitsDir, upTo = id)
       }
     }
 

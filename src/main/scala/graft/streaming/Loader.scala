@@ -93,6 +93,14 @@ object Loader {
     val tfs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val folded = batchId >= 0 &&
       readFeedMarker(tfs, tableDir, FeedFrontier).exists(batchId <= _)
+    if (folded && !fs.exists(marker))
+      // correct for a marker-less replay of a folded batch; loud because a
+      // FIRST-TIME batch here (checkpoint reset against a compacted feed)
+      // would be silently dropped — see BucketedStore.appendBatch
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"writeBatchIdempotent($tableDir, batch=$batchId): no-op — id at/" +
+          "below the feed's compaction frontier; if this is a first-time " +
+          "batch its rows were dropped — reprocess into a fresh feed dir.")
     if (!fs.exists(marker) && !folded) {
       df.withColumn("_src_batch", lit(batchId)) // survives feed compaction
         .withColumn("_batch", lit(batchId))
@@ -117,7 +125,13 @@ object Loader {
   def readTable(spark: SparkSession, tableDir: String): org.apache.spark.sql.DataFrame = {
     val df = spark.read.parquet(tableDir)
     val viewed = pendingFeedCompaction(spark, tableDir) match {
-      case Some((c, true))  => df.filter(col("_batch") === c)
+      case Some((c, true)) =>
+        // a BOUNDED fold leaves real partitions above the bound unfolded —
+        // keep them visible next to the consolidation (upTo = MaxValue for
+        // unbounded folds degenerates to `=== c`)
+        val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val upTo = readFeedMarker(fs, tableDir, FeedUpTo).getOrElse(Long.MaxValue)
+        df.filter(col("_batch") === c || col("_batch") > upTo)
       case Some((c, false)) => df.filter(col("_batch") =!= c)
       case None => df
     }
@@ -157,6 +171,7 @@ object Loader {
 
   private val FeedIntent = "_feed_compact_intent"
   private val FeedCommit = "_feed_compact_commit"
+  private val FeedUpTo = "_feed_compact_upto"
   private val FeedFrontier = "_feed_frontier"
 
   // marker/partition plumbing shared with the index stores — ONE
@@ -201,18 +216,27 @@ object Loader {
     * (FeedCompactionSpec pins the marker-less case). `_src_batch` rides
     * through the fold so by-revision reads stay addressable.
     */
-  def compactBatches(spark: SparkSession, tableDir: String): Unit = {
+  def compactBatches(spark: SparkSession, tableDir: String,
+      upTo: Long = Long.MaxValue): Unit = {
     recoverFeedCompaction(spark, tableDir)
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = feedPartitionIds(fs, tableDir)
-    if (ids.size <= 1) return // nothing to fold
+    // `upTo` bounds the fold to real batch ids ≤ upTo (negative revision/
+    // base partitions always fold) — maintenance sinks pass their
+    // just-committed batch id so a crash-partial LATER partition (an
+    // old-checkpoint restore mid-replay) is never swallowed into the
+    // consolidation with the frontier advanced over it; its eventual
+    // replay still rewrites it. MaxValue = legacy whole-feed fold.
+    val foldIds = ids.filter(id => id < 0 || id <= upTo)
+    if (foldIds.size <= 1) return // nothing to fold
     val c = math.min(0L, ids.min) - 1L
     // advance the replay frontier before anything moves (whichever way a
     // crash falls, the folded batches' rows stay present — roll-back leaves
     // the sources untouched, roll-forward keeps the consolidation), so a
     // marker-less replay ≤ frontier is safely skipped by
     // [[writeBatchIdempotent]]. Permanent state, like the store's own.
-    ids.filter(_ >= 0).maxOption.foreach { maxReal =>
+    // Only ids inside the fold bound advance it.
+    foldIds.filter(_ >= 0).maxOption.foreach { maxReal =>
       writeFeedMarker(fs, tableDir, FeedFrontier, math.max(maxReal,
         readFeedMarker(fs, tableDir, FeedFrontier).getOrElse(Long.MinValue)))
     }
@@ -222,6 +246,7 @@ object Loader {
     // column so revision/prefix reads survive the fold; legacy rows
     // materialize it from their partition id
     val raw = spark.read.parquet(tableDir)
+      .filter(col("_batch") < 0 || col("_batch") <= upTo) // the fold bound
     val src = (
       if (raw.columns.contains("_src_batch"))
         raw.withColumn("_src_batch",
@@ -233,6 +258,7 @@ object Loader {
     val got = spark.read.parquet(scratch).count()
     require(got == expect, s"feed compaction audit failed: $expect rows in, $got out")
     writeFeedMarker(fs, tableDir, FeedIntent, c)
+    writeFeedMarker(fs, tableDir, FeedUpTo, upTo)
     require(fs.rename(new Path(scratch), new Path(tableDir, s"_batch=$c")),
       s"feed compaction publish rename failed: $scratch -> $tableDir/_batch=$c")
     writeFeedMarker(fs, tableDir, FeedCommit, c)
@@ -241,7 +267,10 @@ object Loader {
 
   private def finishFeedCompaction(fs: org.apache.hadoop.fs.FileSystem,
       tableDir: String, c: Long): Unit = {
-    feedPartitionIds(fs, tableDir).filter(_ != c)
+    // delete exactly the FOLDED sources: the persisted bound keeps real
+    // partitions above it — unfolded, possibly awaiting replay — alive
+    val upTo = readFeedMarker(fs, tableDir, FeedUpTo).getOrElse(Long.MaxValue)
+    feedPartitionIds(fs, tableDir).filter(id => id != c && (id < 0 || id <= upTo))
       .foreach(id => fs.delete(new Path(tableDir, s"_batch=$id"), true))
     // INTENT must die BEFORE COMMIT: a crash between the two deletes then
     // leaves commit-only, which recovery rolls FORWARD (idempotent). The
@@ -250,6 +279,9 @@ object Loader {
     // i.e. the feed's only remaining copy.
     fs.delete(new Path(tableDir, FeedIntent), false)
     fs.delete(new Path(tableDir, FeedCommit), false)
+    // last: a stale upTo with neither marker is inert (readers only
+    // consult it while a compaction is pending)
+    fs.delete(new Path(tableDir, FeedUpTo), false)
   }
 
   /** Feed-compaction crash recovery — no-op unless a [[compactBatches]]
@@ -267,6 +299,7 @@ object Loader {
           fs.delete(new Path(tableDir, s"_batch=$c"), true)
           fs.delete(new Path(tableDir.stripSuffix("/") + "_compacting"), true)
           fs.delete(new Path(tableDir, FeedIntent), false)
+          fs.delete(new Path(tableDir, FeedUpTo), false)
         case None => ()
       }
     }

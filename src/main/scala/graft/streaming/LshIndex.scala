@@ -191,10 +191,10 @@ object LshIndex {
     * scaladoc promised, now an operator.
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      buckets: Int = 0): Unit = {
+      buckets: Int = 0, upTo: Long = Long.MaxValue): Unit = {
     val width = BucketedStore.resolveWidth(spark, buckets)
-    BucketedStore.compact(spark, storeSpec(storeDir, width))
-    BucketedStore.compact(spark, idsSpec(storeDir, width))
+    BucketedStore.compact(spark, storeSpec(storeDir, width), upTo)
+    BucketedStore.compact(spark, idsSpec(storeDir, width), upTo)
   }
 
   /** The stored doc_id set for the re-arrival anti-join (pre-batch
@@ -309,10 +309,12 @@ object LshIndex {
     (batch, id) => {
       processBatch(batch, storeDir, pairsDir, id, markersDir, threshold, buckets)
       if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-        compactStore(batch.sparkSession, storeDir, buckets)
+        // bounded to the just-committed batch: a crash-partial LATER
+        // partition (old-checkpoint restore mid-replay) stays replayable
+        compactStore(batch.sparkSession, storeDir, buckets, upTo = id)
         // the pair FEED accumulates one partition per batch too — fold it
         // on the same policy (markers survive, so replays stay skipped)
-        Loader.compactBatches(batch.sparkSession, pairsDir)
+        Loader.compactBatches(batch.sparkSession, pairsDir, upTo = id)
       }
     }
 

@@ -93,7 +93,7 @@ object RetrievalIndex {
       : (DataFrame, Long) => Unit = (batch, id) => {
     ingestBatch(batch, dir, id, buckets)
     if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-      compact(batch.sparkSession, dir, buckets)
+      compact(batch.sparkSession, dir, buckets, upTo = id)
   }
 
   /** Bucket-preserving compaction of postings + sidecar, plus the
@@ -103,11 +103,12 @@ object RetrievalIndex {
     * read-side term the store compaction kills, closed with
     * `Loader.compactBatches` (crash-safe, recovery on next read).
     */
-  def compact(spark: SparkSession, dir: String, buckets: Int = 0): Unit = {
+  def compact(spark: SparkSession, dir: String, buckets: Int = 0,
+      upTo: Long = Long.MaxValue): Unit = {
     val width = BucketedStore.resolveWidth(spark, buckets)
-    BucketedStore.compact(spark, postingsSpec(dir, width))
-    BucketedStore.compact(spark, idsSpec(dir, width))
-    Loader.compactBatches(spark, statsDir(dir))
+    BucketedStore.compact(spark, postingsSpec(dir, width), upTo)
+    BucketedStore.compact(spark, idsSpec(dir, width), upTo)
+    Loader.compactBatches(spark, statsDir(dir), upTo)
   }
 
   /** EXACT integer-micro BM25 (k1=1.2, b=0.75) from a postings frame

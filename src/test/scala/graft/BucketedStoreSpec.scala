@@ -263,6 +263,70 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(rows(s).size == 45)
   }
 
+  test("BOUNDED compaction (upTo) never fossilizes a crash-partial later batch") {
+    val s = spec(tmpDir("bs-bounded"))
+    for (b <- 0L until 3L)
+      BucketedStore.appendBatch(mk(b * 10, b * 10 + 10), s, b)
+    // a CRASH-PARTIAL future partition: a pre-restore run wrote batch 5
+    // halfway (3 of 10 rows) before dying, then an OLD checkpoint was
+    // restored — the partial partition's id is above the replay position
+    BucketedStore.appendBatch(mk(50, 53), s, 5L)
+    // mid-replay maintenance after committing batch 2: bounded to the
+    // just-committed id, so partition 5 is neither folded nor
+    // frontier-covered (an unbounded fold here would swallow the partial
+    // rows and no-op the batch's eventual replay — permanent data loss)
+    BucketedStore.compact(spark, s, upTo = 2L)
+    assert(BucketedStore.compactionFrontier(spark, s.dir).contains(2L),
+      "bounded fold advanced the frontier over an unfolded later batch")
+    val fs = new org.apache.hadoop.fs.Path(s.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_batch=5")),
+      "the later partition must survive the bounded fold intact")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s.dir, "_compact_upto")),
+      "the fold bound must not outlive the compaction")
+    // the batch's eventual replay still REWRITES its partition whole —
+    // partial rows replaced, missing rows recovered
+    BucketedStore.appendBatch(mk(50, 60), s, 5L)
+    assert(rows(s).map(_._1) == ((0L until 30L) ++ (50L until 60L)).toSet,
+      "replay after the bounded fold did not restore the full batch")
+    // the next maintenance window (bounded at the replayed id) folds it
+    BucketedStore.compact(spark, s, upTo = 5L)
+    assert(BucketedStore.compactionFrontier(spark, s.dir).contains(5L))
+    assert(rows(s).size == 40)
+  }
+
+  test("commit-pending view of a BOUNDED fold keeps unfolded later partitions visible") {
+    val s = spec(tmpDir("bs-bounded-view"))
+    for (b <- 0L until 3L)
+      BucketedStore.appendBatch(mk(b * 10, b * 10 + 10), s, b)
+    // simulate the crash window one instant after a BOUNDED (upTo=1)
+    // fold's commit marker: a stand-in consolidation partition, commit +
+    // upTo markers present, sources not yet deleted, batch 2 unfolded
+    val fs = new org.apache.hadoop.fs.Path(s.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s.dir, "_batch=0"), fs,
+      new org.apache.hadoop.fs.Path(s.dir, "_batch=-1"), false,
+      spark.sparkContext.hadoopConfiguration)
+    Seq("_compact_intent" -> "-1", "_compact_commit" -> "-1",
+        "_compact_upto" -> "1").foreach { case (m, v) =>
+      val os = fs.create(new org.apache.hadoop.fs.Path(s.dir, m), true)
+      os.write(v.getBytes("UTF-8")); os.close()
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${BucketedStore.tableName(s.dir)}")
+    // the view = consolidation + partitions ABOVE the bound; folded
+    // sources (0, 1) are invisible. The pre-round-13 `=== c` view would
+    // hide batch 2's live rows here.
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    assert(ks(BucketedStore.readFiles(spark, s.dir))
+      == ((0L until 10L) ++ (20L until 30L)).toSet,
+      "path-based commit-pending view lost the unfolded later partition")
+    assert(ks(BucketedStore.read(spark, s).get)
+      == ((0L until 10L) ++ (20L until 30L)).toSet,
+      "catalog commit-pending view lost the unfolded later partition")
+  }
+
   test("readFiles (path-based) applies the pending-compaction marker view") {
     val s = spec(tmpDir("bs-readfiles"))
     BucketedStore.appendBatch(mk(0, 40), s, 0L)

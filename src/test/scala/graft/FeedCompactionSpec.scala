@@ -84,6 +84,34 @@ class FeedCompactionSpec extends AnyFunSuite {
     assert(rows(dir).size == 40)
   }
 
+  test("BOUNDED feed fold (upTo) leaves a crash-partial later batch replayable") {
+    val dir = tmp("feed-bounded")
+    val mk = tmp("feed-bounded-mk")
+    for (b <- 0L until 2L)
+      Loader.writeBatchIdempotent(batch(b * 10, b * 10 + 10), dir, b, mk)
+    // a pre-restore run wrote batch 4 halfway (3 of 10 rows), then an OLD
+    // checkpoint was restored — checkpoint-tied markers reset with it
+    Loader.writeBatchIdempotent(batch(40, 43), dir, 4L, mk)
+    new java.io.File(mk).listFiles().foreach(_.delete())
+    // mid-replay maintenance bounded at the just-committed batch 1: the
+    // partial partition is neither folded nor frontier-covered (an
+    // unbounded fold would make its replay a silent no-op — the partial
+    // rows permanent, the missing rows lost)
+    Loader.compactBatches(spark, dir, upTo = 1L)
+    assert(partitions(dir).toSet == Set("_batch=-1", "_batch=4"),
+      "bounded fold must consolidate only batches at/below the bound")
+    // the replay (marker-less: the restored checkpoint reset them) still
+    // REWRITES the partial partition whole
+    Loader.writeBatchIdempotent(batch(40, 50), dir, 4L, mk)
+    val want = ((0L until 20L) ++ (40L until 50L)).map(i => (i, i * 10)).toSet
+    assert(rows(dir) == want,
+      "replay after the bounded feed fold did not restore the full batch")
+    // the next maintenance window folds the replayed batch too
+    Loader.compactBatches(spark, dir, upTo = 4L)
+    assert(partitions(dir).size == 1)
+    assert(rows(dir) == want)
+  }
+
   test("the revision partition stays addressable after a feed compaction (_src_batch)") {
     val dir = tmp("feed-rev")
     for (b <- 0L until 3L)
