@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DISTRIBUTED k-means training (Lloyd's algorithm) — the faiss TRAIN leg
+  * of the ANN stack: the quantizers every IVF/PQ gate previously consumed
+  * closed-form (unit-basis centroids, signed-basis codebooks) can now be
+  * LEARNED from the corpus, with the whole training loop replayable by the
+  * DuckDB oracle. Reference behavior: the IVF coarse quantizer and the
+  * per-subspace PQ codebooks of Jégou et al. 2011 (the q272/q275 search
+  * machinery), trained the way faiss trains them — k-means per quantizer.
+  *
+  * Determinism contract (what makes a trained model GATEABLE):
+  *  - INIT is derandomized: the k seed vectors are the corpus rows with the
+  *    smallest `md5(vec_id)` (tie: vec_id) — uniform-ish over the corpus,
+  *    reproducible in any engine with md5.
+  *  - ASSIGNMENT is anchored on the 6-dp ROUNDED cosine (tie → lowest
+  *    cluster id): the same cross-engine anchor q73 uses, so both engines
+  *    make identical argmax choices without assuming bit-identical
+  *    full-precision similarity loops.
+  *  - UPDATE is the EXACT-DECIMAL mean: per (cluster, dim) the values are
+  *    summed as DECIMAL(18,6) (order-free — a double sum would make
+  *    training partitioning-dependent), cast to double, divided by the
+  *    member count. An empty cluster keeps its previous centroid.
+  *  - R is FIXED (no convergence test — a data-dependent round count would
+  *    not be SQL-replayable; faiss's niter default is fixed too).
+  *
+  * Scale shape (the 100 TB question): per round exactly ONE corpus scan —
+  * assignment is an in-row argmax over the k broadcast centroid literals
+  * (no shuffle), the update is one partial-aggregated (cluster, dim)
+  * GROUP BY whose exchange carries at most tasks·k·d rows, and the driver
+  * receives k·d decimals (the MODEL, which lives on the driver by design —
+  * the same sanction as AnnIvf's centroid collect and BPE's candidate
+  * window). Nothing corpus-sized ever reaches the driver or re-shuffles.
+  * KMeansTrainerSpec pins the scan law; the returned `scans` counter is the
+  * measured aggregate count, BpeTrainer-style.
+  */
+object KMeansTrainer {
+
+  private val Dec = DecimalType(18, 6)
+
+  /** Argmin cluster id for vector column `v` against broadcast centroid
+    * literals: max 6-dp-rounded cosine, tie → lowest id. In-row (codegen'd
+    * cosine per centroid, one array_sort) — zero shuffle.
+    */
+  def assignCol(v: Column, cents: Array[Array[Double]]): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (-round(graft.functions.VectorFunctions.cosine(v, typedlit(c.toSeq)), 6)
+          .cast(Dec)).as("nc"),
+        lit(i).as("id"))
+    }: _*)
+    element_at(array_sort(scored), 1).getField("id")
+  }
+
+  /** The k derandomized seed vectors, in seed order (cluster i = i-th
+    * vector by `(md5(vec_id), vec_id)`). One ordered-limit scan.
+    */
+  def seeds(e: DataFrame, k: Int): Array[Array[Double]] = {
+    val got = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("e"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(got.length == k, s"need $k seed vectors, corpus has ${got.length}")
+    got
+  }
+
+  /** One Lloyd round: returns the updated centroids. One corpus scan. */
+  def lloydRound(e: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val sums = e
+      .select(assignCol(col("e"), cents).as("cluster"),
+        posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("v").cast(Dec)).as("sv"), count(lit(1)).as("n"))
+      .collect() // k·d rows — the model update, driver-sized by design
+    val next = cents.map(_.clone()) // empty clusters keep their centroid
+    sums.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3)
+    }
+    next
+  }
+
+  /** Train k centroids for `rounds` fixed Lloyd rounds. Returns
+    * (centroids, corpus aggregates executed) — the scan counter feeds the
+    * spec law, like BpeTrainer's.
+    */
+  def train(e: DataFrame, k: Int, rounds: Int): (Array[Array[Double]], Int) = {
+    var cents = seeds(e, k)
+    var scans = 0
+    for (_ <- 1 to rounds) { cents = lloydRound(e, cents); scans += 1 }
+    (cents, scans)
+  }
+
+  /** Train the m per-subspace PQ CODEBOOKS (ksub codes of dsub dims each)
+    * the same way — every subspace's k-means rides the SAME corpus scan per
+    * round (the batched-BPE lesson applied to quantizer training: m
+    * trainings cost R aggregates, not m·R). Init: seed s's subvector j is
+    * codebook j's code s. Returns (codebooks(j)(code) = dsub-dim centroid,
+    * scans).
+    */
+  def trainPq(e: DataFrame, m: Int, dsub: Int, ksub: Int, rounds: Int)
+      : (Array[Array[Array[Double]]], Int) = {
+    val seedVecs = seeds(e, ksub)
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seedVecs.map(_.slice(j * dsub, (j + 1) * dsub)))
+    var scans = 0
+    for (_ <- 1 to rounds) {
+      val subRows = explode(array((0 until m).map { j =>
+        val sv = slice(col("e"), j * dsub + 1, dsub)
+        struct(lit(j).as("ss"), assignCol(sv, cbs(j)).as("code"), sv.as("sv"))
+      }: _*)).as("s")
+      val sums = e.select(subRows)
+        .select(col("s.ss").as("ss"), col("s.code").as("code"),
+          posexplode(col("s.sv")).as(Seq("pos", "v")))
+        .groupBy(col("ss"), col("code"), col("pos"))
+        .agg(sum(col("v").cast(Dec)).as("sv"), count(lit(1)).as("n"))
+        .collect() // m·ksub·dsub rows — model-sized
+      val next = cbs.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDecimal(3).doubleValue() / r.getLong(4)
+      }
+      cbs = next
+      scans += 1
+    }
+    (cbs, scans)
+  }
+}
