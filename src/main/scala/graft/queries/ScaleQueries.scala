@@ -867,6 +867,101 @@ object ScaleQueries extends QueryModule {
       },
       Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact
              |FROM events GROUP BY 1 HAVING COUNT(*) >= 60
-             |ORDER BY exact DESC, user_id""".stripMargin))
+             |ORDER BY exact DESC, user_id""".stripMargin)),
+
+    // q285 — MAINTAINED MERGEABLE QUANTILE SKETCH audit (operators.
+    // QuantileSketch): the missing member of the sketch family (frequency
+    // = CMS q271/q273/q278, cardinality = HLL q39, heavy hitters = MG
+    // q162). A DDSketch-shaped log-bucket histogram made DETERMINISTIC by
+    // integer-only bucketing — value → exact micros, bucket = |m| with all
+    // but its top 5 bits zeroed, signed (bin()/mod/power-of-two ops both
+    // engines evaluate identically; no floating log whose ulp could flip a
+    // boundary). 16 sub-buckets per octave ⇒ the estimate never overshoots
+    // and relative error ≤ 1/16. The audit is the q238 rank-interval
+    // discipline: for each q the sketch's bucket must contain the true
+    // rank — r_lt(est) < rank ≤ r_lt(next boundary) — carried as a
+    // `within` boolean the oracle recomputes from its own sketch replay.
+    Declared("q285_quantile_sketch_audit",
+      (s, dir) => {
+        import graft.operators.QuantileSketch
+        val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+        val sk = QuantileSketch.delta(li, "v") // one-shot ≡ fold (linearity)
+        val est = QuantileSketch.quantiles(sk, Seq(500000L, 900000L, 990000L))
+          .withColumn("ub", QuantileSketch.upperBoundCol(col("est_micros")))
+        li.select(QuantileSketch.micros(col("v")).as("m"))
+          .crossJoin(broadcast(est))
+          .groupBy(col("q_ppm"), col("rank"), col("est_micros"))
+          .agg(sum(when(col("m") < col("est_micros"), 1L).otherwise(0L)).as("r_lt"),
+            sum(when(col("m") < col("ub"), 1L).otherwise(0L)).as("r_ub"))
+          .select(col("q_ppm"), big(col("rank")).as("rnk"),
+            big(col("est_micros")).as("est_micros"),
+            (col("r_lt") < col("rank") && col("rank") <= col("r_ub")).as("within"))
+          .orderBy(col("q_ppm"))
+      },
+      Some(quantileSketchOracle)),
+
+    // q286 — STREAMING quantile-sketch maintenance: the linear-sketch
+    // pattern (q273's) applied to quantiles — per batch one sketch-sized
+    // (bucket, count) delta written replay-idempotently on the Loader feed
+    // discipline (with a BOUNDED maintenance fold exercised mid-stream:
+    // compactBatches(upTo = just-committed id), the round-13 contract);
+    // the query folds the feed and answers quantiles from ≤ ~2k bucket
+    // rows. Counts are linear ⇒ the fold equals the one-shot sketch under
+    // any batch split, so q286 shares q285's oracle byte-for-byte.
+    Declared("q286_stream_quantile_sketch",
+      (s, dir) => {
+        import graft.operators.QuantileSketch
+        val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+        val feed = SharedStages.scratchDir("q286") + "/qsk"
+        for (b <- 0L until 4L) {
+          QuantileSketch.ingestBatch(
+            li.filter(pmod(QuantileSketch.micros(col("v")), lit(4L)) === b),
+            "v", feed, b)
+          if (b == 1L) graft.streaming.Loader.compactBatches(s, feed, upTo = 1L)
+        }
+        val sk = QuantileSketch.fold(s, feed)
+        val est = QuantileSketch.quantiles(sk, Seq(500000L, 900000L, 990000L))
+          .withColumn("ub", QuantileSketch.upperBoundCol(col("est_micros")))
+        li.select(QuantileSketch.micros(col("v")).as("m"))
+          .crossJoin(broadcast(est))
+          .groupBy(col("q_ppm"), col("rank"), col("est_micros"))
+          .agg(sum(when(col("m") < col("est_micros"), 1L).otherwise(0L)).as("r_lt"),
+            sum(when(col("m") < col("ub"), 1L).otherwise(0L)).as("r_ub"))
+          .select(col("q_ppm"), big(col("rank")).as("rnk"),
+            big(col("est_micros")).as("est_micros"),
+            (col("r_lt") < col("rank") && col("rank") <= col("r_ub")).as("within"))
+          .orderBy(col("q_ppm"))
+      },
+      Some(quantileSketchOracle))
   )
+
+  /** Shared q285/q286 oracle: DuckDB replays the integer log-bucket sketch,
+    * the rank arithmetic, and the rank-interval audit — one string, two
+    * gates (batch build and 4-batch maintained fold must answer
+    * identically, by linearity).
+    */
+  private def quantileSketchOracle: String =
+    """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+      |  FROM lineitem),
+      |bk AS (SELECT m,
+      |    CAST(power(2, GREATEST(length(bin(abs(m))) - 5, 0)) AS BIGINT) AS p FROM v),
+      |bu AS (SELECT m, (CASE WHEN m < 0 THEN -1 WHEN m > 0 THEN 1 ELSE 0 END)
+      |    * (abs(m) - abs(m) % p) AS bucket FROM bk),
+      |sk AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM bu GROUP BY 1),
+      |tot AS (SELECT SUM(n) AS total FROM sk),
+      |cum AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS c FROM sk),
+      |qs AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS q_ppm),
+      |rk AS (SELECT q_ppm, (tot.total * q_ppm + 999999) // 1000000 AS rnk0 FROM qs, tot),
+      |est AS (SELECT rk.q_ppm, rk.rnk0, MIN(cum.bucket) AS est_micros
+      |  FROM rk JOIN cum ON cum.c >= rk.rnk0 GROUP BY 1, 2),
+      |ub AS (SELECT q_ppm, rnk0, est_micros,
+      |    est_micros + CAST(power(2, GREATEST(length(bin(est_micros)) - 5, 0)) AS BIGINT) AS ubound
+      |  FROM est),
+      |au AS (SELECT u.q_ppm, u.rnk0, u.est_micros,
+      |    SUM(CASE WHEN v.m < u.est_micros THEN 1 ELSE 0 END) AS r_lt,
+      |    SUM(CASE WHEN v.m < u.ubound THEN 1 ELSE 0 END) AS r_ub
+      |  FROM v, ub u GROUP BY 1, 2, 3)
+      |SELECT q_ppm, CAST(rnk0 AS BIGINT) AS rnk, CAST(est_micros AS BIGINT) AS est_micros,
+      |  (r_lt < rnk0 AND rnk0 <= r_ub) AS within
+      |FROM au ORDER BY q_ppm""".stripMargin
 }
