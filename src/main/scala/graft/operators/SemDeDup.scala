@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps.hexLong
+import graft.functions.VectorFunctions
+
+/** SEMANTIC DEDUPLICATION (Abbas et al. 2023, "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication") — the
+  * embedding-space near-dup pass every modern LLM pipeline runs BESIDE the
+  * lexical ones (MinHash-LSH q32/q236, dup-spans q262, set-sim q158): two
+  * documents whose embeddings sit inside the same ε-cosine ball are
+  * semantic duplicates even when their token overlap is too low for
+  * MinHash to fire.
+  *
+  * The composition is exactly the paper's, built from the repo's existing
+  * disciplines:
+  *   1. EMBED — here a deterministic hashed bag-of-words projection
+  *      (md5(token) → dimension, md5 second nibble → ±1 sign, summed per
+  *      occurrence): integer-exact in both engines, so the whole pipeline
+  *      is oracle-replayable. A production deployment swaps in model
+  *      embeddings; everything downstream is unchanged.
+  *   2. CLUSTER — argmax component (the unit-basis assignment of
+  *      q255/q275; k-means centroids from [[KMeansTrainer]] slot in the
+  *      same way). Clustering is what keeps the pairwise stage BOUNDED:
+  *      pairs form within a cluster only, never across the corpus —
+  *      SemDeDupSpec pins that no cross-cluster pair is ever formed. At
+  *      100 TB the cluster count scales with the corpus (the paper's
+  *      setting) so per-cluster candidate sets stay machine-sized.
+  *   3. DROP BY DOMINATION — a document is dropped iff some OTHER document
+  *      in its cluster is ≥ θ cosine-similar AND strictly better by the
+  *      quality order (then ties by lowest doc_id survive). One
+  *      deterministic rule, no iteration: exactly one survivor per
+  *      mutually-similar quality chain, replayable as a single SQL EXISTS.
+  *      (q60/q67 carry the connected-components + representative variant
+  *      for the lexical pipeline; domination is the paper's "keep one per
+  *      ε-ball" made order-deterministic.)
+  *
+  * The θ comparison is anchored on the 6-dp-rounded cosine mapped to exact
+  * integer micros — the cross-engine contract the vector family uses
+  * everywhere.
+  */
+object SemDeDup {
+
+  /** Deterministic hashed-BoW document embedding: (doc_id, v: array<double>
+    * of `dims` integer-valued components). Documents whose projection is
+    * the zero vector (cosine undefined) are excluded — they cannot
+    * participate in cosine dedup by definition.
+    */
+  def embedBow(docs: DataFrame, dims: Int = 16): DataFrame = {
+    val contrib = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        (hexLong(md5(col("t")), 1, 8) % dims).as("dim"),
+        when(hexLong(md5(col("t")), 9, 1) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+    contrib.groupBy(col("doc_id"), col("dim")).agg(sum(col("sgn")).as("sv"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("sv")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dims - 1L)),
+          d => coalesce(element_at(col("m"), d), lit(0L)).cast("double")).as("v"))
+      .filter(VectorFunctions.dot(col("v"), col("v")) > 0d)
+  }
+
+  /** Argmax-component cluster id (0-based, first-max tie-break — identical
+    * in both engines on the integer-valued components).
+    */
+  def assignArgmax(emb: DataFrame): DataFrame =
+    emb.withColumn("cluster",
+      (array_position(col("v"), array_max(col("v"))) - 1L))
+
+  /** Mark each document dropped/kept under the domination rule: dropped iff
+    * an in-cluster neighbor with rounded-cosine ≥ θ (micros) is strictly
+    * better by (`quality` desc, doc_id asc). Returns the input plus a
+    * `dropped` boolean. The self-join is equi on `cluster` — the
+    * boundedness guarantee — and only (doc_id, cluster, v, quality)
+    * shuffle, never text.
+    */
+  def markDropped(assigned: DataFrame, thetaMicros: Long,
+      qualityCol: String): DataFrame = {
+    val better = assigned
+      .select(col("cluster").as("b_cluster"), col("doc_id").as("b_id"),
+        col("v").as("b_v"), col(qualityCol).as("b_q"))
+    val dropped = assigned.join(better,
+        col("cluster") === col("b_cluster") && col("doc_id") =!= col("b_id"))
+      .filter((round(VectorFunctions.cosine(col("v"), col("b_v")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast("long") >= thetaMicros)
+      .filter(col("b_q") > col(qualityCol) ||
+        (col("b_q") === col(qualityCol) && col("b_id") < col("doc_id")))
+      .select(col("doc_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dropped, Seq("doc_id"), "left")
+      .withColumn("dropped", coalesce(col("dropped"), lit(false)))
+  }
+}

@@ -1011,6 +1011,65 @@ object DedupQueries extends QueryModule {
            |SELECT * FROM m4 UNION ALL SELECT * FROM m8
            |UNION ALL SELECT * FROM m16 UNION ALL SELECT * FROM m32
            |ORDER BY w""".stripMargin
-      })
+      }),
+
+    // q287 — SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 — operators.
+    // SemDeDup): the embedding-space near-dup pass beside the lexical
+    // pipeline (MinHash q32/q236, dup-spans q262, set-sim q158). EMBED:
+    // deterministic hashed-BoW projection (md5 → dim, md5 nibble → ±1,
+    // integer-exact both engines; model embeddings slot in unchanged).
+    // CLUSTER: argmax component — the boundedness lever: pairs form
+    // within a cluster only, NEVER across the corpus (SemDeDupSpec pins
+    // it; at 100 TB cluster count scales with corpus so candidate sets
+    // stay machine-sized). DROP BY DOMINATION: a doc is dropped iff an
+    // in-cluster ≥θ-cosine neighbor is strictly better by (n_chars desc,
+    // doc_id asc) — the paper's keep-one-per-ε-ball made order-
+    // deterministic, replayable as one SQL EXISTS. θ anchored on 6-dp
+    // cosine in exact integer micros. Output: per-cluster corpus/drop
+    // accounting.
+    Declared("q287_semdedup",
+      (s, dir) => {
+        import graft.operators.SemDeDup
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val assigned = SemDeDup.assignArgmax(SemDeDup.embedBow(docs, 16))
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val marked = SemDeDup.markDropped(assigned, 990000L, "n_chars")
+        marked.groupBy(col("cluster"))
+          .agg(big(count(lit(1))).as("n_docs"),
+            big(sum(when(col("dropped"), 1L).otherwise(0L))).as("n_dropped"))
+          .select(big(col("cluster")).as("cluster"), col("n_docs"), col("n_dropped"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |contrib AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 16 AS dim,
+             |    CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+             |      THEN 1 ELSE -1 END AS sgn
+             |  FROM toks),
+             |sums AS (SELECT doc_id, dim, SUM(sgn) AS sv FROM contrib GROUP BY 1, 2),
+             |dense AS (SELECT d.doc_id, g.dim, COALESCE(s.sv, 0) AS sv
+             |  FROM (SELECT DISTINCT doc_id FROM sums) d
+             |  CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) g
+             |  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.dim = g.dim),
+             |emb AS (SELECT doc_id, list(CAST(sv AS DOUBLE) ORDER BY dim) AS v
+             |  FROM dense GROUP BY 1),
+             |nz AS (SELECT e.doc_id, e.v, doc.n_chars
+             |  FROM emb e JOIN documents doc USING (doc_id)
+             |  WHERE list_dot_product(e.v, e.v) > 0),
+             |a AS (SELECT doc_id, v, n_chars,
+             |    list_position(v, list_max(v)) - 1 AS cluster FROM nz),
+             |dr AS (SELECT DISTINCT x.doc_id FROM a x JOIN a y
+             |  ON x.cluster = y.cluster AND x.doc_id <> y.doc_id
+             |  WHERE CAST(CAST(ROUND(list_cosine_similarity(x.v, y.v), 6) AS DECIMAL(18,6))
+             |        * 1000000 AS BIGINT) >= 990000
+             |    AND (y.n_chars > x.n_chars
+             |         OR (y.n_chars = x.n_chars AND y.doc_id < x.doc_id)))
+             |SELECT CAST(a.cluster AS BIGINT) AS cluster,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+             |FROM a LEFT JOIN dr ON dr.doc_id = a.doc_id
+             |GROUP BY 1 ORDER BY cluster""".stripMargin))
   )
 }
