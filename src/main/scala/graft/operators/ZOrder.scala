@@ -60,4 +60,40 @@ object ZOrder {
       .drop("_z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** The z-clustering transform alone (no write): range-partition + sort
+    * on the z-value of the STORED dimension columns — the reusable core of
+    * [[layoutByZ]], [[ingestBatchZ]] and [[compactZ]].
+    */
+  def clusterByZ(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
+      files: Int): DataFrame =
+    df.withColumn("_z", zval(xCol, yCol, bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+
+  /** Z-ORDER MAINTENANCE UNDER INGEST, write side (OPTIMIZE ZORDER's
+    * streaming half): the arriving batch lands as its own replay-idempotent
+    * `_batch` partition on the Loader feed discipline, z-clustered WITHIN
+    * the batch — each batch's files are locally tight, but a dimensional
+    * slice still touches its matching files in EVERY batch, so global
+    * locality DECAYS linearly with batch count. [[compactZ]] is the
+    * restore. ZOrderStoreSpec pins decay → restore by bytes touched.
+    */
+  def ingestBatchZ(batch: DataFrame, xCol: Column, yCol: Column, bits: Int,
+      files: Int, dir: String, batchId: Long, markersDir: String = null): Unit =
+    graft.streaming.Loader.writeBatchIdempotent(
+      clusterByZ(batch, xCol, yCol, bits, files), dir, batchId, markersDir)
+
+  /** Z-ORDER MAINTENANCE, restore side: fold the per-batch partitions and
+    * re-run the GLOBAL z-layout over the consolidation (the `rewrite` hook
+    * of `Loader.compactBatches` — same crash-safe intent/commit protocol,
+    * same `upTo` bound for in-sink maintenance, content audited). After it
+    * the store reads like a one-shot [[layoutByZ]] table again.
+    */
+  def compactZ(spark: org.apache.spark.sql.SparkSession, dir: String,
+      xCol: Column, yCol: Column, bits: Int, files: Int,
+      upTo: Long = Long.MaxValue): Unit =
+    graft.streaming.Loader.compactBatches(spark, dir, upTo,
+      rewrite = df => clusterByZ(df, xCol, yCol, bits, files))
 }

@@ -736,12 +736,42 @@ object ScaleQueries extends QueryModule {
             out6(sum(dec(col("value")))).as("sum_value"))
           .orderBy(col("event_type"))
       },
-      Some("""SELECT event_type, COUNT(*) AS n,
-             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
-             |FROM (SELECT event_type, value, user_id % 64 AS x,
-             |        (CAST(ts AS DATE) - DATE '1970-01-01') % 64 AS y FROM events)
-             |WHERE x BETWEEN 4 AND 7 AND y BETWEEN 8 AND 11
-             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+      Some(zorderSliceOracle)),
+
+    // q288 — Z-ORDER MAINTENANCE UNDER INGEST (ZOrder.ingestBatchZ +
+    // compactZ): q277's slice served from the INCREMENTALLY-built store —
+    // four batches land as replay-idempotent feed partitions, each
+    // z-clustered within itself (locally tight, globally decaying), then
+    // the maintenance fold re-runs the GLOBAL z-layout over the
+    // consolidation via compactBatches' rewrite hook (bounded at the
+    // just-committed batch — the round-13 contract; crash-safe
+    // intent/commit, content audited). Delta OPTIMIZE ZORDER's full
+    // lifecycle: ingest decays locality, OPTIMIZE restores it —
+    // ZOrderStoreSpec pins the decay → restore by BYTES TOUCHED; the gate
+    // pins that the maintained store answers exactly like raw events
+    // (shares q277's oracle).
+    Declared("q288_zorder_maintained",
+      (s, dir) => {
+        import graft.operators.ZOrder
+        val store = SharedStages.scratchDir("q288") + "/zstore"
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("x", pmod(col("user_id"), lit(64L)))
+          .withColumn("y",
+            pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+              lit(64)).cast("long"))
+        for (b <- 0L until 4L)
+          ZOrder.ingestBatchZ(ev.filter(pmod(col("event_id"), lit(4L)) === b),
+            col("x"), col("y"), bits = 6, files = 4, store, b)
+        ZOrder.compactZ(s, store, col("x"), col("y"), bits = 6, files = 32,
+          upTo = 3L)
+        graft.streaming.Loader.readTable(s, store)
+          .filter(col("x").between(4, 7) && col("y").between(8, 11))
+          .groupBy(col("event_type"))
+          .agg(big(count(lit(1))).as("n"),
+            out6(sum(dec(col("value")))).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(zorderSliceOracle)),
 
     // q271 — COUNT-MIN SKETCH accuracy audit: the mergeable frequency
     // sketch (Cormode & Muthukrishnan 2005) next to q162's Misra-Gries and
@@ -934,6 +964,18 @@ object ScaleQueries extends QueryModule {
       },
       Some(quantileSketchOracle))
   )
+
+  /** Shared q277/q288 oracle: the 2-D slice computed from raw events — the
+    * routed layouts (static q277, maintained q288) must be semantically
+    * invisible.
+    */
+  private def zorderSliceOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS sum_value
+      |FROM (SELECT event_type, value, user_id % 64 AS x,
+      |        (CAST(ts AS DATE) - DATE '1970-01-01') % 64 AS y FROM events)
+      |WHERE x BETWEEN 4 AND 7 AND y BETWEEN 8 AND 11
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** Shared q285/q286 oracle: DuckDB replays the integer log-bucket sketch,
     * the rank arithmetic, and the rank-interval audit — one string, two

@@ -215,9 +215,17 @@ object Loader {
     * ever folded, and [[writeBatchIdempotent]] no-ops at or below it
     * (FeedCompactionSpec pins the marker-less case). `_src_batch` rides
     * through the fold so by-revision reads stay addressable.
+    *
+    * `rewrite` lets the caller re-LAYOUT the consolidation while it is
+    * being staged (e.g. a global Z-order re-sort restoring locality that
+    * per-batch ingest decayed — OPTIMIZE ZORDER's shape, ZOrder.compactZ).
+    * It must be content-preserving: the row-count audit holds it to that,
+    * and it sees `_src_batch` (which must survive verbatim).
     */
   def compactBatches(spark: SparkSession, tableDir: String,
-      upTo: Long = Long.MaxValue): Unit = {
+      upTo: Long = Long.MaxValue,
+      rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Unit = {
     recoverFeedCompaction(spark, tableDir)
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = feedPartitionIds(fs, tableDir)
@@ -254,7 +262,7 @@ object Loader {
       else raw.withColumn("_src_batch", col("_batch"))
     ).drop("_batch")
     val expect = src.count()
-    src.write.mode("overwrite").parquet(scratch)
+    rewrite(src).write.mode("overwrite").parquet(scratch)
     val got = spark.read.parquet(scratch).count()
     require(got == expect, s"feed compaction audit failed: $expect rows in, $got out")
     writeFeedMarker(fs, tableDir, FeedIntent, c)
