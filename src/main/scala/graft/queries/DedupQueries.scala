@@ -433,7 +433,8 @@ object DedupQueries extends QueryModule {
         // cached frames are doc_id lists — bytes per surviving doc, safe at
         // any corpus size; a production cascade lands them as parquet
         // artifacts (the SharedStages pattern) for the same reason.
-        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
         val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val wEx = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
@@ -461,14 +462,27 @@ object DedupQueries extends QueryModule {
           .join(s3ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
           .join(s3ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
           .select(col("id_b").as("doc_id")).distinct().persist(disk)
-        val kept = s3.join(nearD, Seq("doc_id"), "left_anti")
+        val s4 = s3.join(nearD, Seq("doc_id"), "left_anti")
+        // tier 5 (round 13): SEMANTIC dedup over the lexical survivors —
+        // SemDeDup's embed → argmax-cluster → domination pass (q287's
+        // machinery verbatim) catches the near-dups whose token overlap is
+        // too low for tiers a-d to fire.
+        val semAssigned = graft.operators.SemDeDup
+          .assignArgmax(graft.operators.SemDeDup.embedBow(s4, 16))
+          .join(s4.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .persist(disk)
+        val semD = graft.operators.SemDeDup
+          .markDropped(semAssigned, 990000L, "n_chars")
+          .filter(col("dropped")).select(col("doc_id")).persist(disk)
+        val kept = s4.join(semD, Seq("doc_id"), "left_anti")
         def tier(name: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(big(count(lit(1))).as("n")).select(lit(name).as("tier"), col("n"))
         tier("a_exact", exactD)
           .unionByName(tier("b_bow", bowD))
           .unionByName(tier("c_contain", containD))
           .unionByName(tier("d_near", nearD))
-          .unionByName(tier("e_kept", kept))
+          .unionByName(tier("e_sem", semD))
+          .unionByName(tier("f_kept", kept))
           .orderBy(col("tier"))
       },
       Some(duckSig +
@@ -505,13 +519,39 @@ object DedupQueries extends QueryModule {
           |  JOIN sig sa2 ON sa2.doc_id = c.id_a JOIN sig sb2 ON sb2.doc_id = c.id_b
           |  WHERE c.id_a IN (SELECT doc_id FROM s3) AND c.id_b IN (SELECT doc_id FROM s3)
           |    AND CAST(ROUND(CAST(list_sum(list_transform(range(1, 17),
-          |      i -> CASE WHEN sa2.sig[i] = sb2.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) >= 0.5)
+          |      i -> CASE WHEN sa2.sig[i] = sb2.sig[i] THEN 1 ELSE 0 END)) AS DECIMAL(18,6)) / 16, 6) AS DECIMAL(18,6)) >= 0.5),
+          |s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM near_d)),
+          |sem_toks AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS t
+          |  FROM documents d JOIN s4 USING (doc_id)),
+          |sem_contrib AS (SELECT doc_id,
+          |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 16 AS dim,
+          |    CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+          |      THEN 1 ELSE -1 END AS sgn
+          |  FROM sem_toks),
+          |sem_sums AS (SELECT doc_id, dim, SUM(sgn) AS sv FROM sem_contrib GROUP BY 1, 2),
+          |sem_dense AS (SELECT d.doc_id, g.dim, COALESCE(ss.sv, 0) AS sv
+          |  FROM (SELECT DISTINCT doc_id FROM sem_sums) d
+          |  CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) g
+          |  LEFT JOIN sem_sums ss ON ss.doc_id = d.doc_id AND ss.dim = g.dim),
+          |sem_emb AS (SELECT doc_id, list(CAST(sv AS DOUBLE) ORDER BY dim) AS v
+          |  FROM sem_dense GROUP BY 1),
+          |sem_a AS (SELECT e.doc_id, e.v, doc.n_chars,
+          |    list_position(e.v, list_max(e.v)) - 1 AS cluster
+          |  FROM sem_emb e JOIN documents doc USING (doc_id)
+          |  WHERE list_dot_product(e.v, e.v) > 0),
+          |sem_d AS (SELECT DISTINCT x.doc_id FROM sem_a x JOIN sem_a y
+          |  ON x.cluster = y.cluster AND x.doc_id <> y.doc_id
+          |  WHERE CAST(CAST(ROUND(list_cosine_similarity(x.v, y.v), 6) AS DECIMAL(18,6))
+          |        * 1000000 AS BIGINT) >= 990000
+          |    AND (y.n_chars > x.n_chars
+          |         OR (y.n_chars = x.n_chars AND y.doc_id < x.doc_id)))
           |SELECT 'a_exact' AS tier, COUNT(*) AS n FROM exact_d
           |UNION ALL SELECT 'b_bow', COUNT(*) FROM bow_d
           |UNION ALL SELECT 'c_contain', COUNT(*) FROM contain_d
           |UNION ALL SELECT 'd_near', COUNT(*) FROM near_d
-          |UNION ALL SELECT 'e_kept', COUNT(*) FROM s3
-          |  WHERE doc_id NOT IN (SELECT doc_id FROM near_d)
+          |UNION ALL SELECT 'e_sem', COUNT(*) FROM sem_d
+          |UNION ALL SELECT 'f_kept', COUNT(*) FROM s4
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM sem_d)
           |ORDER BY tier""".stripMargin)),
 
     // q226 — EXPLAINABLE NEAR-DUP EVIDENCE: every q32 LSH pair annotated
