@@ -1110,6 +1110,70 @@ object DedupQueries extends QueryModule {
              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
              |FROM a LEFT JOIN dr ON dr.doc_id = a.doc_id
-             |GROUP BY 1 ORDER BY cluster""".stripMargin))
+             |GROUP BY 1 ORDER BY cluster""".stripMargin)),
+
+    // q289 — BLOOM-GATED CROSS-CORPUS DEDUP (operators.BloomFilter): the
+    // MEMBERSHIP sketch completing the mergeable family (frequency CMS,
+    // cardinality HLL, heavy hitters MG, quantiles DDSketch) in its
+    // production composition — the "have we already crawled this?" gate.
+    // An archive corpus (2/3 of documents, content-keyed by md5(text)) is
+    // ingested into a maintained Bloom feed in 4 batches (linear under
+    // union ⇒ the CMS delta-feed discipline verbatim); a new crawl (1/2 of
+    // documents, overlapping the archive) probes it. NO FALSE NEGATIVES
+    // (BloomSketchSpec pins the law): bloom-negative docs are DEFINITELY
+    // novel and skip the exact check entirely — only bloom-positives
+    // (true re-crawls + the fp tail) reach the exact membership join,
+    // whose probe side is broadcast-sized by construction. The archive
+    // scan is read ONCE map-side against that broadcast: at 100 TB the
+    // exact-check traffic prunes from |crawl| to |dups| + fp·|crawl|.
+    // Output: per-disposition accounting (novel_fast / dup / fp_pruned);
+    // the oracle replays filter bits, probes and exact membership.
+    Declared("q289_bloom_dedup_gate",
+      (s, dir) => {
+        import graft.operators.BloomFilter
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("key"))
+        val archive = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+        val feed = SharedStages.scratchDir("q289") + "/bloom"
+        for (b <- 0L until 4L)
+          BloomFilter.ingestBatch(
+            archive.filter(pmod(col("doc_id"), lit(4L)) === b), "key", feed, b)
+        val crawl = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        val probed = BloomFilter.mightContain(s, feed, crawl, "key")
+        val positives = probed.filter(col("maybe") === 1)
+        // exact membership for POSITIVES only: broadcast the (small by
+        // construction) positive keys, scan the archive once map-side
+        val confirmed = archive.select(col("key"))
+          .join(broadcast(positives.select(col("key"))), Seq("key"), "left_semi")
+          .distinct()
+        val dup = positives.join(broadcast(confirmed), Seq("key"), "left_semi")
+          .withColumn("disposition", lit("dup"))
+        val fp = positives.join(broadcast(confirmed), Seq("key"), "left_anti")
+          .withColumn("disposition", lit("fp_pruned"))
+        val novel = probed.filter(col("maybe") === 0)
+          .withColumn("disposition", lit("novel_fast"))
+        dup.unionByName(fp).unionByName(novel)
+          .groupBy(col("disposition"))
+          .agg(big(count(lit(1))).as("n_docs"))
+          .orderBy(col("disposition"))
+      },
+      Some {
+        def p(j: Int, of: String) =
+          s"CAST(('0x' || substr(md5('bloom$j#' || $of), 1, 8)) AS BIGINT) % 2048"
+        s"""WITH a AS (SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 3 <> 0),
+           |occ AS (${(0 until 4).map(j => s"SELECT DISTINCT ${p(j, "key")} AS p FROM a")
+                        .mkString("\n  UNION\n")}),
+           |b AS (SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
+           |probe AS (SELECT doc_id, key,
+           |  ${(0 until 4).map(j => s"${p(j, "key")} AS p$j").mkString(",\n  ")} FROM b),
+           |pos AS (SELECT doc_id, key,
+           |    ${(0 until 4).map(j => s"(p$j IN (SELECT p FROM occ))").mkString(" AND ")} AS maybe
+           |  FROM probe)
+           |SELECT CASE WHEN NOT maybe THEN 'novel_fast'
+           |            WHEN key IN (SELECT key FROM a) THEN 'dup'
+           |            ELSE 'fp_pruned' END AS disposition,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM pos GROUP BY 1 ORDER BY disposition""".stripMargin
+      })
   )
 }

@@ -962,7 +962,79 @@ object ScaleQueries extends QueryModule {
             (col("r_lt") < col("rank") && col("rank") <= col("r_ub")).as("within"))
           .orderBy(col("q_ppm"))
       },
-      Some(quantileSketchOracle))
+      Some(quantileSketchOracle)),
+
+    // q290 — MAINTAINED BOTTOM-K (KMV) SAMPLE (operators.BottomKSample):
+    // a uniform without-replacement sample of the distinct keys seen so
+    // far, held as k rows of state no matter how much data streams past —
+    // the "show me 64 random documents of the 100 TB corpus, cheaply,
+    // NOW" primitive. Bottom-k is mergeable (bottomK(A∪B) =
+    // bottomK(bottomK(A)∪bottomK(B))), so the maintained form is the
+    // linear-sketch feed discipline: per batch its own bottom-k delta (≤k
+    // rows), fold = global bottom-k over ≤k·batches rows; BottomKSpec
+    // pins split-invariance. Priorities are seedless md5 (the q161
+    // derandomization), so both engines draw the IDENTICAL "random"
+    // sample — the oracle replays hash, order and rank.
+    Declared("q290_bottomk_sample",
+      (s, dir) => {
+        import graft.operators.BottomKSample
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("k"))
+        val feed = SharedStages.scratchDir("q290") + "/bk"
+        for (b <- 0L until 4L) {
+          BottomKSample.ingestBatch(
+            docs.filter(pmod(col("k").cast("long"), lit(4L)) === b), "k", feed, b)
+          if (b == 1L) graft.streaming.Loader.compactBatches(s, feed, upTo = 1L)
+        }
+        BottomKSample.fold(s, feed, "k")
+          .select(col("rank"), col("k").cast("long").as("doc_id"), col("prio"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH k AS (SELECT DISTINCT doc_id::VARCHAR AS kk FROM documents),
+             |p AS (SELECT kk, CAST(('0x'||substr(md5(kk),1,15)) AS BIGINT) AS prio FROM k),
+             |s AS (SELECT kk, prio, row_number() OVER (ORDER BY prio, kk) AS rank FROM p)
+             |SELECT CAST(rank AS BIGINT) AS rank, CAST(kk AS BIGINT) AS doc_id, prio
+             |FROM s WHERE rank <= 64 ORDER BY rank""".stripMargin)),
+
+    // q291 — KMV DISTINCT-COUNT ESTIMATE from the SAME maintained sample
+    // (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07): one sketch, two
+    // answers — q290's bottom-k rows double as a cardinality estimator,
+    // est = ⌊(k−1)·2^60 / p_k⌋ in EXACT integral arithmetic (DECIMAL(38,0)
+    // `div` on the Spark side, HUGEINT `//` in DuckDB — the numerator
+    // 63·2^60 ≈ 2^66 overflows BIGINT). Audited beside HLL q39 with the
+    // q285 claim discipline: the exact distinct count rides along and a
+    // `within` boolean pins |est − exact| ≤ 50%·exact (≈4σ for k=64; both
+    // engines compute the SAME deterministic estimate, so the audit is a
+    // verified claim, not a tolerance gate).
+    Declared("q291_kmv_distinct",
+      (s, dir) => {
+        import graft.operators.BottomKSample
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("k"))
+        val feed = SharedStages.scratchDir("q291") + "/bk"
+        for (b <- 0L until 4L)
+          BottomKSample.ingestBatch(
+            docs.filter(pmod(col("k").cast("long"), lit(4L)) === b), "k", feed, b)
+        val est = BottomKSample.kmvEstimate(BottomKSample.fold(s, feed, "k"))
+        val exact = docs.agg(countDistinct(col("k")).as("exact"))
+        est.crossJoin(exact)
+          .select(big(col("n_sample")).as("n_sample"), col("kth_prio"),
+            big(col("kmv_est")).as("kmv_est"), big(col("exact")).as("exact"),
+            (abs(col("kmv_est") - col("exact")) * 2 <= col("exact")).as("within"))
+      },
+      Some("""WITH k AS (SELECT DISTINCT doc_id::VARCHAR AS kk FROM documents),
+             |p AS (SELECT kk, CAST(('0x'||substr(md5(kk),1,15)) AS BIGINT) AS prio FROM k),
+             |s AS (SELECT prio, row_number() OVER (ORDER BY prio, kk) AS rank FROM p),
+             |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample, MAX(prio) AS kth_prio
+             |  FROM s WHERE rank <= 64),
+             |e AS (SELECT n_sample, kth_prio,
+             |    CASE WHEN n_sample < 64 THEN n_sample
+             |         ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT) // kth_prio AS BIGINT)
+             |    END AS kmv_est FROM agg)
+             |SELECT n_sample, kth_prio, kmv_est,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS exact,
+             |  ABS(kmv_est - (SELECT COUNT(*) FROM k)) * 2 <= (SELECT COUNT(*) FROM k) AS within
+             |FROM e""".stripMargin))
   )
 
   /** Shared q277/q288 oracle: the 2-D slice computed from raw events — the
