@@ -1139,7 +1139,11 @@ object DedupQueries extends QueryModule {
           BloomFilter.ingestBatch(
             archive.filter(pmod(col("doc_id"), lit(4L)) === b), "key", feed, b)
         val crawl = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        // persisted: the probe frame feeds all three disposition branches
+        // AND the exact check — without it the crawl scan + broadcast
+        // probe re-run four times (PlanAudit round 13)
         val probed = BloomFilter.mightContain(s, feed, crawl, "key")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val positives = probed.filter(col("maybe") === 1)
         // exact membership for POSITIVES only: broadcast the (small by
         // construction) positive keys, scan the archive once map-side
