@@ -27,6 +27,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark generates a FRESH codegen class per query stage; HotSpot refuses
+  // to JIT methods over 8000 bytecodes (DontCompileHugeMethods), so a wide
+  // whole-stage-codegen method can run INTERPRETED forever — measured in
+  // round 13 as a random 4-10x task-time inflation on single corpus-scan
+  // stages at sf10 (q285: 2,597 -> 605 task-s under this flag; the same
+  // plan flapped 205 vs 1,401 task-s between identical runs without it).
+  // Standard Spark production setting; the larger code cache keeps the
+  // many generated classes of a full suite run from evicting each other.
+  "-XX:-DontCompileHugeMethods",
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // Experiment passthrough: extra -Dspark.* system properties for forked
   // runs (SparkConf reads spark.* system props), e.g. a state-store

@@ -915,7 +915,12 @@ object ScaleQueries extends QueryModule {
       (s, dir) => {
         import graft.operators.QuantileSketch
         val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+        // persisted: the sketch (≤ ~2k rows) is a CORPUS aggregate consumed
+        // by four subtrees (cum window, total, est, audit broadcast) —
+        // unpersisted, the sf10 rehearsal re-ran the corpus aggregate
+        // inside the nested-loop joins (2,597 vs 292 task-s, round 13)
         val sk = QuantileSketch.delta(li, "v") // one-shot ≡ fold (linearity)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val est = QuantileSketch.quantiles(sk, Seq(500000L, 900000L, 990000L))
           .withColumn("ub", QuantileSketch.upperBoundCol(col("est_micros")))
         li.select(QuantileSketch.micros(col("v")).as("m"))
