@@ -423,23 +423,31 @@ object DedupQueries extends QueryModule {
     // amortized by the volume the cheaper tiers already removed.
     Declared("q215_dedup_cascade",
       (s, dir) => {
-        // Tier-removal frames are PERSISTED: every later tier's lineage
-        // contains every earlier tier (survivors = anti-join against the
-        // removals), and the closing 5-way union aggregates each tier — so
-        // without pinning, the containment join re-executes ~3× and the LSH
-        // semi-join ~2× inside the ONE action (the sf1 rehearsal measured
-        // 77× task-time at 10× data from exactly this; persisted, each tier
-        // runs once and the cascade scales with its inputs again). The
-        // cached frames are doc_id lists — bytes per surviving doc, safe at
-        // any corpus size; a production cascade lands them as parquet
-        // artifacts (the SharedStages pattern) for the same reason.
+        // Tier-removal frames are MATERIALIZED EAGERLY with their lineage
+        // TRUNCATED (localCheckpoint): every later tier's lineage contains
+        // every earlier tier (survivors = anti-join against the removals),
+        // and the closing union aggregates each tier — so without pinning,
+        // the containment join re-executes ~3× and the LSH semi-join ~2×
+        // inside the ONE action (the sf1 rehearsal measured 77× task-time
+        // at 10× data from exactly this). Round 13 found the second half
+        // of the trap: persist() pins EXECUTION but not PLANNING — the
+        // logical plan of tier n still embeds every earlier tier's full
+        // tree, so each added tier DOUBLES the tree Catalyst re-optimizes
+        // per reference (9.2 MB of explain text by tier 5, measured 116 s
+        // of zero-task driver gaps out of 137 s wall at sf0.1).
+        // localCheckpoint truncates the plan to the materialized blocks —
+        // the spark_optimization_guide §3.3/§7.3 remedy — and the same
+        // run fell to ~12 s. The checkpointed frames are doc_id lists —
+        // bytes per surviving doc, safe at any corpus size; a production
+        // cascade lands them as parquet artifacts (the SharedStages
+        // pattern) for the same reason, which truncates the plan the
+        // same way.
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
-        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val wEx = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
         val exactD = docs.withColumn("rn", row_number().over(wEx))
-          .filter(col("rn") > 1).select(col("doc_id")).persist(disk)
+          .filter(col("rn") > 1).select(col("doc_id")).localCheckpoint(true)
         val s1 = docs.join(exactD, Seq("doc_id"), "left_anti")
         val bowToks = array_sort(array_distinct(filter(
           split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))))
@@ -447,7 +455,7 @@ object DedupQueries extends QueryModule {
           .partitionBy(col("fp")).orderBy(col("doc_id"))
         val bowD = s1.withColumn("fp", md5(array_join(bowToks, " ")))
           .withColumn("rn", row_number().over(wBow))
-          .filter(col("rn") > 1).select(col("doc_id")).persist(disk)
+          .filter(col("rn") > 1).select(col("doc_id")).localCheckpoint(true)
         val s2 = s1.join(bowD, Seq("doc_id"), "left_anti")
         val recs2 = s2.select(col("doc_id"),
           graft.functions.TextFunctions.shingles3(col("text")).as("tk"))
@@ -455,13 +463,13 @@ object DedupQueries extends QueryModule {
           .containmentJoin(recs2, "doc_id", "tk", 9, 10)
           .where(col("sb") > col("sa") ||
             (col("sb") === col("sa") && col("id_b") < col("id_a")))
-          .select(col("id_a").as("doc_id")).distinct().persist(disk)
+          .select(col("id_a").as("doc_id")).distinct().localCheckpoint(true)
         val s3 = s2.join(containD, Seq("doc_id"), "left_anti")
-        val s3ids = s3.select(col("doc_id")).persist(disk)
+        val s3ids = s3.select(col("doc_id")).localCheckpoint(true)
         val nearD = lshNearPairs(s, dir)
           .join(s3ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
           .join(s3ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
-          .select(col("id_b").as("doc_id")).distinct().persist(disk)
+          .select(col("id_b").as("doc_id")).distinct().localCheckpoint(true)
         val s4 = s3.join(nearD, Seq("doc_id"), "left_anti")
         // tier 5 (round 13): SEMANTIC dedup over the lexical survivors —
         // SemDeDup's embed → argmax-cluster → domination pass (q287's
@@ -470,10 +478,10 @@ object DedupQueries extends QueryModule {
         val semAssigned = graft.operators.SemDeDup
           .assignArgmax(graft.operators.SemDeDup.embedBow(s4, 16))
           .join(s4.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-          .persist(disk)
+          .localCheckpoint(true)
         val semD = graft.operators.SemDeDup
           .markDropped(semAssigned, 990000L, "n_chars")
-          .filter(col("dropped")).select(col("doc_id")).persist(disk)
+          .filter(col("dropped")).select(col("doc_id")).localCheckpoint(true)
         val kept = s4.join(semD, Seq("doc_id"), "left_anti")
         def tier(name: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(big(count(lit(1))).as("n")).select(lit(name).as("tier"), col("n"))
