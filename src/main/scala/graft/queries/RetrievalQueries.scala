@@ -238,9 +238,14 @@ object RetrievalQueries extends QueryModule {
         val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("dg"))
         // unique, order-consistent orientation key: deg ⊕ vertex id
+        // SHUFFLE_HASH on the degree side: deg is vertex-sized (scales with
+        // the corpus — NEVER broadcast), but per-partition it hash-builds in
+        // memory, so the hint trades two full sorts of the edge set for two
+        // partition-local hash tables (guide §3.1: hash join over sort-merge
+        // when one side is moderately small per partition).
         val ew = e
-          .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
-          .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+          .join(deg.select(col("v").as("a"), col("dg").as("da")).hint("shuffle_hash"), "a")
+          .join(deg.select(col("v").as("b"), col("dg").as("db")).hint("shuffle_hash"), "b")
           .select(col("a"), col("b"),
             (col("da") * lit(10000000L) + col("a")).as("oa"),
             (col("db") * lit(10000000L) + col("b")).as("ob"))
@@ -252,8 +257,15 @@ object RetrievalQueries extends QueryModule {
         val wedges = oriented.as("p").join(oriented.as("q"),
             col("p.u") === col("q.u") && col("p.ov") < col("q.ov"))
           .select(col("p.v").as("u"), col("q.v").as("v"))
+        // The closing semi probes the WEDGE stream (≫ edges: O(m^1.5) rows)
+        // against the edge set. SortMergeJoin sorted the whole wedge stream
+        // first — the single most expensive operator in the suite (350 of
+        // 415 task-s at sf0.1). SHUFFLE_HASH builds on the edge side
+        // (per-partition edge slices, memory-safe at any scale because the
+        // build is 1/N of the edge set) and streams wedges through unsorted.
         val tri = wedges
-          .join(oriented.select(col("u"), col("v")), Seq("u", "v"), "left_semi")
+          .join(oriented.select(col("u"), col("v")).hint("shuffle_hash"),
+            Seq("u", "v"), "left_semi")
           .agg(count(lit(1)).as("t"))
         val stats = deg.agg(
           count(lit(1)).as("n_vertices"),
