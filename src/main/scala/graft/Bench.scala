@@ -114,9 +114,15 @@ object Bench {
       else ts.sortBy(_._1).apply(ts.length / 2)
     }
 
-    // the one-time shared-stage materialization, timed on its own
-    // (dedupClusters builds shingles → sigs → pairs → cluster map)
+    // the one-time shared-stage materializations, timed on their own
+    // (dedupClusters builds shingles → sigs → pairs → cluster map;
+    // copurchasePairs lands the order-items incidence + pair-support table
+    // the graph/basket family reads — r13, guide §2.4). With reps>1
+    // medians, a lazily-built stage would vanish from its first consumer's
+    // median (rep 1 builds, later reps reuse), silently under-reporting
+    // the suite — so each stage is forced and timed explicitly here.
     val stageBuild = timed(() => force(queries.SharedStages.dedupClusters(spark, sfDir)))
+    val copairBuild = timed(() => force(queries.SharedStages.copurchasePairs(spark, sfDir)))
 
     // SPARK_GRAFT_ONLY=q164_triangles,q116_... restricts the run — the sf1
     // scale-rehearsal path measures just the expensive tail instead of
@@ -127,7 +133,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         name -> median(() => force(fn(spark, sfDir)))
-      } :+ ("shared_stage_build" -> stageBuild)
+      } :+ ("shared_stage_build" -> stageBuild) :+ ("copair_stage_build" -> copairBuild)
     val qs = results.map { case (k, (w, _, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val task = results.map { case (k, (_, t, _)) => "\"" + k + "\":" + t }

@@ -100,8 +100,41 @@ object GlobalCumSum {
     withCumAgg(df, order, value, out, MaxM, numPartitions)
   }
 
+  /** r13 (guide §2.4): [[withCumSum]] that ALSO appends `outLead` = the
+    * next row's value of `leadHead` over the same global order — lead(1)
+    * without a second range shuffle, a GlobalRank pass and a rank+1
+    * self-join (the q119 successor recipe this replaces cost two extra
+    * hash exchanges of the sweep). The local look-ahead rides the same
+    * imperative pass; each partition's LAST row takes the FIRST `leadHead`
+    * of the next non-empty partition from a P-entry driver map (collected
+    * by the same totals aggregate). `leadHead` MUST be the leading column
+    * of `order`, ascending and long-typed — that is what makes the next
+    * partition's first value its MIN, a plain aggregate instead of a
+    * first-row job. The global last row's lead is NULL.
+    */
+  def withCumSumAndLead(df: DataFrame, order: Seq[Column], value: Column, out: String,
+      leadHead: String, outLead: String,
+      numPartitions: Option[Int] = None): DataFrame =
+    withCumAgg(df, order, value, out, SumM, numPartitions,
+      leadOf = Some((leadHead, outLead)))
+
+  /** r13: [[withCumMax]] that ALSO appends `outExcl` = the EXCLUSIVE
+    * running max (the max over all STRICTLY earlier rows; Long.MinValue
+    * for the global first row) — lag-of-running-max without GlobalRank +
+    * a rank+1 self-join (the q144 predecessor recipe). Free in the same
+    * pass: the exclusive value is the accumulator BEFORE folding the
+    * current row, combined with the same partition offset.
+    */
+  def withCumMaxExclusive(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, outExcl: String,
+      numPartitions: Option[Int] = None): DataFrame =
+    withCumAgg(df, order, value, out, MaxM, numPartitions,
+      exclOut = Some(outExcl))
+
   private def withCumAgg(df: DataFrame, order: Seq[Column], value: Column, out: String,
-      m: LongMonoid, numPartitions: Option[Int]): DataFrame = {
+      m: LongMonoid, numPartitions: Option[Int],
+      leadOf: Option[(String, String)] = None,
+      exclOut: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val withV = df.withColumn("_v", value)
@@ -113,34 +146,80 @@ object GlobalCumSum {
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
 
-    // One imperative pass per sorted partition: local running fold + the
+    // One imperative pass per sorted partition: local running fold (+ the
+    // optional one-row look-ahead and pre-fold exclusive value) + the
     // partition id the row was ranged into.
     val vIdx = ranged.schema.fieldIndex("_v")
+    val lIdx = leadOf.map { case (name, _) =>
+      require(ranged.schema(name).dataType.typeName == "long",
+        s"GlobalCumSum lead column $name must be long")
+      ranged.schema.fieldIndex(name)
+    }
+    val emitExcl = exclOut.isDefined
     val (zero, combine) = (m.zero, m.combine)
     val augmentedRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = zero
-      it.map { r =>
-        acc = combine(acc, r.getLong(vIdx))
-        Row.fromSeq(r.toSeq :+ pid :+ acc)
+      new Iterator[Row] {
+        private var acc = zero
+        private var cur: Row = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = cur != null
+        def next(): Row = {
+          val nxt = if (it.hasNext) it.next() else null
+          val excl = acc
+          acc = combine(acc, cur.getLong(vIdx))
+          var fields = cur.toSeq :+ pid :+ acc
+          lIdx.foreach { i =>
+            fields = fields :+ (if (nxt == null) null else java.lang.Long.valueOf(nxt.getLong(i)))
+          }
+          if (emitExcl) fields = fields :+ excl
+          val r = Row.fromSeq(fields)
+          cur = nxt
+          r
+        }
       }
     }
-    val augmented = spark.createDataFrame(augmentedRdd,
-        ranged.schema.add("_pid", IntegerType).add("_local", LongType))
+    val augSchema = {
+      var sc = ranged.schema.add("_pid", IntegerType).add("_local", LongType)
+      if (lIdx.isDefined) sc = sc.add("_lead", LongType, nullable = true)
+      if (emitExcl) sc = sc.add("_lexcl", LongType)
+      sc
+    }
+    val augmented = spark.createDataFrame(augmentedRdd, augSchema)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Bounded driver-side model: one (pid, total) pair per partition.
-    val totals: Array[(Int, Long)] = augmented
-      .groupBy(col("_pid")).agg(m.aggOf(col("_v")).as("_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // Bounded driver-side model: one (pid, total[, first lead-head]) row
+    // per non-empty partition.
+    val totalsAggs = m.aggOf(col("_v")).as("_s") +:
+      leadOf.map { case (name, _) => min(col(name)).as("_f") }.toSeq
+    val totalRows = augmented
+      .groupBy(col("_pid")).agg(totalsAggs.head, totalsAggs.tail: _*)
+      .collect()
+    val totals: Array[(Int, Long)] = totalRows.map(r => (r.getInt(0), r.getLong(1)))
     val offsets: Map[Int, Long] = {
       var acc = m.zero
       totals.sortBy(_._1).map { case (pid, s) => val off = acc; acc = m.combine(acc, s); pid -> off }.toMap
     }
+    // next non-empty partition's first lead-head value, per partition id
+    val nextFirst: Map[Int, Long] = if (lIdx.isEmpty) Map.empty else {
+      val firsts = totalRows.map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+      firsts.zip(firsts.drop(1)).map { case ((pid, _), (_, f)) => pid -> f }.toMap
+    }
 
-    augmented
+    val base = augmented
       .withColumn(out,
         m.combineCol(coalesce(element_at(typedlit(offsets), col("_pid")), lit(m.zero)),
           col("_local")))
-      .drop("_v", "_pid", "_local")
+    val withLead = leadOf.fold(base) { case (_, outLead) =>
+      val boundary = if (nextFirst.isEmpty) lit(null).cast(LongType)
+        else element_at(typedlit(nextFirst), col("_pid"))
+      base.withColumn(outLead, coalesce(col("_lead"), boundary))
+    }
+    val withExcl = exclOut.fold(withLead) { name =>
+      withLead.withColumn(name,
+        m.combineCol(coalesce(element_at(typedlit(offsets), col("_pid")), lit(m.zero)),
+          col("_lexcl")))
+    }
+    withExcl.drop(Seq("_v", "_pid", "_local") ++
+      (if (lIdx.isDefined) Seq("_lead") else Nil) ++
+      (if (emitExcl) Seq("_lexcl") else Nil): _*)
   }
 }

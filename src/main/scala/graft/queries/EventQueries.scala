@@ -764,16 +764,15 @@ object EventQueries extends QueryModule {
     //
     // Scale shape: the naive formulation is TWO no-partition windows
     // (running sum + LEAD) — each funnels the whole delta stream into one
-    // task. Here the running sum is GlobalCumSum (range-partitioned prefix
-    // sums), the successor timestamp comes from GlobalRank + an equi
-    // self-join on rank+1 (shuffle on a unique key), so no single-partition
-    // stage exists at any size. The delta ordering (t_us, delta, user_id)
+    // task. Here the running sum AND the successor timestamp both come out
+    // of ONE GlobalCumSum range-partitioned pass (withCumSumAndLead), so no
+    // single-partition stage exists at any size. The delta ordering (t_us, delta, user_id)
     // is total by construction — same-user boundaries are gap-separated —
     // and -1 sorts before +1 at a shared instant, making the level
     // well-defined at touching intervals on both engines.
     Declared("q119_interval_concurrency",
       (s, dir) => {
-        import graft.operators.{GlobalCumSum, GlobalRank}
+        import graft.operators.GlobalCumSum
         val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
         val ev = Tables.load(s, dir, "events")
           .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
@@ -787,11 +786,17 @@ object EventQueries extends QueryModule {
         val deltas = iv.select(col("start_us").as("t_us"), lit(1).as("delta"), col("user_id"))
           .unionByName(iv.select((col("end_us") + 1).as("t_us"), lit(-1).as("delta"), col("user_id")))
         val order = Seq(col("t_us"), col("delta"), col("user_id"))
-        val swept = GlobalRank.withRankColumns(
-            GlobalCumSum.withCumSum(deltas, order, col("delta"), "conc"), order)
-          .select(col("rank"), col("t_us"), col("conc"))
-        val next = swept.select((col("rank") - 1).as("rank"), col("t_us").as("next_us"))
-        swept.join(next, "rank")
+        // r13 (guide §2.4): the successor timestamp comes out of the SAME
+        // range-partitioned sweep pass as the running concurrency
+        // (withCumSumAndLead) — before, a second GlobalRank range shuffle
+        // plus a rank+1 self-join (two more hash exchanges of the sweep)
+        // produced the identical (t_us, conc, next_us) rows. The global
+        // last row's lead is NULL and drops, exactly as the inner rank
+        // join dropped it.
+        val swept = GlobalCumSum.withCumSumAndLead(
+            deltas, order, col("delta"), "conc", "t_us", "next_us")
+          .select(col("t_us"), col("conc"), col("next_us"))
+        swept.where(col("next_us").isNotNull)
           .groupBy(col("conc").as("conc_level"))
           .agg(big(count(lit(1))).as("n_segments"),
             sum(col("next_us") - col("t_us")).cast("long").as("total_us"))

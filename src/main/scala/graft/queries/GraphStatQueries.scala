@@ -34,22 +34,18 @@ object GraphStatQueries extends QueryModule {
     Declared("q189_bfs_hops",
       (s, dir) => {
         import s.implicits._
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+        // r13: the edge set derives from the shared materialized
+        // co-purchase stage (both orientations of the undirected pair
+        // table) instead of a private lineitem self-join (guide §2.4).
         // pa-partitioned BEFORE the persist: the cached relation then
         // carries hash(pa) into every round's frontier⋈edges join, so the
         // per-round shuffle is the node-sized frontier only — never the
-        // edge table (measured 85.9k → 51.5k total shuffle records at
-        // sf0.001 with broadcast off; the remainder is the one-time
-        // build — li distinct + self-join + edge distinct + this
-        // repartition. PlanBudgetSpec's runtime budget pins the total at
-        // <150k, below the 85.9k×rounds re-shuffle regression). distinct() alone
-        // caches hash(pa, pb), which does NOT satisfy the pa-keyed join.
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
-          .distinct()
+        // edge table (PlanBudgetSpec's runtime budget pins the total at
+        // <150k, below the per-round edge re-shuffle regression).
+        val p = SharedStages.copurchasePairs(s, dir)
+          .select(col("pa"), col("pb"))
+        val e = p
+          .unionByName(p.select(col("pb").as("pa"), col("pa").as("pb")))
           .repartition(col("pa"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nodes = e.select(col("pa").as("pk")).distinct()
@@ -631,20 +627,16 @@ object GraphStatQueries extends QueryModule {
     // power-law graph are O(degeneracy) — single digits in practice.
     Declared("q205_kcore",
       (s, dir) => {
-        import org.apache.spark.storage.StorageLevel
         val k = 2
-        // persisted: both sides of the co-purchase self-join read one
-        // computed copy (one lineitem scan, not two)
-        val it = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val e = it.as("a").join(it.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-          .agg(count(lit(1)).as("supp"))
+        // r13: co-purchase edges with their support come straight from the
+        // shared materialized pair stage — supp is symmetric, so filtering
+        // the undirected table then unioning both orientations is the same
+        // edge set the private self-join built (guide §2.4).
+        val p = SharedStages.copurchasePairs(s, dir)
           .where(col("supp") >= 2)
           .select(col("pa"), col("pb"))
+        val e = p
+          .unionByName(p.select(col("pb").as("pa"), col("pa").as("pb")))
         // The loop state is the LIVE EDGE SET, not the node set: because
         // cur only ever shrinks, an edge whose endpoints both survive
         // round n+1 also survived round n — so each round filters the
@@ -693,15 +685,12 @@ object GraphStatQueries extends QueryModule {
     // the first aggregate.
     Declared("q211_degree_histogram",
       (s, dir) => {
-        // persisted: one lineitem scan serves both self-join sides
-        val it = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val deg = it.as("a").join(it.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
-          .distinct()
+        // r13: degree = number of pairs containing the vertex — one
+        // explode of the shared undirected pair stage (each pair
+        // contributes once to each endpoint), no private self-join and no
+        // global pair distinct (guide §2.4).
+        val deg = SharedStages.copurchasePairs(s, dir)
+          .select(explode(array(col("pa"), col("pb"))).as("pa"))
           .groupBy(col("pa")).agg(count(lit(1)).as("deg"))
         deg.groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
           .agg(big(count(lit(1))).as("n_nodes"),

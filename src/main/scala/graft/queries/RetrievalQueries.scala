@@ -226,15 +226,14 @@ object RetrievalQueries extends QueryModule {
     // Every count is exact; clustering_ppm = 3·Δ·10⁶ div Σ C(deg,2).
     Declared("q164_triangles",
       (s, dir) => {
-        val l = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        // e feeds degree, orientation AND the closing semi join; oriented
-        // feeds both wedge branches — persist both so the lineitem self-join
-        // runs ONCE, not once per downstream branch (3× at scale otherwise).
-        val e = l.as("x").join(l.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // r13: the edge set is the shared materialized co-purchase stage
+        // (SharedStages.copurchasePairs) — one landed self-join serves the
+        // whole graph family instead of each query re-joining lineitem.
+        // e feeds degree and orientation as cheap scans of the landed
+        // file; oriented (a computed frame feeding both wedge branches
+        // and the closing semi) keeps its persist.
+        val e = SharedStages.copurchasePairs(s, dir)
+          .select(col("pa").as("a"), col("pb").as("b"))
         val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("dg"))
         // unique, order-consistent orientation key: deg ⊕ vertex id

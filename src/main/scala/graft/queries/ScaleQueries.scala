@@ -503,25 +503,31 @@ object ScaleQueries extends QueryModule {
     // canonical formulation is the NOT EXISTS self-join the oracle runs —
     // quadratic, and Spark would plan it as a nested-loop. The engine
     // instead runs the sort-sweep: collapse to per-price best size, global
-    // running max over price order (GlobalCumSum.withCumMax — the
-    // one-shuffle prefix-max primitive, no partition-less window), make it
-    // EXCLUSIVE with GlobalRank + a rank+1 self-join (q119's successor
-    // recipe), keep price groups whose best size beats every cheaper
-    // group, then one equi join back tags the surviving parts. Every stage
-    // is linear or group-sized; nothing is all-pairs.
+    // running max over price order with its EXCLUSIVE twin from the same
+    // pass (GlobalCumSum.withCumMaxExclusive — the one-shuffle prefix-max
+    // primitive, no partition-less window and no rank self-join), keep
+    // price groups whose best size beats every cheaper group, then one
+    // equi join back tags the surviving parts. Every stage is linear or
+    // group-sized; nothing is all-pairs.
     Declared("q144_skyline",
       (s, dir) => {
-        import graft.operators.{GlobalCumSum, GlobalRank}
+        import graft.operators.GlobalCumSum
         val p = Tables.load(s, dir, "part")
           .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
         val grp = p.groupBy(col("p_retailprice").as("price"))
           .agg(max(col("p_size")).cast("long").as("gmax"))
         val order = Seq(col("price"))
-        val swept = GlobalRank.withRankColumns(
-          GlobalCumSum.withCumMax(grp, order, col("gmax"), "runmax"), order)
-        val prev = swept.select((col("rank") + 1).as("rank"), col("runmax").as("prevmax"))
-        val sky = swept.join(prev, Seq("rank"), "left")
-          .filter(col("gmax") > coalesce(col("prevmax"), lit(Long.MinValue)))
+        // r13 (guide §2.4): the EXCLUSIVE prefix max (max over strictly
+        // cheaper groups; Long.MinValue for the cheapest) falls out of the
+        // same sweep pass (withCumMaxExclusive) — before, GlobalRank plus
+        // a rank+1 self-join re-derived it as lag(runmax) at the cost of a
+        // second range shuffle and two hash exchanges. The first row's
+        // MinValue exclusive is exactly what the old coalesce(prevmax,
+        // MinValue) null-pad produced.
+        val swept = GlobalCumSum.withCumMaxExclusive(
+          grp, order, col("gmax"), "runmax", "prevmax")
+        val sky = swept
+          .filter(col("gmax") > col("prevmax"))
           .select(col("price"), col("gmax"))
         p.join(sky, p("p_retailprice") === sky("price")
             && p("p_size").cast("long") === sky("gmax"))

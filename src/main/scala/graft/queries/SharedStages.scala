@@ -167,6 +167,49 @@ object SharedStages {
         .write.mode("overwrite").parquet(out)
     }
 
+  /** (ok, pk): the DISTINCT order→part incidence of `lineitem` — the base
+    * relation of the co-purchase graph family. Materialized once because
+    * six queries derive from it (q164/q182/q189/q205/q211 through
+    * [[copurchasePairs]]; q182's singles counts and order total read it
+    * directly): before round 13 each paid the lineitem scan + distinct
+    * exchange privately (guide §2.4 — the same keyed work repeated five
+    * times is five removable shuffles).
+    */
+  def orderItems(s: SparkSession, dir: String): DataFrame =
+    materialize(s, dir, "order-items") {
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
+  /** (pa, pb, supp) with pa < pb: the UNDIRECTED co-purchase pair table —
+    * part pairs sharing at least one order, supp = number of distinct
+    * orders containing both. ONE self-join of [[orderItems]] on the order
+    * key serves the whole graph/basket family (q164 edge set = (pa, pb);
+    * q182 pair support = supp; q189/q211 directed neighbor lists = the
+    * union of both orientations; q205 co-purchase edges = supp ≥ 2 rows);
+    * before round 13 each query re-ran the self-join from lineitem —
+    * five corpus-sized joins where the data supports one (guide §2.4).
+    * Bench times the materialization as its own `copair_stage_build`
+    * entry, exactly like the dedup family's `shared_stage_build`, so the
+    * one-time cost can never hide in a first-rep-only median.
+    *
+    * Shape at 100 TB: the self-join is EQUI on the order key (both sides
+    * co-partition; fan-out bounded by basket size, never cross-order) and
+    * SHUFFLE_HASH (the per-partition build is 1/N of the incidence table —
+    * memory-safe at any scale; a sort of either side buys nothing for a
+    * downstream hash aggregate). The landed pair table is what every
+    * consumer scans — the production co-purchase artifact.
+    */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    materialize(s, dir, "copairs") {
+      val it = orderItems(s, dir)
+      it.as("a").join(it.as("b").hint("shuffle_hash"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("supp"))
+    }
+
   /** (doc_id, lang, source, sh): first-occurrence-distinct token 3-gram
     * shingles per document — one exploded row per (doc, shingle). Map-only
     * to produce (scan → codegen'd ShingleArray → explode → write).

@@ -393,17 +393,14 @@ object StatQueries extends QueryModule {
     // warehouse scale — both correct); N is a 1-row broadcast.
     Declared("q182_basket_pairs",
       (s, dir) => {
-        // items feeds BOTH self-join sides, the singles counts and the order
-        // total: persist so the distinct runs once, not once per branch
-        // (4 lineitem scans otherwise — scale-mode plan audit, round 6).
-        val items = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = items.as("a")
-          .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-          .agg(count(lit(1)).as("n_pair"))
+        // r13: the distinct incidence and its ordered self-join are the
+        // shared materialized stages (SharedStages.orderItems /
+        // copurchasePairs) — n_pair IS the pair-support column supp, and
+        // singles/total are scans of the landed incidence file. Before,
+        // this query re-ran the join privately (guide §2.4).
+        val items = SharedStages.orderItems(s, dir)
+        val pairs = SharedStages.copurchasePairs(s, dir)
+          .select(col("pa"), col("pb"), col("supp").as("n_pair"))
         val singles = items.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
         val total = items.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
         // Top-20 BEFORE the singles/lift attach: the ordering key

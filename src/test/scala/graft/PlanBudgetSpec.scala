@@ -38,7 +38,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // honest 100 TB shape; AQE re-broadcasts genuinely small sides at
     // runtime. 5 shuffles = cand join (2 sides) + dedup + 2 verify joins.
     ("q158_setsim_join", 5, 0, 3),
-    ("q164_triangles", 6, 1, 3),
+    // r13: the edge set reads the materialized co-purchase stage (one
+    // shuffle less — the in-query self-join is gone); at sf0.001 the tiny
+    // stage file broadcasts into the degree join (+1 broadcast), at scale
+    // AQE re-decides. cacheReads 3 = oriented (2 wedge branches + semi).
+    ("q164_triangles", 5, 2, 3),
     // containment: probe-prefix join + dedup + 2 verify joins + output sort;
     // cacheReads 4 = the persisted `ordered` read by prefix/postings/both
     // verify sides (strings never leave the vocabulary aggregate)
@@ -55,16 +59,25 @@ class PlanBudgetSpec extends AnyFunSuite {
     // native merge — the scale path, one fewer window shuffle per side)
     ("q69_asof_forward", 3, 0, 0),
     ("q77_asof_forward_native", 4, 0, 0),
-    // tier frames persisted: each removal tier reads cache, not lineage
-    ("q215_dedup_cascade", 6, 3, 8),
+    // r13: tier frames localCheckpoint'd, not persisted — persist()
+    // deduplicates execution but every consumer still embeds the full
+    // tier lineage in its LOGICAL plan, which went exponential when
+    // tier 5 landed (9.1M-char plan, 116 s of pure Catalyst time at
+    // sf0.1); the checkpoint truncates the plan to the stored blocks, so
+    // cacheReads drop to 0 (checkpoint scans are not cache reads) and
+    // the downstream tier joins re-appear as their own exchanges.
+    ("q215_dedup_cascade", 7, 3, 0),
     ("q157_profile", 2, 0, 0),
     ("q179_abc_class", 4, 1, 1),
     ("q162_heavy_hitters", 2, 2, 2),
     // r8: top-20 commutes with the singles/lift joins (ordering is a total
     // order over pair-table columns), so the 120M-row pair table stops at
     // the take-ordered instead of crossing two join exchanges; one more
-    // NODE (the 20-row side re-sort), 2 corpus-sized exchanges less VOLUME
-    ("q182_basket_pairs", 5, 4, 4),
+    // NODE (the 20-row side re-sort), 2 corpus-sized exchanges less VOLUME.
+    // r13: pair support and the incidence table read the materialized
+    // co-purchase stages (the private distinct + self-join exchanges are
+    // gone, and with them the persist: cacheReads 0).
+    ("q182_basket_pairs", 4, 3, 0),
     // 3-way join: both dims broadcast, facts shuffle once per agg level
     ("q05_join3_month", 2, 2, 0),
     // region/nation MUST broadcast — an SMJ here shuffles the fact table

@@ -207,6 +207,54 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("withCumSumAndLead equals window running-sum + LEAD (r13 fused pass)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    // duplicate-heavy head column (the q119 shape: repeated t_us, total
+    // order restored by the tie-break key) across 7 uneven partitions
+    val rows = (1 to 500).map(i => (rnd.nextInt(60).toLong, i.toLong,
+      if (rnd.nextBoolean()) 1L else -1L))
+    val df = rows.toDF("t", "id", "d")
+    val order = Seq(col("t"), col("id"))
+    val got = graft.operators.GlobalCumSum
+      .withCumSumAndLead(df, order, col("d"), "cum", "t", "nt",
+        numPartitions = Some(7))
+      .select(col("id"), col("cum"), col("nt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    val w = Window.orderBy(order: _*)
+    val want = df
+      .withColumn("cum", sum(col("d")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
+  test("withCumMaxExclusive equals LAG of the window running max (r13 fused pass)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 400).map(i => (i.toLong, rnd.nextInt(1000).toLong - 500L))
+    val df = rows.toDF("k", "v")
+    val got = graft.operators.GlobalCumSum
+      .withCumMaxExclusive(df, Seq(col("k")), col("v"), "rm", "pm",
+        numPartitions = Some(5))
+      .select(col("k"), col("rm"), col("pm"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val w = Window.orderBy(col("k"))
+    val want = df
+      .withColumn("rm", max(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pm", coalesce(lag(col("rm"), 1).over(w), lit(Long.MinValue)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("persisted IVF index: search joins the bucketed lists with no corpus shuffle") {
     import graft.operators.AnnIvf
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
