@@ -93,11 +93,26 @@ object ConnectedComponents {
     // min(n, min neighbor) — one aggregation instead of a distinct plus a
     // full propagate round (every node appears as src of the bidirectional
     // edge list, so the groupBy also enumerates the node set).
+    // Block-mode checkpoints are STATS-CLAMPED (r13): localCheckpoint
+    // copies the origin plan's sizeInBytes onto the LogicalRDD, and the
+    // pointer-double join of a round with itself SQUARES it per round —
+    // seeded from a streaming micro-batch (huge default stats) the
+    // estimate BigInts hit millions of bits and Catalyst's stats rewrite
+    // grinds the driver (the pathology that forced the q250/q252 sinks
+    // into per-round parquet spill). Rewriting each round's stats from
+    // its OBSERVED row count (×64 B/row — two longs + row overhead,
+    // deliberately generous) makes block mode safe at any seed, so the
+    // streaming sinks get localCheckpoint latency instead of a parquet
+    // write+read per round; `reliableDir` remains the executor-loss-
+    // tolerant deployment mode.
+    def clamp(df: DataFrame, rows: Long): DataFrame =
+      org.apache.spark.sql.GraftSqlBridge.withStats(df,
+        BigInt(math.max(rows, 1L)) * 64, Some(BigInt(rows)))
     def checkpointObserved(df: DataFrame, name: String): (DataFrame, Long, Long) = {
       val obs = Observation(name)
       val observed = df
         .observe(obs, sum(col("label")).as("s"), count(lit(1)).as("n"))
-      val out = reliableDir match {
+      val out0 = reliableDir match {
         case None => observed.localCheckpoint(true)
         case Some(dir) =>
           observed.write.mode("overwrite").parquet(s"$dir/$name")
@@ -106,18 +121,22 @@ object ConnectedComponents {
       val m = obs.get
       // sum() over an empty frame is NULL — treat as 0 (degenerate empty graph)
       val s = Option(m("s")).fold(0L)(_.asInstanceOf[Long])
-      (out, s, m("n").asInstanceOf[Long])
+      val n = m("n").asInstanceOf[Long]
+      val out = if (reliableDir.isEmpty) clamp(out0, n) else out0
+      (out, s, n)
     }
     def checkpointCounted(df: DataFrame, name: String): (DataFrame, Long) = {
       val obs = Observation(name)
       val observed = df.observe(obs, count(lit(1)).as("n"))
-      val out = reliableDir match {
+      val out0 = reliableDir match {
         case None => observed.localCheckpoint(true)
         case Some(dir) =>
           observed.write.mode("overwrite").parquet(s"$dir/$name")
           spark.read.parquet(s"$dir/$name")
       }
-      (out, obs.get("n").asInstanceOf[Long])
+      val n = obs.get("n").asInstanceOf[Long]
+      val out = if (reliableDir.isEmpty) clamp(out0, n) else out0
+      (out, n)
     }
     var (labels, _, _) = checkpointObserved(
       edges.groupBy(col("src").as("node"))

@@ -39,18 +39,24 @@ object IncrementalCC {
   /** foreachBatch sink over an edge stream with LONG columns (`u`, `v`).
     * Read the map back with [[VersionedView.read]] (columns node, rep).
     *
-    * The inner CC runs in `reliableDir` mode (per-round parquet spill under
-    * `<stateOut>/_ccwork`, overwritten each batch) — not only for
-    * durability: `localCheckpoint` CARRIES the origin plan's sizeInBytes
-    * estimate onto each round's LogicalRDD, and the pointer-double step
-    * joins a round's checkpoint WITH ITSELF, so the carried estimate
-    * SQUARES every round (bit-length doubles). Seeded from a streaming
-    * micro-batch (default, i.e. huge, stats), the stats BigInts reach
-    * millions of bits within ~15 rounds and `rewriteStatsAndConstraints`
-    * inside the next checkpoint call grinds the stream-execution thread
-    * for minutes — found by this sink's sf0.1 gate. Parquet round files
-    * restart every round from REAL file-sized stats; nothing compounds.
+    * The inner CC runs in BLOCK mode (localCheckpoint rounds) by default
+    * since r13: the stats-squaring pathology that originally forced these
+    * sinks into per-round parquet spill — `localCheckpoint` carries the
+    * origin plan's sizeInBytes onto each round's LogicalRDD, and the
+    * pointer-double self-join SQUARES it per round until Catalyst's stats
+    * rewrite grinds the stream-execution thread — is fixed at the source:
+    * ConnectedComponents clamps every block-mode round's stats to its
+    * observed row count (GraftSqlBridge.withStats), so nothing compounds
+    * at any seed. That removes a parquet write+read (2 jobs + FS commits)
+    * per CC round per micro-batch, the bulk of these sinks' wall time.
+    * `GRAFT_CC_RELIABLE=1` restores the durable parquet-spill mode (the
+    * executor-loss-tolerant choice for long multi-round runs at 100 TB,
+    * where losing one executor mid-round must not restart the iteration).
     */
+  private def ccWorkDir(stateOut: String): Option[String] =
+    if (sys.env.get("GRAFT_CC_RELIABLE").contains("1"))
+      Some(s"$stateOut/_ccwork") else None
+
   /** DELETION-capable incremental CC over a CDC edge stream with columns
     * (`u`, `v`, `op` ∈ {I, D}) — the fully-dynamic extension [[ccSink]]
     * deliberately excludes (its map is insertion-only by contract). A
@@ -96,7 +102,7 @@ object IncrementalCC {
   def ccDeleteSink(stateOut: String, edgesOut: String): (DataFrame, Long) => Unit = {
     (batch, batchId) => {
       val sp = batch.sparkSession
-      val ccWork = Some(s"$stateOut/_ccwork")
+      val ccWork = ccWorkDir(stateOut)
       val deltas = batch
         .select(least(col("u"), col("v")).cast("long").as("a"),
           greatest(col("u"), col("v")).cast("long").as("b"),
@@ -223,7 +229,7 @@ object IncrementalCC {
 
   def ccSink(stateOut: String): (DataFrame, Long) => Unit =
     VersionedView.versionedSinkShared(stateOut) { (batch, cur) =>
-      val ccWork = Some(s"$stateOut/_ccwork")
+      val ccWork = ccWorkDir(stateOut)
       // self-loops carry no connectivity and are dropped up front, so a
       // node appearing ONLY in self-loops is consistently absent from the
       // map in both the first-batch and incremental branches

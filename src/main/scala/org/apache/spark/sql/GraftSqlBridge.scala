@@ -41,6 +41,36 @@ object GraftSqlBridge {
     if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
   }
 
+  /** Rewrites a checkpointed Dataset's `LogicalRDD` to carry FRESH
+    * statistics instead of the origin plan's (r13, guide §7.3).
+    *
+    * Why: `localCheckpoint` copies the ORIGIN plan's sizeInBytes estimate
+    * onto the LogicalRDD. An iterative operator that joins a round's
+    * checkpoint WITH ITSELF (ConnectedComponents' pointer-double step)
+    * SQUARES that estimate every round; seeded from a streaming
+    * micro-batch (default, i.e. huge, stats) the BigInts reach millions of
+    * bits within ~15 rounds and `rewriteStatsAndConstraints` inside the
+    * next checkpoint call grinds the driver for minutes. This helper
+    * replaces the estimate with one derived from the MATERIALIZED row
+    * count — the number the blocks actually hold — so nothing compounds.
+    * Constraints are dropped with the stats (same staleness argument).
+    * No-op for plans that are not a bare LogicalRDD.
+    */
+  def withStats(df: Dataset[_], sizeInBytes: BigInt,
+      rowCount: Option[BigInt]): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        val fresh = new execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(ds.sparkSession,
+          Some(catalyst.plans.logical.Statistics(sizeInBytes, rowCount)),
+          None)
+        classic.Dataset.ofRows(ds.sparkSession, fresh)
+      case _ => ds.toDF()
+    }
+  }
+
   /** Block until the listener bus has delivered all queued events —
     * `private[spark]`, needed to attribute SparkListener task metrics to
     * the query that just ran (Bench's task-time accounting).

@@ -255,6 +255,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("withStats clamps a checkpoint's carried statistics without touching rows (r13)") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("x").localCheckpoint(true)
+    def sizeOf(d: org.apache.spark.sql.DataFrame): BigInt =
+      d.queryExecution.optimizedPlan.stats.sizeInBytes
+    val clamped = org.apache.spark.sql.GraftSqlBridge
+      .withStats(df, BigInt(6400), Some(BigInt(100)))
+    assert(sizeOf(clamped) == BigInt(6400))
+    assert(clamped.as[Long].collect().sorted.toSeq == (1L to 100L))
+    // the pathology the clamp exists for: a checkpoint self-join SQUARES
+    // the carried estimate; clamping between rounds keeps it linear
+    val joined = clamped.join(clamped.withColumnRenamed("x", "y"),
+      clamped("x") === col("y")).localCheckpoint(true)
+    val reclamped = org.apache.spark.sql.GraftSqlBridge
+      .withStats(joined, BigInt(12800), Some(BigInt(100)))
+    assert(sizeOf(reclamped) == BigInt(12800))
+  }
+
   test("persisted IVF index: search joins the bucketed lists with no corpus shuffle") {
     import graft.operators.AnnIvf
     val e = graft.model.Tables.load(spark, sf0001, "embeddings")
