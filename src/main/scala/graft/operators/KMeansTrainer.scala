@@ -84,16 +84,33 @@ object KMeansTrainer {
     next
   }
 
+  /** Caches the training set repartitioned to the session's parallelism
+    * for the duration of `body` (r13, guide §2.2/§2.6): a single-file
+    * corpus otherwise runs every Lloyd round on ONE scan task (the gate's
+    * 800 KB parquet is one split — measured 2.8 s/round single-threaded
+    * on a 32-core session), and at any scale R rounds re-read the cached
+    * training set instead of re-scanning the source R times — the
+    * standard production shape for an iterative trainer. Assignment is
+    * row-local and the update sums are exact DECIMAL (order-free), so the
+    * repartition cannot change the trained model.
+    */
+  private def withTrainingSet[T](e: DataFrame)(body: DataFrame => T): T = {
+    val et = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(et) finally et.unpersist()
+  }
+
   /** Train k centroids for `rounds` fixed Lloyd rounds. Returns
     * (centroids, corpus aggregates executed) — the scan counter feeds the
     * spec law, like BpeTrainer's.
     */
-  def train(e: DataFrame, k: Int, rounds: Int): (Array[Array[Double]], Int) = {
-    var cents = seeds(e, k)
-    var scans = 0
-    for (_ <- 1 to rounds) { cents = lloydRound(e, cents); scans += 1 }
-    (cents, scans)
-  }
+  def train(e: DataFrame, k: Int, rounds: Int): (Array[Array[Double]], Int) =
+    withTrainingSet(e) { et =>
+      var cents = seeds(et, k)
+      var scans = 0
+      for (_ <- 1 to rounds) { cents = lloydRound(et, cents); scans += 1 }
+      (cents, scans)
+    }
 
   /** Train the m per-subspace PQ CODEBOOKS (ksub codes of dsub dims each)
     * the same way — every subspace's k-means rides the SAME corpus scan per
@@ -103,8 +120,8 @@ object KMeansTrainer {
     * scans).
     */
   def trainPq(e: DataFrame, m: Int, dsub: Int, ksub: Int, rounds: Int)
-      : (Array[Array[Array[Double]]], Int) = {
-    val seedVecs = seeds(e, ksub)
+      : (Array[Array[Array[Double]]], Int) = withTrainingSet(e) { et =>
+    val seedVecs = seeds(et, ksub)
     var cbs: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
       seedVecs.map(_.slice(j * dsub, (j + 1) * dsub)))
     var scans = 0
@@ -113,7 +130,7 @@ object KMeansTrainer {
         val sv = slice(col("e"), j * dsub + 1, dsub)
         struct(lit(j).as("ss"), assignCol(sv, cbs(j)).as("code"), sv.as("sv"))
       }: _*)).as("s")
-      val sums = e.select(subRows)
+      val sums = et.select(subRows)
         .select(col("s.ss").as("ss"), col("s.code").as("code"),
           posexplode(col("s.sv")).as(Seq("pos", "v")))
         .groupBy(col("ss"), col("code"), col("pos"))

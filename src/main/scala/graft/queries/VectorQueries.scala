@@ -632,19 +632,24 @@ object VectorQueries extends QueryModule {
           groupedTopK(scored, "qid", 3, Seq(col("cos").desc, col("vec_id")))
             .select(col("qid"), col("vec_id"))
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val nTotal = brute.count()
-          // eager per-nprobe hit counts (4 rows — driver-sized), so the
-          // brute frame's persist can be released before returning
-          val hits = Seq(1, 2, 4, 8).map { np =>
-            val h = AnnIvf.topKIndexedStore(s, idxDir, qs, 3, cents, nprobe = np)
-              .select(col("qid"), col("vec_id"))
-              .join(brute, Seq("qid", "vec_id"), "left_semi")
-              .count()
-            (np.toLong, h, h * 1000000L / nTotal)
-          }
-          hits.toDF("nprobe", "hits", "recall_ppm").orderBy(col("nprobe"))
-        } finally brute.unpersist()
+        val nTotal = brute.count()
+        // r13 (guide §2.6): one unioned frame instead of four sequential
+        // count() actions — the four per-nprobe probe legs execute as
+        // independent stages of ONE job, overlapping instead of paying
+        // four job latencies back to back (q255's shape). The brute
+        // persist is caller-owned, as q255's: the harness releases it via
+        // clearCache after the query materializes.
+        val perProbe = Seq(1, 2, 4, 8).map { np =>
+          AnnIvf.topKIndexedStore(s, idxDir, qs, 3, cents, nprobe = np)
+            .select(col("qid"), col("vec_id"))
+            .join(brute, Seq("qid", "vec_id"), "left_semi")
+            .agg(big(count(lit(1))).as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"))
+        }.reduce(_ unionByName _)
+        perProbe
+          .select(col("nprobe"), col("hits"),
+            big(expr(s"hits * 1000000L div ${nTotal}L")).as("recall_ppm"))
+          .orderBy(col("nprobe"))
       },
       Some(kmeansTrainRoundsSql(k = 8, rounds = 2) + """,
              |cent AS (SELECT cluster, ce FROM c2),
