@@ -36,7 +36,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Standard Spark production setting; the larger code cache keeps the
   // many generated classes of a full suite run from evicting each other.
   "-XX:-DontCompileHugeMethods",
-  "-XX:ReservedCodeCacheSize=512m",
+  // 1g (r13, was 512m): a full 295-query suite at reps=3 generates ~10^4
+  // codegen classes; at 512m the cache fills mid-suite and
+  // UseCodeCacheFlushing starts evicting WARM methods, which de-optimizes
+  // a late query back to the interpreter — measured as a 20x task-time
+  // flap on q287 (13 task-s isolated vs 266 in one full-suite run, same
+  // code). The flag pair exists to keep generated methods compiled; the
+  // larger cache keeps them compiled for the whole run.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++
   // Experiment passthrough: extra -Dspark.* system properties for forked
   // runs (SparkConf reads spark.* system props), e.g. a state-store
