@@ -168,6 +168,22 @@ object Bench {
     // LAST thing printed is a compact summary line that fits the tail
     // window whole — totals plus the slowest queries (the ones a baseline
     // comparison actually reads; the complete map is in the file).
+    // BEFORE overwriting bench.json, load the previous run's per-query map:
+    // the closing "delta" line (r14, VERDICT item 2) reports round-over-round
+    // movers against it — the only per-query signal that can ever fit the
+    // driver's tail window whole.
+    val prevWall: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("out/bench.json")), "UTF-8")
+        val m = """"wall_sec":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+        m.map(_.split(",").flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) => Some(k.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+            case _ => None
+          }
+        }.toMap).getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
     new java.io.File("out").mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get("out/bench.json"), full + "\n")
     val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(8)
@@ -178,6 +194,37 @@ object Bench {
       s""""n_queries":${results.length},"queries":$slowest,""" +
       s""""queries_truncated_to_slowest":8,""" +
       s""""detail":"out/bench.json","sf":"$sfDir","reps":$reps}""")
+    // LAST line: per-query MOVERS vs the previous out/bench.json — queries
+    // whose wall changed >10% AND >0.15 s (absolute floor keeps planning
+    // noise on sub-second entries out), largest absolute delta first,
+    // truncated so the line always fits a 2 KB tail window. Values are
+    // [prev, now] rounded to ms. Totals ride along so the line alone
+    // supports a round-over-round verdict even when nothing moved.
+    if (prevWall.nonEmpty) {
+      def r3(x: Double) = math.round(x * 1000) / 1000.0
+      val movers = results.filter(_._2._1 >= 0).flatMap { case (k, (w, _, _)) =>
+        prevWall.get(k).filter(p => p > 0 &&
+          math.abs(w - p) / p > 0.10 && math.abs(w - p) > 0.15)
+          .map(p => (k, p, w))
+      }.sortBy { case (_, p, w) => -math.abs(w - p) }
+      val prevTotal = r3(prevWall.values.filter(_ >= 0).sum)
+      val head = s"""{"metric":"delta","unit":"sec","prev_total":$prevTotal,""" +
+        s""""total":${r3(total)},"n_movers":${movers.length},"movers":{"""
+      val tail2 = s"""},"sf":"$sfDir"}"""
+      val budget = 1900 - head.length - tail2.length
+      val items = new StringBuilder
+      var used = 0
+      var shown = 0
+      movers.foreach { case (k, p, w) =>
+        val item = "\"" + k + "\":[" + r3(p) + "," + r3(w) + "]"
+        val need = item.length + (if (shown > 0) 1 else 0)
+        if (used + need <= budget) {
+          if (shown > 0) items.append(",")
+          items.append(item); used += need; shown += 1
+        }
+      }
+      println(head + items.toString + tail2)
+    }
     // Providers first, session second: a still-loaded RocksDB provider
     // SIGSEGVs in its JNI log callback if the JVM exits under it (see
     // GraftSqlBridge.stopStateStores).

@@ -227,9 +227,15 @@ object AnnIvf {
       .join(priorIds, Seq("vec_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      BucketedStore.appendBatch(fresh, storeSpec(dir, width), batchId)
-      BucketedStore.appendBatch(fresh.select(col("vec_id")).dropDuplicates("vec_id"),
-        idsSpec(dir, width), batchId)
+      // materialize the shared batch frame ONCE, then overlap the two
+      // order-independent table appends as concurrent driver jobs
+      // (guide §2.6; appendBatch is conf-free so they cannot race)
+      fresh.count()
+      BucketedStore.appendConcurrently(Seq(
+        () => BucketedStore.appendBatch(fresh, storeSpec(dir, width), batchId),
+        () => BucketedStore.appendBatch(
+          fresh.select(col("vec_id")).dropDuplicates("vec_id"),
+          idsSpec(dir, width), batchId)))
     } finally fresh.unpersist()
   }
 
@@ -321,13 +327,22 @@ object AnnIvf {
       .join(priorIds, Seq("vec_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      BucketedStore.appendBatch(fresh, storeSpec(dir, width), batchId)
-      BucketedStore.appendBatch(fresh.select(col("vec_id")).dropDuplicates("vec_id"),
-        idsSpec(dir, width), batchId)
-      BucketedStore.appendBatch(
-        fresh.select(col("vec_id"), col("cluster"),
-          ProductQuantizer.codes(col("e"), m, dsub).as("c")),
-        codesSpec(dir, width), batchId)
+      // materialize the shared batch frame ONCE, then overlap the three
+      // order-independent table appends (lists/ids/codes) as concurrent
+      // driver jobs (guide §2.6) — replay converges from any crash point
+      // between them exactly as it did when they ran back to back, and
+      // appendBatch is conf-free (static partition INSERT) so concurrent
+      // writes cannot race a session conf.
+      fresh.count()
+      BucketedStore.appendConcurrently(Seq(
+        () => BucketedStore.appendBatch(fresh, storeSpec(dir, width), batchId),
+        () => BucketedStore.appendBatch(
+          fresh.select(col("vec_id")).dropDuplicates("vec_id"),
+          idsSpec(dir, width), batchId),
+        () => BucketedStore.appendBatch(
+          fresh.select(col("vec_id"), col("cluster"),
+            ProductQuantizer.codes(col("e"), m, dsub).as("c")),
+          codesSpec(dir, width), batchId)))
     } finally fresh.unpersist()
   }
 

@@ -43,6 +43,30 @@ import graft.functions.VectorFunctions
   */
 object SemDeDup {
 
+  /** The CLUSTER-COUNT SCALE LAW behind the declared paths (r14, VERDICT
+    * item 5): the in-cluster pair stage is Σ n_c·(n_c−1) ≈ n²/k rows — at
+    * FIXED k that is a quadratic trap (measured 2,581 task-s at sf1,
+    * ~100× the sf0.1 gate, in tools/DiagSemDeDup). The paper's discipline
+    * (Abbas et al. 2023: k ∝ corpus — 11k clusters for LAION) keeps n/k,
+    * the per-cluster population, constant, so pair work grows LINEARLY
+    * per decade. `spark.graft.semdedup.docsPerCluster = d` wires that law:
+    * k = max(base, ceil(n/d)), one count() to size it. The DEFAULT (unset,
+    * or ≤ 0) is the FIXED `base` — the gate pins base = 16 so the declared
+    * queries' oracle hashes never move; a deployment sets `d` to its
+    * per-cluster budget. SemDeDupSpec pins both the law's arithmetic and
+    * the pair-row bound it buys.
+    */
+  def clusterCount(docs: DataFrame, base: Int = 16): Int = {
+    val per = docs.sparkSession.conf
+      .get("spark.graft.semdedup.docsPerCluster", "0").toLong
+    if (per <= 0L) base
+    else {
+      val n = docs.count()
+      math.max(base.toLong, (n + per - 1L) / per)
+        .min(Int.MaxValue.toLong).toInt
+    }
+  }
+
   /** Deterministic hashed-BoW document embedding: (doc_id, v: array<double>
     * of `dims` integer-valued components). Documents whose projection is
     * the zero vector (cosine undefined) are excluded — they cannot

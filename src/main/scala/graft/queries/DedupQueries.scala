@@ -75,6 +75,94 @@ object DedupQueries extends QueryModule {
       |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
       |WHERE est_jaccard >= 0.5""".stripMargin
 
+  /** The q215 cascade body (see the Declared below for the tier docs).
+    *
+    * Tier-removal frames are MATERIALIZED EAGERLY with their lineage
+    * TRUNCATED: every later tier's lineage contains every earlier tier
+    * (survivors = anti-join against the removals), and the closing union
+    * aggregates each tier — so without pinning, the containment join
+    * re-executes ~3× and the LSH semi-join ~2× inside the ONE action (the
+    * sf1 rehearsal measured 77× task-time at 10× data from exactly this).
+    * Round 13 found the second half of the trap: persist() pins EXECUTION
+    * but not PLANNING — the logical plan of tier n still embeds every
+    * earlier tier's full tree, so each added tier DOUBLES the tree
+    * Catalyst re-optimizes per reference (9.2 MB of explain text by tier
+    * 5, measured 116 s of zero-task driver gaps out of 137 s wall at
+    * sf0.1). Truncation is the spark_optimization_guide §3.3/§7.3 remedy;
+    * the pinned frames are doc_id lists — bytes per surviving doc, safe at
+    * any corpus size.
+    *
+    * `reliableDir` picks HOW a tier pins (r14): None = localCheckpoint
+    * blocks (fast; dies with an executor), Some(dir) = durable parquet
+    * write+read-back (the 100 TB deployment mode — a lost executor costs
+    * one tier's rebuild, not the cascade; the same block-vs-reliable split
+    * ConnectedComponents/IterativeFixpoint already offer). Same rows
+    * either way — DedupCascadeModesSpec pins parity.
+    */
+  private[graft] def dedupCascade(s: org.apache.spark.sql.SparkSession,
+      dir: String, reliableDir: Option[String]): org.apache.spark.sql.DataFrame = {
+    var tierNo = 0
+    def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      reliableDir match {
+        case None => df.localCheckpoint(true)
+        case Some(base) =>
+          tierNo += 1
+          val p = s"$base/tier_$tierNo"
+          df.write.mode("overwrite").parquet(p)
+          s.read.parquet(p)
+      }
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exactD = pin(docs.withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") > 1).select(col("doc_id")))
+    val s1 = docs.join(exactD, Seq("doc_id"), "left_anti")
+    val bowToks = array_sort(array_distinct(filter(
+      split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))))
+    val wBow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val bowD = pin(s1.withColumn("fp", md5(array_join(bowToks, " ")))
+      .withColumn("rn", row_number().over(wBow))
+      .filter(col("rn") > 1).select(col("doc_id")))
+    val s2 = s1.join(bowD, Seq("doc_id"), "left_anti")
+    val recs2 = s2.select(col("doc_id"),
+      graft.functions.TextFunctions.shingles3(col("text")).as("tk"))
+    val containD = pin(graft.operators.SetSimJoin
+      .containmentJoin(recs2, "doc_id", "tk", 9, 10)
+      .where(col("sb") > col("sa") ||
+        (col("sb") === col("sa") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("doc_id")).distinct())
+    val s3 = s2.join(containD, Seq("doc_id"), "left_anti")
+    val s3ids = pin(s3.select(col("doc_id")))
+    val nearD = pin(lshNearPairs(s, dir)
+      .join(s3ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(s3ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_b").as("doc_id")).distinct())
+    val s4 = s3.join(nearD, Seq("doc_id"), "left_anti")
+    // tier 5 (round 13): SEMANTIC dedup over the lexical survivors —
+    // SemDeDup's embed → argmax-cluster → domination pass (q287's
+    // machinery verbatim) catches the near-dups whose token overlap is
+    // too low for tiers a-d to fire.
+    val semAssigned = pin(graft.operators.SemDeDup
+      .assignArgmax(graft.operators.SemDeDup.embedBow(s4,
+        graft.operators.SemDeDup.clusterCount(s4, 16)))
+      .join(s4.select(col("doc_id"), col("n_chars")), Seq("doc_id")))
+    val semD = pin(graft.operators.SemDeDup
+      .markDropped(semAssigned, 990000L, "n_chars")
+      .filter(col("dropped")).select(col("doc_id")))
+    val kept = s4.join(semD, Seq("doc_id"), "left_anti")
+    def tier(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(big(count(lit(1))).as("n")).select(lit(name).as("tier"), col("n"))
+    tier("a_exact", exactD)
+      .unionByName(tier("b_bow", bowD))
+      .unionByName(tier("c_contain", containD))
+      .unionByName(tier("d_near", nearD))
+      .unionByName(tier("e_sem", semD))
+      .unionByName(tier("f_kept", kept))
+      .orderBy(col("tier"))
+  }
+
   override val declared: Seq[Declared] = Seq(
 
     // q32 — MinHash + LSH near-dup candidate pairs with estimated Jaccard.
@@ -422,77 +510,15 @@ object DedupQueries extends QueryModule {
     // reports 0). This is the production ordering: each tier's cost is
     // amortized by the volume the cheaper tiers already removed.
     Declared("q215_dedup_cascade",
-      (s, dir) => {
-        // Tier-removal frames are MATERIALIZED EAGERLY with their lineage
-        // TRUNCATED (localCheckpoint): every later tier's lineage contains
-        // every earlier tier (survivors = anti-join against the removals),
-        // and the closing union aggregates each tier — so without pinning,
-        // the containment join re-executes ~3× and the LSH semi-join ~2×
-        // inside the ONE action (the sf1 rehearsal measured 77× task-time
-        // at 10× data from exactly this). Round 13 found the second half
-        // of the trap: persist() pins EXECUTION but not PLANNING — the
-        // logical plan of tier n still embeds every earlier tier's full
-        // tree, so each added tier DOUBLES the tree Catalyst re-optimizes
-        // per reference (9.2 MB of explain text by tier 5, measured 116 s
-        // of zero-task driver gaps out of 137 s wall at sf0.1).
-        // localCheckpoint truncates the plan to the materialized blocks —
-        // the spark_optimization_guide §3.3/§7.3 remedy — and the same
-        // run fell to ~12 s. The checkpointed frames are doc_id lists —
-        // bytes per surviving doc, safe at any corpus size; a production
-        // cascade lands them as parquet artifacts (the SharedStages
-        // pattern) for the same reason, which truncates the plan the
-        // same way.
-        val docs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text"), col("n_chars"))
-        val wEx = org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-        val exactD = docs.withColumn("rn", row_number().over(wEx))
-          .filter(col("rn") > 1).select(col("doc_id")).localCheckpoint(true)
-        val s1 = docs.join(exactD, Seq("doc_id"), "left_anti")
-        val bowToks = array_sort(array_distinct(filter(
-          split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit(""))))
-        val wBow = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp")).orderBy(col("doc_id"))
-        val bowD = s1.withColumn("fp", md5(array_join(bowToks, " ")))
-          .withColumn("rn", row_number().over(wBow))
-          .filter(col("rn") > 1).select(col("doc_id")).localCheckpoint(true)
-        val s2 = s1.join(bowD, Seq("doc_id"), "left_anti")
-        val recs2 = s2.select(col("doc_id"),
-          graft.functions.TextFunctions.shingles3(col("text")).as("tk"))
-        val containD = graft.operators.SetSimJoin
-          .containmentJoin(recs2, "doc_id", "tk", 9, 10)
-          .where(col("sb") > col("sa") ||
-            (col("sb") === col("sa") && col("id_b") < col("id_a")))
-          .select(col("id_a").as("doc_id")).distinct().localCheckpoint(true)
-        val s3 = s2.join(containD, Seq("doc_id"), "left_anti")
-        val s3ids = s3.select(col("doc_id")).localCheckpoint(true)
-        val nearD = lshNearPairs(s, dir)
-          .join(s3ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
-          .join(s3ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
-          .select(col("id_b").as("doc_id")).distinct().localCheckpoint(true)
-        val s4 = s3.join(nearD, Seq("doc_id"), "left_anti")
-        // tier 5 (round 13): SEMANTIC dedup over the lexical survivors —
-        // SemDeDup's embed → argmax-cluster → domination pass (q287's
-        // machinery verbatim) catches the near-dups whose token overlap is
-        // too low for tiers a-d to fire.
-        val semAssigned = graft.operators.SemDeDup
-          .assignArgmax(graft.operators.SemDeDup.embedBow(s4, 16))
-          .join(s4.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-          .localCheckpoint(true)
-        val semD = graft.operators.SemDeDup
-          .markDropped(semAssigned, 990000L, "n_chars")
-          .filter(col("dropped")).select(col("doc_id")).localCheckpoint(true)
-        val kept = s4.join(semD, Seq("doc_id"), "left_anti")
-        def tier(name: String, df: org.apache.spark.sql.DataFrame) =
-          df.agg(big(count(lit(1))).as("n")).select(lit(name).as("tier"), col("n"))
-        tier("a_exact", exactD)
-          .unionByName(tier("b_bow", bowD))
-          .unionByName(tier("c_contain", containD))
-          .unionByName(tier("d_near", nearD))
-          .unionByName(tier("e_sem", semD))
-          .unionByName(tier("f_kept", kept))
-          .orderBy(col("tier"))
-      },
+      // GRAFT_DEDUP_RELIABLE=1 routes the tier pins through durable parquet
+      // spill instead of localCheckpoint blocks — the executor-loss-tolerant
+      // deployment mode (r14, mirroring GRAFT_CC_RELIABLE: at 100 TB a lost
+      // executor must cost one tier's rebuild, not the whole cascade).
+      // DedupCascadeModesSpec pins result parity; the gate keeps the fast
+      // block default.
+      (s, dir) => dedupCascade(s, dir,
+        reliableDir = if (sys.env.get("GRAFT_DEDUP_RELIABLE").contains("1"))
+          Some(SharedStages.scratchDir("q215-tiers")) else None),
       Some(duckSig +
         """,
           |exact_d AS (
@@ -1080,7 +1106,12 @@ object DedupQueries extends QueryModule {
         import graft.operators.SemDeDup
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("n_chars"))
-        val assigned = SemDeDup.assignArgmax(SemDeDup.embedBow(docs, 16))
+        // cluster count: gate-pinned 16 by default; k ∝ corpus behind
+        // spark.graft.semdedup.docsPerCluster (SemDeDup.clusterCount — the
+        // r14 scale law; the conf is never set on the gate, so the oracle
+        // hash is stable)
+        val assigned = SemDeDup.assignArgmax(
+            SemDeDup.embedBow(docs, SemDeDup.clusterCount(docs, 16)))
           .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val marked = SemDeDup.markDropped(assigned, 990000L, "n_chars")

@@ -64,7 +64,45 @@ object RecursionQueries extends QueryModule {
     // the default before the query ever runs.
     val bound = math.max(1000000L, orders.count() + 1L)
     s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
-    s.sql(q116)
+    // r14 (VERDICT item 3): UnionLoop re-plans and RE-EXECUTES the
+    // recursion-step subtree every round, and with `ord` as a plain CTE
+    // that meant ~25 rounds × (orders scan + full row_number window +
+    // exchange) — 10.9 s wall, the suite's second-slowest entry. The
+    // 100 TB recipe is q117's: land `ord` ONCE as a bucketed+sorted table
+    // keyed by the hop join's exact keys (o_custkey, rn), so each round's
+    // hop join gets the ord side exchange-free AND sort-free from the
+    // scan itself, and only the shrinking frontier shuffles per round.
+    // The RECURSIVE surface is unchanged (still WITH RECURSIVE through
+    // UnionLoopExec — RecursionSpec pins the node); only the invariant
+    // subtree moved out of the loop (guide §2.4/§3.3: materialize the
+    // subtree shared by every iteration). The oracle SQL is untouched —
+    // same text, same rows, hash-checked.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val tbl = "q116_ord_bucketed"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val whDir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl)
+    val whFs = whDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(whDir)) whFs.delete(whDir, true)
+    orders
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,6)").as("price"),
+        row_number().over(w).as("rn"))
+      .repartition(8, col("o_custkey"), col("rn"))
+      .write.bucketBy(8, "o_custkey", "rn").sortBy("o_custkey", "rn")
+      .mode("overwrite").saveAsTable(tbl)
+    s.sql(
+      s"""WITH RECURSIVE chain AS (
+         |  SELECT o_custkey, rn, CAST(0 AS BIGINT) AS depth, price AS cum
+         |  FROM $tbl WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.o_custkey, o.rn, c.depth + 1, CAST(c.cum + o.price AS DECIMAL(18,6))
+         |  FROM chain c JOIN $tbl o ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1
+         |)
+         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_chains,
+         |  CAST(ROUND(SUM(cum), 6) AS DECIMAL(38,6)) AS cum_price
+         |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
   /** IterativeFixpoint twin of q116. `ord` is window-numbered once and
@@ -95,9 +133,15 @@ object RecursionQueries extends QueryModule {
     //     iteration) lets the subset partitioning co-locate a join keyed
     //     (o_custkey, rn): the frontier alone shuffles to match the
     //     buckets, frontier-sized and shrinking.
-    // The per-round frontiers spill to parquet (reliableDir): fresh
-    // relations each round, no lineage shared with ord, executor-loss
-    // tolerant.
+    // Per-round frontier materialization (r14): BLOCK mode by default —
+    // localCheckpoint gives the same fresh lineage-truncated relation per
+    // round without a parquet write+read per round (~25 rounds × 2 jobs +
+    // FS commits was most of q117's wall). GRAFT_FIXPOINT_RELIABLE=1
+    // restores the durable parquet spill (the executor-loss-tolerant
+    // choice for a multi-hour 100 TB walk — a lost executor re-reads a
+    // round file instead of restarting the recursion), the same
+    // block-vs-durable split as GRAFT_CC_RELIABLE / GRAFT_DEDUP_RELIABLE.
+    // RecursionSpec pins block ≡ reliable result parity.
     val tbl = "q117_ord_bucketed"
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     // a crashed previous run can leave the managed dir without the
@@ -132,7 +176,8 @@ object RecursionQueries extends QueryModule {
             (col("f.depth") + lit(1L)).as("depth"),
             (col("f.cum") + col("o.price")).cast(Protocol.D).as("cum")),
         maxRounds = 30,
-        reliableDir = Some(SharedStages.scratchDir("q117-rounds")))
+        reliableDir = if (sys.env.get("GRAFT_FIXPOINT_RELIABLE").contains("1"))
+          Some(SharedStages.scratchDir("q117-rounds")) else None)
     } finally s.conf.set(coPart, coPartSaved)
     chain.groupBy(col("depth"))
       .agg(Protocol.big(count(lit(1))).as("n_chains"),

@@ -275,16 +275,30 @@ object SharedStages {
     materialize(s, dir, "lshpairs") {
       import DedupQueries.{BANDS, K, ROWS}
       val sigs = minhashSigs(s, dir)
-      val banded = sigs.select(col("doc_id"), col("sig"),
+      // CANDIDATES travel NARROW (r14, guide §2.3/§8): the banded stream is
+      // BANDS(=20) rows per doc, and the previous shape carried the full
+      // 16-lane sig array on BOTH sides of the band self-join — 20× sig
+      // duplication through the band exchange, and the arrays rode the
+      // (id_a, id_b) dedup exchange too. Candidate generation only needs
+      // (band_idx, band, doc_id); the signatures re-attach AFTER the dedup
+      // via two doc-keyed joins against the (one row per doc) sig stage —
+      // exactly the oracle's own shape (cand JOIN sig sa JOIN sig sb).
+      // est_jaccard is a pure function of the pair's two sigs, so
+      // attach-after-dedup computes the identical value. SHUFFLE_HASH on
+      // the self-join and the attach joins: corpus-scaled sides (never
+      // broadcast), 1/N per-task build, no sort (guide §3.1).
+      val banded = sigs.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
-      val a = banded.select(col("band_idx"), col("band"),
-        col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val b = banded.select(col("band_idx"), col("band"),
-        col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band_idx", "band"))
+      val a = banded.select(col("band_idx"), col("band"), col("doc_id").as("id_a"))
+      val b = banded.select(col("band_idx"), col("band"), col("doc_id").as("id_b"))
+      val cand = a.join(b.hint("shuffle_hash"), Seq("band_idx", "band"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+        .select(col("id_a"), col("id_b"))
         .dropDuplicates("id_a", "id_b")
+      val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      cand.join(sa.hint("shuffle_hash"), Seq("id_a"))
+        .join(sb.hint("shuffle_hash"), Seq("id_b"))
         .withColumn("est_jaccard",
           Protocol.out6(Protocol.dec(sigMatchCount(col("sig_a"), col("sig_b"), K)) / K))
         .filter(col("est_jaccard") >= 0.5)

@@ -276,18 +276,78 @@ object BucketedStore {
       writeMarker(fs(spark, spec.dir), spec.dir, BucketsMarker, nb.toLong)
       writeMarker(fs(spark, spec.dir), spec.dir, SortedMarker, 1L)
     } else {
-      val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        val cols = spark.table(tbl).columns.toIndexedSeq // _batch last
-        aligned.select(cols.map(col): _*)
-          .write.mode("overwrite").insertInto(tbl)
-      } finally mode match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // Dynamic partition overwrite, conf-ISOLATED in a per-context CHILD
+      // SESSION (r14, VERDICT item 1). The previous shape set/restored the
+      // SESSION-GLOBAL partitionOverwriteMode around the insertInto — the
+      // same documented race as withShufflePartitions: two concurrent
+      // appends to SIBLING stores would flip/restore each other's conf
+      // mid-analysis, which is why the multi-table sinks could never
+      // overlap their writes. The child shares the SparkContext and the
+      // external catalog (the registered store tables) but owns its
+      // SQLConf; its mode is set ONCE at creation and never mutated, so
+      // any number of concurrent appends can share it safely.
+      //
+      // Dynamic — not a static `PARTITION (_batch=N)` INSERT — is
+      // LOAD-BEARING: several sinks legally derive a batch's append from
+      // the TARGET table itself (the id sidecar's pre-batch anti-join),
+      // and Spark only permits a self-read under dynamic overwrite
+      // (stage-and-commit); static overwrite deletes the partition up
+      // front and rejects the plan (UNSUPPORTED_OVERWRITE.TABLE).
+      val cols = spark.table(tbl).columns.toIndexedSeq // _batch last
+      val child = dynamicOverwriteSession(spark)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(child,
+        org.apache.spark.sql.GraftSqlBridge.analyzed(
+          aligned.select(cols.map(col): _*)))
+        .write.mode("overwrite").insertInto(tbl)
+      // relation caches are PER SESSION: the child's write invalidated its
+      // own cached file listing, not the parent's — refresh the parent or
+      // a replay's rewrite leaves its stale listing pointing at deleted
+      // files (FILE_NOT_EXIST on the next read)
+      spark.catalog.refreshTable(tbl)
     }
   }
+
+  /** One conf-frozen child session per parent, created lazily and reused by
+    * every append: `partitionOverwriteMode=dynamic` is its permanent state,
+    * so the parent's conf is never touched and concurrent appends cannot
+    * race each other. The child shares the context, catalog and extensions;
+    * only the SQLConf is private.
+    */
+  private val dynChildren =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def dynamicOverwriteSession(spark: SparkSession): SparkSession =
+    dynChildren.computeIfAbsent(spark, s => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      c
+    })
+
+  /** Run independent per-batch store writes as CONCURRENT driver jobs
+    * (guide §2.6): a multi-table sink's appends (IVF lists / ids / codes)
+    * are order-independent — replay converges from any crash point between
+    * them — so running them sequentially just serializes three small
+    * write jobs' scheduling+commit latencies back to back. Requires every
+    * task to be conf-mutation-free (which [[appendBatch]] now is — static
+    * partition INSERT, no session conf touched); any failure propagates
+    * (its cause, not the ExecutionException wrapper) so foreachBatch
+    * retries the batch exactly as the sequential shape did. Spark's
+    * scheduler interleaves the jobs' tasks; with 2-3 writes in flight the
+    * later jobs back-fill the earlier ones' straggler tails.
+    */
+  def appendConcurrently(writes: Seq[() => Unit]): Unit =
+    if (writes.size <= 1) writes.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+      try {
+        val futs = writes.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = w()
+        }))
+        futs.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
 
   /** One-shot full (re)build: clear the dir, write everything as one
     * consolidated base partition. The write-then-swap is NOT atomic (this
@@ -330,17 +390,31 @@ object BucketedStore {
     * `col("_batch") < batchId`, this survives compaction — a replayed batch
     * sees its true prefix even when that prefix (and the batch itself, and
     * its successors) have been folded into a consolidated partition.
+    *
+    * The extra `_batch < batchId` conjunct is semantically REDUNDANT (a
+    * real partition `_batch=k` holds only `_src_batch=k` rows, and
+    * consolidations are strictly negative) but it is a PARTITION filter,
+    * so the scan PRUNES the batch's own partition — and any crash-partial
+    * later partition — instead of listing and reading their files. That
+    * pruning is what makes a snapshot read safe to run CONCURRENTLY with
+    * the batch's own partition rewrite (guide §2.6 overlapped sinks): a
+    * replayed batch's rewrite deletes the old `_batch=batchId` files,
+    * which would otherwise race a row-filtered scan that had them listed.
     */
   def strictlyBefore(df: DataFrame, batchId: Long): DataFrame =
-    df.filter(srcBatchCol(df) < batchId)
+    df.filter(col("_batch") < batchId && srcBatchCol(df) < batchId)
 
   /** The PRE-BATCH snapshot of a store frame: everything except the batch's
     * own rows — by ORIGINAL batch id, so a replay after compaction still
     * excludes its own (now folded) rows instead of anti-joining against
     * itself.
+    *
+    * Like [[strictlyBefore]], the `_batch =!= batchId` conjunct is
+    * redundant but prunes the batch's own partition at planning — the
+    * concurrent-rewrite safety property.
     */
   def excludeBatch(df: DataFrame, batchId: Long): DataFrame =
-    df.filter(srcBatchCol(df) =!= batchId)
+    df.filter(col("_batch") =!= batchId && srcBatchCol(df) =!= batchId)
 
   /** The compaction FRONTIER: the highest REAL (≥ 0) batch id ever folded
     * into a consolidated partition — permanent layout state like the width

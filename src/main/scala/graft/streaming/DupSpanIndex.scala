@@ -80,10 +80,17 @@ object DupSpanIndex {
         .join(hist, Seq("gh"), "left_outer")
         .where(col("in_hist").isNotNull || col("okey") =!= col("bmin"))
         .select(col("doc_id"), col("pos"))
-      Loader.writeBatchIdempotent(flagged, hitsDir, batchId)
-      BucketedStore.appendBatch(
-        g.select(col("gh"), col("doc_id"), col("pos")),
-        gramsSpec(dir, nb), batchId)
+      // the flags publish and the gram-store append are independently
+      // replay-idempotent — overlap them as concurrent driver jobs
+      // (guide §2.6). Safe against the same-table race because the flags
+      // job's history read PRUNES the batch's own partition
+      // (strictlyBefore's `_batch < batchId` partition conjunct), so the
+      // concurrent rewrite of that partition is invisible to it.
+      BucketedStore.appendConcurrently(Seq(
+        () => Loader.writeBatchIdempotent(flagged, hitsDir, batchId),
+        () => BucketedStore.appendBatch(
+          g.select(col("gh"), col("doc_id"), col("pos")),
+          gramsSpec(dir, nb), batchId)))
     } finally g.unpersist()
   }
 

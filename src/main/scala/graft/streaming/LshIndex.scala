@@ -163,20 +163,26 @@ object LshIndex {
       val pairs = pairsBetween(bban, bban, threshold)
         .unionByName(pairsBetween(bban, storeBan, threshold))
         .dropDuplicates("id_a", "id_b")
-      Loader.writeBatchIdempotent(pairs, pairsDir, batchId, markersDir)
       // The store keeps BANDED rows (doc_id, sig, band_idx, band), one per
       // (doc, band): 4× the rows of a one-row-per-doc layout, bought back
       // many times over because the probe join's store side never shuffles
       // again. Each append REWRITES the batch's own `_batch` partition
       // (BucketedStore), so the store write and the sidecar write are each
-      // independently replay-idempotent — no cross-write crash window.
+      // independently replay-idempotent — no cross-write crash window;
+      // that same independence lets the pairs publish and both appends
+      // overlap as concurrent driver jobs (guide §2.6). The pairs job
+      // scans the PRE-batch store snapshot (`_batch =!= batchId`), so the
+      // store append landing its partition mid-overlap is invisible to it.
       val fresh = bban.dropDuplicates("doc_id", "band_idx")
         .select(col("doc_id"), col("sig"), col("band_idx"), col("band"))
-      BucketedStore.appendBatch(fresh, storeSpec(storeDir, width), batchId)
-      // id sidecar (batch-sized write): keeps the NEXT batch's re-arrival
-      // anti-join exchange-free on the store side
-      BucketedStore.appendBatch(bban.select(col("doc_id")).dropDuplicates("doc_id"),
-        idsSpec(storeDir, width), batchId)
+      BucketedStore.appendConcurrently(Seq(
+        () => Loader.writeBatchIdempotent(pairs, pairsDir, batchId, markersDir),
+        () => BucketedStore.appendBatch(fresh, storeSpec(storeDir, width), batchId),
+        // id sidecar (batch-sized write): keeps the NEXT batch's re-arrival
+        // anti-join exchange-free on the store side
+        () => BucketedStore.appendBatch(
+          bban.select(col("doc_id")).dropDuplicates("doc_id"),
+          idsSpec(storeDir, width), batchId)))
     } finally bban.unpersist()
   }
 

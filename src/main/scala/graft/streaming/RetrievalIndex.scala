@@ -77,11 +77,16 @@ object RetrievalIndex {
       val postings = fresh
         .select(col("doc_id"), col("dl"), explode(col("tk")).as("t"))
         .groupBy(col("t"), col("doc_id"), col("dl")).agg(count(lit(1)).as("c"))
-      BucketedStore.appendBatch(postings, postingsSpec(dir, width), batchId)
-      BucketedStore.appendBatch(fresh.select(col("doc_id")), idsSpec(dir, width), batchId)
-      Loader.writeBatchIdempotent(
-        fresh.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("t_tokens")),
-        statsDir(dir), batchId)
+      // three independently replay-idempotent writes — overlap them as
+      // concurrent driver jobs (guide §2.6; all three are conf-free)
+      BucketedStore.appendConcurrently(Seq(
+        () => BucketedStore.appendBatch(postings, postingsSpec(dir, width), batchId),
+        () => BucketedStore.appendBatch(
+          fresh.select(col("doc_id")), idsSpec(dir, width), batchId),
+        () => Loader.writeBatchIdempotent(
+          fresh.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("t_tokens")),
+          statsDir(dir), batchId)))
     } finally fresh.unpersist()
   }
 

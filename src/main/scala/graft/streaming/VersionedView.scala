@@ -206,31 +206,82 @@ object VersionedView {
       ordCols: Seq[String], opCol: String, groupCol: Column,
       valueMicro: Column, deleteOp: String = "D"): (DataFrame, Long) => Unit = {
     require(ordCols.nonEmpty, "retract agg needs at least one ordering column")
-    val applyState = cdcSink(stateOut, keys, ordCols)
     (batch, batchId) => {
-      val applied = appliedChanges(batch, read(batch.sparkSession, stateOut),
+      val sp = batch.sparkSession
+      // state publishes LAST, so state-at-batchId ⇒ the whole batch
+      // (both views) already published — a replay can no-op before
+      // computing anything
+      if (currentVersion(sp, stateOut).contains(s"v=$batchId")) () else {
+      // ONE applied-changes pass feeds BOTH views (r14 job diet): the old
+      // shape windowed the batch and probed the state twice (once for the
+      // deltas, once inside cdcSink's MERGE). The state successor is
+      // derivable from the same `applied` set — a change applies ⇔ the
+      // merge's conditional update fires — so state' =
+      // (state ∖ applied keys) ∪ applied rows, row-identical to the MERGE.
+      val applied = appliedChanges(batch, read(sp, stateOut),
         keys, ordCols, opCol, groupCol, valueMicro, deleteOp)
-      val z = org.apache.spark.sql.functions.lit(0L)
-      val deltas = applied.groupBy(col("_g").as("g"))
-        .agg(
-          org.apache.spark.sql.functions.sum(col("_live") -
-            org.apache.spark.sql.functions.coalesce(col("_old_live"), z)).as("dn"),
-          org.apache.spark.sql.functions.sum(col("_v") -
-            org.apache.spark.sql.functions.coalesce(col("_old_v"), z)).as("dsum"))
-      versionedSink(aggOut) { (d, curAgg) =>
-        curAgg match {
-          case None => d
-          case Some(a) => graft.operators.MergeInto.merge(a, d, Seq("g"),
-            setOnMatch = Map(
-              "dn" -> (col("t_dn") + col("s_dn")),
-              "dsum" -> (col("t_dsum") + col("s_dsum"))),
-            insertOnUnmatched = Map(
-              "dn" -> col("s_dn"), "dsum" -> col("s_dsum")),
-            checkCardinality = false)
-        }
-      }(deltas, batchId)
-      applyState(batch, batchId)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        applied.count() // materialize once; both prepares read the cache
+        val z = org.apache.spark.sql.functions.lit(0L)
+        val deltas = applied.groupBy(col("_g").as("g"))
+          .agg(
+            org.apache.spark.sql.functions.sum(col("_live") -
+              org.apache.spark.sql.functions.coalesce(col("_old_live"), z)).as("dn"),
+            org.apache.spark.sql.functions.sum(col("_v") -
+              org.apache.spark.sql.functions.coalesce(col("_old_v"), z)).as("dsum"))
+        val (aggStaged, stateStaged) = concurrently(
+          () => prepareVersion(sp, aggOut, batchId, {
+            case None => deltas
+            case Some(a) => graft.operators.MergeInto.merge(a, deltas, Seq("g"),
+              setOnMatch = Map(
+                "dn" -> (col("t_dn") + col("s_dn")),
+                "dsum" -> (col("t_dsum") + col("s_dsum"))),
+              insertOnUnmatched = Map(
+                "dn" -> col("s_dn"), "dsum" -> col("s_dsum")),
+              checkCardinality = false)
+          }),
+          () => prepareVersion(sp, stateOut, batchId,
+            applyAppliedToState(batch, applied, keys)))
+        // publish order is the replay invariant: agg FIRST, state second
+        // (see the class doc) — only the POINTER SWAPS are ordered; the
+        // heavy writes above ran concurrently (guide §2.6).
+        aggStaged.foreach(publishVersion(sp, aggOut, _))
+        stateStaged.foreach(publishVersion(sp, stateOut, _))
+      } finally applied.unpersist()
+      }
     }
+  }
+
+  /** The state successor from the shared `applied` set — row-identical to
+    * [[cdcSink]]'s conditional latest-wins MERGE: a change applies ⇔ the
+    * merge's "strictly newer" update fires, so the new state is the old
+    * rows whose keys did not apply plus the applied rows themselves
+    * (tombstones included — retention semantics unchanged). With no prior
+    * state, `applied` IS the batch's latest-per-key set (nothing filters).
+    */
+  private def applyAppliedToState(batch: DataFrame, applied: DataFrame,
+      keys: Seq[String]): Option[DataFrame] => DataFrame = {
+    case None => applied.select(batch.columns.map(col).toIndexedSeq: _*)
+    case Some(c) => c
+      .join(applied.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(applied.select(c.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Run two independent view PREPARES as concurrent driver jobs (§2.6) —
+    * safe because a prepare changes nothing visible; the caller sequences
+    * the publishes.
+    */
+  private def concurrently[A, B](a: () => A, b: () => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[A] { def call(): A = a() })
+      val fb = pool.submit(new java.util.concurrent.Callable[B] { def call(): B = b() })
+      def get[T](f: java.util.concurrent.Future[T]): T =
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      (get(fa), get(fb))
+    } finally pool.shutdown()
   }
 
   /** RETRACTABLE streaming MIN/MAX — the NON-INVERTIBLE aggregate case,
@@ -249,39 +300,53 @@ object VersionedView {
       ordCols: Seq[String], opCol: String, groupCol: Column,
       valueMicro: Column, deleteOp: String = "D"): (DataFrame, Long) => Unit = {
     require(ordCols.nonEmpty, "retract min/max needs at least one ordering column")
-    val applyState = cdcSink(stateOut, keys, ordCols)
     (batch, batchId) => {
-      val applied = appliedChanges(batch, read(batch.sparkSession, stateOut),
+      val sp = batch.sparkSession
+      // state publishes LAST: state-at-batchId ⇒ fully published replay
+      if (currentVersion(sp, stateOut).contains(s"v=$batchId")) () else {
+      // same r14 job diet as retractAggSink: one applied pass feeds both
+      // views; the two prepares overlap; publishes stay ordered (index
+      // first, state second).
+      val applied = appliedChanges(batch, read(sp, stateOut),
         keys, ordCols, opCol, groupCol, valueMicro, deleteOp)
-      // every applied change contributes up to two index rows: retract the
-      // old live value, insert the new one
-      val adds = applied.filter(col("_live") === 1L)
-        .select(col("_g").as("g"), col("_v").as("v"),
-          org.apache.spark.sql.functions.lit(1L).as("dcnt"))
-      val retracts = applied.filter(col("_old_live") === 1L)
-        .select(col("_g").as("g"), col("_old_v").as("v"),
-          org.apache.spark.sql.functions.lit(-1L).as("dcnt"))
-      val deltas = adds.unionByName(retracts)
-        .groupBy(col("g"), col("v"))
-        .agg(org.apache.spark.sql.functions.sum(col("dcnt")).as("dcnt"))
-      versionedSink(idxOut) { (d, curIdx) =>
-        // COMPACT at publish: a (g, v) row whose live multiplicity drained
-        // to 0 carries no information, and under adversarial value churn
-        // (one key cycling through ever-new values) keeping them would
-        // grow the index with HISTORY cardinality instead of live-value
-        // cardinality — the classic unbounded-state leak. Dropping them
-        // here pins index rows == live distinct (g, v) values
-        // (StateScaleSpec enforces it).
-        val merged = curIdx match {
-          case None => d
-          case Some(a) => graft.operators.MergeInto.merge(a, d, Seq("g", "v"),
-            setOnMatch = Map("dcnt" -> (col("t_dcnt") + col("s_dcnt"))),
-            insertOnUnmatched = Map("dcnt" -> col("s_dcnt")),
-            checkCardinality = false)
-        }
-        merged.filter(col("dcnt") =!= 0L)
-      }(deltas, batchId)
-      applyState(batch, batchId)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        applied.count() // materialize once; both prepares read the cache
+        // every applied change contributes up to two index rows: retract the
+        // old live value, insert the new one
+        val adds = applied.filter(col("_live") === 1L)
+          .select(col("_g").as("g"), col("_v").as("v"),
+            org.apache.spark.sql.functions.lit(1L).as("dcnt"))
+        val retracts = applied.filter(col("_old_live") === 1L)
+          .select(col("_g").as("g"), col("_old_v").as("v"),
+            org.apache.spark.sql.functions.lit(-1L).as("dcnt"))
+        val deltas = adds.unionByName(retracts)
+          .groupBy(col("g"), col("v"))
+          .agg(org.apache.spark.sql.functions.sum(col("dcnt")).as("dcnt"))
+        val (idxStaged, stateStaged) = concurrently(
+          () => prepareVersion(sp, idxOut, batchId, { curIdx =>
+            // COMPACT at publish: a (g, v) row whose live multiplicity
+            // drained to 0 carries no information, and under adversarial
+            // value churn (one key cycling through ever-new values) keeping
+            // them would grow the index with HISTORY cardinality instead of
+            // live-value cardinality — the classic unbounded-state leak.
+            // Dropping them here pins index rows == live distinct (g, v)
+            // values (StateScaleSpec enforces it).
+            val merged = curIdx match {
+              case None => deltas
+              case Some(a) => graft.operators.MergeInto.merge(a, deltas, Seq("g", "v"),
+                setOnMatch = Map("dcnt" -> (col("t_dcnt") + col("s_dcnt"))),
+                insertOnUnmatched = Map("dcnt" -> col("s_dcnt")),
+                checkCardinality = false)
+            }
+            merged.filter(col("dcnt") =!= 0L)
+          }),
+          () => prepareVersion(sp, stateOut, batchId,
+            applyAppliedToState(batch, applied, keys)))
+        idxStaged.foreach(publishVersion(sp, idxOut, _))
+        stateStaged.foreach(publishVersion(sp, stateOut, _))
+      } finally applied.unpersist()
+      }
     }
   }
 
@@ -415,46 +480,78 @@ object VersionedView {
       mk: (DataFrame, Option[DataFrame]) => DataFrame): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val sp = batch.sparkSession
-      val fs = fsOf(sp, out)
-      val outPath = new Path(out)
-      fs.mkdirs(outPath)
-      val versionName = s"v=$batchId"
-      val cur = currentVersion(sp, out)
-      if (cur.contains(versionName)) ()  // replay of a fully published batch
-      else {
-        val finalDir = new Path(out, versionName)
-        // crash between dir-rename and pointer-swap leaves an unpublished
-        // complete dir; rebuild it (cheap: view-sized) rather than trust it
-        if (fs.exists(finalDir)) fs.delete(finalDir, true)
-        val merged = mk(batch, cur.map(v => sp.read.parquet(s"$out/$v")))
-        val tmp = new Path(out, s"_tmp_$versionName")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        // the expected count rides the WRITE job as an observe() metric —
-        // a separate merged.count() would recompute the whole merge plan
-        // a second time per batch
-        val obs = org.apache.spark.sql.Observation(s"vview_audit_$versionName")
-        merged.observe(obs, org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n"))
-          .write.parquet(tmp.toString)
-        val expect = obs.get("n").asInstanceOf[Long]
-        // AUDIT: the files about to publish must re-read to the same count
-        val got = sp.read.parquet(tmp.toString).count()
-        require(got == expect,
-          s"merge audit failed for $versionName: wrote $expect rows, read back $got")
-        // PUBLISH: atomic dir rename, then atomic pointer swap
-        require(fs.rename(tmp, finalDir), s"publish rename failed: $tmp -> $finalDir")
-        val fc = FileContext.getFileContext(outPath.toUri,
-          sp.sparkContext.hadoopConfiguration)
-        val ptrTmp = new Path(out, s"$Current.tmp")
-        val os = fs.create(ptrTmp, true)
-        try os.write(versionName.getBytes("UTF-8")) finally os.close()
-        fc.rename(ptrTmp, new Path(out, Current), Options.Rename.OVERWRITE)
-        // RETENTION: keep current + previous (in-flight readers), drop older
-        val keep = Set(versionName) ++ cur
-        fs.listStatus(outPath)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-          .filterNot(st => keep(st.getPath.getName))
-          .foreach(st => fs.delete(st.getPath, true))
-      }
+      prepareVersion(sp, out, batchId,
+        cur => mk(batch, cur)).foreach(publishVersion(sp, out, _))
+  }
+
+  /** A fully written-and-audited version awaiting publish: nothing under
+    * `out` is visible to readers until [[publishVersion]] swaps the
+    * pointer, so prepares for INDEPENDENT views may run concurrently and
+    * the (order-sensitive) publishes still happen exactly where the caller
+    * sequences them.
+    */
+  private final case class Staged(versionName: String, cur: Option[String])
+
+  /** WRITE + AUDIT a new version (no visibility change): build the merged
+    * frame against the current version, write it under a `_tmp_` name,
+    * read-count audit. None ⇔ the batch is already the published current
+    * version (a replay of a fully published batch — nothing to do).
+    */
+  private def prepareVersion(sp: SparkSession, out: String, batchId: Long,
+      mk: Option[DataFrame] => DataFrame): Option[Staged] = {
+    val fs = fsOf(sp, out)
+    fs.mkdirs(new Path(out))
+    val versionName = s"v=$batchId"
+    val cur = currentVersion(sp, out)
+    if (cur.contains(versionName)) None // replay of a fully published batch
+    else {
+      val finalDir = new Path(out, versionName)
+      // crash between dir-rename and pointer-swap leaves an unpublished
+      // complete dir; rebuild it (cheap: view-sized) rather than trust it
+      if (fs.exists(finalDir)) fs.delete(finalDir, true)
+      val merged = mk(cur.map(v => sp.read.parquet(s"$out/$v")))
+      val tmp = new Path(out, s"_tmp_$versionName")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // the expected count rides the WRITE job as an observe() metric —
+      // a separate merged.count() would recompute the whole merge plan
+      // a second time per batch
+      val obs = org.apache.spark.sql.Observation(
+        s"vview_audit_${versionName}_${System.nanoTime()}")
+      merged.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.parquet(tmp.toString)
+      val expect = obs.get("n").asInstanceOf[Long]
+      // AUDIT: the files about to publish must re-read to the same count
+      val got = sp.read.parquet(tmp.toString).count()
+      require(got == expect,
+        s"merge audit failed for $versionName: wrote $expect rows, read back $got")
+      Some(Staged(versionName, cur))
+    }
+  }
+
+  /** PUBLISH a prepared version: atomic dir rename, then atomic pointer
+    * swap, then retention. This is the ONLY visibility change, so publish
+    * ORDER between views is exactly the caller's call order — the property
+    * the retract sinks' replay story depends on (agg/index first, state
+    * second).
+    */
+  private def publishVersion(sp: SparkSession, out: String, staged: Staged): Unit = {
+    val fs = fsOf(sp, out)
+    val outPath = new Path(out)
+    val tmp = new Path(out, s"_tmp_${staged.versionName}")
+    val finalDir = new Path(out, staged.versionName)
+    require(fs.rename(tmp, finalDir), s"publish rename failed: $tmp -> $finalDir")
+    val fc = FileContext.getFileContext(outPath.toUri,
+      sp.sparkContext.hadoopConfiguration)
+    val ptrTmp = new Path(out, s"$Current.tmp")
+    val os = fs.create(ptrTmp, true)
+    try os.write(staged.versionName.getBytes("UTF-8")) finally os.close()
+    fc.rename(ptrTmp, new Path(out, Current), Options.Rename.OVERWRITE)
+    // RETENTION: keep current + previous (in-flight readers), drop older
+    val keep = Set(staged.versionName) ++ staged.cur
+    fs.listStatus(outPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filterNot(st => keep(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 }

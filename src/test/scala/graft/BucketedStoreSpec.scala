@@ -351,4 +351,50 @@ class BucketedStoreSpec extends AnyFunSuite {
     // a raw read WITHOUT the view sees both copies — the bug the view closes
     assert(spark.read.parquet(s.dir).count() == 80L)
   }
+
+  test("concurrent appends to sibling stores never touch the session conf (r14)") {
+    // r13 carried a documented race: appendBatch set/restored the
+    // SESSION-GLOBAL partitionOverwriteMode around its insertInto, so two
+    // overlapped appends could flip/restore each other's conf mid-analysis.
+    // r14 moved the dynamic overwrite into a conf-frozen CHILD session;
+    // this pins it: many concurrent appends, the PARENT conf untouched
+    // throughout, every store correct — including replays racing a
+    // same-table snapshot read (the strictlyBefore/excludeBatch
+    // partition-prune conjunct).
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(confKey)
+    val specs = (0 until 3).map(i => spec(tmpDir(s"bs-conc-$i")))
+    specs.foreach(s => BucketedStore.appendBatch(mk(0, 40), s, 0L))
+    val observedDynamic = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watcher = new Thread(() => {
+      while (!stop.get) {
+        if (spark.conf.getOption(confKey).exists(_.equalsIgnoreCase("dynamic")))
+          observedDynamic.set(true)
+        Thread.sleep(1)
+      }
+    })
+    watcher.start()
+    try {
+      (1 to 3).foreach { b =>
+        // each round: 3 sibling stores append batch b concurrently, plus a
+        // REPLAY of batch b-1 racing a strictly-before snapshot read of the
+        // same store (the overlapped-sink shape DupSpanIndex/LshIndex use)
+        BucketedStore.appendConcurrently(
+          specs.map(s => () =>
+            BucketedStore.appendBatch(mk(b * 40L, b * 40L + 40), s, b.toLong)) :+
+          (() => BucketedStore.appendBatch(
+            mk((b - 1) * 40L, (b - 1) * 40L + 40), specs.head, (b - 1).toLong)) :+
+          (() => {
+            val st = BucketedStore.read(spark, specs.head).get
+            val n = BucketedStore.strictlyBefore(st, (b - 1).toLong).count()
+            assert(n == (b - 1).toLong * 40,
+              s"snapshot read raced the replay rewrite: $n")
+          }))
+      }
+    } finally { stop.set(true); watcher.join() }
+    assert(!observedDynamic.get, "a concurrent append flipped the session conf")
+    assert(spark.conf.getOption(confKey) == before)
+    specs.foreach(s => assert(rows(s).size == 160, s"store ${s.dir} lost rows"))
+  }
 }

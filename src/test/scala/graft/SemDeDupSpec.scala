@@ -54,6 +54,34 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(droppedIds(tie) == Set(21L))
   }
 
+  test("cluster-count scale law: gate default is fixed; docsPerCluster wires k ∝ corpus") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"alpha$i beta${i % 7} gamma common")).toDF("doc_id", "text")
+    val key = "spark.graft.semdedup.docsPerCluster"
+    // gate shape: conf unset → the pinned base, NO count job, oracle-stable
+    spark.conf.unset(key)
+    assert(SemDeDup.clusterCount(docs, 16) == 16)
+    try {
+      // the law: k = max(base, ceil(n/d)) — per-cluster population stays ≤ d
+      spark.conf.set(key, "10")
+      assert(SemDeDup.clusterCount(docs, 16) == 20) // ceil(200/10)
+      spark.conf.set(key, "1000")
+      assert(SemDeDup.clusterCount(docs, 16) == 16) // floor at base
+      // and what the law BUYS: the pair stage is Σ n_c·(n_c−1); growing k
+      // with the corpus must shrink it vs the fixed-k gate shape. Pair-row
+      // bound measured through the same argmax assignment markDropped uses.
+      def pairRows(k: Int): Long =
+        SemDeDup.assignArgmax(SemDeDup.embedBow(docs, k))
+          .groupBy("cluster").count()
+          .agg(sum(col("count") * (col("count") - 1L))).collect().head.getLong(0)
+      val fixed = pairRows(16)
+      val scaled = pairRows(64)
+      assert(scaled < fixed,
+        s"k∝corpus must bound the pair stage: k=16 → $fixed rows, k=64 → $scaled")
+    } finally spark.conf.unset(key)
+  }
+
   test("hashed-BoW embedding is a pure function of the text (partitioning-invariant)") {
     import spark.implicits._
     val docs = (0L until 40L)
