@@ -284,21 +284,26 @@ object SharedStages {
       // via two doc-keyed joins against the (one row per doc) sig stage —
       // exactly the oracle's own shape (cand JOIN sig sa JOIN sig sb).
       // est_jaccard is a pure function of the pair's two sigs, so
-      // attach-after-dedup computes the identical value. SHUFFLE_HASH on
-      // the self-join and the attach joins: corpus-scaled sides (never
-      // broadcast), 1/N per-task build, no sort (guide §3.1).
+      // attach-after-dedup computes the identical value. Join strategy is
+      // deliberately LEFT TO THE PLANNER: at gate SF the banded/sig sides
+      // broadcast (zero exchange — forcing SHUFFLE_HASH was measured to
+      // add 10 exchanges for nothing), and at 100 TB, where nothing
+      // broadcasts, the sort-merge it falls to now sorts 3 narrow columns
+      // instead of 16-lane sig arrays; a deployment that prefers hash
+      // joins sets spark.sql.join.preferSortMergeJoin=false (guide §9)
+      // without touching this shape.
       val banded = sigs.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band_idx", "band")))
       val a = banded.select(col("band_idx"), col("band"), col("doc_id").as("id_a"))
       val b = banded.select(col("band_idx"), col("band"), col("doc_id").as("id_b"))
-      val cand = a.join(b.hint("shuffle_hash"), Seq("band_idx", "band"))
+      val cand = a.join(b, Seq("band_idx", "band"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
         .dropDuplicates("id_a", "id_b")
       val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
       val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      cand.join(sa.hint("shuffle_hash"), Seq("id_a"))
-        .join(sb.hint("shuffle_hash"), Seq("id_b"))
+      cand.join(sa, Seq("id_a"))
+        .join(sb, Seq("id_b"))
         .withColumn("est_jaccard",
           Protocol.out6(Protocol.dec(sigMatchCount(col("sig_a"), col("sig_b"), K)) / K))
         .filter(col("est_jaccard") >= 0.5)
